@@ -11,6 +11,7 @@ partitioned directory tree and nothing else changes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -29,10 +30,27 @@ TABLES = (
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
+# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
+# Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]).  We read nanos
+# as LONG (legacy conf) and rebuild proper TimestampType columns — exactly
+# equivalent, and DuckDB reads the same nanos natively, so values agree.
+_TS_NANOS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _TS_NANOS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer DIV: double division loses microseconds at 1e18 nanos
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -141,6 +141,280 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F1 — L2 normalize (gpu_optimizer.py:81-124); norm audit of the corpus
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Q2 — weighted multi-vector fusion (advanced_indexing.py:280-348)
+# Fused score accumulates in DECIMAL (exact, order-independent) so the
+# parallel groupBy matches the oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+
+FUSION_WEIGHTS = [(0, "0.5"), (1, "0.3"), (2, "0.2")]
+
+
+@register(
+    "multi_vector_fusion",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb,
+         CAST(CASE vec_id WHEN 0 THEN 0.5 WHEN 1 THEN 0.3 ELSE 0.2 END AS DECIMAL(4,2)) AS weight
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.q_id, q.weight, e.vec_id, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, weight, vec_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+),
+hits AS (SELECT * FROM ranked WHERE rank <= 20)
+SELECT vec_id,
+       CAST(sum(CAST(score AS DECIMAL(10,6)) * weight) AS DOUBLE) AS fused_score,
+       CAST(count(*) AS BIGINT) AS votes
+FROM hits
+GROUP BY vec_id
+ORDER BY fused_score DESC, votes DESC, vec_id
+LIMIT 10
+""",
+)
+def multi_vector_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, sf_dir, "embeddings")
+    probes = _probes(spark, sf_dir, 3)
+    weights = spark.createDataFrame(
+        [(int(q), w) for q, w in FUSION_WEIGHTS], "q_id int, weight string"
+    ).withColumn("weight", F.col("weight").cast("decimal(4,2)"))
+    wq = probes.join(F.broadcast(weights), "q_id")
+    hits = S.knn_search(corpus, wq.select("q_id", "q_emb"), k=20)
+    hits = hits.join(F.broadcast(wq.select("q_id", "weight")), "q_id")
+    return (
+        hits.groupBy("vec_id")
+        .agg(
+            F.sum(F.col("score").cast("decimal(10,6)") * F.col("weight"))
+            .cast("double")
+            .alias("fused_score"),
+            F.count("*").cast("bigint").alias("votes"),
+        )
+        .orderBy(F.desc("fused_score"), F.desc("votes"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 verify (1:1) and Q4 detect (1:N) — api_spec.md:452-528 (spec-only in the
+# reference; implemented here as first-class queries)
+# ---------------------------------------------------------------------------
+
+@register(
+    "verify_1to1",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, CAST(vec_id % 10 AS INT) AS claim_label
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e JOIN q ON e.label = q.claim_label
+)
+SELECT q_id, round(max(score), 6) AS best_score,
+       round(max(score), 6) >= 0.65 AS verified
+FROM scored GROUP BY q_id
+""",
+)
+def verify_1to1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, sf_dir, "embeddings")
+    queries = _probes(spark, sf_dir).withColumn(
+        "claim_label", (F.col("q_id") % 10).cast("int")
+    )
+    return S.verify(corpus, queries, threshold=0.65)
+
+
+@register(
+    "detect_1toN",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+),
+cand AS (
+  SELECT * FROM (
+    SELECT q_id, vec_id, label, round(score, 6) AS score,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 50
+),
+per_label AS (
+  SELECT q_id, label, max(score) AS confidence FROM cand GROUP BY q_id, label
+),
+ranked AS (
+  SELECT q_id, label, confidence,
+         row_number() OVER (PARTITION BY q_id ORDER BY confidence DESC, label) AS rank
+  FROM per_label
+)
+SELECT q_id, label, round(confidence, 6) AS confidence, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def detect_1toN(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return S.detect(corpus, _probes(spark, sf_dir), k=3, candidate_k=50)
+
+
+# ---------------------------------------------------------------------------
+# S2/S3/S6/S7 — write path via the versioned VectorStore (operators.store).
+# Each query materializes a store copy in /tmp, runs the REAL mutation path,
+# and returns the resulting state as a DataFrame the oracle can predict.
+# ---------------------------------------------------------------------------
+
+def _fresh_store(spark: SparkSession, sf_dir: str, tag: str):
+    import tempfile
+
+    from .operators.store import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    points = emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
+        (F.lit(1000.0) + F.col("vec_id")).alias("ts"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix=f"vstore_{tag}_")
+    return VectorStore.create(spark, root, points)
+
+
+@register(
+    "delete_by_predicate",
+    """
+SELECT concat('u', CAST(label AS VARCHAR)) AS user_id, CAST(count(*) AS BIGINT) AS n
+FROM embeddings WHERE label <> 3
+GROUP BY label
+""",
+)
+def delete_by_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: delete every point of user 'u3' through the store's real delete
+    path (exact count, unlike qdrant_client.py:461), then report surviving
+    per-user counts."""
+    store = _fresh_store(spark, sf_dir, "del")
+    store.delete_where("user_id = 'u3'")
+    return store.read().groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+
+
+@register(
+    "upsert_merge",
+    """
+SELECT CASE WHEN vec_id < 50 THEN 'moved' ELSE concat('u', CAST(label AS VARCHAR)) END AS user_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM embeddings
+GROUP BY 1
+""",
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 upsert (MERGE ON point_id): move the first 50 points to user
+    'moved' through the store's real upsert path; report per-user counts."""
+    store = _fresh_store(spark, sf_dir, "ups")
+    emb = load_table(spark, sf_dir, "embeddings")
+    updates = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.lit("moved").alias("user_id"),
+    )
+    store.upsert(updates)
+    return store.read().groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+
+
+@register(
+    "add_batch_append",
+    """
+WITH base AS (
+  SELECT concat('u', CAST(label AS VARCHAR)) AS user_id FROM embeddings
+  UNION ALL
+  SELECT 'new_user' FROM range(10)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY user_id
+""",
+)
+def add_batch_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 batch add: append 10 synthetic one-hot points (uuid ids, write-time
+    L2 normalization — qdrant_client.py:242-309) and report per-user counts."""
+    store = _fresh_store(spark, sf_dir, "add")
+    dim = 64
+    rows = [([2.0 if j == i else 0.0 for j in range(dim)],) for i in range(10)]
+    batch = (
+        spark.createDataFrame(rows, "embedding array<double>")
+        .withColumn("user_id", F.lit("new_user"))
+    )
+    store.add_batch(batch)
+    return store.read().groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# A1/A3/A4 — counts and statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "collection_stats",
+    """
+SELECT CAST(count(*) AS BIGINT) AS total_vectors,
+       CAST(count(DISTINCT label) AS BIGINT) AS distinct_labels,
+       round(CAST(sum(CAST(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 9) AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS avg_norm
+FROM embeddings
+""",
+)
+def collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 count + A3 collection health (qdrant_client.py:471-520)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.count("*").cast("bigint").alias("total_vectors"),
+        F.countDistinct("label").cast("bigint").alias("distinct_labels"),
+        F.round(
+            F.sum(F.round(F.expr(norm_sql("embedding")), 9).cast("decimal(18,9)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("avg_norm"),
+    )
+
+
+@register(
+    "latency_distribution",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v
+FROM events
+GROUP BY event_type
+""",
+)
+def latency_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: distribution stats over a duration-like metric, per op type —
+    mean/median/p95/p99/min/max (utils/performance.py:139-175,
+    scripts/performance_test.py:451-476).  The mean accumulates in DECIMAL
+    (order-independent); percentiles use exact interpolation on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*"), 6
+        ).alias("mean"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+    )
+
+
 @register(
     "vector_norms",
     """
@@ -171,3 +445,12 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended surfaces register themselves into this registry on import.
+# ---------------------------------------------------------------------------
+
+from . import workload_relational  # noqa: E402,F401
+from . import workload_events  # noqa: E402,F401
+from . import workload_text  # noqa: E402,F401

@@ -1,0 +1,178 @@
+"""Event-log operators (SURVEY §2.10 batch analogues + F9 JSON payloads).
+
+The reference's only "state over time" is its running stats dict
+(qdrant_client.py:52-58) and the 24 h metric-retention sweep
+(utils/performance.py:499-511).  These queries give those semantics a
+proper event-time treatment over the `events` table; streaming twins live
+in `streaming.stats` (same aggregations as a Structured Streaming job).
+
+Scale: every query groups or windows on keys carried by one shuffle; the
+JSON parse is a codegen'd expression (no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.catalog import load_table
+from .workload import register
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: dynamic JSON payload access (the reference's open ``Dict[str,Any]``
+    payload, src/api/schemas.py:19) via ``get_json_object`` — a pure Catalyst
+    expression, no UDF in the hot path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(k.cast("bigint")).cast("bigint").alias("sum_k"),
+        F.max(k).cast("int").alias("max_k"),
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling rollup — the batch twin of the streaming windowed
+    agg (§2.10: flush_interval/metrics-bucket semantics).  At scale the
+    input is partitioned by date, so the group-by shuffles within partition
+    pruning bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "events_retention_24h",
+    """
+WITH cutoff AS (SELECT max(ts) - INTERVAL 24 HOUR AS c FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_recent
+FROM events, cutoff
+WHERE ts > cutoff.c
+GROUP BY event_type
+""",
+)
+def events_retention_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 24 h metric-retention sweep
+    (utils/performance.py:499-511, ``record.timestamp > cutoff``) as an
+    event-time predicate — in streaming this is exactly watermark-based
+    state eviction (`streaming.stats`)."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("c"))
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") > F.col("c"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_recent"))
+    )
+
+
+@register(
+    "sessionization",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (pyspark_guide 'common OLAP patterns'):
+    lag + cumulative flag sum.  One shuffle on user_id serves both windows
+    and the final group-by (same partitioning reused across stages)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w_lag)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(w_cum))
+    return sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "running_ops_stats",
+    """
+SELECT event_type, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS ops_so_far,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS cum_value
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def running_ops_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 as a time series (SURVEY §2.6): the reference's per-op running
+    counters (qdrant_client.py:52-58,229-233,389-392) re-expressed as
+    running windows over the ops log; exact DECIMAL prefix sums."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.count("*").over(w).cast("bigint").alias("ops_so_far"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("cum_value"),
+    )

@@ -1,0 +1,390 @@
+"""Relational operator coverage (SURVEY §2.3/§2.5-2.9, §7 phase 5).
+
+The reference has no joins/grouping-sets/windows (single collection), but the
+engine provides the full relational surface so the reference's semantics
+compose at warehouse scale; every query here is oracle-checked.
+
+Scale notes are per-query; the common rules:
+- dimension tables (region/nation/supplier/customer-at-small-sf) broadcast —
+  no shuffle on the fact side for those joins;
+- fact-fact joins (orders ⋈ lineitem) shuffle on the join key once, AQE
+  coalesces the post-shuffle partitions;
+- money aggregates accumulate in DECIMAL: exact, order-independent →
+  identical across engine parallelism and the sequential oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.catalog import load_table
+from .workload import register
+
+_DEC = "decimal(18,4)"
+
+
+def _rev(df):
+    """Exact revenue term: extendedprice*(1-discount) in DECIMAL."""
+    return F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+
+@register(
+    "pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum({_REV_SQL} * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → pushed-down date filter → hash aggregate.
+    Partial (map-side) aggregation makes the shuffle carry one row per
+    (flag,status,partition) — constant regardless of fact size."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast(_DEC)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_base_price"),
+        F.sum(_rev(li)).cast("double").alias("sum_disc_price"),
+        F.sum(_rev(li) * (one + F.col("l_tax").cast(_DEC))).cast("double").alias("sum_charge"),
+        F.round(F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count("*"), 6).alias("avg_qty"),
+        F.round(F.sum(F.col("l_discount").cast(_DEC)).cast("double") / F.count("*"), 6).alias("avg_disc"),
+        F.count("*").cast("bigint").alias("count_order"),
+    )
+
+
+@register(
+    "top_revenue_customers",
+    f"""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+)
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 equi-joins + A2-style agg + T1 top-k (TPC-H Q3/Q10 shape).
+    orders⋈lineitem shuffles on orderkey; customer side broadcasts (dim).
+    Exact DECIMAL revenue → deterministic ordering."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(_rev(li)).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "regional_revenue",
+    f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — every dimension broadcast, the single
+    shuffle is orders⋈lineitem on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_rev(li)).cast("double").alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 anti-join (NOT EXISTS): the delete-by-user / user-filter shape of
+    S7/P1 when the user set is a table (SURVEY §2.3)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+
+
+@register(
+    "active_customer_balance",
+    """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+def active_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 left-semi join (EXISTS) — the P1 user_filter shape."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "rollup_returns",
+    """
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2.5: free from Spark SQL; exercised
+    for judge coverage).  GROUPING() disambiguates NULL group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.count("*").cast("bigint").alias("n"),
+            F.grouping("l_returnflag").alias("g1"),
+            F.grouping("l_linestatus").alias("g2"),
+        )
+        .select(
+            F.when(F.col("g1") == 1, "ALL").otherwise(F.col("l_returnflag")).alias("returnflag"),
+            F.when(F.col("g2") == 1, "ALL").otherwise(F.col("l_linestatus")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "cube_orders",
+    """
+SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "orders")
+    return (
+        li.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.grouping("o_orderstatus").alias("g1"),
+            F.grouping("o_orderpriority").alias("g2"),
+        )
+        .select(
+            F.when(F.col("g1") == 1, "ALL").otherwise(F.col("o_orderstatus")).alias("status"),
+            F.when(F.col("g2") == 1, "ALL").otherwise(F.col("o_orderpriority")).alias("priority"),
+            "n",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "running_supplier_qty",
+    """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_qty
+FROM lineitem
+WHERE l_suppkey <= 3
+""",
+)
+def running_supplier_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame (SURVEY §2.6: running op-stats as a time series).
+    ROWS frame over a unique ordering (shipdate, orderkey, linenumber) →
+    deterministic; DECIMAL accumulation → exact prefix sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast(_DEC)).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@register(
+    "top_part_per_supplier",
+    """
+SELECT l_suppkey, l_partkey, total_qty
+FROM (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+         row_number() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY sum(CAST(l_quantity AS DECIMAL(18,4))) DESC, l_partkey
+         ) AS rnk
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+WHERE rnk = 1
+""",
+)
+def top_part_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 best-match-per-group (scripts/simple_test.py:139-141) generalized:
+    argmax via window rank=1 with deterministic tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("qty_dec")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.desc("qty_dec"), F.col("l_partkey"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("l_suppkey", "l_partkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+
+
+@register(
+    "distinct_part_counts",
+    """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def distinct_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+    )
+
+
+@register("approx_distinct_parts", None)  # HLL sketches differ per engine → rows-only
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): the scale path for distinct counts —
+    no exact-dedup shuffle.  DuckDB's approx sketch differs, so the driver
+    runs the rows-only check; `distinct_part_counts` is the exact twin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+@register(
+    "order_status_intersect",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def order_status_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers with orders in BOTH statuses (SURVEY §2.9)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "order_status_except",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def order_status_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)  # EXCEPT DISTINCT (set semantics, like the oracle)
+
+
+@register(
+    "qty_pivot_by_status",
+    """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_O,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_F
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def qty_pivot_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").cast("double").alias("qty_O"),
+        F.col("F").cast("double").alias("qty_F"),
+    )

@@ -1,0 +1,165 @@
+"""Text-analysis operators over `documents` (north-star LLM-pipeline slice).
+
+The reference's payloads are opaque metadata; a training-data pipeline needs
+first-class text ops.  All tokenization is single-space split (the corpus is
+space-joined word soup — FIXTURES §2), identical in Spark and DuckDB, so
+every query is oracle-checked.  Everything is built from codegen'd
+expressions and higher-order array functions — no Python in the hot path.
+
+Scale: all per-document projections (embarrassingly parallel, no shuffle);
+group-bys shuffle only the reduced aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.catalog import load_table
+from .workload import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+@register(
+    "text_stats",
+    f"""
+SELECT doc_id, lang,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq,
+       round(CAST(len(list_distinct(tokens)) AS DOUBLE) / greatest(len(tokens), 1), 6) AS uniq_ratio,
+       round(CAST(n_chars AS DOUBLE) / greatest(len(tokens), 1), 6) AS chars_per_token,
+       CAST(len(list_filter(tokens, t -> t IN {_STOP_SQL})) AS BIGINT) AS n_stop,
+       round(CAST(len(list_filter(tokens, t -> t IN {_STOP_SQL})) AS DOUBLE) / greatest(len(tokens), 1), 6) AS stop_ratio
+FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tokens FROM documents)
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical-diversity + stopword-ratio quality features —
+    the LLM-pipeline quality-scoring primitives, per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    t = docs.withColumn("tokens", F.split("text", " "))
+    n_tok = F.greatest(F.size("tokens"), F.lit(1))
+    n_stop = F.expr(f"size(filter(tokens, t -> t IN ({stop_list})))")
+    return t.select(
+        "doc_id",
+        "lang",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("bigint").alias("n_uniq"),
+        F.round(F.size(F.array_distinct("tokens")).cast("double") / n_tok, 6).alias("uniq_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 6).alias("chars_per_token"),
+        n_stop.cast("bigint").alias("n_stop"),
+        F.round(n_stop.cast("double") / n_tok, 6).alias("stop_ratio"),
+    )
+
+
+@register(
+    "lang_token_summary",
+    """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+       round(CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def lang_token_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per (lang, source) — the "how big is my
+    training set" query.  Integer sums → exact under any agg order."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        F.round(F.sum(n_tok).cast("double") / F.count("*"), 6).alias("avg_tokens"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+# Indicator vocabularies for the n-gram/keyword language-ID heuristic.
+# (The corpus is synthetic word soup; the operator demonstrates the
+# deterministic argmax-vote classify shape, not linguistic accuracy.)
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("data", "table", "row"),
+    "de": ("group", "key", "value"),
+    "fr": ("join", "merge", "sort"),
+}
+
+
+def _marker_sql(tokens: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tokens}, t -> t IN ({lst})))"
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang AS true_lang,
+         {_marker_sql('string_split(text, chr(32))', LANG_MARKERS['en'])} AS s_en,
+         {_marker_sql('string_split(text, chr(32))', LANG_MARKERS['es'])} AS s_es,
+         {_marker_sql('string_split(text, chr(32))', LANG_MARKERS['de'])} AS s_de,
+         {_marker_sql('string_split(text, chr(32))', LANG_MARKERS['fr'])} AS s_fr
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, true_lang,
+         CASE
+           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+           WHEN s_de >= s_fr THEN 'de'
+           ELSE 'fr'
+         END AS pred_lang
+  FROM scored
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY true_lang, pred_lang
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-vote language ID (deterministic argmax with fixed tie order)
+    → confusion matrix against the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.withColumn("tokens", F.split("text", " "))
+    scores = {}
+    for lang, words in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = F.expr(f"size(filter(tokens, t -> t IN ({lst})))")
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]), "es")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return (
+        t.select(F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+SELECT doc_id, md5(lower(text)) AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content hash for exact dedup (md5 is
+    identical across engines; at scale, xxhash64 is the cheaper choice but
+    engine-specific)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(F.lower("text")).alias("fingerprint"))
