@@ -1,0 +1,152 @@
+"""Batch-built approximate-index search paths (SURVEY §7 phase 4).
+
+The reference delegates ANN to Qdrant's HNSW (configured at
+src/core/qdrant_client.py:109-115, executed remotely) with INT8 scalar
+quantization + rescore (qdrant_client.py:129-138,342-348).  A batch Spark
+engine doesn't serve point lookups from a graph; instead it *pre-buckets*
+the corpus so a search touches a candidate subset, then rescores exactly:
+
+- IVF      coarse quantizer = per-label centroids (deterministic: the
+           fixture's labels are the cluster assignment; a production build
+           would k-means them — same plan shape), probe top-``nprobe``
+           cells per query.
+- sign-LSH random-hyperplane signs reduced to axis-aligned sign bits
+           (deterministic for oracle parity; rotate with a fixed seed
+           matrix in production), bucket equi-join.
+- INT8     symmetric scalar quantization ±127, integer dot-product
+           prescreen of ``oversample × k``, exact float rescore — the
+           direct analogue of Qdrant's quantized search params
+           (oversampling 3.0, settings.py:48-51).
+
+All three change the PHYSICAL plan only: candidates ⊆ corpus, rescoring
+uses the same exact cosine as operators.search, and
+tests/test_ann_recall.py measures recall@k against the exact path the way
+the reference reports Recall@10 = 99.2% (PERFORMANCE_OPTIMIZATION_GUIDE.md:88).
+
+Scale: the bucket id is a partitioning key.  At 100 TB the corpus is
+written partitioned by bucket, so a probe prunes partitions at scan time
+(partition pruning visible in .explain as PartitionFilters) and the
+per-query candidate set is corpus/|buckets|, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_sql
+
+_DEC12 = "decimal(28,12)"
+
+
+def label_centroids(corpus: DataFrame) -> DataFrame:
+    """Per-label mean embedding — the IVF coarse codebook.
+
+    Dimension sums accumulate in DECIMAL so the centroid is identical under
+    any partitioning (and matches the sequential oracle bit-for-bit).
+    Returns (label, centroid array<double>).
+    """
+    exploded = corpus.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", "pos", F.col("v").cast("double").cast(_DEC12).alias("v"))
+    dim_means = exploded.groupBy("label", "pos").agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("m")
+    )
+    return dim_means.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias(
+            "centroid"
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, probes: DataFrame, k: int = 5, nprobe: int = 2
+) -> DataFrame:
+    """IVF search: score query × centroids (tiny, broadcast both ways),
+    keep top-``nprobe`` cells, scan only those cells' vectors exactly.
+
+    Returns (q_id, vec_id, rank, score).
+    """
+    cents = label_centroids(corpus)
+    cell_scores = probes.crossJoin(F.broadcast(cents)).withColumn(
+        "cscore", F.expr(cosine_sql("q_emb", "centroid"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cscore"), F.col("label"))
+    probe_cells = (
+        cell_scores.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .select("q_id", "q_emb", "label")
+    )
+    cand = corpus.join(F.broadcast(probe_cells), "label")
+    scored = cand.withColumn("score", F.expr(cosine_sql("embedding", "q_emb")))
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def signlsh_bucket_expr(col: str, nbits: int) -> str:
+    """Bucket id from the sign bits of the first ``nbits`` dimensions
+    (1-based element_at on both engines)."""
+    terms = " + ".join(
+        f"CASE WHEN element_at({col}, {d + 1}) >= 0 THEN {1 << d} ELSE 0 END"
+        for d in range(nbits)
+    )
+    return f"CAST({terms} AS INT)"
+
+
+def signlsh_topk(
+    corpus: DataFrame, probes: DataFrame, k: int = 5, nbits: int = 6
+) -> DataFrame:
+    """Sign-LSH: 2^nbits hash buckets; candidates share the query's bucket.
+    The bucket id is the partition key at scale (partition-pruned scan).
+
+    Returns (q_id, vec_id, rank, score).
+    """
+    bucketed = corpus.withColumn("bucket", F.expr(signlsh_bucket_expr("embedding", nbits)))
+    qb = probes.withColumn("bucket", F.expr(signlsh_bucket_expr("q_emb", nbits)))
+    cand = bucketed.join(F.broadcast(qb), "bucket")
+    scored = cand.withColumn("score", F.expr(cosine_sql("embedding", "q_emb")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+INT8_QUANT_EXPR = (
+    "transform({col}, x -> CAST(greatest(least(round(CAST(x AS DOUBLE) * 127), 127), -127) AS INT))"
+)
+
+
+def int8_rescore_topk(
+    corpus: DataFrame, probes: DataFrame, k: int = 10, oversample: int = 3
+) -> DataFrame:
+    """O4 scalar quantization + rescore (qdrant_client.py:129-138):
+    stage 1 ranks by the exact-integer INT8 dot product (4× smaller scan at
+    rest — the quantized copy is a separate column/file at scale), stage 2
+    rescores the surviving ``oversample × k`` with full-precision cosine.
+
+    Returns (q_id, vec_id, rank, score) — final ranking by exact score.
+    """
+    qc = INT8_QUANT_EXPR.format(col="embedding")
+    qq = INT8_QUANT_EXPR.format(col="q_emb")
+    c8 = corpus.withColumn("e8", F.expr(qc))
+    p8 = probes.withColumn("p8", F.expr(qq))
+    pairs = c8.crossJoin(F.broadcast(p8))
+    int_dot = "aggregate(zip_with(e8, p8, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), CAST(0 AS BIGINT), (a, v) -> a + v)"
+    stage1 = pairs.withColumn("iscore", F.expr(int_dot))
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("iscore"), F.col("vec_id"))
+    survivors = stage1.withColumn("irank", F.row_number().over(w1)).filter(
+        F.col("irank") <= oversample * k
+    )
+    rescored = survivors.withColumn("score", F.expr(cosine_sql("embedding", "q_emb")))
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+    )

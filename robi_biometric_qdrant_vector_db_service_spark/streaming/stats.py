@@ -1,0 +1,93 @@
+"""Structured Streaming twin of the reference's running operational stats.
+
+Reference behaviors mapped (SURVEY §2.10):
+- per-op running counters (qdrant_client.py:52-58, updated at
+  :229-233,:298-302,:389-392) → streaming groupBy aggregation;
+- hourly cleanup retiring metrics older than 24 h
+  (main.py:98-114, utils/performance.py:499-511 ``record.timestamp >
+  cutoff``) → ``withWatermark`` state eviction — the same predicate,
+  enforced by the engine;
+- ``flush_interval_sec=1`` near-real-time visibility
+  (qdrant_client.py:125) → micro-batch trigger.
+
+Local tests drive a bounded parquet directory through the streaming
+engine (memory sink + processAllAvailable) so results are comparable to
+the batch queries; in production the source is Kafka/files and the sink
+Delta — the aggregation plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _staged_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as a plain-timestamp parquet directory that
+    readStream can consume (the driver's files are TIMESTAMP(NANOS), which
+    the streaming reader rejects the same way the batch one does)."""
+    out = tempfile.mkdtemp(prefix="stream_events_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def ops_stats_stream(spark: SparkSession, sf_dir: str, query_name: str) -> DataFrame:
+    """Running per-op-type counters (A3): counts + exact DECIMAL value sums,
+    continuously updated — ``outputMode('complete')`` over a streaming
+    groupBy.  Returns the final table after draining the bounded source."""
+    path = _staged_events_path(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def hourly_window_stream(
+    spark: SparkSession, sf_dir: str, query_name: str, watermark: str = "24 hours"
+) -> DataFrame:
+    """Event-time tumbling-window counts with a 24 h watermark — the
+    reference's metric-retention sweep as engine-managed state eviction.
+    ``update`` mode so every window that received data is emitted even at
+    the bounded source's end (append would hold the tail back)."""
+    path = _staged_events_path(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("window.start").alias("hour"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode may emit a window several times; keep the latest value
+    t = spark.table(query_name)
+    return t.groupBy("hour", "event_type").agg(F.max("n").alias("n"))

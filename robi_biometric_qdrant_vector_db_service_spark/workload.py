@@ -454,3 +454,5 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import workload_relational  # noqa: E402,F401
 from . import workload_events  # noqa: E402,F401
 from . import workload_text  # noqa: E402,F401
+from . import workload_dedup  # noqa: E402,F401
+from . import workload_ann  # noqa: E402,F401

@@ -1,0 +1,166 @@
+"""ANN / quantization registry queries (operators.ann + plans.strategy).
+
+Each approximate path is oracle-checked for *determinism* (the oracle
+replicates the same bucketing), and recall-checked against the exact path
+in tests/test_ann_recall.py — approximation is a physical-plan property,
+never silently substituted where exact results are expected (SURVEY §7
+risk 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import ann
+from .plans.strategy import smart_search
+from .sources.catalog import load_table
+from .workload import N_QUERIES, _dcos, _probes, register
+
+_DUCK_Q = f"SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}"
+
+
+def _duck_ivf_sql(k: int = 5, nprobe: int = 2) -> str:
+    return f"""
+WITH q AS ({_DUCK_Q}),
+dims AS (
+  SELECT label, i, CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12)) AS v
+  FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+dimmeans AS (
+  SELECT label, i, CAST(sum(v) AS DOUBLE) / count(*) AS m
+  FROM dims GROUP BY label, i
+),
+cents AS (SELECT label, list(m ORDER BY i) AS centroid FROM dimmeans GROUP BY label),
+cellscore AS (
+  SELECT q.q_id, q.q_emb, c.label, {_dcos('q.q_emb', 'c.centroid')} AS cscore
+  FROM q CROSS JOIN cents c
+),
+cells AS (
+  SELECT q_id, q_emb, label FROM (
+    SELECT q_id, q_emb, label,
+           row_number() OVER (PARTITION BY q_id ORDER BY cscore DESC, label) AS crank
+    FROM cellscore
+  ) WHERE crank <= {nprobe}
+),
+scored AS (
+  SELECT cells.q_id, e.vec_id, {_dcos('e.embedding', 'cells.q_emb')} AS score
+  FROM embeddings e JOIN cells ON e.label = cells.label
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("ann_ivf_topk", _duck_ivf_sql())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: per-label DECIMAL-exact centroids as the coarse codebook,
+    probe top-2 cells, exact rescore inside the cells."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(corpus, _probes(spark, sf_dir), k=5, nprobe=2)
+
+
+def _duck_signlsh_sql(k: int = 5, nbits: int = 6) -> str:
+    terms = " + ".join(
+        f"CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END" for d in range(nbits)
+    )
+    qterms = " + ".join(
+        f"CASE WHEN q_emb[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END" for d in range(nbits)
+    )
+    return f"""
+WITH q AS (SELECT q_id, q_emb, CAST({qterms} AS INT) AS bucket
+           FROM ({_DUCK_Q})),
+c AS (SELECT vec_id, embedding, CAST({terms} AS INT) AS bucket FROM embeddings),
+scored AS (
+  SELECT q.q_id, c.vec_id, {_dcos('c.embedding', 'q.q_emb')} AS score
+  FROM c JOIN q ON c.bucket = q.bucket
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("ann_signlsh_topk", _duck_signlsh_sql())
+def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH: 64 sign-bit buckets; candidate set = the query's bucket.
+    The bucket is the partition key at scale (partition-pruned scan)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return ann.signlsh_topk(corpus, _probes(spark, sf_dir), k=5, nbits=6)
+
+
+def _duck_int8_sql(k: int = 10, oversample: int = 3) -> str:
+    q8 = "[CAST(greatest(least(round(CAST(x AS DOUBLE) * 127), 127), -127) AS INT) FOR x IN {col}]"
+    e8 = q8.format(col="embedding")
+    p8 = q8.format(col="q_emb")
+    int_dot = (
+        "list_sum([CAST(e8[i] AS BIGINT) * CAST(p8[i] AS BIGINT) "
+        "FOR i IN range(1, len(e8) + 1)])"
+    )
+    return f"""
+WITH q AS (SELECT q_id, q_emb, {p8} AS p8 FROM ({_DUCK_Q})),
+c AS (SELECT vec_id, embedding, {e8} AS e8 FROM embeddings),
+stage1 AS (
+  SELECT q.q_id, q.q_emb, c.vec_id, c.embedding, {int_dot} AS iscore
+  FROM c CROSS JOIN q
+),
+survivors AS (
+  SELECT q_id, q_emb, vec_id, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) AS irank
+    FROM stage1
+  ) WHERE irank <= {oversample * k}
+),
+rescored AS (
+  SELECT q_id, vec_id, {_dcos('embedding', 'q_emb')} AS score FROM survivors
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM rescored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("int8_rescore_topk", _duck_int8_sql())
+def int8_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 INT8 quantize + oversampled exact rescore (qdrant_client.py:129-138,
+    oversampling 3.0 per settings.py:48-51).  Stage-1 integer dot products
+    are exact on both engines → deterministic survivors."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return ann.int8_rescore_topk(corpus, _probes(spark, sf_dir), k=10, oversample=3)
+
+
+_DUCK_EXACT_K10 = f"""
+WITH q AS ({_DUCK_Q}),
+scored AS (
+  SELECT q.q_id, e.vec_id, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register("adaptive_search", _DUCK_EXACT_K10)
+def adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: strategy policy — below full_scan_threshold (20k, settings.py:55)
+    the planner picks the exact path, so the oracle IS the exact top-k; at
+    larger corpora the same call routes to sign-LSH (recall-tested)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return smart_search(corpus, _probes(spark, sf_dir), k=10)

@@ -1,0 +1,336 @@
+"""Near-duplicate detection suite (north-star LLM-pipeline operators).
+
+Five detectors over `documents`/`embeddings`, all deterministic and
+oracle-checked (no engine-private hash functions — the shingle hash is the
+first 8 hex chars of md5, identical in Spark (`conv(substring(md5(s),1,8),
+16,10)`) and DuckDB (`('0x' || substring(md5(s),1,8))::BIGINT`):
+
+- exact dedup            content/prefix fingerprint group-by
+- n-gram Jaccard         3-token shingles, exhaustive same-lang pairs
+- MinHash + LSH          16 hashes, 8 bands × 2 rows, verified candidates
+- SimHash                32-bit frequency-weighted, Hamming ≤ 4 pairs
+- embedding cosine       exhaustive pair scan ≥ 0.4 (ANN path: operators.ann)
+
+Scale posture: the exhaustive pair scans are the *verification oracles*;
+the 100 TB path is MinHash-LSH banding (shuffle = explode by band key,
+candidates ∝ collisions, never N²) and the sign-LSH/IVF bucketing in
+`operators.ann` for embeddings.  tests/test_dedup.py measures LSH recall
+against the exhaustive detector, mirroring how the reference reports
+Recall@10 vs ground truth (PERFORMANCE_OPTIMIZATION_GUIDE.md:88).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.catalog import load_table
+from .workload import register
+
+P = 2147483647  # 2^31-1; keeps a*h+b inside signed 64-bit on both engines
+N_HASHES = 16
+N_BANDS = 8  # × 2 rows — high recall at jaccard ≥ 0.5, verify step prunes
+JACCARD_T = 0.2
+SIMHASH_BITS = 32
+HAMMING_T = 4
+COSINE_T = 0.4
+
+_rng = random.Random(42)
+MINHASH_AB = [(_rng.randrange(1, P), _rng.randrange(0, P)) for _ in range(N_HASHES)]
+
+# -- shared expression text (Spark SQL | DuckDB SQL) -------------------------
+
+SPARK_TOKENS = "split(text, ' ')"
+DUCK_TOKENS = "string_split(text, ' ')"
+
+SPARK_SHINGLES = (
+    "CASE WHEN size(toks) >= 3 THEN "
+    "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))) "
+    "ELSE array(concat_ws(' ', toks)) END"
+)
+DUCK_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+def spark_hash(s: str) -> str:
+    return f"(CAST(conv(substring(md5({s}), 1, 8), 16, 10) AS BIGINT) % {P})"
+
+
+def duck_hash(s: str) -> str:
+    return f"(('0x' || substring(md5({s}), 1, 8))::BIGINT % {P})"
+
+
+def _minhash_exprs(hash_fn) -> list[str]:
+    """One array_min/list_min expression per hash function over column `sh`."""
+    out = []
+    for a, b in MINHASH_AB:
+        inner = f"({a} * {hash_fn('s')} + {b}) % {P}"
+        out.append(inner)
+    return out
+
+
+SPARK_MINHASHES = [
+    f"array_min(transform(sh, s -> {e}))" for e in _minhash_exprs(spark_hash)
+]
+DUCK_MINHASHES = [
+    f"list_min([{e} FOR s IN sh])" for e in _minhash_exprs(duck_hash)
+]
+
+_JACCARD_SPARK = (
+    "round(CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / "
+    "size(array_distinct(concat(sh1, sh2))), 6)"
+)
+_JACCARD_DUCK = (
+    "round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(sh1, sh2))), 6)"
+)
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup — fingerprint group-by (hash-groupBy; one shuffle on the
+#    16-byte digest regardless of document size)
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup_groups",
+    """
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS fp
+  FROM documents
+)
+SELECT fp, CAST(count(*) AS BIGINT) AS group_size, CAST(min(doc_id) AS BIGINT) AS canonical_doc
+FROM f GROUP BY fp HAVING count(*) > 1
+""",
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 3-token-prefix fingerprint: every group keeps its
+    lowest doc_id as canonical.  (Full-content md5 finds zero dups in this
+    corpus — `doc_fingerprints` covers it; the prefix variant exercises the
+    collision path.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        F.expr("md5(concat_ws(' ', slice(split(text, ' '), 1, 3)))").alias("fp"),
+    )
+    return (
+        f.groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("group_size"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram Jaccard — exhaustive same-lang pair scan (the oracle detector)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ngram_jaccard_dups",
+    f"""
+WITH t AS (SELECT doc_id, lang, {DUCK_TOKENS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {DUCK_SHINGLES} AS sh FROM t),
+p AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.sh AS sh1, b.sh AS sh2
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, {_JACCARD_DUCK} AS jaccard
+FROM p
+WHERE {_JACCARD_DUCK} >= {JACCARD_T}
+""",
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-token-shingle Jaccard over same-language pairs (language is the
+    blocking key; at 100 TB the block is LSH bands — see minhash_lsh_dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "lang", F.expr(SPARK_TOKENS).alias("toks")
+    ).select("doc_id", "lang", F.expr(SPARK_SHINGLES).alias("sh"))
+    a = s.select(
+        F.col("doc_id").alias("doc1"), F.col("lang").alias("l1"), F.col("sh").alias("sh1")
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc2"), F.col("lang").alias("l2"), F.col("sh").alias("sh2")
+    )
+    pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("doc1") < F.col("doc2")))
+    j = F.expr(_JACCARD_SPARK)
+    return pairs.select("doc1", "doc2", j.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_T
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH — the scale path: signature → band keys → bucket join
+# ---------------------------------------------------------------------------
+
+def _duck_minhash_sql() -> str:
+    mh_list = ", ".join(DUCK_MINHASHES)
+    band_keys = ", ".join(
+        f"concat(m[{2*i+1}], ',', m[{2*i+2}])" for i in range(N_BANDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+s AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM t),
+sig AS (SELECT doc_id, sh, [{mh_list}] AS m FROM s),
+keyed AS (SELECT doc_id, [{band_keys}] AS ks FROM sig),
+bands AS (
+  SELECT doc_id, CAST(t.i AS INT) AS band, ks[CAST(t.i AS INT)] AS key
+  FROM keyed CROSS JOIN range(1, {N_BANDS + 1}) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc1, c.doc2, sa.sh AS sh1, sb.sh AS sh2
+  FROM cand c JOIN s sa ON sa.doc_id = c.doc1 JOIN s sb ON sb.doc_id = c.doc2
+)
+SELECT doc1, doc2, {_JACCARD_DUCK} AS jaccard
+FROM verified
+WHERE {_JACCARD_DUCK} >= {JACCARD_T}
+"""
+
+
+@register("minhash_lsh_dups", _duck_minhash_sql())
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 deterministic affine hashes over md5-derived
+    shingle ids) → 8 LSH bands of 2 rows → bucket self-join for candidates →
+    exact Jaccard verification of candidates only.
+
+    This is the J2 approx-similarity-join (SURVEY §2.3): the shuffle is
+    `explode(bands)` + a join keyed on (band, key) — collision-bounded, not
+    N².  The exhaustive twin (`ngram_jaccard_dups`) is the recall oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks")).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("sh")
+    )
+    sig = s.select(
+        "doc_id",
+        "sh",
+        F.expr("array(" + ", ".join(SPARK_MINHASHES) + ")").alias("m"),
+    )
+    band_keys = F.expr(
+        "array("
+        + ", ".join(f"concat(m[{2*i}], ',', m[{2*i+1}])" for i in range(N_BANDS))
+        + ")"
+    )  # Spark arrays are 0-indexed via [] — element_at is 1-indexed
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    )
+    a = bands.select(F.col("doc_id").alias("doc1"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc2"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    sh1 = s.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    sh2 = s.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    verified = cand.join(sh1, "doc1").join(sh2, "doc2")
+    j = F.expr(_JACCARD_SPARK)
+    return verified.select("doc1", "doc2", j.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_T
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash — 32-bit frequency-weighted signature, Hamming-ball pairs
+# ---------------------------------------------------------------------------
+
+def _duck_simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {duck_hash('t.tok')} AS h
+  FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents) t
+),
+bits AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id, ({combine}) AS simhash FROM bits)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+"""
+
+
+@register("simhash_hamming_pairs", _duck_simhash_sql())
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per token-occurrence ±1 vote on each of 32 md5-derived hash
+    bits; signature bit = sign of the vote sum.  Near-dups = pairs within
+    Hamming ≤ 4.  At scale the pair join is blocked by signature prefix
+    (bit-sliced buckets) instead of the exhaustive self-join used here."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("tok")
+    ).select("doc_id", F.expr(spark_hash("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = tok.groupBy("doc_id").agg(*bit_sums)
+    combine = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = bits.select("doc_id", F.expr(f"({combine})").alias("simhash"))
+    a = sig.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
+    b = sig.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
+    return (
+        a.join(b, F.col("doc1") < F.col("doc2"))
+        .withColumn("hamming", F.expr("CAST(bit_count(h1 ^ h2) AS INT)"))
+        .filter(F.col("hamming") <= HAMMING_T)
+        .select("doc1", "doc2", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding cosine near-dup — exhaustive pair scan (ANN path: operators.ann)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_near_dups",
+    f"""
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+             (greatest(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))), 1e-12) *
+              greatest(sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 1e-12)), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      (greatest(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))), 1e-12) *
+       greatest(sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 1e-12)) >= {COSINE_T}
+""",
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exhaustive O(N²) pair scan — correct at
+    fixture scale and the recall oracle for the bucketed variants
+    (operators.ann sign-LSH / IVF) that bound candidates at 100 TB."""
+    from .functions.vector import cosine_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    cos = F.expr(cosine_sql("e1", "e2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= COSINE_T)
+        .select("v1", "v2", F.round("cos_raw", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,90 @@
+"""The reference's four test-oracle invariants (FIXTURES.md §1, derived from
+scripts/simple_test.py:121-170 and scripts/performance_test.py:57-71,375-394)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from robi_biometric_qdrant_vector_db_service_spark.functions.vector import cosine_sql, l2_normalize_sql
+from robi_biometric_qdrant_vector_db_service_spark.operators.search import knn_search
+from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _probes(spark, n=8):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def test_self_retrieval(spark):
+    """A stored vector is its own nearest neighbor with score ≈ 1.0
+    (simple_test.py:123-141)."""
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    top1 = knn_search(corpus, _probes(spark), k=1).collect()
+    assert len(top1) == 8
+    for r in top1:
+        assert r["vec_id"] == r["q_id"], r
+        assert abs(r["score"] - 1.0) < 1e-6, r
+
+
+def test_similarity_monotonicity(spark):
+    """A 0.9-mixture of a base vector retrieves that base above threshold
+    0.5 (performance_test.py:57-71,375-394)."""
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    base = corpus.filter(F.col("vec_id") == 0)
+    noise = corpus.filter(F.col("vec_id") == 100)
+    mixed = (
+        base.crossJoin(noise.select(F.col("embedding").alias("nvec")))
+        .select(
+            F.lit(0).alias("q_id"),
+            F.expr(
+                "zip_with(embedding, nvec, (b, n) -> CAST(0.9 * b + 0.1 * n AS DOUBLE))"
+            ).alias("mix"),
+        )
+        .select("q_id", F.expr(l2_normalize_sql("mix")).alias("q_emb"))
+    )
+    hits = knn_search(corpus, mixed, k=1, score_threshold=0.5).collect()
+    assert len(hits) == 1
+    assert hits[0]["vec_id"] == 0
+    assert hits[0]["score"] > 0.5
+
+
+def test_filter_soundness(spark):
+    """A label-filtered search returns only that label's points
+    (simple_test.py:151-170)."""
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    hits = knn_search(corpus, _probes(spark), k=5, label_filter=[4])
+    joined = hits.join(corpus.select("vec_id", "label"), "vec_id")
+    bad = joined.filter(F.col("label") != 4).count()
+    assert bad == 0
+    assert hits.count() == 8 * 5
+
+
+def test_normalize_idempotence(spark):
+    """l2norm(l2norm(x)) == l2norm(x) within float tolerance
+    (gpu_optimizer.py:81-124 applied twice)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    once = emb.select(F.expr(l2_normalize_sql("embedding")).alias("e1"))
+    twice = once.select(
+        "e1", F.expr(l2_normalize_sql("e1")).alias("e2")
+    )
+    diff = twice.select(
+        F.expr(
+            "array_max(transform(zip_with(e1, e2, (a, b) -> abs(a - b)), x -> x))"
+        ).alias("d")
+    ).agg(F.max("d").alias("maxd")).collect()[0]["maxd"]
+    assert diff < 1e-12
+
+
+def test_cosine_symmetry(spark):
+    """cos(a, b) == cos(b, a) exactly (same fold order on swapped args)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(20)
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("i") < F.col("j"))
+    bad = pairs.select(
+        (F.expr(cosine_sql("ea", "eb")) - F.expr(cosine_sql("eb", "ea"))).alias("d")
+    ).filter(F.abs(F.col("d")) > 1e-15).count()
+    assert bad == 0
