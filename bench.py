@@ -1,0 +1,60 @@
+"""Benchmark harness (driver contract).
+
+Runs every registered query of the engine at ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+     "queries": {"knn_topk": sec, ...}, "sf": 0.1}
+
+Mirrors the structure of the reference's harness
+(scripts/performance_test.py:264-449): each query is timed end-to-end
+(plan build + execution + collect, the way the driver consumes results).
+A JVM/Catalyst warmup query runs first so per-query numbers measure the
+engine, not JVM class loading.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from robi_biometric_qdrant_vector_db_service_spark.session import get_spark
+from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+
+    # warmup: JVM + parquet footer reads, excluded from timings
+    spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        t0 = time.perf_counter()
+        df = REGISTRY[name].run(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -147,22 +147,43 @@ WHERE {_JACCARD_DUCK} >= {JACCARD_T}
 """,
 )
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-token-shingle Jaccard over same-language pairs (language is the
-    blocking key; at 100 TB the block is LSH bands — see minhash_lsh_dups)."""
+    """3-token-shingle Jaccard over same-language pairs, via an inverted
+    shingle index: explode distinct shingles, equi-join on (shingle, lang)
+    to count co-occurrences, then |A∪B| = |A|+|B|−|A∩B|.
+
+    Plan rationale: the naive form is an N² theta-join intersecting shingle
+    arrays per pair; this form's only shuffle is the equi-join on shingle —
+    pairs materialize ONLY where a shingle co-occurs, so work scales with
+    actual overlap, not N².  Same math as the oracle (shingle sets are
+    distinct, so the co-occurrence count IS the intersection size)."""
     docs = load_table(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id", "lang", F.expr(SPARK_TOKENS).alias("toks")
     ).select("doc_id", "lang", F.expr(SPARK_SHINGLES).alias("sh"))
-    a = s.select(
-        F.col("doc_id").alias("doc1"), F.col("lang").alias("l1"), F.col("sh").alias("sh1")
+    sizes = s.select("doc_id", F.size("sh").alias("n"))
+    inv = s.select("doc_id", "lang", F.explode("sh").alias("shingle"))
+    a = inv.select(F.col("doc_id").alias("doc1"), "lang", "shingle")
+    b = inv.select(F.col("doc_id").alias("doc2"), "lang", "shingle")
+    co = (
+        a.join(b, ["lang", "shingle"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("inter"))
     )
-    b = s.select(
-        F.col("doc_id").alias("doc2"), F.col("lang").alias("l2"), F.col("sh").alias("sh2")
-    )
-    pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("doc1") < F.col("doc2")))
-    j = F.expr(_JACCARD_SPARK)
-    return pairs.select("doc1", "doc2", j.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_T
+    n1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    return (
+        co.join(F.broadcast(n1), "doc1")
+        .join(F.broadcast(n2), "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc1", "doc2", "jaccard")
     )
 
 
@@ -321,13 +342,24 @@ WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: exhaustive O(N²) pair scan — correct at
     fixture scale and the recall oracle for the bucketed variants
-    (operators.ann sign-LSH / IVF) that bound candidates at 100 TB."""
-    from .functions.vector import cosine_sql
+    (operators.ann sign-LSH / IVF) that bound candidates at 100 TB.
+
+    Norms are precomputed per vector (N values, not one per pair), so the
+    per-pair work is a single left-fold dot product — 3× less arithmetic on
+    the quadratic term, bit-identical to the oracle's inline norms."""
+    from .functions.vector import dot_sql, norm_sql
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    cos = F.expr(cosine_sql("e1", "e2"))
+    withn = emb.select(
+        "vec_id", "embedding", F.expr(f"greatest({norm_sql('embedding')}, 1e-12)").alias("nrm")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), F.col("nrm").alias("nrm1")
+    )
+    b = withn.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), F.col("nrm").alias("nrm2")
+    )
+    cos = F.expr(dot_sql("e1", "e2")) / (F.col("nrm1") * F.col("nrm2"))
     return (
         a.join(b, F.col("v1") < F.col("v2"))
         .withColumn("cos_raw", cos)
