@@ -456,3 +456,4 @@ from . import workload_events  # noqa: E402,F401
 from . import workload_text  # noqa: E402,F401
 from . import workload_dedup  # noqa: E402,F401
 from . import workload_ann  # noqa: E402,F401
+from . import workload_sources  # noqa: E402,F401

@@ -1,0 +1,157 @@
+"""Registry queries for the bulk-load (S4/S5), multimodal, and streaming
+surfaces — the paths that run Python stages (NumPy decode, fake codec,
+Structured Streaming) yet still produce oracle-checkable relational state.
+
+- npy_migration            .npy + JSON metadata → VectorStore, per-user audit
+- multimodal_decode        binaryFile-shaped blobs → mapInPandas features
+- stream_ops_stats         Structured Streaming running counters (A3 twin)
+- stream_hourly_counts     event-time windows + 24 h watermark (§2.10 twin)
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.multimodal import decode_features, to_blob_table
+from .sources.catalog import load_table
+from .workload import register
+
+_counter = itertools.count()
+
+
+def _uniq(tag: str) -> str:
+    return f"{tag}_{os.getpid()}_{next(_counter)}"
+
+
+# ---------------------------------------------------------------------------
+# S4/S5 — .npy bulk load + migration (migrate_from_faiss.py:57-255)
+# ---------------------------------------------------------------------------
+
+@register(
+    "npy_migration",
+    """
+SELECT concat('u', CAST(label AS VARCHAR)) AS user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vec_id) AS BIGINT) AS sum_test_id
+FROM embeddings
+GROUP BY label
+""",
+)
+def npy_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the embeddings corpus through the reference's migration
+    path: export to ``.npy`` + list-form metadata JSON (the exact input
+    shape of migrate_from_faiss.py:57-115), bulk-load via the distributed
+    binaryFile/mapInPandas reader into a fresh VectorStore, then audit
+    per-user counts and the metadata carried through the pipeline."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .sources.npy_loader import run_migration
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    vec_ids = tbl.column("vec_id").to_pylist()
+    labels = tbl.column("label").to_pylist()
+
+    tmp = tempfile.mkdtemp(prefix="npy_migration_")
+    np.save(os.path.join(tmp, "vectors.npy"), mat)
+    meta = [
+        {"user_id": f"u{label}", "test_id": int(vid)}
+        for vid, label in zip(vec_ids, labels)
+    ]
+    meta_path = os.path.join(tmp, "metadata.json")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    store, report = run_migration(
+        spark,
+        os.path.join(tmp, "vectors.npy"),
+        meta_path,
+        os.path.join(tmp, "store"),
+    )
+    assert report["verify_success"], report
+    return store.read().groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.element_at("metadata", "test_id").cast("bigint"))
+        .cast("bigint")
+        .alias("sum_test_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal — opaque binary columns through Arrow-batched decode
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_decode",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 48 + 16 AS INT) AS height,
+       CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS n_frames,
+       CAST(list_sum([unicode(text[i]) FOR i IN range(1, len(text)+1)]) % 1000003 AS BIGINT) AS byte_checksum
+FROM documents
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary decode path: documents → binary blobs (stand-in for
+    image bytes) → ``mapInPandas`` feature extraction (operators.multimodal;
+    the codec is a deterministic fake, the Spark plumbing is real).  The
+    oracle recomputes the same arithmetic from the byte stream — valid
+    because the corpus is pure ASCII (UTF-8 bytes == code points)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(to_blob_table(docs)).select(
+        "doc_id", "n_bytes", "width", "height", "n_frames", "byte_checksum"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming — Structured Streaming twins of A3 / the retention sweep (§2.10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_ops_stats",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_ops,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_ops_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's running op counters (qdrant_client.py:52-58) as a
+    REAL Structured Streaming job (memory sink, complete mode) drained over
+    the bounded events source — final state must equal the batch group-by,
+    which is exactly what the oracle asserts."""
+    from .streaming.stats import ops_stats_stream
+
+    return ops_stats_stream(spark, sf_dir, _uniq("ops_stats")).select(
+        "event_type", "n_ops", "total_value"
+    )
+
+
+@register(
+    "stream_hourly_counts",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows with a 24 h watermark — the reference's
+    metric-retention sweep (utils/performance.py:499-511) as engine-managed
+    state eviction.  Over the bounded source every window's final count
+    equals the batch rollup."""
+    from .streaming.stats import hourly_window_stream
+
+    t = hourly_window_stream(spark, sf_dir, _uniq("hourly"))
+    return t.select("hour", "event_type", F.col("n").cast("bigint").alias("n"))

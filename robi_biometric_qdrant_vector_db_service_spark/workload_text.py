@@ -150,6 +150,76 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "regex_token_profile",
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{TOKEN_RE}'), t -> t ~ '^[a-zA-Z]+$')) AS BIGINT) AS n_word,
+       CAST(len(list_filter(regexp_extract_all(text, '{TOKEN_RE}'), t -> t ~ '^[0-9]+$')) AS BIGINT) AS n_num,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       round(CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS DOUBLE) /
+             greatest(len(string_split(text, ' ')), 1), 6) AS bpe_per_word
+FROM documents
+""",
+)
+def regex_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a sub-word-style regex (letter runs / digit
+    runs / single punctuation — the GPT-2 pre-tokenizer shape) next to plain
+    whitespace tokens, plus the tokens-per-word ratio an LLM data pipeline
+    budgets with.  Pure codegen (`regexp_extract_all`), no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")
+    n_bpe = F.size(toks)
+    n_ws = F.size(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-zA-Z]+$"))).cast("bigint").alias("n_word"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("bigint").alias("n_num"),
+        n_ws.cast("bigint").alias("n_ws_tokens"),
+        F.round(n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)), 6).alias("bpe_per_word"),
+    )
+
+
+ROLL_P = 2147483647
+ROLL_B = 31
+ROLL_W = 8  # fingerprint the first W tokens (document head fingerprint)
+
+
+@register(
+    "rolling_hash_fp",
+    f"""
+WITH h AS (
+  SELECT doc_id,
+         [(('0x' || substring(md5(t), 1, 8))::BIGINT % {ROLL_P}) FOR t IN (string_split(text, ' '))[1:{ROLL_W}]] AS hs
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), hs), (a, b) -> (a * {ROLL_B} + b) % {ROLL_P}) AS fp
+FROM h
+""",
+)
+def rolling_hash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via a polynomial rolling hash over the first
+    8 tokens (token ids from md5, identical on both engines): the
+    shift-invariant fingerprint family used for boilerplate/head dedup.
+    A left-fold `aggregate` — deterministic, order-pinned on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        f"transform(slice(split(text, ' '), 1, {ROLL_W}), "
+        f"t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {ROLL_P})"
+    )
+    fp = (
+        f"aggregate({hs}, CAST(0 AS BIGINT), "
+        f"(a, b) -> (a * {ROLL_B} + b) % {ROLL_P})"
+    )
+    return docs.select("doc_id", F.expr(fp).alias("fp"))
+
+
 @register(
     "doc_fingerprints",
     """

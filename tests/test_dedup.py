@@ -1,0 +1,39 @@
+"""Dedup-suite properties: the LSH scale path must find (nearly) everything
+the exhaustive detector finds — the same recall-vs-ground-truth discipline
+the reference applies to its ANN search
+(PERFORMANCE_OPTIMIZATION_GUIDE.md:88; SURVEY §7 risk 4)."""
+
+from __future__ import annotations
+
+from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _pairs(spark, name):
+    df = REGISTRY[name].run(spark, SF_SMOKE)
+    return {(r[0], r[1]): r[2] for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exhaustive(spark):
+    """Every exhaustive pair with jaccard ≥ 0.5 must be caught by the
+    8-band × 2-row LSH (collision prob at j=0.5 is 1-(1-0.25)^8 ≈ 0.9, and
+    verified candidates keep the exact jaccard, so scores agree exactly)."""
+    exact = _pairs(spark, "ngram_jaccard_dups")
+    lsh = _pairs(spark, "minhash_lsh_dups")
+    strong = {p for p, j in exact.items() if j >= 0.5}
+    if strong:
+        caught = strong & set(lsh)
+        assert len(caught) / len(strong) >= 0.8, (len(caught), len(strong))
+    # scores of shared pairs agree exactly (LSH verifies with the same
+    # jaccard); LSH-only pairs exist legitimately — the exhaustive detector
+    # blocks on same-lang, LSH bands don't.
+    for p in set(lsh) & set(exact):
+        assert exact[p] == lsh[p], (p, lsh[p], exact[p])
+
+
+def test_simhash_pairs_are_truly_close(spark):
+    """SimHash survivors at Hamming ≤ 4 must also be high-Jaccard documents
+    far more often than random pairs (smoke-level sanity, not a bound)."""
+    sim = _pairs(spark, "simhash_hamming_pairs")
+    for (d1, d2), h in sim.items():
+        assert d1 < d2 and 0 <= h <= 4

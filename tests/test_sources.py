@@ -1,0 +1,101 @@
+"""S4/S5 loader + multimodal plumbing tests (SURVEY §2.1; the reference's
+migration verification semantics, scripts/migrate_from_faiss.py:105-109,
+257-321)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import decode_features, to_blob_table
+from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+    read_faiss_vectors,
+    read_npy_vectors,
+    read_vector_metadata,
+    run_migration,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def npy_fixture():
+    rng = np.random.default_rng(42)
+    mat = rng.standard_normal((20, 8)).astype(np.float32)
+    tmp = tempfile.mkdtemp(prefix="npy_test_")
+    path = os.path.join(tmp, "vectors.npy")
+    np.save(path, mat)
+    return tmp, path, mat
+
+
+def test_read_npy_roundtrip(spark, npy_fixture):
+    _, path, mat = npy_fixture
+    rows = read_npy_vectors(spark, path).orderBy("row_idx").collect()
+    assert len(rows) == 20
+    got = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    assert np.array_equal(got, mat)
+
+
+def test_metadata_list_and_dict_forms(spark, npy_fixture):
+    tmp, _, _ = npy_fixture
+    # list-form (migrate_from_faiss.py:86-91)
+    lp = os.path.join(tmp, "meta_list.json")
+    with open(lp, "w") as f:
+        json.dump([{"user_id": f"u{i}", "cat": i % 3} for i in range(5)], f)
+    lrows = read_vector_metadata(spark, lp).orderBy("row_idx").collect()
+    assert [r["user_id"] for r in lrows] == [f"u{i}" for i in range(5)]
+    assert lrows[4]["metadata"]["cat"] == "1"
+    # dict-keyed form (migrate_from_faiss.py:92-96)
+    dp = os.path.join(tmp, "meta_dict.json")
+    with open(dp, "w") as f:
+        json.dump({"3": {"user_id": "only3"}, "1": {}}, f)
+    drows = read_vector_metadata(spark, dp).orderBy("row_idx").collect()
+    assert [(r["row_idx"], r["user_id"]) for r in drows] == [
+        (1, "migrated_user_1"),
+        (3, "only3"),
+    ]
+
+
+def test_migration_truncates_and_verifies(spark, npy_fixture):
+    """Metadata shorter than the matrix → migrate only the common prefix
+    (the reference truncates to min length, migrate_from_faiss.py:105-109),
+    and the post-migration verification search must succeed."""
+    tmp, path, _ = npy_fixture
+    mp = os.path.join(tmp, "meta_short.json")
+    with open(mp, "w") as f:
+        json.dump([{"user_id": f"u{i % 4}"} for i in range(12)], f)
+    store, report = run_migration(
+        spark, path, mp, os.path.join(tmp, "store_trunc"), verify_samples=4
+    )
+    assert report["n_migrated"] == 12
+    assert report["verify_success"], report
+    # normalize-at-write: every stored vector is unit-norm
+    from robi_biometric_qdrant_vector_db_service_spark.functions.vector import norm_sql
+
+    norms = store.read().select(F.expr(norm_sql("embedding")).alias("n")).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-9 for r in norms)
+
+
+def test_faiss_loader_is_gated(spark):
+    with pytest.raises(NotImplementedError):
+        read_faiss_vectors(spark, "/nonexistent")
+
+
+def test_multimodal_decode_matches_python(spark):
+    """The mapInPandas decode must agree with a direct Python computation
+    on the same bytes (the Spark plumbing under test; the codec is fake)."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(16)
+    feats = {r["doc_id"]: r for r in decode_features(to_blob_table(docs)).collect()}
+    for r in docs.collect():
+        raw = r["text"].encode("utf-8")
+        f = feats[r["doc_id"]]
+        assert f["n_bytes"] == len(raw)
+        assert f["width"] == len(raw) % 64 + 16
+        assert f["height"] == len(raw) % 48 + 16
+        assert f["n_frames"] == len(raw) // 100 + 1
+        assert f["byte_checksum"] == sum(raw) % 1000003
