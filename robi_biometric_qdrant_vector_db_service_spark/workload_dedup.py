@@ -340,29 +340,17 @@ WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE
 """,
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: exhaustive O(N²) pair scan — correct at
-    fixture scale and the recall oracle for the bucketed variants
-    (operators.ann sign-LSH / IVF) that bound candidates at 100 TB.
+    """Embedding-cosine near-dup: exhaustive O(N²) pair scan — the recall
+    oracle for the bucketed variants (operators.ann sign-LSH / IVF) that
+    bound candidates at 100 TB.
 
-    Norms are precomputed per vector (N values, not one per pair), so the
-    per-pair work is a single left-fold dot product — 3× less arithmetic on
-    the quadratic term, bit-identical to the oracle's inline norms."""
-    from .functions.vector import dot_sql, norm_sql
+    Physical plan: blocked GEMM scan (operators.pairscan) — each block pair
+    is one Arrow batch, scores are vectorized sequential folds, so results
+    are bit-identical to the Catalyst/DuckDB per-pair fold while running at
+    NumPy speed and never materializing N² pair rows."""
+    from .operators.pairscan import cosine_pair_scan
 
     emb = load_table(spark, sf_dir, "embeddings")
-    withn = emb.select(
-        "vec_id", "embedding", F.expr(f"greatest({norm_sql('embedding')}, 1e-12)").alias("nrm")
-    )
-    a = withn.select(
-        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), F.col("nrm").alias("nrm1")
-    )
-    b = withn.select(
-        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), F.col("nrm").alias("nrm2")
-    )
-    cos = F.expr(dot_sql("e1", "e2")) / (F.col("nrm1") * F.col("nrm2"))
-    return (
-        a.join(b, F.col("v1") < F.col("v2"))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= COSINE_T)
-        .select("v1", "v2", F.round("cos_raw", 6).alias("cos_sim"))
+    return cosine_pair_scan(emb, threshold=COSINE_T).select(
+        "v1", "v2", F.round("cos_raw", 6).alias("cos_sim")
     )
