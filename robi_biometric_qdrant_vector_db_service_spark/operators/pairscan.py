@@ -55,6 +55,82 @@ def _fold_norm(A):
     return np.maximum(np.sqrt(acc), 1e-12)
 
 
+def gemm_knn(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    *,
+    score_threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Q1 top-k with the GEMM physical plan: corpus blocks × the (small,
+    broadcast) query batch, per-block PARTIAL top-k inside the Arrow task,
+    then a global merge of only B·k candidates per query.
+
+    Identical results to operators.search.knn_search (scores are the same
+    bit-exact sequential fold; partial top-k ordered by (score desc, vec_id)
+    commutes with the global merge) — but the ranking shuffle carries B·k
+    rows per query instead of every threshold survivor, which is what makes
+    per-query top-k viable when the corpus side is 100 TB: per-executor
+    work is one tile multiply + a local select, exactly the map-side-combine
+    shape of TakeOrderedAndProject generalized per query.
+
+    Returns (q_id, vec_id, rank, score·6dp).
+    """
+    from pyspark.sql import Window
+
+    src = corpus.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(n_blocks)).alias("_b"),
+    )
+    blocks = src.groupBy("_b").agg(F.collect_list(F.struct("_id", "_v")).alias("pts"))
+    qrow = probes.select(
+        F.collect_list(F.struct(F.col("q_id").alias("_qid"), F.col("q_emb").alias("_qv"))).alias("qs")
+    )
+    tiles = blocks.crossJoin(F.broadcast(qrow))
+    thr = -float("inf") if score_threshold is None else float(score_threshold)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids = np.asarray([p["_id"] for p in row["pts"]], dtype=np.int64)
+                A = np.asarray([p["_v"] for p in row["pts"]], dtype=np.float64)
+                qids = np.asarray([q["_qid"] for q in row["qs"]], dtype=np.int64)
+                Q = np.asarray([q["_qv"] for q in row["qs"]], dtype=np.float64)
+                S = _fold_dot_block(A, Q) / np.outer(_fold_norm(A), _fold_norm(Q))
+                out_q, out_v, out_s = [], [], []
+                for qi in range(len(qids)):
+                    col = S[:, qi]
+                    keep = np.nonzero(col >= thr)[0]
+                    # partial top-k by (score desc, id asc); -score is an
+                    # exact sign flip so ordering matches the SQL sort
+                    order = np.lexsort((ids[keep], -col[keep]))[:k]
+                    sel = keep[order]
+                    out_q.append(np.full(len(sel), qids[qi]))
+                    out_v.append(ids[sel])
+                    out_s.append(col[sel])
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q) if out_q else [],
+                        "vec_id": np.concatenate(out_v) if out_v else [],
+                        "score_raw": np.concatenate(out_s) if out_s else [],
+                    }
+                )
+
+    cand = tiles.mapInPandas(run, "q_id bigint, vec_id bigint, score_raw double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_raw"), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("score_raw", 6).alias("score"))
+    )
+
+
 def cosine_pair_scan(
     corpus: DataFrame,
     *,

@@ -350,6 +350,60 @@ def add_batch_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read().groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
 
 
+@register(
+    "delete_by_id",
+    """
+SELECT concat('u', CAST(label AS VARCHAR)) AS user_id, CAST(count(*) AS BIGINT) AS n
+FROM embeddings WHERE vec_id >= 10
+GROUP BY label
+""",
+)
+def delete_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: delete the first ten points by id through the store's real delete
+    path (qdrant_client.py:407-432), asserting the exact deleted count, then
+    report surviving per-user counts."""
+    store = _fresh_store(spark, sf_dir, "delid")
+    n = store.delete_by_id([str(i) for i in range(10)])
+    assert n == 10, n
+    return store.read().groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+
+
+@register(
+    "payload_projection",
+    """
+SELECT CAST(vec_id AS VARCHAR) AS point_id, 'test_id' AS key, CAST(vec_id AS VARCHAR) AS value
+FROM embeddings
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR), 'category', concat('category_', CAST(label % 10 AS VARCHAR))
+FROM embeddings
+""",
+)
+def payload_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/F6/F7: payload construction and result shaping as map algebra —
+    merge system fields with caller metadata (map_concat, the payload build
+    at qdrant_client.py:209-213), then project the metadata back OUT of the
+    payload (map_filter, the result shaping at qdrant_client.py:383-384),
+    emitted as exploded key/value rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    payload = F.map_concat(
+        F.create_map(
+            F.lit("user_id"), F.concat(F.lit("u"), F.col("label").cast("string")),
+            F.lit("timestamp"), (F.lit(1000.0) + F.col("vec_id")).cast("string"),
+        ),
+        F.create_map(
+            F.lit("test_id"), F.col("vec_id").cast("string"),
+            F.lit("category"), F.concat(F.lit("category_"), (F.col("label") % 10).cast("string")),
+        ),
+    )
+    shaped = emb.withColumn("payload", payload).select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.explode(
+            F.expr("map_filter(payload, (k, v) -> k NOT IN ('user_id', 'timestamp'))")
+        ).alias("key", "value"),
+    )
+    return shaped
+
+
 # ---------------------------------------------------------------------------
 # A1/A3/A4 — counts and statistics
 # ---------------------------------------------------------------------------

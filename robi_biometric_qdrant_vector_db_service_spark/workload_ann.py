@@ -157,6 +157,18 @@ FROM ranked WHERE rank <= 10
 """
 
 
+@register("knn_topk_gemm", _DUCK_EXACT_K10)
+def knn_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 exact top-k on the GEMM physical plan (operators.pairscan.gemm_knn):
+    blocked NumPy tile multiply + per-block partial top-k, global merge of
+    B·k candidates — same oracle as the Catalyst plan because the fold
+    arithmetic is bit-identical; only the physical strategy differs."""
+    from .operators.pairscan import gemm_knn
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return gemm_knn(corpus, _probes(spark, sf_dir), k=10)
+
+
 @register("adaptive_search", _DUCK_EXACT_K10)
 def adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2: strategy policy — below full_scan_threshold (20k, settings.py:55)

@@ -83,3 +83,14 @@ def test_minhash_lsh_recall(spark):
         rec = len(exact & lsh) / len(exact)
         print(f"minhash-lsh recall@j>=0.5 = {rec:.3f} ({len(exact)} true pairs)")
         assert rec >= 0.8
+
+
+def test_gemm_knn_equals_exact(spark):
+    """The GEMM physical plan must return EXACTLY the exact plan's rows —
+    same fold arithmetic, same tiebreaks, different execution strategy."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.pairscan import gemm_knn
+
+    corpus, probes, _ = _setup(spark, k=10)
+    exact = sorted(map(tuple, knn_search(corpus, probes, k=10).collect()))
+    gemm = sorted(map(tuple, gemm_knn(corpus, probes, k=10).collect()))
+    assert exact == gemm
