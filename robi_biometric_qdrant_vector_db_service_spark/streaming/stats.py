@@ -31,13 +31,19 @@ EVENTS_SCHEMA = (
 )
 
 
+_staged_cache: dict[str, str] = {}
+
+
 def _staged_events_path(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table as a plain-timestamp parquet directory that
     readStream can consume (the driver's files are TIMESTAMP(NANOS), which
-    the streaming reader rejects the same way the batch one does)."""
-    out = tempfile.mkdtemp(prefix="stream_events_")
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
-    return out
+    the streaming reader rejects the same way the batch one does).  Staged
+    once per sf_dir per process — the source is read-only."""
+    if sf_dir not in _staged_cache:
+        out = tempfile.mkdtemp(prefix="stream_events_")
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+        _staged_cache[sf_dir] = out
+    return _staged_cache[sf_dir]
 
 
 def ops_stats_stream(spark: SparkSession, sf_dir: str, query_name: str) -> DataFrame:

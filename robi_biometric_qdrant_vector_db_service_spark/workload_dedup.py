@@ -228,16 +228,29 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the J2 approx-similarity-join (SURVEY §2.3): the shuffle is
     `explode(bands)` + a join keyed on (band, key) — collision-bounded, not
-    N².  The exhaustive twin (`ngram_jaccard_dups`) is the recall oracle."""
+    N².  The exhaustive twin (`ngram_jaccard_dups`) is the recall oracle.
+
+    Plan notes: each shingle is md5-hashed ONCE and the 16 minhashes are
+    affine maps over that id array (the oracle writes it inline 16× — same
+    values, 16× the hashing); candidate verification counts co-occurring
+    shingles with equi-joins against the inverted index instead of
+    intersecting arrays per pair."""
     docs = load_table(spark, sf_dir, "documents")
+    # The shingle table feeds the signature stage AND both sides of the
+    # verification join; persist it so shingling runs once (it's one row per
+    # document — at scale this is a checkpoint to storage, same plan).
     s = docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks")).select(
         "doc_id", F.expr(SPARK_SHINGLES).alias("sh")
-    )
-    sig = s.select(
+    ).persist()
+    hashed = s.select(
         "doc_id",
-        "sh",
-        F.expr("array(" + ", ".join(SPARK_MINHASHES) + ")").alias("m"),
+        F.size("sh").alias("n"),
+        F.expr(f"transform(sh, s -> {spark_hash('s')})").alias("hs"),
     )
+    minhashes = ", ".join(
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {P}))" for a, b in MINHASH_AB
+    )
+    sig = hashed.select("doc_id", F.expr(f"array({minhashes})").alias("m"))
     band_keys = F.expr(
         "array("
         + ", ".join(f"concat(m[{2*i}], ',', m[{2*i+1}])" for i in range(N_BANDS))
@@ -246,20 +259,53 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "key")
     )
-    a = bands.select(F.col("doc_id").alias("doc1"), "band", "key")
-    b = bands.select(F.col("doc_id").alias("doc2"), "band", "key")
+    # Pairs are generated INSIDE each bucket from its member list — one pass
+    # over the corpus instead of a bucket self-join that would recompute the
+    # shingle/signature chain for both sides.  Buckets are collision-bounded
+    # (that's the point of LSH), so the combination expansion is tiny; the
+    # least/greatest normalization makes output independent of collect order.
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    combos = (
+        "flatten(transform(sequence(0, size(ds) - 2), "
+        "i -> transform(sequence(i + 1, size(ds) - 1), "
+        "j -> struct(least(ds[i], ds[j]) AS doc1, greatest(ds[i], ds[j]) AS doc2))))"
+    )
     cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
+        buckets.select(F.explode(F.expr(combos)).alias("p"))
+        .select("p.doc1", "p.doc2")
         .distinct()
     )
-    sh1 = s.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
-    sh2 = s.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
-    verified = cand.join(sh1, "doc1").join(sh2, "doc2")
-    j = F.expr(_JACCARD_SPARK)
-    return verified.select("doc1", "doc2", j.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_T
+    # verify: intersection size by counting shared shingles (equi-joins
+    # against the exploded shingle index, no per-pair array lambdas)
+    inv = s.select("doc_id", F.explode("sh").alias("shingle"))
+    i1 = inv.select(F.col("doc_id").alias("doc1"), "shingle")
+    i2 = inv.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        F.broadcast(cand)
+        .join(i1, "doc1")
+        .join(i2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = hashed.select("doc_id", "n")
+    n1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(n1), "doc1")
+        .join(F.broadcast(n2), "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc1", "doc2", "jaccard")
     )
 
 
