@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the properties that make the engine viable at
+100 TB must be visible in `.explain` output, not just hoped for.
+
+- keyword filters reach the parquet scan (PushedFilters);
+- the query side of every search is broadcast — the corpus is never
+  shuffled for scoring;
+- group-bys use partial (map-side) aggregation;
+- final projections prune the scan schema (no full-row reads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from robi_biometric_qdrant_vector_db_service_spark.operators.search import knn_search
+from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _probes(spark, n=4):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def test_label_filter_is_pushed_to_scan(spark):
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    df = knn_search(corpus, _probes(spark), k=5, label_filter=[2, 5])
+    plan = _plan(df)
+    assert "PushedFilters: [In(label" in plan, plan
+
+
+def test_search_broadcasts_queries_not_corpus(spark):
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    df = knn_search(corpus, _probes(spark), k=5)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan, plan
+    # the only (non-broadcast) exchange is the per-query ranking shuffle —
+    # the corpus itself is never repartitioned for scoring
+    import re
+
+    non_broadcast_exchanges = re.findall(r"^\(\d+\) Exchange$", plan, re.M)
+    assert len(non_broadcast_exchanges) <= 1, plan
+    # Spark pushes a WindowGroupLimit below that exchange: the per-query
+    # top-k is partially evaluated map-side, so the shuffle carries ≤ k rows
+    # per (query, partition) — the property that keeps Q1 viable at 100 TB
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_groupby_uses_partial_aggregation(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    df = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    plan = _plan(df)
+    assert "partial_count" in plan, plan
+
+
+def test_projection_prunes_scan_schema(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "text" not in scan[0], scan
