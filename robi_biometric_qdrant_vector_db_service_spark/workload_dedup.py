@@ -157,9 +157,10 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual overlap, not N².  Same math as the oracle (shingle sets are
     distinct, so the co-occurrence count IS the intersection size)."""
     docs = load_table(spark, sf_dir, "documents")
+    # persisted: feeds sizes + both sides of the inverted-index join
     s = docs.select(
         "doc_id", "lang", F.expr(SPARK_TOKENS).alias("toks")
-    ).select("doc_id", "lang", F.expr(SPARK_SHINGLES).alias("sh"))
+    ).select("doc_id", "lang", F.expr(SPARK_SHINGLES).alias("sh")).persist()
     sizes = s.select("doc_id", F.size("sh").alias("n"))
     inv = s.select("doc_id", "lang", F.explode("sh").alias("shingle"))
     a = inv.select(F.col("doc_id").alias("doc1"), "lang", "shingle")
@@ -357,7 +358,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for b in range(SIMHASH_BITS)
     )
-    sig = bits.select("doc_id", F.expr(f"({combine})").alias("simhash"))
+    sig = bits.select("doc_id", F.expr(f"({combine})").alias("simhash")).persist()
     a = sig.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
     b = sig.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
     return (
