@@ -32,8 +32,16 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("bench")
 
-    # warmup: JVM + parquet footer reads, excluded from timings
+    # warmup: JVM/codegen/Arrow paths + parquet footers, excluded from
+    # timings (the measured numbers reflect the engine, not JIT cold-start)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.groupBy("l_returnflag").count().collect()
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+    li.limit(10000).withColumn("rn", F.row_number().over(w)).filter("rn <= 2").collect()
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):

@@ -31,6 +31,23 @@ EVENTS_SCHEMA = (
 )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Streaming state shards = shuffle partitions at query start, a
+    per-query property locked into the checkpoint.  Local bounded sources
+    need a handful, not the batch engine's 32 — state-store setup dominates
+    otherwise.  At scale this is sized to sustained throughput instead."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 _staged_cache: dict[str, str] = {}
 
 
@@ -56,16 +73,17 @@ def ops_stats_stream(spark: SparkSession, sf_dir: str, query_name: str) -> DataF
         F.count("*").cast("bigint").alias("n_ops"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark, 4):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(query_name)
 
 
@@ -84,16 +102,17 @@ def hourly_window_stream(
         .agg(F.count("*").cast("bigint").alias("n"))
         .select(F.col("window.start").alias("hour"), "event_type", "n")
     )
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark, 4):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # update mode may emit a window several times; keep the latest value
     t = spark.table(query_name)
     return t.groupBy("hour", "event_type").agg(F.max("n").alias("n"))
