@@ -139,6 +139,54 @@ def stream_ops_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stateful_running_stats",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_ops,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def stateful_running_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 custom stateful operator: ``applyInPandasWithState`` carrying
+    the reference's running-stats accumulator as explicit per-key state
+    (integer cents — exact), drained over the bounded events source; the
+    converged state must equal the batch GROUP BY."""
+    from .streaming.stateful import stateful_running_stats
+
+    return stateful_running_stats(spark, sf_dir, _uniq("stateful"))
+
+
+@register(
+    "salted_user_rollup",
+    """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: two-phase salted group-by — phase 1
+    reduces (user_id, salt) partials (a hot user's rows land on 16 reducers
+    instead of one), phase 2 merges the ≤16 partials per user.  DECIMAL
+    accumulation makes the split exact under any row routing, so the result
+    is bit-identical to the direct group-by the oracle runs."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "stream_hourly_counts",
     """
 SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n
