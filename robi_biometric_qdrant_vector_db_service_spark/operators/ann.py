@@ -59,6 +59,90 @@ def label_centroids(corpus: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame, k: int = 8, iters: int = 2, *, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic Lloyd's k-means as a batch index-build job — the
+    production coarse quantizer for IVF (label_centroids is the fixture
+    shortcut).  Init = the first ``k`` vectors by id (seeded-deterministic
+    like the reference's fixtures); each iteration is
+    assign (cosine argmax, id tiebreak) → DECIMAL-exact per-cell means.
+    Everything is DataFrame ops: the corpus is scanned ``iters`` times and
+    never collected.
+
+    Returns (cell int, centroid array<double>).
+    """
+    cents = (
+        corpus.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("int").alias("cell"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(corpus, cents)
+        exploded = assigned.select(
+            "cell", F.posexplode("embedding").alias("pos", "v")
+        ).select("cell", "pos", F.col("v").cast("double").cast(_DEC12).alias("v"))
+        dim_means = exploded.groupBy("cell", "pos").agg(
+            (F.sum("v").cast("double") / F.count("*")).alias("m")
+        )
+        cents = dim_means.groupBy("cell").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+            ).alias("centroid")
+        )
+    return cents
+
+
+def _assign_cells(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (cosine argmax, cell-id tiebreak) as a
+    ``max_by`` hash aggregate — partial map-side argmax, no sort, instead of
+    a per-vector window."""
+    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "cscore", F.expr(cosine_sql("embedding", "centroid"))
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(struct(embedding AS embedding, cell AS cell), "
+                "struct(cscore AS s, -cell AS c))"
+            ).alias("best")
+        )
+        .select("vec_id", "best.embedding", "best.cell")
+    )
+
+
+def kmeans_ivf_topk(
+    corpus: DataFrame, probes: DataFrame, k: int = 10, n_cells: int = 8, nprobe: int = 2
+) -> DataFrame:
+    """IVF search over the k-means codebook: probe the top-``nprobe`` cells
+    per query, exact rescore inside.  At scale the assignment is a write-time
+    partition key, so probing prunes partitions at scan time.
+
+    Returns (q_id, vec_id, rank, score)."""
+    cents = kmeans_centroids(corpus, k=n_cells)
+    assigned = _assign_cells(corpus, cents)
+    cell_scores = probes.crossJoin(F.broadcast(cents)).withColumn(
+        "cscore", F.expr(cosine_sql("q_emb", "centroid"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cscore"), F.col("cell"))
+    probe_cells = (
+        cell_scores.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .select("q_id", "q_emb", "cell")
+    )
+    cand = assigned.join(F.broadcast(probe_cells), "cell")
+    scored = cand.withColumn("score", F.expr(cosine_sql("embedding", "q_emb")))
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame, probes: DataFrame, k: int = 5, nprobe: int = 2
 ) -> DataFrame:

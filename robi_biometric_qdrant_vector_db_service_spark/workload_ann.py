@@ -157,6 +157,53 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _duck_centroid_sql() -> str:
+    return """
+WITH dims AS (
+  SELECT label, i, CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12)) AS v
+  FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+dimmeans AS (
+  SELECT label, i, CAST(sum(v) AS DOUBLE) / count(*) AS m
+  FROM dims GROUP BY label, i
+)
+SELECT CAST(label AS INT) AS label, round(m, 6) AS dim_mean, CAST(i AS INT) AS dim
+FROM dimmeans
+"""
+
+
+@register("label_centroids", _duck_centroid_sql())
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector aggregation (the IVF codebook build as a query):
+    per-label mean embedding, DECIMAL-accumulated so the centroid is
+    identical under any partitioning; emitted as (label, dim, dim_mean)
+    rows for engine-neutral comparison."""
+    from pyspark.sql import functions as F
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    cents = ann.label_centroids(corpus)
+    return cents.select(
+        F.col("label").cast("int").alias("label"),
+        F.posexplode("centroid").alias("dim0", "m"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round("m", 6).alias("dim_mean"),
+    )
+
+
+@register("ann_kmeans_ivf_topk", None)  # iterative build → rows-only check
+def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a REAL k-means codebook built as a Spark batch job
+    (deterministic Lloyd's, operators.ann.kmeans_centroids) — recall vs the
+    exact engine is measured in tests/test_ann_recall.py; the iterative
+    build has no tractable single-statement SQL oracle, so the driver runs
+    the rows-only check."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return ann.kmeans_ivf_topk(corpus, _probes(spark, sf_dir), k=10, n_cells=8, nprobe=3)
+
+
 @register("knn_topk_gemm", _DUCK_EXACT_K10)
 def knn_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 exact top-k on the GEMM physical plan (operators.pairscan.gemm_knn):

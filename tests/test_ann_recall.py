@@ -94,3 +94,15 @@ def test_gemm_knn_equals_exact(spark):
     exact = sorted(map(tuple, knn_search(corpus, probes, k=10).collect()))
     gemm = sorted(map(tuple, gemm_knn(corpus, probes, k=10).collect()))
     assert exact == gemm
+
+
+def test_kmeans_ivf_recall(spark):
+    """IVF over the Lloyd's-built codebook: probing 3 of 8 cells must keep
+    reasonable recall vs the exact engine (and be deterministic per run)."""
+    corpus, probes, exact = _setup(spark, k=10)
+    a1 = ann.kmeans_ivf_topk(corpus, probes, k=10, n_cells=8, nprobe=3).collect()
+    a2 = ann.kmeans_ivf_topk(corpus, probes, k=10, n_cells=8, nprobe=3).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))
+    r = _recall(a1, exact)
+    print(f"kmeans ivf recall@10 = {r:.3f}")
+    assert r >= 0.5
