@@ -33,6 +33,17 @@ from pyspark.sql import functions as F
 from ..functions.vector import cosine_sql
 
 DEFAULT_SCORE_THRESHOLD = 0.65  # settings.similarity_threshold (settings.py:22)
+MAX_K = 100  # SearchRequest bound (src/api/schemas.py:64)
+
+
+def validate_search_args(k: int, score_threshold: float | None) -> None:
+    """P7 request-validation predicates (src/api/schemas.py:61-72): the
+    reference's Pydantic bounds enforced at plan-build time — the engine's
+    analyzer stage."""
+    if not 1 <= k <= MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    if score_threshold is not None and not 0.0 <= score_threshold <= 1.0:
+        raise ValueError(f"score_threshold must be in [0, 1], got {score_threshold}")
 
 
 def score_pairs(
@@ -73,6 +84,7 @@ def knn_search(
     Returns: (q_id, vec_id, rank, score) — score rounded to 6dp for stable
     cross-engine comparison; ranking uses the unrounded value.
     """
+    validate_search_args(k, score_threshold)
     if label_filter is not None:
         corpus = corpus.filter(F.col("label").isin(label_filter))
     scored = score_pairs(corpus, queries, corpus_vec=corpus_vec, query_vec=query_vec)

@@ -41,11 +41,18 @@ POINT_SCHEMA = (
 
 
 class VectorStore:
-    """Batch analogue of QdrantVectorStore (src/core/qdrant_client.py:33-520)."""
+    """Batch analogue of QdrantVectorStore (src/core/qdrant_client.py:33-520).
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``n_buckets`` controls the O1 layout: snapshots are written partitioned
+    by ``ubucket = pmod(hash(user_id), n_buckets)`` so keyword-filtered
+    reads and deletes prune partitions at scan time — the Spark analogue of
+    the reference's RAM keyword index on user_id
+    (src/core/advanced_indexing.py:52-59)."""
+
+    def __init__(self, spark: SparkSession, root: str, *, n_buckets: int = 8):
         self.spark = spark
         self.root = root
+        self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
 
     # -- snapshot plumbing --------------------------------------------------
@@ -65,7 +72,12 @@ class VectorStore:
 
     def _publish(self, df: DataFrame) -> int:
         new_v = self._current_version() + 1
-        df.write.mode("overwrite").parquet(self._snapshot_path(new_v))
+        out = df.withColumn(
+            "ubucket", F.pmod(F.hash("user_id"), F.lit(self.n_buckets))
+        )
+        out.write.mode("overwrite").partitionBy("ubucket").parquet(
+            self._snapshot_path(new_v)
+        )
         with open(self._pointer(), "w") as f:
             f.write(str(new_v))
         return new_v
@@ -83,11 +95,24 @@ class VectorStore:
             store._publish(df)
         return store
 
-    def read(self) -> DataFrame:
+    def read(self, *, user_id: str | None = None) -> DataFrame:
+        """Current snapshot.  With ``user_id``, the bucket predicate is a
+        constant-foldable expression on the partition column, so the scan
+        prunes to one bucket directory (PartitionFilters) before the exact
+        ``user_id`` filter — the O1 index-assisted read path."""
         v = self._current_version()
         if v < 0:
             raise FileNotFoundError(f"store at {self.root} not initialized")
-        return self.spark.read.parquet(self._snapshot_path(v))
+        # explicit schema: skips footer inference and keeps empty snapshots
+        # readable (a partitioned empty write produces no data files)
+        df = self.spark.read.schema(POINT_SCHEMA + ", ubucket int").parquet(
+            self._snapshot_path(v)
+        )
+        if user_id is not None:
+            df = df.filter(
+                F.col("ubucket") == F.pmod(F.hash(F.lit(user_id)), F.lit(self.n_buckets))
+            ).filter(F.col("user_id") == user_id)
+        return df.select("point_id", "embedding", "user_id", "ts", "metadata")
 
     # -- S2/S3 add / upsert -------------------------------------------------
 

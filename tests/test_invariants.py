@@ -88,3 +88,20 @@ def test_cosine_symmetry(spark):
         (F.expr(cosine_sql("ea", "eb")) - F.expr(cosine_sql("eb", "ea"))).alias("d")
     ).filter(F.abs(F.col("d")) > 1e-15).count()
     assert bad == 0
+
+
+def test_search_arg_validation(spark):
+    """P7: the reference's request bounds (schemas.py:64-65) enforced at
+    plan-build time."""
+    import pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import validate_search_args
+
+    validate_search_args(1, None)
+    validate_search_args(100, 0.65)
+    with pytest.raises(ValueError):
+        validate_search_args(0, None)
+    with pytest.raises(ValueError):
+        validate_search_args(101, None)
+    with pytest.raises(ValueError):
+        validate_search_args(10, 1.5)

@@ -65,3 +65,25 @@ def test_projection_prunes_scan_schema(spark):
     plan = _plan(df)
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "text" not in scan[0], scan
+
+
+def test_store_user_read_prunes_partitions(spark, tmp_path):
+    """O1: the store's bucket(user_id) layout must show up as a partition
+    filter on keyword-filtered reads — the reference's RAM keyword index
+    (advanced_indexing.py:52-59) as physical layout."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import VectorStore
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label")).alias("user_id"),
+        F.lit(1.0).alias("ts"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    store = VectorStore.create(spark, str(tmp_path / "s"), pts)
+    df = store.read(user_id="u3")
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan and "ubucket" in plan, plan
+    rows = df.collect()
+    assert rows and all(r["user_id"] == "u3" for r in rows)
