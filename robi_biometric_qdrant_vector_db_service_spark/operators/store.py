@@ -184,6 +184,31 @@ class VectorStore:
         self._publish(survivors)
         return before - after
 
+    # -- Q1 search over the store -------------------------------------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        *,
+        score_threshold: float | None = None,
+        user_filter: str | None = None,
+    ) -> DataFrame:
+        """The reference's ``POST /vectors/search`` end-to-end over the
+        store (qdrant_client.py:311-405): optional user filter (pruned to
+        one bucket partition, O1), cosine top-k with threshold, result keyed
+        by ``point_id``.  ``queries``: (q_id, q_emb)."""
+        from .search import knn_search
+
+        corpus = self.read(user_id=user_filter)
+        return knn_search(
+            corpus,
+            queries,
+            k,
+            score_threshold=score_threshold,
+            corpus_id="point_id",
+        )
+
     # -- A1/A3 stats --------------------------------------------------------
 
     def count(self) -> int:

@@ -351,6 +351,38 @@ def add_batch_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_search_api",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, CAST(e.vec_id AS VARCHAR) AS point_id,
+         {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = 3
+),
+ranked AS (
+  SELECT q_id, point_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, point_id) AS rank
+  FROM scored WHERE score >= 0.0
+)
+SELECT q_id, point_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def store_search_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full service read path end-to-end: points live in the versioned
+    store (bucket-partitioned by user), and search runs through
+    ``VectorStore.search`` — user filter pruned to one partition (O1),
+    threshold, top-k keyed by point_id (string tiebreak, as stored)."""
+    store = _fresh_store(spark, sf_dir, "api")
+    return store.search(
+        _probes(spark, sf_dir), k=5, score_threshold=0.0, user_filter="u3"
+    )
+
+
+@register(
     "delete_by_id",
     """
 SELECT concat('u', CAST(label AS VARCHAR)) AS user_id, CAST(count(*) AS BIGINT) AS n
