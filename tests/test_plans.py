@@ -87,3 +87,38 @@ def test_store_user_read_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "ubucket" in plan, plan
     rows = df.collect()
     assert rows and all(r["user_id"] == "u3" for r in rows)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing co-locates the join: writing both sides bucketed+sorted on
+    the key lets Spark sort-merge-join them with NO exchange on either side
+    — the layout that makes repeated big-big joins viable at 100 TB."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    for df, name, key in ((orders, "b_orders", "o_orderkey"), (li, "b_lineitem", "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(4, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    # at fixture scale the planner would broadcast instead (and rightly so);
+    # disable it to surface the big-big bucketed path under test
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(spark.table("b_lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+            .select("o_orderkey", "l_linenumber", "l_quantity")
+        )
+        import re
+
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert not re.findall(r"^\(\d+\) Exchange$", plan, re.M), plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
