@@ -106,3 +106,34 @@ def test_kmeans_ivf_recall(spark):
     r = _recall(a1, exact)
     print(f"kmeans ivf recall@10 = {r:.3f}")
     assert r >= 0.5
+
+
+def test_adaptive_routes_to_ann_above_threshold(spark):
+    """Above full_scan_threshold (20k, settings.py:55) smart_search must
+    switch to the bucketed path and still find most true neighbors."""
+    from pyspark.sql import functions as F
+
+    from robi_biometric_qdrant_vector_db_service_spark.plans.strategy import smart_search
+
+    n = 25_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 16), i -> CAST(sin(CAST(id AS DOUBLE) * i) AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    probes = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    approx = smart_search(corpus, probes, k=5).collect()
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in knn_search(corpus, probes, k=5).collect()
+    }
+    assert len(approx) <= 4 * 5
+    # every probe must at least retrieve itself from its own bucket
+    self_hits = {(r["q_id"], r["vec_id"]) for r in approx if r["q_id"] == r["vec_id"]}
+    assert len(self_hits) == 4
+    r = _recall(approx, exact)
+    print(f"adaptive(signlsh) recall@5 at n=25k: {r:.3f}")
+    assert r > 0.1
