@@ -149,6 +149,43 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_rollup",
+    """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE ``session_window`` aggregation
+    (one merging hash-agg, no window-function pass) — checked against the
+    hand-rolled lag+cumsum construction, which is what the oracle runs.
+    In streaming the identical expression is watermark-managed state."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").cast("bigint").alias("n_events"), F.min("ts").alias("session_start"))
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+@register(
     "running_ops_stats",
     """
 SELECT event_type, event_id,
