@@ -75,6 +75,10 @@ class VectorStore:
         out = df.withColumn(
             "ubucket", F.pmod(F.hash("user_id"), F.lit(self.n_buckets))
         )
+        # co-locate each bucket before the partitioned write: one file per
+        # bucket instead of tasks × buckets small files (at scale, raise
+        # n_buckets / add a second repartition key for more write tasks)
+        out = out.repartition(self.n_buckets, "ubucket")
         out.write.mode("overwrite").partitionBy("ubucket").parquet(
             self._snapshot_path(new_v)
         )

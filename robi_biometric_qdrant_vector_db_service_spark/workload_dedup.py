@@ -161,6 +161,7 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.select(
         "doc_id", "lang", F.expr(SPARK_TOKENS).alias("toks")
     ).select("doc_id", "lang", F.expr(SPARK_SHINGLES).alias("sh")).persist()
+    s.count()  # materialize before the multi-branch reuse below
     sizes = s.select("doc_id", F.size("sh").alias("n"))
     inv = s.select("doc_id", "lang", F.explode("sh").alias("shingle"))
     a = inv.select(F.col("doc_id").alias("doc1"), "lang", "shingle")
@@ -243,6 +244,7 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks")).select(
         "doc_id", F.expr(SPARK_SHINGLES).alias("sh")
     ).persist()
+    s.count()  # materialize before the multi-branch reuse below
     hashed = s.select(
         "doc_id",
         F.size("sh").alias("n"),
@@ -344,12 +346,19 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming ≤ 4.  At scale the pair join is blocked by signature prefix
     (bit-sliced buckets) instead of the exhaustive self-join used here."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("tok")
-    ).select("doc_id", F.expr(spark_hash("tok")).alias("h"))
+    # pre-aggregate repeated tokens: the word-soup corpus has a small
+    # vocabulary, so (doc, token-hash, count) is several times smaller than
+    # the raw occurrence stream; the ±1 votes become count-weighted sums
+    # (identical integers, map-side combinable at both levels)
+    tok = (
+        docs.select("doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("tok"))
+        .select("doc_id", F.expr(spark_hash("tok")).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("cnt"))
+    )
     bit_sums = [
         F.sum(
-            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            F.col("cnt") * F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
@@ -359,6 +368,8 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(SIMHASH_BITS)
     )
     sig = bits.select("doc_id", F.expr(f"({combine})").alias("simhash")).persist()
+    sig.count()  # materialize: both self-join branches must hit the cache,
+    # not race to compute the signature chain twice within one job
     a = sig.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
     b = sig.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
     return (
