@@ -383,6 +383,37 @@ def store_search_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_newest",
+    """
+SELECT user_id, point_id, ts
+FROM (
+  SELECT concat('u', CAST(label AS VARCHAR)) AS user_id,
+         CAST(vec_id AS VARCHAR) AS point_id,
+         1000.0 + vec_id AS ts,
+         row_number() OVER (PARTITION BY label ORDER BY 1000.0 + vec_id DESC, vec_id) AS rn
+  FROM embeddings
+)
+WHERE rn = 1
+""",
+)
+def dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6 derived dedup: keep the newest point per user — the
+    write-time compaction an LLM pipeline runs where the reference keeps
+    every row and filters at query time (P1+P3).  One window pass, shuffle
+    keyed on user_id; at scale this is the same plan per partition."""
+    store = _fresh_store(spark, sf_dir, "keepnew")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.col("point_id"))
+    return (
+        store.read()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "point_id", "ts")
+    )
+
+
+@register(
     "delete_by_id",
     """
 SELECT concat('u', CAST(label AS VARCHAR)) AS user_id, CAST(count(*) AS BIGINT) AS n

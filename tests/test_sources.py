@@ -99,3 +99,28 @@ def test_multimodal_decode_matches_python(spark):
         assert f["height"] == len(raw) % 48 + 16
         assert f["n_frames"] == len(raw) // 100 + 1
         assert f["byte_checksum"] == sum(raw) % 1000003
+
+
+def test_store_edge_cases(spark, tmp_path):
+    """Empty create, delete-miss, double delete, upsert-into-empty."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import VectorStore
+
+    store = VectorStore.create(spark, str(tmp_path / "edge"))
+    assert store.count() == 0
+    assert store.delete_by_id(["nope"]) == 0
+    batch = spark.createDataFrame(
+        [([1.0, 0.0], "alice"), ([0.0, 1.0], "bob")], "embedding array<double>, user_id string"
+    )
+    assert store.add_batch(batch) == 2
+    assert store.count() == 2
+    assert store.delete_where("user_id = 'alice'") == 1
+    assert store.delete_where("user_id = 'alice'") == 0
+    ups = spark.createDataFrame(
+        [("p1", [0.5, 0.5], "carol")], "point_id string, embedding array<double>, user_id string"
+    )
+    assert store.upsert(ups) == 1
+    assert store.upsert(ups) == 1  # idempotent replace, not duplicate
+    assert store.count() == 2  # bob + carol
+    stats = store.stats()
+    assert stats["total_vectors"] == 2 and stats["distinct_users"] == 2
+    assert abs(stats["avg_norm"] - 1.0) < 1e-9  # normalize-at-write
