@@ -100,25 +100,25 @@ def gemm_knn(
             for _, row in pdf.iterrows():
                 ids = np.asarray([p["_id"] for p in row["pts"]], dtype=np.int64)
                 A = np.asarray([p["_v"] for p in row["pts"]], dtype=np.float64)
+                order = np.argsort(ids)  # id-sorted rows: stable sort below
+                ids, A = ids[order], A[order]  # then breaks ties by id asc
                 qids = np.asarray([q["_qid"] for q in row["qs"]], dtype=np.int64)
                 Q = np.asarray([q["_qv"] for q in row["qs"]], dtype=np.float64)
                 S = _fold_dot_block(A, Q) / np.outer(_fold_norm(A), _fold_norm(Q))
-                out_q, out_v, out_s = [], [], []
-                for qi in range(len(qids)):
-                    col = S[:, qi]
-                    keep = np.nonzero(col >= thr)[0]
-                    # partial top-k by (score desc, id asc); -score is an
-                    # exact sign flip so ordering matches the SQL sort
-                    order = np.lexsort((ids[keep], -col[keep]))[:k]
-                    sel = keep[order]
-                    out_q.append(np.full(len(sel), qids[qi]))
-                    out_v.append(ids[sel])
-                    out_s.append(col[sel])
+                kk = min(k, len(ids))
+                # one vectorized partial top-k for ALL queries: stable
+                # argsort of -S (exact sign flip) over id-sorted rows ==
+                # ORDER BY score DESC, id ASC per column
+                top = np.argsort(-S, axis=0, kind="stable")[:kk]  # (kk, Q)
+                col = np.repeat(np.arange(S.shape[1]), kk)
+                rowi = top.T.ravel()
+                scores = S[rowi, col]
+                keep = scores >= thr
                 yield pd.DataFrame(
                     {
-                        "q_id": np.concatenate(out_q) if out_q else [],
-                        "vec_id": np.concatenate(out_v) if out_v else [],
-                        "score_raw": np.concatenate(out_s) if out_s else [],
+                        "q_id": qids[col[keep]],
+                        "vec_id": ids[rowi[keep]],
+                        "score_raw": scores[keep],
                     }
                 )
 

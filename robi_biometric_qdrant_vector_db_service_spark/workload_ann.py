@@ -10,6 +10,7 @@ risk 4).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators import ann
 from .plans.strategy import smart_search
@@ -214,6 +215,41 @@ def knn_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = load_table(spark, sf_dir, "embeddings")
     return gemm_knn(corpus, _probes(spark, sf_dir), k=10)
+
+
+def _duck_batch_sql(n_probes: int = 1000, k: int = 5) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_probes}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("knn_batch_throughput", _duck_batch_sql())
+def knn_batch_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-oriented search throughput: 1,000 probes answered in ONE GEMM
+    job — the batch engine's counter to the reference's per-request loop
+    (its >1000 searches/s target, README.md:8, is reached by amortizing the
+    corpus scan across the whole probe batch; per-probe wall time here is
+    the bench timing / 1000)."""
+    from .operators.pairscan import gemm_knn
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    probes = corpus.filter(F.col("vec_id") < 1000).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return gemm_knn(corpus, probes, k=5)
 
 
 @register("adaptive_search", _DUCK_EXACT_K10)
