@@ -79,6 +79,7 @@ def kmeans_centroids(
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("centroid"),
         )
     )
+    spark = corpus.sparkSession
     for _ in range(iters):
         assigned = _assign_cells(corpus, cents)
         exploded = assigned.select(
@@ -91,6 +92,13 @@ def kmeans_centroids(
             F.expr(
                 "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
             ).alias("centroid")
+        )
+        # The codebook is model state, k×D doubles — pin it driver-side
+        # between iterations (as MLlib's KMeans does) so iteration i+1's
+        # plan starts from a literal, not a re-execution of iterations
+        # 1..i (lineage otherwise makes total work quadratic in iters).
+        cents = spark.createDataFrame(
+            cents.collect(), schema="cell int, centroid array<double>"
         )
     return cents
 

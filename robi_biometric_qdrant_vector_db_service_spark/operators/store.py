@@ -143,7 +143,20 @@ class VectorStore:
             out = out.withColumn("embedding", F.expr(l2_normalize_sql("embedding")))
         out = out.select("point_id", "embedding", "user_id", "ts", "metadata")
         n = out.count()
-        self._publish(self.read().unionByName(out))
+        # True append: write ONLY the new rows' files into the live
+        # snapshot (qdrant upsert with fresh ids touches no existing
+        # segment, qdrant_client.py:292-296); rewriting the corpus per
+        # batch would never hold at scale.  Write-task count scales with
+        # the batch, not the store: one task per ~10k rows, capped at the
+        # bucket count (small batches → one file per touched bucket).
+        v = self._current_version()
+        tasks = max(1, min(self.n_buckets, n // 10_000 + 1))
+        appended = out.withColumn(
+            "ubucket", F.pmod(F.hash("user_id"), F.lit(self.n_buckets))
+        ).repartition(tasks, "ubucket")
+        appended.write.mode("append").partitionBy("ubucket").parquet(
+            self._snapshot_path(v)
+        )
         return n
 
     def upsert(self, updates: DataFrame, *, normalize: bool = True) -> int:
