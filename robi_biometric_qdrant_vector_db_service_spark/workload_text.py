@@ -82,6 +82,66 @@ def lang_token_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_quality_filter",
+    f"""
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(mean_tok_len, 6) AS mean_tok_len,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(uniq_ratio, 6) AS uniq_ratio,
+       CAST((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+           + CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 1 ELSE 0 END
+           + CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END
+           + CASE WHEN uniq_ratio >= 0.3 THEN 1 ELSE 0 END) AS INT) AS quality,
+       (n_tokens BETWEEN 10 AND 1000)
+         AND (mean_tok_len >= 3 AND mean_tok_len <= 10)
+         AND stop_ratio >= 0.05 AND uniq_ratio >= 0.3 AS keep
+FROM (
+  SELECT doc_id, len(tokens) AS n_tokens,
+         CAST(n_chars - len(tokens) + 1 AS DOUBLE) / len(tokens) AS mean_tok_len,
+         CAST(len(list_filter(tokens, t -> t IN {_STOP_SQL})) AS DOUBLE) / len(tokens) AS stop_ratio,
+         CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS uniq_ratio
+  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents)
+)
+""",
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality gate: token-count bounds, mean
+    token length, stopword ratio, lexical diversity — each an integer/
+    rounded-double rule, combined into a 0-4 score and a boolean ``keep``
+    (the training-set filter predicate).  Pure codegen'd expressions; at
+    scale this is a map-only projection with zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    t = docs.withColumn("tokens", F.split("text", " "))
+    n_tok = F.size("tokens")
+    mean_len = (F.col("n_chars") - n_tok + 1).cast("double") / n_tok
+    stop_ratio = (
+        F.expr(f"size(filter(tokens, t -> t IN ({stop_list})))").cast("double") / n_tok
+    )
+    uniq_ratio = F.size(F.array_distinct("tokens")).cast("double") / n_tok
+    t = (
+        t.withColumn("mean_tok_len", mean_len)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("uniq_ratio", uniq_ratio)
+    )
+    r1 = F.col("tokens").isNotNull() & n_tok.between(10, 1000)
+    r2 = (F.col("mean_tok_len") >= 3) & (F.col("mean_tok_len") <= 10)
+    r3 = F.col("stop_ratio") >= 0.05
+    r4 = F.col("uniq_ratio") >= 0.3
+    quality = sum(r.cast("int") for r in (r1, r2, r3, r4))
+    return t.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round("mean_tok_len", 6).alias("mean_tok_len"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("uniq_ratio", 6).alias("uniq_ratio"),
+        quality.cast("int").alias("quality"),
+        (r1 & r2 & r3 & r4).alias("keep"),
+    )
+
+
 # Indicator vocabularies for the n-gram/keyword language-ID heuristic.
 # (The corpus is synthetic word soup; the operator demonstrates the
 # deterministic argmax-vote classify shape, not linguistic accuracy.)
