@@ -370,11 +370,31 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = bits.select("doc_id", F.expr(f"({combine})").alias("simhash")).persist()
     sig.count()  # materialize: both self-join branches must hit the cache,
     # not race to compute the signature chain twice within one job
-    a = sig.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
-    b = sig.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
+    # Bit-sliced banding (pigeonhole): any pair within Hamming ≤ 4 agrees
+    # exactly on at least one of 5 disjoint 7-bit bands, so candidates come
+    # from an equi-join on (band, band-bits) — work ∝ in-bucket collisions,
+    # not N²/2 — then exact Hamming verify.  distinct() collapses pairs
+    # that collide in several bands.
+    n_bands = HAMMING_T + 1
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
+    ).withColumn("bucket", F.expr("(simhash >> (band * 7)) & 127"))
+    a = banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1")
+    )
+    b = banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "h1", "h2")
+        .distinct()
+    )
     return (
-        a.join(b, F.col("doc1") < F.col("doc2"))
-        .withColumn("hamming", F.expr("CAST(bit_count(h1 ^ h2) AS INT)"))
+        cand.withColumn("hamming", F.expr("CAST(bit_count(h1 ^ h2) AS INT)"))
         .filter(F.col("hamming") <= HAMMING_T)
         .select("doc1", "doc2", "hamming")
     )
