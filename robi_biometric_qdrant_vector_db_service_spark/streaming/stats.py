@@ -87,6 +87,52 @@ def ops_stats_stream(spark: SparkSession, sf_dir: str, query_name: str) -> DataF
     return spark.table(query_name)
 
 
+_staged_dup_cache: dict[str, str] = {}
+
+
+def _staged_duplicated_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table written TWICE into one directory — a bounded
+    stand-in for an at-least-once delivery stream (every event delivered
+    two times)."""
+    if sf_dir not in _staged_dup_cache:
+        out = tempfile.mkdtemp(prefix="stream_events_dup_")
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").parquet(out)
+        ev.write.mode("append").parquet(out)
+        _staged_dup_cache[sf_dir] = out
+    return _staged_dup_cache[sf_dir]
+
+
+def dedup_events_stream(spark: SparkSession, sf_dir: str, query_name: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates(event_id)`` over an
+    at-least-once source (every event delivered twice) — the streaming twin
+    of the exact-dedup batch operator.  State is keyed by event_id;
+    production bounds it with ``dropDuplicatesWithinWatermark`` (state
+    evicted past the delay, same plan shape) — the bounded fixture keeps the
+    unbounded variant so the result is deterministic regardless of how the
+    file source batches.  Emits the deduped per-type counts, which must
+    equal the batch GROUP BY over the ORIGINAL (pre-duplication) table."""
+    path = _staged_duplicated_events_path(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    deduped = stream.dropDuplicates(["event_id"])
+    with _state_partitions(spark, 4):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    t = spark.table(query_name)
+    return t.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("event_id").cast("bigint").alias("n_unique"),
+    )
+
+
 def hourly_window_stream(
     spark: SparkSession, sf_dir: str, query_name: str, watermark: str = "24 hours"
 ) -> DataFrame:

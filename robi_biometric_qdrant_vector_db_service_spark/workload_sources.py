@@ -187,6 +187,26 @@ def salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_events",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over an at-least-once source: every event is
+    delivered twice, ``dropDuplicates(event_id)`` state filters the replays,
+    and the drained per-type counts must equal the batch GROUP BY over the
+    original table (n_events == n_unique iff dedup worked)."""
+    from .streaming.stats import dedup_events_stream
+
+    return dedup_events_stream(spark, sf_dir, _uniq("dedup_stream"))
+
+
+@register(
     "stream_hourly_counts",
     """
 SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n
