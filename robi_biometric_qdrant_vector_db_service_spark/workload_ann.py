@@ -66,6 +66,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(corpus, _probes(spark, sf_dir), k=5, nprobe=2)
 
 
+_cell_layout_cache: dict[str, str] = {}
+
+
+def _cell_partitioned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF write path at scale: corpus laid out partitioned by cell id
+    (here the label coarse code) so a probe's cell list prunes whole
+    partition directories at scan time — staged once per process."""
+    if sf_dir not in _cell_layout_cache:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="ivf_cells_")
+        load_table(spark, sf_dir, "embeddings").write.mode("overwrite").partitionBy(
+            "label"
+        ).parquet(out)
+        _cell_layout_cache[sf_dir] = out
+    return spark.read.parquet(_cell_layout_cache[sf_dir])
+
+
+@register("ann_ivf_pruned_topk", _duck_ivf_sql())
+def ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_topk over the write-time cell-partitioned layout: the
+    probe-cells broadcast join triggers dynamic partition pruning, so the
+    scan touches only the probed cells' directories (PartitionFilters /
+    dynamicpruning in the plan, asserted in tests/test_plans.py) — the
+    batch analogue of HNSW visiting a sublinear candidate set.  Same
+    results as the logical IVF query, same oracle."""
+    corpus = _cell_partitioned_corpus(spark, sf_dir)
+    return ann.ivf_topk(corpus, _probes(spark, sf_dir), k=5, nprobe=2)
+
+
 def _duck_signlsh_sql(k: int = 5, nbits: int = 6) -> str:
     terms = " + ".join(
         f"CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END" for d in range(nbits)

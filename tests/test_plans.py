@@ -122,3 +122,15 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ivf_cell_layout_prunes_partitions(spark):
+    """The IVF scale path: with the corpus laid out partitioned by cell,
+    the probe-cells broadcast join must inject dynamic partition pruning
+    into the corpus scan (only probed cells' directories are read)."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload_ann import ann_ivf_pruned_topk
+
+    df = ann_ivf_pruned_topk(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert df.count() > 0
