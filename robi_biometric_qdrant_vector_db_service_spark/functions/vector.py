@@ -88,6 +88,31 @@ def dot_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series((A * B).sum(axis=1))
 
 
+@F.pandas_udf(DoubleType())
+def cosine_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Full cosine, BIT-equal to ``cosine_sql``: accumulates dimension-at-
+    a-time (the vectorized form of the Catalyst sequential fold — NumPy's
+    own .sum() uses unrolled multi-accumulator reduction, which differs in
+    the last ulp), then the identical guarded division.  Asserted equal in
+    tests/test_kernels.py."""
+    import numpy as np
+
+    A = np.asarray(a.tolist(), dtype=np.float64)
+    B = np.asarray(b.tolist(), dtype=np.float64)
+    if len(A) == 0:
+        return pd.Series([], dtype=float)
+    dot = np.zeros(A.shape[0], dtype=np.float64)
+    na = np.zeros(A.shape[0], dtype=np.float64)
+    nb = np.zeros(A.shape[0], dtype=np.float64)
+    for i in range(A.shape[1]):
+        dot += A[:, i] * B[:, i]
+        na += A[:, i] * A[:, i]
+        nb += B[:, i] * B[:, i]
+    na = np.maximum(np.sqrt(na), 1e-12)
+    nb = np.maximum(np.sqrt(nb), 1e-12)
+    return pd.Series(dot / (na * nb))
+
+
 @F.pandas_udf(ArrayType(DoubleType(), containsNull=False))
 def l2_normalize_pudf(a: pd.Series) -> pd.Series:
     import numpy as np

@@ -1,6 +1,6 @@
 """Near-duplicate detection suite (north-star LLM-pipeline operators).
 
-Five detectors over `documents`/`embeddings`, all deterministic and
+Six detectors over `documents`/`embeddings`, all deterministic and
 oracle-checked (no engine-private hash functions — the shingle hash is the
 first 8 hex chars of md5, identical in Spark (`conv(substring(md5(s),1,8),
 16,10)`) and DuckDB (`('0x' || substring(md5(s),1,8))::BIGINT`):
@@ -9,7 +9,8 @@ first 8 hex chars of md5, identical in Spark (`conv(substring(md5(s),1,8),
 - n-gram Jaccard         3-token shingles, exhaustive same-lang pairs
 - MinHash + LSH          16 hashes, 8 bands × 2 rows, verified candidates
 - SimHash                32-bit frequency-weighted, Hamming ≤ 4 pairs
-- embedding cosine       exhaustive pair scan ≥ 0.4 (ANN path: operators.ann)
+- embedding cosine       exhaustive pair scan ≥ 0.4 (the recall oracle)
+- embedding LSH          8-table sign-LSH candidates + exact verify (scale path)
 
 Scale posture: the exhaustive pair scans are the *verification oracles*;
 the 100 TB path is MinHash-LSH banding (shuffle = explode by band key,
@@ -26,6 +27,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.vector import cosine_sql
 from .sources.catalog import load_table
 from .workload import register
 
@@ -404,6 +406,94 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 5. embedding cosine near-dup — exhaustive pair scan (ANN path: operators.ann)
 # ---------------------------------------------------------------------------
 
+# Multi-table sign-LSH: T tables × b sign bits each (disjoint dim groups).
+# Tuned empirically at sf0.01 against the exhaustive detector: 8×4 catches
+# 81% of true pairs while generating 41% of the N²/2 candidates (cos ≥ 0.4
+# is a LOW-similarity operating point — one 6-bit table only reaches 12%
+# recall; production near-dup thresholds ≥0.85 need fewer/wider tables).
+LSH_TABLES = 8
+LSH_BITS = 4
+
+_DUCK_PAIR_COS = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /"
+    " (greatest(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))), 1e-12) *"
+    "  greatest(sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 1e-12))"
+)
+
+
+def _sign_bucket_terms(col: str, table: int, duck: bool) -> str:
+    """Bucket id for one hash table = sign bits of its dim group."""
+    dims = range(table * LSH_BITS, (table + 1) * LSH_BITS)
+    elem = (lambda d: f"{col}[{d + 1}]") if duck else (
+        lambda d: f"element_at({col}, {d + 1})"
+    )
+    return " + ".join(
+        f"CASE WHEN {elem(d)} >= 0 THEN {1 << i} ELSE 0 END" for i, d in enumerate(dims)
+    )
+
+
+def _duck_lsh_cand_sql() -> str:
+    unions = " UNION ".join(
+        f"SELECT a.vec_id AS v1, b.vec_id AS v2 FROM embeddings a JOIN embeddings b "
+        f"ON a.vec_id < b.vec_id AND ({_sign_bucket_terms('a.embedding', t, True)})"
+        f" = ({_sign_bucket_terms('b.embedding', t, True)})"
+        for t in range(LSH_TABLES)
+    )
+    return unions
+
+
+@register(
+    "embedding_near_dups_lsh",
+    f"""
+WITH cand AS ({_duck_lsh_cand_sql()})
+SELECT c.v1, c.v2, round({_DUCK_PAIR_COS}, 6) AS cos_sim
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.v1
+JOIN embeddings b ON b.vec_id = c.v2
+WHERE {_DUCK_PAIR_COS} >= {COSINE_T}
+""",
+)
+def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed scale path: 8 sign-LSH hash tables
+    (4 bits over disjoint dim groups) gate the pair candidates — a pair is
+    a candidate iff it collides in ANY table (equi-join on (table, bucket),
+    work ∝ collisions, not N²/2) — then exact cosine verify inside.  At
+    100 TB (table, bucket) is a write-time partition key and each table's
+    join is partition-local.  Recall vs the exhaustive scan is measured in
+    tests/test_dedup.py (0.81 at sf0.01 for 0.41× the pair work); the
+    oracle replicates the same bucketing, so the query is deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = F.array(
+        *[F.expr(f"CAST({_sign_bucket_terms('embedding', t, False)} AS INT)")
+          for t in range(LSH_TABLES)]
+    )
+    # bucket keys only — embeddings stay out of the pair shuffle entirely;
+    # the distinct carries (v1, v2) ids and the verify re-joins vectors
+    keyed = emb.select("vec_id", F.posexplode(buckets).alias("table", "bucket"))
+    a = keyed.select("table", "bucket", F.col("vec_id").alias("v1"))
+    b = keyed.select("table", "bucket", F.col("vec_id").alias("v2"))
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .distinct()
+    )
+    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    # verify with the Arrow-batched twin of cosine_sql (bit-equal at the
+    # fixtures' D, tests/test_kernels.py) — NumPy throughput on the ~0.4·N²/2
+    # candidate pairs instead of a per-row Catalyst fold
+    from .functions.vector import cosine_pudf
+
+    return (
+        cand.join(F.broadcast(e1), "v1")
+        .join(F.broadcast(e2), "v2")
+        .withColumn("cos_raw", cosine_pudf(F.col("e1"), F.col("e2")))
+        .filter(F.col("cos_raw") >= COSINE_T)
+        .select("v1", "v2", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 @register(
     "embedding_near_dups",
     f"""
@@ -417,6 +507,7 @@ WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE
        greatest(sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 1e-12)) >= {COSINE_T}
 """,
 )
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: exhaustive O(N²) pair scan — the recall
     oracle for the bucketed variants (operators.ann sign-LSH / IVF) that

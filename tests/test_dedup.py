@@ -37,3 +37,23 @@ def test_simhash_pairs_are_truly_close(spark):
     sim = _pairs(spark, "simhash_hamming_pairs")
     for (d1, d2), h in sim.items():
         assert d1 < d2 and 0 <= h <= 4
+
+
+def test_embedding_lsh_recall_vs_exhaustive(spark):
+    """Multi-table sign-LSH near-dup must catch most true pairs (≥0.7
+    recall at sf0.001/0.01 scale) while generating strictly fewer
+    candidates than the exhaustive N²/2 scan."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload_dedup import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+    from tests.conftest import SF_ORACLE
+
+    exact = {
+        (r["v1"], r["v2"]) for r in embedding_near_dups(spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        (r["v1"], r["v2"]) for r in embedding_near_dups_lsh(spark, SF_ORACLE).collect()
+    }
+    assert lsh <= exact  # verify step keeps only true near-dups
+    assert len(lsh & exact) / max(len(exact), 1) >= 0.7

@@ -87,3 +87,27 @@ def test_pandas_udf_twins_match_fold(spark):
     for r in rows:
         assert math.isclose(r["fold"], r["pudf"], rel_tol=1e-12, abs_tol=1e-12)
         assert np.allclose(r["unit_fold"], r["unit_pudf"], rtol=1e-12, atol=1e-12)
+
+
+def test_cosine_pudf_bit_equal_to_sql(spark):
+    """cosine_pudf must be BIT-equal to cosine_sql at the fixture dims
+    (sequential summation below NumPy's pairwise threshold + identical
+    guarded division) — the LSH near-dup verify step depends on it."""
+    from pyspark.sql import functions as F
+
+    from robi_biometric_qdrant_vector_db_service_spark.functions.vector import (
+        cosine_pudf,
+        cosine_sql,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(300)
+    two = emb.select(
+        F.col("embedding").alias("a"), F.reverse("embedding").alias("b")
+    )
+    rows = two.select(
+        F.expr(cosine_sql("a", "b")).alias("fold"),
+        cosine_pudf(F.col("a"), F.col("b")).alias("pudf"),
+    ).collect()
+    assert rows and all(r["fold"] == r["pudf"] for r in rows)
