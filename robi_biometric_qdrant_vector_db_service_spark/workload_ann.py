@@ -247,6 +247,35 @@ def knn_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gemm_knn(corpus, _probes(spark, sf_dir), k=10)
 
 
+@register("sql_surface_knn", _DUCK_EXACT_K10)
+def sql_surface_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §4: SQL/DataFrame front-end parity — the flagship Q1 search
+    expressed as ONE ANSI SQL statement over the registered catalog views
+    (the engine's second query surface; same Catalyst plan, same oracle as
+    knn_topk).  Cosine is the same codegen'd fold expression, inlined into
+    the SQL text."""
+    from .functions.vector import cosine_sql
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {cosine_sql('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""")
+
+
 def _duck_batch_sql(n_probes: int = 1000, k: int = 5) -> str:
     return f"""
 WITH q AS (
