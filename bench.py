@@ -43,8 +43,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import warm_hot_cache
+    from robi_biometric_qdrant_vector_db_service_spark.workload import prepare_all
 
     warm_hot_cache(spark, sf_dir)
+    prepare_all(spark, sf_dir)  # one-time index/staging builds (out-of-band
+    # in a serving deployment, like the reference's background HNSW indexing)
 
     # prime one Python worker per core (workers are reused across queries;
     # without this the first Arrow-UDF query pays 32 × pandas-import cost)

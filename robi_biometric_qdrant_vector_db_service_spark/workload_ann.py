@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from .operators import ann
 from .plans.strategy import smart_search
 from .sources.catalog import load_table
-from .workload import N_QUERIES, _dcos, _probes, register
+from .workload import N_QUERIES, PREPARE, _dcos, _probes, register
 
 _DUCK_Q = f"SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}"
 
@@ -82,6 +82,13 @@ def _cell_partitioned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(out)
         _cell_layout_cache[sf_dir] = out
     return spark.read.parquet(_cell_layout_cache[sf_dir])
+
+
+def _prepare_cell_layout(spark: SparkSession, sf_dir: str) -> None:
+    _cell_partitioned_corpus(spark, sf_dir)
+
+
+PREPARE.append(_prepare_cell_layout)
 
 
 @register("ann_ivf_pruned_topk", _duck_ivf_sql())
