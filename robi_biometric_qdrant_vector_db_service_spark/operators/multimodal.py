@@ -78,3 +78,35 @@ def decode_features(blobs: DataFrame) -> DataFrame:
             yield _fake_decode_batch(pdf)
 
     return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_checksum bigint"
+
+
+def sample_frames(blobs: DataFrame, stride: int = 4) -> DataFrame:
+    """mapInPandas frame-sampler: each blob row EXPANDS to one row per
+    sampled frame (every ``stride``-th of its ``n_bytes // 100 + 1`` fake
+    frames) — the 1:N flatMap shape of real video frame extraction, vs the
+    1:1 decode above.  Frame payload = its 100-byte slice; the checksum
+    stands in for the decoded tensor.  Partition-parallel, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, sums = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                n_frames = len(b) // 100 + 1
+                for k in range(0, n_frames, stride):
+                    seg = b[k * 100 : (k + 1) * 100]
+                    doc_ids.append(doc_id)
+                    idxs.append(k)
+                    sums.append(sum(seg) % 1000003)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -112,6 +112,36 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+WITH f AS (
+  SELECT doc_id, text, len(text) // 100 + 1 AS n_frames FROM documents
+),
+fr AS (
+  SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS frame_idx FROM f
+),
+seg AS (
+  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         substring(text, frame_idx * 100 + 1, 100) AS sub
+  FROM fr
+)
+SELECT doc_id, frame_idx,
+       CAST(coalesce(list_sum([unicode(sub[i]) FOR i IN range(1, len(sub) + 1)]), 0) % 1000003 AS BIGINT) AS frame_checksum
+FROM seg
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: each opaque blob expands to one row per
+    sampled frame (every 4th of its fake frames) through a 1:N mapInPandas
+    — the flatMap companion to the 1:1 decode.  The oracle recomputes the
+    per-frame slice checksums from the byte stream (pure-ASCII corpus)."""
+    from .operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(to_blob_table(docs), stride=4)
+
+
 # ---------------------------------------------------------------------------
 # Streaming — Structured Streaming twins of A3 / the retention sweep (§2.10)
 # ---------------------------------------------------------------------------

@@ -134,3 +134,32 @@ def test_ivf_cell_layout_prunes_partitions(spark):
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower(), plan
     assert df.count() > 0
+
+
+def test_hot_cache_preserves_results(spark, monkeypatch):
+    """The opt-in memory-resident hot store (SPARK_GRAFT_HOT_CACHE=1) must
+    return byte-identical results while serving from an InMemory scan —
+    order-independence of every aggregate is what makes the repartitioned
+    cache safe."""
+    import robi_biometric_qdrant_vector_db_service_spark.sources.catalog as cat
+
+    cold = (
+        cat.load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_HOT_CACHE", "1")
+    try:
+        hot_df = cat.load_table(spark, SF_SMOKE, "lineitem")
+        assert "InMemoryTableScan" in _plan(hot_df.groupBy("l_returnflag").count())
+        hot = (
+            hot_df.groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+            .collect()
+        )
+    finally:
+        for (sfd, name), df in list(cat._hot_cache.items()):
+            df.unpersist()
+            del cat._hot_cache[(sfd, name)]
+    assert sorted(map(tuple, cold)) == sorted(map(tuple, hot))
