@@ -34,7 +34,9 @@ def main() -> None:
     # posture; its own harness waits for indexing to settle before timing —
     # scripts/simple_test.py sleeps after add — so load cost sits in warmup)
     os.environ.setdefault("SPARK_GRAFT_HOT_CACHE", "1")
+    hot_cache = os.environ["SPARK_GRAFT_HOT_CACHE"] == "1"
     spark = get_spark("bench")
+    t_warm0 = time.perf_counter()
 
     # warmup: JVM/codegen/Arrow paths + parquet footers + hot-store load,
     # excluded from timings (measured numbers reflect the engine, not
@@ -61,6 +63,7 @@ def main() -> None:
     li.groupBy("l_returnflag").count().collect()
     w = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
     li.limit(10000).withColumn("rn", F.row_number().over(w)).filter("rn <= 2").collect()
+    warmup_sec = round(time.perf_counter() - t_warm0, 4)
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
@@ -78,6 +81,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # what the per-query timings EXCLUDE (ADVICE r1): one-time
+                # warmup/staging wall time and whether the opt-in
+                # memory-resident hot store served the reads
+                "warmup_prepare_sec": warmup_sec,
+                "hot_cache": hot_cache,
             }
         )
     )

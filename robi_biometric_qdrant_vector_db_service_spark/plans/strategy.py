@@ -50,16 +50,26 @@ def choose_search_strategy(corpus_count: int, k: int) -> SearchPlan:
     return SearchPlan("signlsh", nbits=nbits, nprobe=nprobe)
 
 
-def smart_search(corpus: DataFrame, probes: DataFrame, k: int = 10) -> DataFrame:
+def smart_search(
+    corpus: DataFrame, probes: DataFrame, k: int = 10, *, force: str | None = None
+) -> DataFrame:
     """Adaptive Q1: pick the physical strategy from corpus statistics, then
     delegate.  Answers are identical below the threshold (exact path); above
     it the ANN path trades recall for a partition-pruned scan, measured in
-    tests/test_ann_recall.py."""
+    tests/test_ann_recall.py.
+
+    ``force`` pins the strategy ("exact" | "signlsh") regardless of corpus
+    size — used where the caller owes a caller-visible exactness contract
+    (e.g. an exact-oracle query that must stay correct at every sf)."""
     from ..operators import ann
     from ..operators.search import knn_search
 
-    n = corpus.count()
-    plan = choose_search_strategy(n, k)
+    if force is not None:
+        plan = SearchPlan(force) if force == "exact" else choose_search_strategy(
+            max(corpus.count(), FULL_SCAN_THRESHOLD), k
+        )
+    else:
+        plan = choose_search_strategy(corpus.count(), k)
     if plan.is_exact:
         return knn_search(corpus, probes, k)
     return ann.signlsh_topk(corpus, probes, k, nbits=plan.nbits)

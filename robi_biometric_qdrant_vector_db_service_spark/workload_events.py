@@ -131,13 +131,13 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # exact-microsecond gap comparison, matching the oracle's
+    # `ts - prev_ts > INTERVAL 30 MINUTE` on sub-second timestamps too
+    # (a second-truncated cast('long') delta would split/merge differently)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
     flagged = ev.withColumn("prev_ts", F.lag("ts").over(w_lag)).withColumn(
         "is_new",
-        F.when(
-            F.col("prev_ts").isNull()
-            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
-            1,
-        ).otherwise(0),
+        F.when(F.col("prev_ts").isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
     )
     sessions = flagged.withColumn("session_id", F.sum("is_new").over(w_cum))
     return sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
@@ -157,8 +157,10 @@ WITH ordered AS (
   FROM events
 ),
 flagged AS (
+  -- >= : Spark's session_window is [start, start+gap), so an event at
+  -- EXACTLY prev+30min falls outside the window and opens a new session
   SELECT user_id, ts,
-         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ),
 sessions AS (
