@@ -12,22 +12,43 @@ Reference semantics (file:line into /root/reference):
 
 Storage design (100 TB posture)
 -------------------------------
-Versioned parquet snapshots: every mutation writes a NEW snapshot directory
-``<root>/v=<n>`` and bumps a pointer file — the poor-man's form of Delta's
-log-structured table (the image has no Delta jars; SURVEY §2.1 maps S2/S3 to
-``MERGE INTO`` when a lakehouse format is on the classpath).  Readers always
-see a consistent snapshot; concurrent readers of v=n are unaffected by a
-writer producing v=n+1.  This mirrors the reference's flush/segment model
-(qdrant_client.py:117-127) where visibility is per flushed segment.
+Log-structured, manifest-versioned parquet — the same segment model Qdrant
+uses (qdrant_client.py:117-127: bounded segments + per-segment flush), and
+the poor-man's Delta transaction log (the image ships no Delta jars):
 
-At real scale the rewrite cost of upsert/delete is bounded by partition
-pruning: the store partitions by ``bucket(user_id)`` so a predicate delete
-touches only matching partitions.  Local tests keep partition counts small.
+- Data lives in immutable SEGMENT directories ``seg_*/ubucket_p=<b>/*.parquet``,
+  one subdirectory per user bucket (``ubucket = crc32(user_id) % n_buckets``,
+  the O1 keyword-index layout).  ``ubucket`` is also a data column, so a
+  file never needs directory-derived partition values.
+- A VERSION is a manifest (``manifest_<v>.json``) mapping every bucket to
+  the list of files that make it up, plus a ``_LATEST`` pointer.  Readers
+  resolve the manifest and read exactly those files — consistent snapshots,
+  concurrent readers of v=n unaffected by a writer publishing v=n+1.
+- MUTATIONS are partition-selective: a delete/upsert first locates the
+  buckets that actually contain matching rows (one pruned scan), rewrites
+  ONLY those buckets into a fresh segment, and re-links every untouched
+  bucket's existing files into the new manifest by reference.  A one-user
+  delete on a 100 TB store rewrites one bucket, not the corpus.
+- ``add_batch`` is a pure append: new segment files joined onto the bucket
+  lists, no existing file touched (Qdrant upsert with fresh ids touches no
+  existing segment, qdrant_client.py:292-296).
+- ``vacuum()`` drops files no manifest references — O7's
+  ``deleted_threshold``/vacuum semantics as an explicit batch job.
+
+The bucket function is ``crc32`` (not Spark's murmur ``hash``) because it is
+bit-identical in the JVM (java.util.zip.CRC32) and CPython (zlib.crc32), so
+the planner can resolve a user filter to its one bucket without running a
+Spark job.
 """
 
 from __future__ import annotations
 
+import glob as _glob
+import json
 import os
+import shutil
+import uuid
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,15 +59,24 @@ POINT_SCHEMA = (
     "point_id string, embedding array<double>, user_id string, ts double, "
     "metadata map<string,string>"
 )
+_FULL_SCHEMA = POINT_SCHEMA + ", ubucket int"
+
+
+def _py_bucket(user_id: str, n_buckets: int) -> int:
+    return zlib.crc32(user_id.encode("utf-8")) % n_buckets
+
+
+def _bucket_col(n_buckets: int):
+    return F.pmod(F.crc32(F.col("user_id").cast("binary")), F.lit(n_buckets)).cast("int")
 
 
 class VectorStore:
     """Batch analogue of QdrantVectorStore (src/core/qdrant_client.py:33-520).
 
-    ``n_buckets`` controls the O1 layout: snapshots are written partitioned
-    by ``ubucket = pmod(hash(user_id), n_buckets)`` so keyword-filtered
-    reads and deletes prune partitions at scan time — the Spark analogue of
-    the reference's RAM keyword index on user_id
+    ``n_buckets`` controls the O1 layout: data is bucketed by
+    ``crc32(user_id) % n_buckets`` so keyword-filtered reads, deletes and
+    upserts touch only their buckets' files — the Spark analogue of the
+    reference's RAM keyword index on user_id
     (src/core/advanced_indexing.py:52-59)."""
 
     def __init__(self, spark: SparkSession, root: str, *, n_buckets: int = 8):
@@ -55,7 +85,7 @@ class VectorStore:
         self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
 
-    # -- snapshot plumbing --------------------------------------------------
+    # -- manifest plumbing --------------------------------------------------
 
     def _pointer(self) -> str:
         return os.path.join(self.root, "_LATEST")
@@ -67,68 +97,113 @@ class VectorStore:
         except FileNotFoundError:
             return -1
 
-    def _snapshot_path(self, version: int) -> str:
-        return os.path.join(self.root, f"v={version}")
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"manifest_{version}.json")
 
-    def _publish(self, df: DataFrame) -> int:
+    def _read_manifest(self, version: int | None = None) -> dict[int, list[str]]:
+        v = self._current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"store at {self.root} not initialized")
+        with open(self._manifest_path(v)) as f:
+            raw = json.load(f)
+        assert raw["n_buckets"] == self.n_buckets, (raw["n_buckets"], self.n_buckets)
+        return {int(b): files for b, files in raw["buckets"].items()}
+
+    def _publish_manifest(self, buckets: dict[int, list[str]]) -> int:
         new_v = self._current_version() + 1
-        out = df.withColumn(
-            "ubucket", F.pmod(F.hash("user_id"), F.lit(self.n_buckets))
-        )
-        # co-locate each bucket before the partitioned write: one file per
-        # bucket instead of tasks × buckets small files (at scale, raise
-        # n_buckets / add a second repartition key for more write tasks)
-        out = out.repartition(self.n_buckets, "ubucket")
-        out.write.mode("overwrite").partitionBy("ubucket").parquet(
-            self._snapshot_path(new_v)
-        )
+        payload = {
+            "n_buckets": self.n_buckets,
+            "buckets": {str(b): sorted(buckets.get(b, [])) for b in range(self.n_buckets)},
+        }
+        with open(self._manifest_path(new_v), "w") as f:
+            json.dump(payload, f)
         with open(self._pointer(), "w") as f:
             f.write(str(new_v))
         return new_v
 
+    def _write_segment(self, df: DataFrame, *, n_rows: int | None = None) -> dict[int, list[str]]:
+        """Write rows (core columns + ubucket) as a new immutable segment,
+        one directory per bucket, and return bucket → new files.  Write-task
+        count scales with the data (one task per ~10k rows, capped at the
+        bucket count) so small mutations produce one file per touched bucket
+        instead of tasks × buckets small files."""
+        seg = os.path.join(self.root, f"seg_{uuid.uuid4().hex[:12]}")
+        out = df.withColumn("ubucket_p", F.col("ubucket"))
+        tasks = self.n_buckets
+        if n_rows is not None:
+            tasks = max(1, min(self.n_buckets, n_rows // 10_000 + 1))
+        out = out.repartition(tasks, "ubucket_p")
+        out.write.mode("overwrite").partitionBy("ubucket_p").parquet(seg)
+        files: dict[int, list[str]] = {}
+        for d in _glob.glob(os.path.join(seg, "ubucket_p=*")):
+            b = int(d.rsplit("=", 1)[1])
+            files[b] = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        return files
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("ubucket", _bucket_col(self.n_buckets))
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], _FULL_SCHEMA)
+        # explicit schema: skips footer inference; ubucket is a data column,
+        # so an explicit file list needs no partition discovery
+        return self.spark.read.schema(_FULL_SCHEMA).parquet(*files)
+
     # -- S1 create ----------------------------------------------------------
 
     @classmethod
-    def create(cls, spark: SparkSession, root: str, initial: DataFrame | None = None) -> "VectorStore":
+    def create(
+        cls, spark: SparkSession, root: str, initial: DataFrame | None = None
+    ) -> "VectorStore":
         """S1: create/verify the collection (qdrant_client.py:60-151).
         Index params (HNSW/quantization) become batch index-build jobs in
         operators.ann, not table properties."""
         store = cls(spark, root)
         if store._current_version() < 0:
-            df = initial if initial is not None else spark.createDataFrame([], POINT_SCHEMA)
-            store._publish(df)
+            if initial is None:
+                store._publish_manifest({})
+            else:
+                seg = store._write_segment(store._with_bucket(initial))
+                store._publish_manifest(seg)
         return store
 
+    def clone(self, root: str) -> "VectorStore":
+        """Zero-copy snapshot clone (Delta SHALLOW CLONE): the new store's
+        first manifest references this store's current files; mutations on
+        the clone write their own segments and never touch shared files."""
+        dst = VectorStore(self.spark, root, n_buckets=self.n_buckets)
+        if dst._current_version() < 0:
+            dst._publish_manifest(self._read_manifest())
+        return dst
+
+    # -- reads --------------------------------------------------------------
+
     def read(self, *, user_id: str | None = None) -> DataFrame:
-        """Current snapshot.  With ``user_id``, the bucket predicate is a
-        constant-foldable expression on the partition column, so the scan
-        prunes to one bucket directory (PartitionFilters) before the exact
-        ``user_id`` filter — the O1 index-assisted read path."""
-        v = self._current_version()
-        if v < 0:
-            raise FileNotFoundError(f"store at {self.root} not initialized")
-        # explicit schema: skips footer inference and keeps empty snapshots
-        # readable (a partitioned empty write produces no data files)
-        df = self.spark.read.schema(POINT_SCHEMA + ", ubucket int").parquet(
-            self._snapshot_path(v)
-        )
+        """Current snapshot.  With ``user_id``, the manifest resolves the
+        filter to its ONE bucket's files before Spark ever plans the scan —
+        stronger than PartitionFilters pruning (unlisted files aren't even
+        enumerated) — followed by the exact ``user_id`` predicate, which
+        parquet pushes down inside the bucket (O1)."""
+        manifest = self._read_manifest()
         if user_id is not None:
-            df = df.filter(
-                F.col("ubucket") == F.pmod(F.hash(F.lit(user_id)), F.lit(self.n_buckets))
-            ).filter(F.col("user_id") == user_id)
+            b = _py_bucket(user_id, self.n_buckets)
+            df = self._read_files(manifest.get(b, []))
+            df = df.filter(F.col("user_id") == user_id)
+        else:
+            df = self._read_files([f for fs in manifest.values() for f in fs])
         return df.select("point_id", "embedding", "user_id", "ts", "metadata")
+
+    def input_files(self, *, user_id: str | None = None) -> list[str]:
+        """The exact files a read would scan (test/ops introspection)."""
+        manifest = self._read_manifest()
+        if user_id is not None:
+            return sorted(manifest.get(_py_bucket(user_id, self.n_buckets), []))
+        return sorted(f for fs in manifest.values() for f in fs)
 
     # -- S2/S3 add / upsert -------------------------------------------------
 
-    def add_batch(self, batch: DataFrame, *, normalize: bool = True) -> int:
-        """S3 (and S2 as the 1-row case): normalize → default ids/timestamps
-        → append.  Returns number of rows written.
-
-        Mirrors add_vectors_batch (qdrant_client.py:242-309): embeddings are
-        L2-normalized at write (:269), ``point_id`` defaults to uuid()
-        (:276), ``ts`` to current epoch seconds (:281).  Upsert-by-id
-        semantics (same id replaces) via `upsert`.
-        """
+    def _defaults(self, batch: DataFrame, *, normalize: bool) -> DataFrame:
         cols = batch.columns
         out = batch
         if "point_id" not in cols:
@@ -141,29 +216,35 @@ class VectorStore:
             out = out.withColumn("metadata", F.create_map().cast("map<string,string>"))
         if normalize:
             out = out.withColumn("embedding", F.expr(l2_normalize_sql("embedding")))
-        out = out.select("point_id", "embedding", "user_id", "ts", "metadata")
+        return out.select("point_id", "embedding", "user_id", "ts", "metadata")
+
+    def add_batch(self, batch: DataFrame, *, normalize: bool = True) -> int:
+        """S3 (and S2 as the 1-row case): normalize → default ids/timestamps
+        → pure append.  Returns number of rows written.
+
+        Mirrors add_vectors_batch (qdrant_client.py:242-309): embeddings are
+        L2-normalized at write (:269), ``point_id`` defaults to uuid()
+        (:276), ``ts`` to current epoch seconds (:281).  Only the batch's
+        own files are written; every pre-existing file is re-linked into the
+        new manifest untouched."""
+        out = self._with_bucket(self._defaults(batch, normalize=normalize))
         n = out.count()
-        # True append: write ONLY the new rows' files into the live
-        # snapshot (qdrant upsert with fresh ids touches no existing
-        # segment, qdrant_client.py:292-296); rewriting the corpus per
-        # batch would never hold at scale.  Write-task count scales with
-        # the batch, not the store: one task per ~10k rows, capped at the
-        # bucket count (small batches → one file per touched bucket).
-        v = self._current_version()
-        tasks = max(1, min(self.n_buckets, n // 10_000 + 1))
-        appended = out.withColumn(
-            "ubucket", F.pmod(F.hash("user_id"), F.lit(self.n_buckets))
-        ).repartition(tasks, "ubucket")
-        appended.write.mode("append").partitionBy("ubucket").parquet(
-            self._snapshot_path(v)
-        )
+        seg = self._write_segment(out, n_rows=n)
+        manifest = self._read_manifest()
+        for b, files in seg.items():
+            manifest[b] = manifest.get(b, []) + files
+        self._publish_manifest(manifest)
         return n
 
     def upsert(self, updates: DataFrame, *, normalize: bool = True) -> int:
         """MERGE ON point_id: existing rows with matching ids are replaced,
-        new ids appended (Qdrant upsert semantics, qdrant_client.py:292-296).
-        Emulated as anti-join + union (pyspark_guide 'CDC' pattern); with
-        Delta on the classpath this is a single ``MERGE INTO``."""
+        new ids appended (Qdrant upsert semantics, qdrant_client.py:292-296);
+        with Delta on the classpath this is a single ``MERGE INTO``.
+
+        Partition-selective: one pruned scan finds the buckets holding
+        matched ids; ONLY those buckets are rewritten (anti-join survivors),
+        the update rows append as their own segment, and every other
+        bucket's files carry over by reference."""
         up = updates
         if normalize:
             up = up.withColumn("embedding", F.expr(l2_normalize_sql("embedding")))
@@ -171,35 +252,109 @@ class VectorStore:
             up = up.withColumn("ts", F.unix_timestamp().cast("double"))
         if "metadata" not in up.columns:
             up = up.withColumn("metadata", F.create_map().cast("map<string,string>"))
-        up = up.select("point_id", "embedding", "user_id", "ts", "metadata")
-        current = self.read()
-        survivors = current.join(F.broadcast(up.select("point_id")), "point_id", "left_anti")
+        up = self._with_bucket(
+            up.select("point_id", "embedding", "user_id", "ts", "metadata")
+        )
+        manifest = self._read_manifest()
+        current = self._read_files([f for fs in manifest.values() for f in fs])
+        ids = up.select("point_id")
+        touched = [
+            r["ubucket"]
+            for r in current.join(F.broadcast(ids), "point_id", "left_semi")
+            .select("ubucket")
+            .distinct()
+            .collect()
+        ]
+        if touched:
+            survivors = self._read_files(
+                [f for b in touched for f in manifest.get(b, [])]
+            ).join(F.broadcast(ids), "point_id", "left_anti")
+            rewritten = self._write_segment(survivors)
+            for b in touched:
+                manifest[b] = rewritten.get(b, [])
         n = up.count()
-        self._publish(survivors.unionByName(up))
+        appended = self._write_segment(up, n_rows=n)
+        for b, files in appended.items():
+            manifest[b] = manifest.get(b, []) + files
+        self._publish_manifest(manifest)
         return n
 
     # -- S6/S7 deletes ------------------------------------------------------
 
+    def _delete_rewrite(self, manifest, touched_counts: dict[int, int], keep_filter) -> int:
+        """Shared tail of both delete paths: rewrite only the touched
+        buckets, keep everything else by reference.  ``touched_counts``
+        (bucket → matched rows) comes from the same single pruned scan that
+        located the buckets — no before/after full counts."""
+        touched = [b for b, c in touched_counts.items() if c > 0]
+        if touched:
+            bucket_files = [f for b in touched for f in manifest.get(b, [])]
+            survivors = keep_filter(self._read_files(bucket_files))
+            rewritten = self._write_segment(survivors)
+            for b in touched:
+                manifest[b] = rewritten.get(b, [])
+            self._publish_manifest(manifest)
+        return sum(touched_counts.values())
+
     def delete_by_id(self, point_ids: list[str]) -> int:
-        """S6 (qdrant_client.py:407-432). Exact deleted count."""
-        current = self.read()
+        """S6 (qdrant_client.py:407-432).  One semi-join scan yields both the
+        exact deleted count AND the touched buckets; only those buckets are
+        rewritten."""
+        manifest = self._read_manifest()
+        current = self._read_files([f for fs in manifest.values() for f in fs])
         ids = self.spark.createDataFrame([(i,) for i in point_ids], "point_id string")
-        survivors = current.join(F.broadcast(ids), "point_id", "left_anti")
-        before = current.count()
-        after = survivors.count()
-        self._publish(survivors)
-        return before - after
+        touched_counts = {
+            r["ubucket"]: r["n"]
+            for r in current.join(F.broadcast(ids), "point_id", "left_semi")
+            .groupBy("ubucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        return self._delete_rewrite(
+            manifest,
+            touched_counts,
+            lambda df: df.join(F.broadcast(ids), "point_id", "left_anti"),
+        )
 
     def delete_where(self, predicate: str) -> int:
         """S7 delete-by-predicate (qdrant_client.py:434-469) with an EXACT
         count — the reference returns an approximation derived from the
-        operation id (:461).  ``predicate`` is a SQL boolean expression."""
-        current = self.read()
-        survivors = current.filter(f"NOT ({predicate})")
-        before = current.count()
-        after = survivors.count()
-        self._publish(survivors)
-        return before - after
+        operation id (:461).  ``predicate`` is a SQL boolean expression.
+        One pruned scan counts matches per bucket; only matching buckets are
+        rewritten."""
+        manifest = self._read_manifest()
+        current = self._read_files([f for fs in manifest.values() for f in fs])
+        touched_counts = {
+            r["ubucket"]: r["n"]
+            for r in current.filter(predicate)
+            .groupBy("ubucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        return self._delete_rewrite(
+            manifest, touched_counts, lambda df: df.filter(f"NOT ({predicate})")
+        )
+
+    # -- O7 vacuum ----------------------------------------------------------
+
+    def vacuum(self, *, keep_versions: int = 1) -> int:
+        """Drop segment files unreferenced by the last ``keep_versions``
+        manifests (O7: Qdrant's deleted_threshold/vacuum,
+        qdrant_client.py:117-127).  Returns files removed."""
+        latest = self._current_version()
+        keep: set[str] = set()
+        for v in range(max(0, latest - keep_versions + 1), latest + 1):
+            for fs in self._read_manifest(v).values():
+                keep.update(fs)
+        removed = 0
+        for seg in _glob.glob(os.path.join(self.root, "seg_*")):
+            for f in _glob.glob(os.path.join(seg, "ubucket_p=*", "*.parquet")):
+                if f not in keep:
+                    os.remove(f)
+                    removed += 1
+            if not _glob.glob(os.path.join(seg, "ubucket_p=*", "*.parquet")):
+                shutil.rmtree(seg, ignore_errors=True)
+        return removed
 
     # -- Q1 search over the store -------------------------------------------
 
@@ -212,9 +367,9 @@ class VectorStore:
         user_filter: str | None = None,
     ) -> DataFrame:
         """The reference's ``POST /vectors/search`` end-to-end over the
-        store (qdrant_client.py:311-405): optional user filter (pruned to
-        one bucket partition, O1), cosine top-k with threshold, result keyed
-        by ``point_id``.  ``queries``: (q_id, q_emb)."""
+        store (qdrant_client.py:311-405): optional user filter (resolved to
+        one bucket's files by the manifest, O1), cosine top-k with
+        threshold, result keyed by ``point_id``.  ``queries``: (q_id, q_emb)."""
         from .search import knn_search
 
         corpus = self.read(user_id=user_filter)

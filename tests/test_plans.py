@@ -67,10 +67,12 @@ def test_projection_prunes_scan_schema(spark):
     assert scan and "text" not in scan[0], scan
 
 
-def test_store_user_read_prunes_partitions(spark, tmp_path):
-    """O1: the store's bucket(user_id) layout must show up as a partition
-    filter on keyword-filtered reads — the reference's RAM keyword index
-    (advanced_indexing.py:52-59) as physical layout."""
+def test_store_user_read_prunes_to_one_bucket(spark, tmp_path):
+    """O1: the store's bucket(user_id) layout must bound keyword-filtered
+    reads to ONE bucket's files — the reference's RAM keyword index
+    (advanced_indexing.py:52-59) as physical layout.  The manifest resolves
+    the filter before Spark plans the scan, so unlisted files are never
+    even enumerated (stronger than PartitionFilters pruning)."""
     from robi_biometric_qdrant_vector_db_service_spark.operators.store import VectorStore
 
     emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
@@ -83,10 +85,62 @@ def test_store_user_read_prunes_partitions(spark, tmp_path):
     )
     store = VectorStore.create(spark, str(tmp_path / "s"), pts)
     df = store.read(user_id="u3")
-    plan = _plan(df)
-    assert "PartitionFilters: [" in plan and "ubucket" in plan, plan
+    scanned = {f.removeprefix("file://") for f in df.inputFiles()}
+    assert scanned == set(store.input_files(user_id="u3")), scanned
+    assert scanned < set(store.input_files()), "filtered read must scan a strict subset"
+    # inside the bucket, the exact predicate still reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,u3)" in _plan(df), _plan(df)
     rows = df.collect()
     assert rows and all(r["user_id"] == "u3" for r in rows)
+
+
+def test_store_mutations_rewrite_only_touched_buckets(spark, tmp_path):
+    """VERDICT r1 item 2: a delete/upsert must re-link untouched buckets'
+    files BY REFERENCE into the new manifest — byte-identical paths — and
+    rewrite only the buckets containing matched rows."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import (
+        VectorStore,
+        _py_bucket,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label")).alias("user_id"),
+        F.lit(1.0).alias("ts"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    store = VectorStore.create(spark, str(tmp_path / "s"), pts)
+    before = store._read_manifest()
+    n_users = store.read().select("user_id").distinct().count()
+    assert n_users > 1, "fixture must span several buckets"
+
+    n = store.delete_where("user_id = 'u3'")
+    assert n > 0
+    after = store._read_manifest()
+    b3 = _py_bucket("u3", store.n_buckets)
+    assert after[b3] != before[b3], "matched bucket must be rewritten"
+    untouched_equal = [b for b in range(store.n_buckets) if b != b3 and after[b] == before[b]]
+    assert len(untouched_equal) == store.n_buckets - 1, (before, after)
+
+    # pure append: no pre-existing file replaced
+    pre = store._read_manifest()
+    one = spark.createDataFrame(
+        [("zz", [1.0] * 8, "u1", 1.0, {})],
+        "point_id string, embedding array<double>, user_id string, ts double, metadata map<string,string>",
+    )
+    store.add_batch(one)
+    post = store._read_manifest()
+    for b in range(store.n_buckets):
+        assert set(pre[b]) <= set(post[b]), "append must keep every existing file"
+
+    # vacuum drops the files the delete superseded, keeps the live set
+    live = set(store.input_files())
+    removed = store.vacuum()
+    assert removed > 0
+    assert set(store.input_files()) == live
+    assert store.read().filter("user_id = 'u3'").count() == 0
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
