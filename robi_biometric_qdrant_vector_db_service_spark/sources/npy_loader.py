@@ -19,7 +19,6 @@ fully-functional one, matching the reference's own fallback order).
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -37,9 +36,12 @@ def read_npy_vectors(spark: SparkSession, path: str) -> DataFrame:
     the migration key the reference zips metadata against
     (migrate_from_faiss.py:105-109).  At 100 TB the input is many shards and
     each executor decodes its own files; a single mega-file should be
-    re-sharded first (binary formats aren't splittable).
+    re-sharded first (binary formats aren't splittable).  Directory inputs
+    are filtered to ``*.npy`` so sidecar files (metadata JSON) are ignored.
     """
-    files = spark.read.format("binaryFile").load(path)
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.npy").load(path)
+    )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -104,29 +106,93 @@ def read_faiss_vectors(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(parse, NPY_ROW_SCHEMA)  # pragma: no cover
 
 
+def _normalize_meta(df: DataFrame, *, idx_col) -> DataFrame:
+    """Project an inferred-schema metadata frame to the engine shape
+    (row_idx, user_id, metadata map<string,string>): ``user_id`` promoted if
+    present, every other field stringified into the open payload map — the
+    payload-merge semantics of qdrant_client.py:209-213."""
+    fields = [f.name for f in df.schema.fields if f.name not in ("row_idx", "_idx")]
+    user = (
+        F.col("user_id").cast("string")
+        if "user_id" in fields
+        else F.lit(None).cast("string")
+    )
+    meta_fields = [n for n in fields if n != "user_id"]
+    if meta_fields:
+        meta = F.expr(
+            "map_filter(map({}), (k, v) -> v IS NOT NULL)".format(
+                ", ".join(
+                    f"'{n}', CAST({n} AS STRING)" for n in meta_fields
+                )
+            )
+        )
+    else:
+        meta = F.create_map().cast("map<string,string>")
+    return df.select(
+        idx_col.cast("bigint").alias("row_idx"),
+        F.coalesce(user, F.concat(F.lit("migrated_user_"), idx_col.cast("string"))).alias(
+            "user_id"
+        ),
+        meta.alias("metadata"),
+    )
+
+
 def read_vector_metadata(spark: SparkSession, path: str) -> DataFrame:
-    """Metadata JSON in the reference's two accepted shapes
-    (migrate_from_faiss.py:80-101): a list (position-aligned with the vector
-    matrix) or a dict keyed by row index.  Parsed driver-side — the metadata
-    file is small relative to the vectors, the same assumption the reference
-    makes by loading it whole — then parallelized.
+    """Metadata reader — DISTRIBUTED in all three accepted shapes, no
+    driver-side full-file load (the reference json.load()s the whole file,
+    migrate_from_faiss.py:80-101 — an assumption that breaks at 100 TB-scale
+    migrations):
+
+    - ``*.jsonl`` — line-delimited, splittable, THE scale shape; an explicit
+      ``row_idx`` field aligns each record (position in a distributed text
+      file is not meaningful).
+    - list-form JSON (the reference's primary shape) — ``spark.read.json``
+      multiLine; one element per row.  A multiLine file is one non-splittable
+      task, so within-file order is the parse order and the element position
+      becomes ``row_idx`` — same caveat as a mega ``.npy``: re-shard (JSONL)
+      for true scale.
+    - dict-keyed JSON (``{"0": {...}}``) — wholetext read + ``from_json`` to
+      a map, exploded; keys carry the index, one executor task parses.
 
     Returns (row_idx, user_id, metadata map<string,string>).
     """
-    with open(path) as f:
-        raw = json.load(f)
-    if isinstance(raw, dict):
-        items = [(int(k), v) for k, v in raw.items()]
-    else:
-        items = list(enumerate(raw))
-    rows = []
-    for idx, meta in sorted(items):
-        meta = dict(meta or {})
-        user_id = str(meta.pop("user_id", f"migrated_user_{idx}"))
-        rows.append((idx, user_id, {k: str(v) for k, v in meta.items()}))
-    return spark.createDataFrame(
-        rows, "row_idx bigint, user_id string, metadata map<string,string>"
+    if path.endswith(".jsonl"):
+        df = spark.read.json(path)
+        if "row_idx" not in df.columns:
+            raise ValueError("JSONL metadata must carry an explicit row_idx field")
+        return _normalize_meta(df, idx_col=F.col("row_idx"))
+
+    head = open(path).read(64).lstrip()[:1]
+    if head == "[":
+        df = spark.read.option("multiLine", "true").json(path)
+        if df.rdd.getNumPartitions() > 1:
+            raise ValueError(
+                "list-form metadata must be a single file (position-aligned); "
+                "use JSONL with row_idx for sharded metadata"
+            )
+        # single non-splittable task → monotonically_increasing_id is the
+        # 0-based element position
+        df = df.withColumn("_idx", F.monotonically_increasing_id())
+        return _normalize_meta(df, idx_col=F.col("_idx"))
+
+    # dict-keyed: parse on an executor, explode the map
+    whole = spark.read.text(path, wholetext=True)
+    entries = whole.select(
+        F.explode(
+            F.from_json(F.col("value"), "map<string, map<string,string>>")
+        ).alias("k", "m")
     )
+    norm = entries.select(
+        F.col("k").cast("bigint").alias("row_idx"),
+        F.coalesce(
+            F.element_at("m", "user_id"),
+            F.concat(F.lit("migrated_user_"), F.col("k")),
+        ).alias("user_id"),
+        F.expr("map_filter(m, (k2, v) -> k2 <> 'user_id' AND v IS NOT NULL)").alias(
+            "metadata"
+        ),
+    )
+    return norm
 
 
 def run_migration(
@@ -145,26 +211,44 @@ def run_migration(
     One distributed write job replaces the reference's client-side batch loop
     (:153-255); Spark partitioning is the batching.  Returns (store, report).
     """
+    from pyspark.sql import Window
+
     from ..operators.search import knn_search
     from ..operators.store import VectorStore
 
     vecs = read_npy_vectors(spark, vectors_path)
+    # Multi-shard alignment: row_idx is FILE-relative, so joining metadata
+    # on it alone would fan out (each metadata row matching one row per
+    # shard) and collide point_ids.  A deterministic global offset per file
+    # — shards ordered by name, prefix-summed counts — makes ``global_idx``
+    # the metadata key and the point id.  The offsets frame is one row per
+    # shard (bounded), computed with a single ordered window.
+    counts = vecs.groupBy("src_file").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("src_file").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "src_file", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("offset")
+    )
+    gvecs = vecs.join(F.broadcast(offsets), "src_file").select(
+        (F.col("offset") + F.col("row_idx")).alias("global_idx"), "embedding"
+    )
     if metadata_path is not None:
         meta = read_vector_metadata(spark, metadata_path)
         # Align by position and truncate to the common length, as the
         # reference does (migrate_from_faiss.py:105-109) — inner join IS the
         # truncation.
-        batch = vecs.join(meta, "row_idx").select(
-            F.col("row_idx").cast("string").alias("point_id"),
+        batch = gvecs.join(
+            meta, gvecs.global_idx == meta.row_idx
+        ).select(
+            F.col("global_idx").cast("string").alias("point_id"),
             "embedding",
             "user_id",
             "metadata",
         )
     else:
-        batch = vecs.select(
-            F.col("row_idx").cast("string").alias("point_id"),
+        batch = gvecs.select(
+            F.col("global_idx").cast("string").alias("point_id"),
             "embedding",
-            F.concat(F.lit("migrated_user_"), F.col("row_idx")).alias("user_id"),
+            F.concat(F.lit("migrated_user_"), F.col("global_idx")).alias("user_id"),
         )
     store = VectorStore.create(spark, store_root)
     n_migrated = store.add_batch(batch)

@@ -35,6 +35,15 @@ P = 2147483647  # 2^31-1; keeps a*h+b inside signed 64-bit on both engines
 N_HASHES = 16
 N_BANDS = 8  # × 2 rows — high recall at jaccard ≥ 0.5, verify step prunes
 JACCARD_T = 0.2
+# Posting-list frequency cap (VERDICT r1 item 7): a shingle present in more
+# than DF_CAP documents contributes |posting|² candidate pairs to the
+# inverted-index join while carrying no near-dup signal (it is a stop-
+# shingle).  Jaccard is therefore defined over the CAPPED shingle sets —
+# identically in the Spark plan and the DuckDB oracle — which bounds any
+# single shingle's join fan-out at DF_CAP² regardless of corpus size.
+# Fixture max df is 5 (sf0.01) / 14 (sf0.1), so the cap is inert on real
+# data; tests/test_dedup.py shows it bounding an adversarial stop-shingle.
+DF_CAP = 64
 SIMHASH_BITS = 32
 HAMMING_T = 4
 COSINE_T = 0.4
@@ -134,40 +143,34 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2. n-gram Jaccard — exhaustive same-lang pair scan (the oracle detector)
 # ---------------------------------------------------------------------------
 
-@register(
-    "ngram_jaccard_dups",
-    f"""
-WITH t AS (SELECT doc_id, lang, {DUCK_TOKENS} AS toks FROM documents),
-s AS (SELECT doc_id, lang, {DUCK_SHINGLES} AS sh FROM t),
-p AS (
-  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.sh AS sh1, b.sh AS sh2
-  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-)
-SELECT doc1, doc2, {_JACCARD_DUCK} AS jaccard
-FROM p
-WHERE {_JACCARD_DUCK} >= {JACCARD_T}
-""",
-)
-def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-token-shingle Jaccard over same-language pairs, via an inverted
-    shingle index: explode distinct shingles, equi-join on (shingle, lang)
-    to count co-occurrences, then |A∪B| = |A|+|B|−|A∩B|.
+def capped_shingle_index(docs: DataFrame, *, df_cap: int = DF_CAP) -> DataFrame:
+    """Inverted shingle index (doc_id, lang, shingle) with stop-shingles
+    removed: any shingle whose document frequency within its language
+    exceeds ``df_cap`` is dropped.  The df window reuses the same
+    (lang, shingle) partitioning the downstream self-join needs, so the cap
+    costs no extra shuffle."""
+    from pyspark.sql import Window
 
-    Plan rationale: the naive form is an N² theta-join intersecting shingle
-    arrays per pair; this form's only shuffle is the equi-join on shingle —
-    pairs materialize ONLY where a shingle co-occurs, so work scales with
-    actual overlap, not N².  Same math as the oracle (shingle sets are
-    distinct, so the co-occurrence count IS the intersection size)."""
-    docs = load_table(spark, sf_dir, "documents")
-    # persisted: feeds sizes + both sides of the inverted-index join
-    s = docs.select(
-        "doc_id", "lang", F.expr(SPARK_TOKENS).alias("toks")
-    ).select("doc_id", "lang", F.expr(SPARK_SHINGLES).alias("sh")).persist()
-    s.count()  # materialize before the multi-branch reuse below
-    sizes = s.select("doc_id", F.size("sh").alias("n"))
+    s = docs.select("doc_id", "lang", F.expr(SPARK_TOKENS).alias("toks")).select(
+        "doc_id", "lang", F.expr(SPARK_SHINGLES).alias("sh")
+    )
     inv = s.select("doc_id", "lang", F.explode("sh").alias("shingle"))
-    a = inv.select(F.col("doc_id").alias("doc1"), "lang", "shingle")
-    b = inv.select(F.col("doc_id").alias("doc2"), "lang", "shingle")
+    w = Window.partitionBy("lang", "shingle")
+    return (
+        inv.withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
+    )
+
+
+def jaccard_pairs(docs: DataFrame, *, df_cap: int = DF_CAP) -> DataFrame:
+    """Capped-Jaccard pair detector over an arbitrary documents frame
+    (exposed for the adversarial stop-shingle test)."""
+    kept = capped_shingle_index(docs, df_cap=df_cap).persist()
+    kept.count()  # materialize before the multi-branch reuse below
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.select(F.col("doc_id").alias("doc1"), "lang", "shingle")
+    b = kept.select(F.col("doc_id").alias("doc2"), "lang", "shingle")
     co = (
         a.join(b, ["lang", "shingle"])
         .filter(F.col("doc1") < F.col("doc2"))
@@ -176,9 +179,10 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
     n2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    # sizes grows with the corpus — no forced broadcast, AQE decides
     return (
-        co.join(F.broadcast(n1), "doc1")
-        .join(F.broadcast(n2), "doc2")
+        co.join(n1, "doc1")
+        .join(n2, "doc2")
         .withColumn(
             "jaccard",
             F.round(
@@ -189,6 +193,45 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc1", "doc2", "jaccard")
     )
+
+
+@register(
+    "ngram_jaccard_dups",
+    f"""
+WITH t AS (SELECT doc_id, lang, {DUCK_TOKENS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {DUCK_SHINGLES} AS sh FROM t),
+ex AS (SELECT doc_id, lang, unnest(sh) AS shingle FROM s),
+kept AS (
+  SELECT doc_id, lang, shingle FROM (
+    SELECT *, count(*) OVER (PARTITION BY lang, shingle) AS df FROM ex
+  ) WHERE df <= {DF_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+  FROM kept a JOIN kept b ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter), 6) AS jaccard
+FROM co JOIN sizes n1 ON n1.doc_id = co.doc1 JOIN sizes n2 ON n2.doc_id = co.doc2
+WHERE round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter), 6) >= {JACCARD_T}
+""",
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-token-shingle Jaccard over same-language pairs, via a frequency-
+    capped inverted shingle index: explode distinct shingles, drop
+    stop-shingles (df > DF_CAP — no near-dup signal, |posting|² join
+    blow-up), equi-join on (lang, shingle) to count co-occurrences, then
+    |A∪B| = |A|+|B|−|A∩B| over the capped sets.
+
+    Plan rationale: the naive form is an N² theta-join intersecting shingle
+    arrays per pair; this form's only shuffle is the equi-join on shingle —
+    pairs materialize ONLY where a shingle co-occurs, and the cap bounds any
+    single shingle's fan-out at DF_CAP², so work scales with true overlap
+    at every corpus size.  The oracle applies the identical cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -214,13 +257,24 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ),
-verified AS (
-  SELECT c.doc1, c.doc2, sa.sh AS sh1, sb.sh AS sh2
-  FROM cand c JOIN s sa ON sa.doc_id = c.doc1 JOIN s sb ON sb.doc_id = c.doc2
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+kept AS (
+  SELECT doc_id, shingle FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ex
+  ) WHERE df <= {DF_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS inter
+  FROM cand c
+  JOIN kept k1 ON k1.doc_id = c.doc1
+  JOIN kept k2 ON k2.doc_id = c.doc2 AND k2.shingle = k1.shingle
+  GROUP BY 1, 2
 )
-SELECT doc1, doc2, {_JACCARD_DUCK} AS jaccard
-FROM verified
-WHERE {_JACCARD_DUCK} >= {JACCARD_T}
+SELECT doc1, doc2,
+       round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter), 6) AS jaccard
+FROM inter JOIN sizes n1 ON n1.doc_id = inter.doc1 JOIN sizes n2 ON n2.doc_id = inter.doc2
+WHERE round(CAST(inter AS DOUBLE) / (n1.n + n2.n - inter), 6) >= {JACCARD_T}
 """
 
 
@@ -237,8 +291,11 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan notes: each shingle is md5-hashed ONCE and the 16 minhashes are
     affine maps over that id array (the oracle writes it inline 16× — same
     values, 16× the hashing); candidate verification counts co-occurring
-    shingles with equi-joins against the inverted index instead of
-    intersecting arrays per pair."""
+    shingles with equi-joins against the frequency-capped inverted index
+    (stop-shingles with df > DF_CAP dropped — same cap in the oracle, so
+    Jaccard is defined over capped sets) instead of intersecting arrays per
+    pair.  Signatures stay over the FULL sets: the cap affects only which
+    shingles can vouch for a candidate, not the banding recall."""
     docs = load_table(spark, sf_dir, "documents")
     # The shingle table feeds the signature stage AND both sides of the
     # verification join; persist it so shingling runs once (it's one row per
@@ -285,10 +342,20 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # verify: intersection size by counting shared shingles (equi-joins
-    # against the exploded shingle index, no per-pair array lambdas)
+    # against the exploded, frequency-capped shingle index — stop-shingles
+    # would contribute |posting|² join rows and no signal)
+    from pyspark.sql import Window
+
     inv = s.select("doc_id", F.explode("sh").alias("shingle"))
-    i1 = inv.select(F.col("doc_id").alias("doc1"), "shingle")
-    i2 = inv.select(F.col("doc_id").alias("doc2"), "shingle")
+    kept = (
+        inv.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= DF_CAP)
+        .drop("df")
+        .persist()
+    )
+    kept.count()  # materialize: feeds sizes and both verify-join branches
+    i1 = kept.select(F.col("doc_id").alias("doc1"), "shingle")
+    i2 = kept.select(F.col("doc_id").alias("doc2"), "shingle")
     inter = (
         F.broadcast(cand)
         .join(i1, "doc1")
@@ -296,12 +363,13 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc1", "doc2")
         .agg(F.count("*").alias("inter"))
     )
-    sizes = hashed.select("doc_id", "n")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     n1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
     n2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    # sizes grows with the corpus — no forced broadcast, AQE decides
     return (
-        inter.join(F.broadcast(n1), "doc1")
-        .join(F.broadcast(n2), "doc2")
+        inter.join(n1, "doc1")
+        .join(n2, "doc2")
         .withColumn(
             "jaccard",
             F.round(

@@ -57,3 +57,38 @@ def test_embedding_lsh_recall_vs_exhaustive(spark):
     }
     assert lsh <= exact  # verify step keeps only true near-dups
     assert len(lsh & exact) / max(len(exact), 1) >= 0.7
+
+
+def test_stop_shingle_posting_list_is_capped(spark):
+    """Adversarial stop-shingle (VERDICT r1 item 7): one shingle shared by
+    EVERY document would contribute |N|² rows to the inverted-index join.
+    The df cap must (a) drop it from the index, bounding the join, and
+    (b) leave genuine near-dup pairs detectable via their rare shingles."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload_dedup import (
+        capped_shingle_index,
+        jaccard_pairs,
+    )
+
+    n = 200
+    stop = "the quick fox"  # 3 tokens → one shingle present in all docs
+    rows = []
+    for i in range(n):
+        # docs 0/1 share a rare tail → a true near-dup pair; everyone
+        # shares the stop-shingle prefix
+        tail = "alpha beta gamma delta" if i < 2 else f"tok{i}a tok{i}b tok{i}c tok{i}d"
+        rows.append((i, "en", f"{stop} {tail}"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    cap = 64
+    kept = capped_shingle_index(docs, df_cap=cap)
+    by_shingle = {r["shingle"]: r["n"] for r in
+                  kept.groupBy("shingle").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    # every surviving posting list is bounded by the cap → join fan-out
+    # bounded by cap² per shingle instead of n²
+    assert by_shingle and max(by_shingle.values()) <= cap, max(by_shingle.values())
+    assert all("the quick fox" not in s for s in by_shingle), "stop-shingle must be dropped"
+
+    pairs = {(r["doc1"], r["doc2"]): r["jaccard"] for r in jaccard_pairs(docs, df_cap=cap).collect()}
+    assert (0, 1) in pairs, pairs
+    # unrelated docs share ONLY capped shingles → no pair emitted
+    assert all(p == (0, 1) for p in pairs), pairs

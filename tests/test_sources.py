@@ -81,6 +81,45 @@ def test_migration_truncates_and_verifies(spark, npy_fixture):
     assert all(abs(r["n"] - 1.0) < 1e-9 for r in norms)
 
 
+def test_migration_multi_shard_global_offsets(spark):
+    """With a DIRECTORY of .npy shards, file-relative row indices must map
+    to disjoint global ids (shards ordered by name, prefix-summed counts) —
+    a bare row_idx join would fan out and collide point_ids."""
+    rng = np.random.default_rng(7)
+    tmp = tempfile.mkdtemp(prefix="npy_shards_")
+    a = rng.standard_normal((6, 4)).astype(np.float32)
+    b = rng.standard_normal((4, 4)).astype(np.float32)
+    np.save(os.path.join(tmp, "part-000.npy"), a)
+    np.save(os.path.join(tmp, "part-001.npy"), b)
+    mp = os.path.join(tmp, "meta.json")
+    with open(mp, "w") as f:
+        json.dump([{"user_id": f"u{i}", "gidx": i} for i in range(10)], f)
+    store, report = run_migration(
+        spark, tmp, mp, os.path.join(tmp, "store"), verify_samples=3
+    )
+    assert report["n_migrated"] == 10, report
+    rows = store.read().collect()
+    assert len(rows) == 10
+    ids = sorted(int(r["point_id"]) for r in rows)
+    assert ids == list(range(10)), ids  # disjoint, collision-free
+    # metadata aligned: global idx i carries user ui and gidx i
+    for r in rows:
+        assert r["user_id"] == f"u{r['point_id']}"
+        assert r["metadata"]["gidx"] == r["point_id"]
+
+
+def test_metadata_jsonl_distributed_shape(spark):
+    """JSONL metadata (the splittable scale shape) with explicit row_idx."""
+    tmp = tempfile.mkdtemp(prefix="meta_jsonl_")
+    p = os.path.join(tmp, "meta.jsonl")
+    with open(p, "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"row_idx": i, "user_id": f"w{i}", "q": i * 2}) + "\n")
+    rows = read_vector_metadata(spark, p).orderBy("row_idx").collect()
+    assert [r["user_id"] for r in rows] == [f"w{i}" for i in range(6)]
+    assert rows[3]["metadata"]["q"] == "6"
+
+
 def test_faiss_loader_is_gated(spark):
     with pytest.raises(NotImplementedError):
         read_faiss_vectors(spark, "/nonexistent")
