@@ -121,18 +121,15 @@ class VectorStore:
             f.write(str(new_v))
         return new_v
 
-    def _write_segment(self, df: DataFrame, *, n_rows: int | None = None) -> dict[int, list[str]]:
+    def _write_segment(self, df: DataFrame) -> dict[int, list[str]]:
         """Write rows (core columns + ubucket) as a new immutable segment,
-        one directory per bucket, and return bucket → new files.  Write-task
-        count scales with the data (one task per ~10k rows, capped at the
-        bucket count) so small mutations produce one file per touched bucket
-        instead of tasks × buckets small files."""
+        one directory per bucket, and return bucket → new files.  The
+        pre-write repartition co-locates each bucket so a mutation produces
+        one file per touched bucket instead of tasks × buckets small files
+        (at scale, raise n_buckets for more write parallelism)."""
         seg = os.path.join(self.root, f"seg_{uuid.uuid4().hex[:12]}")
         out = df.withColumn("ubucket_p", F.col("ubucket"))
-        tasks = self.n_buckets
-        if n_rows is not None:
-            tasks = max(1, min(self.n_buckets, n_rows // 10_000 + 1))
-        out = out.repartition(tasks, "ubucket_p")
+        out = out.repartition(self.n_buckets, "ubucket_p")
         out.write.mode("overwrite").partitionBy("ubucket_p").parquet(seg)
         files: dict[int, list[str]] = {}
         for d in _glob.glob(os.path.join(seg, "ubucket_p=*")):
@@ -142,6 +139,13 @@ class VectorStore:
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn("ubucket", _bucket_col(self.n_buckets))
+
+    @staticmethod
+    def _footer_rows(files: list[str]) -> int:
+        """Exact row count from parquet footers (metadata-only, no scan)."""
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
     def _read_files(self, files: list[str]) -> DataFrame:
         if not files:
@@ -179,13 +183,16 @@ class VectorStore:
 
     # -- reads --------------------------------------------------------------
 
-    def read(self, *, user_id: str | None = None) -> DataFrame:
-        """Current snapshot.  With ``user_id``, the manifest resolves the
-        filter to its ONE bucket's files before Spark ever plans the scan —
-        stronger than PartitionFilters pruning (unlisted files aren't even
-        enumerated) — followed by the exact ``user_id`` predicate, which
-        parquet pushes down inside the bucket (O1)."""
-        manifest = self._read_manifest()
+    def read(self, *, user_id: str | None = None, version: int | None = None) -> DataFrame:
+        """Current snapshot (or a historical one via ``version`` — time
+        travel falls out of the manifest log for free, as in Delta; a vacuum
+        with ``keep_versions=1`` retires it).  With ``user_id``, the
+        manifest resolves the filter to its ONE bucket's files before Spark
+        ever plans the scan — stronger than PartitionFilters pruning
+        (unlisted files aren't even enumerated) — followed by the exact
+        ``user_id`` predicate, which parquet pushes down inside the bucket
+        (O1)."""
+        manifest = self._read_manifest(version)
         if user_id is not None:
             b = _py_bucket(user_id, self.n_buckets)
             df = self._read_files(manifest.get(b, []))
@@ -228,8 +235,11 @@ class VectorStore:
         own files are written; every pre-existing file is re-linked into the
         new manifest untouched."""
         out = self._with_bucket(self._defaults(batch, normalize=normalize))
-        n = out.count()
-        seg = self._write_segment(out, n_rows=n)
+        seg = self._write_segment(out)
+        # exact row count from the written files' parquet footers — the
+        # write job already evaluated the plan once; a separate count()
+        # would evaluate it twice (uuid()/normalize recomputed end-to-end)
+        n = self._footer_rows([f for fs in seg.values() for f in fs])
         manifest = self._read_manifest()
         for b, files in seg.items():
             manifest[b] = manifest.get(b, []) + files
@@ -272,12 +282,11 @@ class VectorStore:
             rewritten = self._write_segment(survivors)
             for b in touched:
                 manifest[b] = rewritten.get(b, [])
-        n = up.count()
-        appended = self._write_segment(up, n_rows=n)
+        appended = self._write_segment(up)
         for b, files in appended.items():
             manifest[b] = manifest.get(b, []) + files
         self._publish_manifest(manifest)
-        return n
+        return self._footer_rows([f for fs in appended.values() for f in fs])
 
     # -- S6/S7 deletes ------------------------------------------------------
 

@@ -146,21 +146,22 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def capped_shingle_index(docs: DataFrame, *, df_cap: int = DF_CAP) -> DataFrame:
     """Inverted shingle index (doc_id, lang, shingle) with stop-shingles
     removed: any shingle whose document frequency within its language
-    exceeds ``df_cap`` is dropped.  The df window reuses the same
-    (lang, shingle) partitioning the downstream self-join needs, so the cap
-    costs no extra shuffle."""
-    from pyspark.sql import Window
-
+    exceeds ``df_cap`` is dropped.  The stop-set is computed by a map-side-
+    combined group-by (rows shrink to distinct shingles before the shuffle)
+    and is SMALL by construction — it is the list of stop-shingles, bounded
+    by vocabulary, not corpus — so the anti-join broadcasts it; cheaper than
+    a df window, which would sort the full index inside each partition."""
     s = docs.select("doc_id", "lang", F.expr(SPARK_TOKENS).alias("toks")).select(
         "doc_id", "lang", F.expr(SPARK_SHINGLES).alias("sh")
     )
     inv = s.select("doc_id", "lang", F.explode("sh").alias("shingle"))
-    w = Window.partitionBy("lang", "shingle")
-    return (
-        inv.withColumn("df", F.count("*").over(w))
-        .filter(F.col("df") <= df_cap)
-        .drop("df")
+    frequent = (
+        inv.groupBy("lang", "shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("lang", "shingle")
     )
+    return inv.join(F.broadcast(frequent), ["lang", "shingle"], "left_anti")
 
 
 def jaccard_pairs(docs: DataFrame, *, df_cap: int = DF_CAP) -> DataFrame:
@@ -343,16 +344,16 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # verify: intersection size by counting shared shingles (equi-joins
     # against the exploded, frequency-capped shingle index — stop-shingles
-    # would contribute |posting|² join rows and no signal)
-    from pyspark.sql import Window
-
+    # would contribute |posting|² join rows and no signal; the stop-set is
+    # bounded by vocabulary, so it broadcasts)
     inv = s.select("doc_id", F.explode("sh").alias("shingle"))
-    kept = (
-        inv.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("df") <= DF_CAP)
-        .drop("df")
-        .persist()
+    frequent = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("shingle")
     )
+    kept = inv.join(F.broadcast(frequent), ["shingle"], "left_anti").persist()
     kept.count()  # materialize: feeds sizes and both verify-join branches
     i1 = kept.select(F.col("doc_id").alias("doc1"), "shingle")
     i2 = kept.select(F.col("doc_id").alias("doc2"), "shingle")
