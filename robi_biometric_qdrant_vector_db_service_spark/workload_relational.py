@@ -85,14 +85,16 @@ LIMIT 10
 )
 def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 equi-joins + A2-style agg + T1 top-k (TPC-H Q3/Q10 shape).
-    orders⋈lineitem shuffles on orderkey; customer side broadcasts (dim).
-    Exact DECIMAL revenue → deterministic ordering."""
+    orders⋈lineitem shuffles on orderkey; customer grows with the corpus,
+    so its join is left to AQE (broadcasts while small, shuffles at scale —
+    same rule as regional_revenue).  Exact DECIMAL revenue → deterministic
+    ordering."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.sum(_rev(li)).cast("double").alias("revenue"),
