@@ -344,6 +344,31 @@ class VectorStore:
             manifest, touched_counts, lambda df: df.filter(f"NOT ({predicate})")
         )
 
+    # -- O7 optimizer: segment merge ----------------------------------------
+
+    def compact(self, *, max_files_per_bucket: int = 4) -> int:
+        """Merge over-fragmented buckets' files into one segment file per
+        bucket — the batch form of Qdrant's background segment optimizer
+        (qdrant_client.py:117-125: ``OptimizersConfigDiff`` with
+        ``max_segment_size`` = settings.py:36 ``segment_size_mb``; segments
+        are merged until each is near the target size).  Pure physical
+        re-layout: the published version serves byte-identical rows.  Only
+        buckets whose file count exceeds ``max_files_per_bucket`` are
+        rewritten; all others carry over by reference.  At scale this is the
+        maintenance job that keeps read amplification flat as small
+        mutations accumulate.  Returns the number of buckets compacted."""
+        manifest = self._read_manifest()
+        frag = [b for b, fs in manifest.items() if len(fs) > max_files_per_bucket]
+        if not frag:
+            return 0
+        merged = self._write_segment(
+            self._read_files([f for b in frag for f in manifest[b]])
+        )
+        for b in frag:
+            manifest[b] = merged.get(b, [])
+        self._publish_manifest(manifest)
+        return len(frag)
+
     # -- O7 vacuum ----------------------------------------------------------
 
     def vacuum(self, *, keep_versions: int = 1) -> int:

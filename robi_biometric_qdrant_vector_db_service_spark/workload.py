@@ -498,6 +498,48 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_compaction",
+    """
+WITH allrows AS (
+  SELECT label FROM embeddings
+  UNION ALL SELECT label FROM embeddings WHERE vec_id < 30
+  UNION ALL SELECT label FROM embeddings WHERE vec_id >= 30 AND vec_id < 60
+)
+SELECT concat('u', CAST(label AS VARCHAR)) AS user_id,
+       CAST(count(*) AS BIGINT) AS n, TRUE AS compacted
+FROM allrows GROUP BY label
+""",
+)
+def store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 segment optimizer: two small appends fragment every bucket into
+    three files; ``compact()`` merges each back to one (Qdrant's background
+    segment merge, qdrant_client.py:117-125).  The result is the SAME rows
+    from fewer files — the query returns per-user counts read from the
+    compacted snapshot plus a ``compacted`` flag asserting the file count
+    actually shrank, which the oracle pins to TRUE."""
+    store = _fresh_store(spark, sf_dir, "compact")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _slice(lo: int, hi: int) -> DataFrame:
+        return emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+            F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
+        )
+
+    store.add_batch(_slice(0, 30), normalize=False)
+    store.add_batch(_slice(30, 60), normalize=False)
+    before = len(store.input_files())
+    n_merged = store.compact(max_files_per_bucket=1)
+    after = len(store.input_files())
+    return (
+        store.read()
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("compacted", F.lit(bool(n_merged > 0 and after < before)))
+    )
+
+
+@register(
     "payload_projection",
     """
 SELECT CAST(vec_id AS VARCHAR) AS point_id, 'test_id' AS key, CAST(vec_id AS VARCHAR) AS value

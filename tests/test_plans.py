@@ -143,6 +143,51 @@ def test_store_mutations_rewrite_only_touched_buckets(spark, tmp_path):
     assert store.read().filter("user_id = 'u3'").count() == 0
 
 
+def test_store_compaction_merges_fragmented_buckets(spark, tmp_path):
+    """O7 optimizer: compact() must merge only over-fragmented buckets,
+    keep under-threshold buckets' files by reference, and serve the exact
+    same rows afterwards (pure physical re-layout, Qdrant's background
+    segment merge qdrant_client.py:117-125)."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import (
+        VectorStore,
+        _py_bucket,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(100)
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label")).alias("user_id"),
+        F.lit(1.0).alias("ts"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    store = VectorStore.create(spark, str(tmp_path / "s"), pts)
+    # fragment ONE user's bucket with three 1-row appends
+    for i in range(3):
+        one = spark.createDataFrame(
+            [(f"x{i}", [1.0] * 8, "u3", 1.0, {})],
+            "point_id string, embedding array<double>, user_id string, ts double, metadata map<string,string>",
+        )
+        store.add_batch(one, normalize=False)
+    before_rows = sorted(r["point_id"] for r in store.read().collect())
+    before = store._read_manifest()
+    b3 = _py_bucket("u3", store.n_buckets)
+    assert len(before[b3]) == 4, before[b3]
+
+    n_merged = store.compact(max_files_per_bucket=3)
+    after = store._read_manifest()
+    assert n_merged == 1, "only the fragmented bucket qualifies"
+    assert len(after[b3]) == 1, after[b3]
+    for b in range(store.n_buckets):
+        if b != b3:
+            assert after[b] == before[b], "under-threshold buckets carry over by reference"
+    assert sorted(r["point_id"] for r in store.read().collect()) == before_rows
+    # second pass is a no-op; vacuum retires the superseded fragments
+    assert store.compact(max_files_per_bucket=3) == 0
+    assert store.vacuum() > 0
+    assert sorted(r["point_id"] for r in store.read().collect()) == before_rows
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Bucketing co-locates the join: writing both sides bucketed+sorted on
     the key lets Spark sort-merge-join them with NO exchange on either side
