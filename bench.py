@@ -12,6 +12,14 @@ Mirrors the structure of the reference's harness
 (plan build + execution + collect, the way the driver consumes results).
 A JVM/Catalyst warmup query runs first so per-query numbers measure the
 engine, not JVM class loading.
+
+Per-query timing is the MIN over ``$SPARK_GRAFT_BENCH_ITERS`` (default 2)
+runs — the reference reports min/mean/median over repeated iterations of
+each operation (performance_test.py:452-472, ``min_ms`` at :460; its search
+numbers average 100+ iterations), so steady-state serving cost is the
+comparable number; a single shot would charge one-time Catalyst/janino plan
+compilation to a random query.  The JSON records ``iters`` and the stat so
+consumers see exactly what was measured.
 """
 
 from __future__ import annotations
@@ -65,12 +73,16 @@ def main() -> None:
     li.limit(10000).withColumn("rn", F.row_number().over(w)).filter("rn <= 2").collect()
     warmup_sec = round(time.perf_counter() - t_warm0, 4)
 
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
-        t0 = time.perf_counter()
-        df = REGISTRY[name].run(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].run(spark, sf_dir)
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -86,6 +98,8 @@ def main() -> None:
                 # memory-resident hot store served the reads
                 "warmup_prepare_sec": warmup_sec,
                 "hot_cache": hot_cache,
+                "iters": iters,
+                "per_query_stat": "min",
             }
         )
     )
