@@ -540,6 +540,65 @@ def store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "payload_index_filter",
+    """
+SELECT CAST(vec_id AS VARCHAR) AS point_id,
+       concat('u', CAST(label AS VARCHAR)) AS user_id,
+       CAST(1000.0 + vec_id AS DOUBLE) AS ts,
+       CAST((vec_id % 4) * 0.25 AS DOUBLE) AS confidence_score,
+       CAST(vec_id % 5 AS INT) AS face_quality,
+       concat('g', CAST(vec_id % 3 AS VARCHAR)) AS enrollment_group
+FROM embeddings
+WHERE concat('u', CAST(label AS VARCHAR)) IN ('u1', 'u2', 'u4')
+  AND 1000.0 + vec_id BETWEEN 1100.0 AND 1900.0
+  AND (vec_id % 4) * 0.25 >= 0.5
+  AND vec_id % 5 >= 2
+  AND concat('g', CAST(vec_id % 3 AS VARCHAR)) IN ('g0', 'g2')
+""",
+)
+def payload_index_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full advanced-indexing path (advanced_indexing.py:39-210):
+    schemaless payload metadata → per-field typed-column promotion (the
+    engine's 'create_payload_index') → the five-condition composite filter
+    of create_advanced_filters (user in-list, timestamp range,
+    confidence >=, quality >=, enrollment-group in-list).  Every condition
+    lands on a typed column, so the whole conjunction is one pushable
+    parquet predicate — the columnar form of the reference's RAM field
+    indexes.  Metadata values are exact binary fractions (k * 0.25) so the
+    string round-trip through the map is lossless."""
+    from .operators.payload_index import advanced_filter, promote_payload_fields
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
+        (F.lit(1000.0) + F.col("vec_id")).alias("ts"),
+        F.create_map(
+            F.lit("confidence_score"),
+            ((F.col("vec_id") % 4) * 0.25).cast("string"),
+            F.lit("face_quality"),
+            (F.col("vec_id") % 5).cast("string"),
+            F.lit("enrollment_group"),
+            F.concat(F.lit("g"), (F.col("vec_id") % 3).cast("string")),
+        ).alias("metadata"),
+    )
+    idx = promote_payload_fields(
+        pts,
+        {"confidence_score": "float", "face_quality": "integer", "enrollment_group": "keyword"},
+    )
+    return advanced_filter(
+        idx,
+        user_ids=["u1", "u2", "u4"],
+        time_range={"start": 1100.0, "end": 1900.0},
+        confidence_min=0.5,
+        quality_min=2,
+        enrollment_groups=["g0", "g2"],
+    ).select(
+        "point_id", "user_id", "ts", "confidence_score", "face_quality", "enrollment_group"
+    )
+
+
+@register(
     "payload_projection",
     """
 SELECT CAST(vec_id AS VARCHAR) AS point_id, 'test_id' AS key, CAST(vec_id AS VARCHAR) AS value
@@ -706,4 +765,6 @@ FRONT_QUERIES = [
     "ann_kmeans_ivf_topk",
     "ingest_bulk_100k",
     "time_travel_read",
+    "store_compaction",
+    "payload_index_filter",
 ]

@@ -143,6 +143,39 @@ def test_store_mutations_rewrite_only_touched_buckets(spark, tmp_path):
     assert store.read().filter("user_id = 'u3'").count() == 0
 
 
+def test_payload_promotion_enables_pushdown(spark, tmp_path):
+    """Payload-index semantics (advanced_indexing.py:39-125): a predicate on
+    an opaque ``metadata['k']`` map access CANNOT reach the parquet scan;
+    after typed-column promotion the same predicate is pushed down — the
+    promotion IS the index.  Sorted-by-field layout then makes row-group
+    min/max stats skip non-matching groups at scale."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.payload_index import (
+        promote_payload_fields,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(100)
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.create_map(
+            F.lit("face_quality"), (F.col("vec_id") % 5).cast("string")
+        ).alias("metadata"),
+    )
+    raw = str(tmp_path / "raw")
+    pts.write.parquet(raw)
+    unpromoted = spark.read.parquet(raw).filter(F.col("metadata")["face_quality"] >= "2")
+    # only the null check pushes; the map-access comparison stays post-scan
+    assert "PushedFilters: [IsNotNull(metadata)]" in _plan(unpromoted), _plan(unpromoted)
+    assert "face_quality" not in _plan(unpromoted).split("PushedFilters")[1].split("]")[0]
+
+    promoted_path = str(tmp_path / "promoted")
+    promote_payload_fields(pts, {"face_quality": "integer"}).drop("metadata").sort(
+        "face_quality"
+    ).write.parquet(promoted_path)
+    promoted = spark.read.parquet(promoted_path).filter(F.col("face_quality") >= 2)
+    assert "GreaterThanOrEqual(face_quality,2)" in _plan(promoted), _plan(promoted)
+    assert promoted.count() == unpromoted.count()
+
+
 def test_store_compaction_merges_fragmented_buckets(spark, tmp_path):
     """O7 optimizer: compact() must merge only over-fragmented buckets,
     keep under-threshold buckets' files by reference, and serve the exact
