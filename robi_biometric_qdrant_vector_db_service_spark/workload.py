@@ -741,6 +741,7 @@ from . import workload_text  # noqa: E402,F401
 from . import workload_dedup  # noqa: E402,F401
 from . import workload_ann  # noqa: E402,F401
 from . import workload_sources  # noqa: E402,F401
+from . import workload_pipeline  # noqa: E402,F401
 
 # Queries the round-1 correctness pass never recorded (it stopped after 50
 # of 66 registry entries): __spark_entry__ fronts these — cheapest first —
@@ -767,4 +768,8 @@ FRONT_QUERIES = [
     "time_travel_read",
     "store_compaction",
     "payload_index_filter",
+    "train_test_split",
+    "domain_balanced_sample",
+    "benchmark_decontamination",
+    "sequence_packing",
 ]

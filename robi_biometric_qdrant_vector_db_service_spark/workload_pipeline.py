@@ -1,0 +1,203 @@
+"""Training-data curation operators (north-star LLM-pipeline scope).
+
+Four ops every large-scale training-data pipeline runs between raw corpus
+and tokenizer, none expressible as a single reference call but all implied
+by its dedup/filter posture (SURVEY §2.12):
+
+- train_test_split        deterministic hash split — stable membership
+                          under re-runs, appends, and repartitioning
+- domain_balanced_sample  per-source cap (data-mixing rebalance)
+- benchmark_decontamination
+                          n-gram overlap between the training corpus and a
+                          (small) benchmark set — the standard eval-leak scan
+- sequence_packing        greedy token-budget packing into context windows
+
+All deterministic, no RNG: sampling keys off md5(doc_id) (identical in
+Spark and DuckDB — same trick as workload_dedup), so the oracle checks
+exact row sets, not distributions.
+
+Scale posture:
+- split/sample/packing are single-shuffle window or group-by plans keyed on
+  ``source`` — at 100 TB that is the partition key of the document lake, so
+  the shuffle is partition-local in practice.
+- decontamination broadcasts the BENCHMARK side (benchmarks are bounded:
+  thousands of docs, not corpus-scale) against the exploded corpus shingle
+  index: work ∝ shared shingles, never |corpus| × |bench|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.catalog import load_table
+from .workload import register
+from .workload_dedup import DUCK_SHINGLES, DUCK_TOKENS, SPARK_SHINGLES, SPARK_TOKENS
+
+PACK_BUDGET = 2048  # tokens per packed context window
+DECON_MIN_SHARED = 5  # shared 3-token shingles to flag contamination
+BENCH_MAX_DOC = 20  # doc_id < 20 plays the "benchmark set" in fixtures
+SAMPLE_PER_SOURCE = 10
+
+
+@register(
+    "train_test_split",
+    """
+SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c'
+            THEN 'train' ELSE 'held_out' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1
+""",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 13/16 hash split on md5(doc_id): a document's split
+    membership is a pure function of its id — stable across re-runs,
+    appends, engines, and cluster sizes (the property random() sampling
+    lacks and training pipelines require).  Pure codegen projection +
+    one map-side-combined group-by; no window, no second scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "c", "train"
+    ).otherwise("held_out")
+    return (
+        docs.select(
+            split.alias("split"),
+            F.size(F.expr(SPARK_TOKENS)).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "domain_balanced_sample",
+    f"""
+SELECT doc_id, source, CAST(rn AS INT) AS pick_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= {SAMPLE_PER_SOURCE}
+""",
+)
+def domain_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rebalance: cap every source domain at K docs, picked by
+    deterministic hash order (not arrival order — no head-of-file bias).
+    One shuffle on ``source``; Spark 4's WindowGroupLimit evaluates the
+    rank cutoff map-side, so the exchange carries ≤ K rows per source per
+    partition — the same bounded-shuffle shape as the top-k search path."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_PER_SOURCE)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("pick_rank"))
+    )
+
+
+@register(
+    "benchmark_decontamination",
+    f"""
+WITH sh AS (
+  SELECT doc_id, {DUCK_SHINGLES.replace("toks", f"({DUCK_TOKENS})")} AS sh
+  FROM documents
+),
+bench AS (
+  SELECT doc_id AS bench_doc, unnest(sh) AS shingle FROM sh WHERE doc_id < {BENCH_MAX_DOC}
+),
+train AS (
+  SELECT doc_id AS train_doc, unnest(sh) AS shingle FROM sh WHERE doc_id >= {BENCH_MAX_DOC}
+)
+SELECT t.train_doc, b.bench_doc, CAST(count(*) AS BIGINT) AS n_shared
+FROM train t JOIN bench b USING (shingle)
+GROUP BY t.train_doc, b.bench_doc
+HAVING count(*) >= {DECON_MIN_SHARED}
+""",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leak scan: flag training documents sharing ≥ T 3-token shingles
+    with any benchmark document.  The benchmark shingle set is bounded
+    (eval suites are thousands of docs), so it BROADCASTS against the
+    corpus-side inverted shingle index — the join does corpus-scale work
+    only where shingles actually collide, never |corpus| × |bench|.
+    Shingles are distinct within a doc, so count(*) is the overlap size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks")).select(
+        "doc_id", F.expr(SPARK_SHINGLES).alias("sh")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < BENCH_MAX_DOC)
+        .select(F.col("doc_id").alias("bench_doc"), F.explode("sh").alias("shingle"))
+    )
+    train = (
+        sh.filter(F.col("doc_id") >= BENCH_MAX_DOC)
+        .select(F.col("doc_id").alias("train_doc"), F.explode("sh").alias("shingle"))
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+    )
+
+
+@register(
+    "sequence_packing",
+    f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS offset_tokens
+  FROM t
+)
+SELECT source, CAST(floor(offset_tokens / {PACK_BUDGET}.0) AS INT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM c
+GROUP BY source, pack_id
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing: within each source, documents in
+    deterministic order accumulate into ~BUDGET-token packs (the standard
+    concat-then-chunk tokenizer feed).  The prefix sum is one window pass
+    per source partition; pack assignment and the per-pack rollup reuse the
+    same ``source`` partitioning, so the whole plan is a single shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(
+        "doc_id", "source", F.size(F.expr(SPARK_TOKENS)).cast("bigint").alias("n_tokens")
+    )
+    c = t.withColumn("offset_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        c.select(
+            "source",
+            F.floor(F.col("offset_tokens") / float(PACK_BUDGET)).cast("int").alias("pack_id"),
+            "n_tokens",
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        )
+    )

@@ -143,6 +143,22 @@ def test_store_mutations_rewrite_only_touched_buckets(spark, tmp_path):
     assert store.read().filter("user_id = 'u3'").count() == 0
 
 
+def test_pipeline_ops_plan_shape(spark):
+    """The curation ops' scale claims, visible in the plan: the per-source
+    sample cap runs as a map-side WindowGroupLimit (bounded shuffle), and
+    decontamination broadcasts the bounded benchmark side so the corpus
+    side never shuffles."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
+        benchmark_decontamination,
+        domain_balanced_sample,
+    )
+
+    sample_plan = _plan(domain_balanced_sample(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in sample_plan, sample_plan
+    decon_plan = _plan(benchmark_decontamination(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in decon_plan, decon_plan
+
+
 def test_payload_promotion_enables_pushdown(spark, tmp_path):
     """Payload-index semantics (advanced_indexing.py:39-125): a predicate on
     an opaque ``metadata['k']`` map access CANNOT reach the parquet scan;
