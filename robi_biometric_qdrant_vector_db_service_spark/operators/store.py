@@ -34,6 +34,11 @@ the poor-man's Delta transaction log (the image ships no Delta jars):
   existing segment, qdrant_client.py:292-296).
 - ``vacuum()`` drops files no manifest references — O7's
   ``deleted_threshold``/vacuum semantics as an explicit batch job.
+- The manifest also records each file's ``ts`` min/max (read from parquet
+  footers in the same metadata pass that counts rows at write time), so a
+  time-range read prunes non-overlapping files BEFORE Spark plans the scan
+  — the reference's DATETIME payload index
+  (advanced_indexing.py:61-69) as Delta-style data skipping.
 
 The bucket function is ``crc32`` (not Spark's murmur ``hash``) because it is
 bit-identical in the JVM (java.util.zip.CRC32) and CPython (zlib.crc32), so
@@ -109,11 +114,31 @@ class VectorStore:
         assert raw["n_buckets"] == self.n_buckets, (raw["n_buckets"], self.n_buckets)
         return {int(b): files for b, files in raw["buckets"].items()}
 
-    def _publish_manifest(self, buckets: dict[int, list[str]]) -> int:
+    def _read_file_stats(self, version: int | None = None) -> dict[str, list[float]]:
+        """file → [min_ts, max_ts] from the manifest (absent for files
+        written before stats existed — those are never pruned)."""
+        v = self._current_version() if version is None else version
+        if v < 0:
+            return {}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f).get("file_stats", {})
+
+    def _publish_manifest(
+        self,
+        buckets: dict[int, list[str]],
+        new_stats: dict[str, list[float]] | None = None,
+    ) -> int:
         new_v = self._current_version() + 1
+        live = {f for fs in buckets.values() for f in fs}
+        stats = {
+            f: s
+            for f, s in {**self._read_file_stats(), **(new_stats or {})}.items()
+            if f in live
+        }
         payload = {
             "n_buckets": self.n_buckets,
             "buckets": {str(b): sorted(buckets.get(b, [])) for b in range(self.n_buckets)},
+            "file_stats": stats,
         }
         with open(self._manifest_path(new_v), "w") as f:
             json.dump(payload, f)
@@ -121,12 +146,18 @@ class VectorStore:
             f.write(str(new_v))
         return new_v
 
-    def _write_segment(self, df: DataFrame) -> dict[int, list[str]]:
+    def _write_segment(
+        self, df: DataFrame
+    ) -> tuple[dict[int, list[str]], dict[str, list[float]], int]:
         """Write rows (core columns + ubucket) as a new immutable segment,
-        one directory per bucket, and return bucket → new files.  The
-        pre-write repartition co-locates each bucket so a mutation produces
-        one file per touched bucket instead of tasks × buckets small files
-        (at scale, raise n_buckets for more write parallelism)."""
+        one directory per bucket; return (bucket → new files, file →
+        [min_ts, max_ts], total rows).  The pre-write repartition co-locates
+        each bucket so a mutation produces one file per touched bucket
+        instead of tasks × buckets small files (at scale, raise n_buckets
+        for more write parallelism).  Row counts and ts ranges come from the
+        just-written parquet FOOTERS — one metadata pass, no re-scan and no
+        second evaluation of the write plan (uuid()/normalize are
+        non-reexecutable)."""
         seg = os.path.join(self.root, f"seg_{uuid.uuid4().hex[:12]}")
         out = df.withColumn("ubucket_p", F.col("ubucket"))
         out = out.repartition(self.n_buckets, "ubucket_p")
@@ -135,17 +166,36 @@ class VectorStore:
         for d in _glob.glob(os.path.join(seg, "ubucket_p=*")):
             b = int(d.rsplit("=", 1)[1])
             files[b] = sorted(_glob.glob(os.path.join(d, "*.parquet")))
-        return files
+
+        import pyarrow.parquet as pq
+
+        stats: dict[str, list[float]] = {}
+        n_rows = 0
+        for fs in files.values():
+            for f in fs:
+                md = pq.ParquetFile(f).metadata
+                n_rows += md.num_rows
+                ts_idx = next(
+                    (i for i in range(md.num_columns) if md.schema.column(i).name == "ts"),
+                    None,
+                )
+                if ts_idx is None:
+                    continue
+                mins: list[float] = []
+                maxs: list[float] = []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ts_idx).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    stats[f] = [min(mins), max(maxs)]
+        return files, stats, n_rows
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn("ubucket", _bucket_col(self.n_buckets))
-
-    @staticmethod
-    def _footer_rows(files: list[str]) -> int:
-        """Exact row count from parquet footers (metadata-only, no scan)."""
-        import pyarrow.parquet as pq
-
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
     def _read_files(self, files: list[str]) -> DataFrame:
         if not files:
@@ -168,8 +218,8 @@ class VectorStore:
             if initial is None:
                 store._publish_manifest({})
             else:
-                seg = store._write_segment(store._with_bucket(initial))
-                store._publish_manifest(seg)
+                files, stats, _ = store._write_segment(store._with_bucket(initial))
+                store._publish_manifest(files, stats)
         return store
 
     def clone(self, root: str) -> "VectorStore":
@@ -178,12 +228,18 @@ class VectorStore:
         the clone write their own segments and never touch shared files."""
         dst = VectorStore(self.spark, root, n_buckets=self.n_buckets)
         if dst._current_version() < 0:
-            dst._publish_manifest(self._read_manifest())
+            dst._publish_manifest(self._read_manifest(), self._read_file_stats())
         return dst
 
     # -- reads --------------------------------------------------------------
 
-    def read(self, *, user_id: str | None = None, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        *,
+        user_id: str | None = None,
+        version: int | None = None,
+        ts_range: tuple[float, float] | None = None,
+    ) -> DataFrame:
         """Current snapshot (or a historical one via ``version`` — time
         travel falls out of the manifest log for free, as in Delta; a vacuum
         with ``keep_versions=1`` retires it).  With ``user_id``, the
@@ -191,14 +247,28 @@ class VectorStore:
         ever plans the scan — stronger than PartitionFilters pruning
         (unlisted files aren't even enumerated) — followed by the exact
         ``user_id`` predicate, which parquet pushes down inside the bucket
-        (O1)."""
+        (O1).  With ``ts_range=(lo, hi)``, the manifest's per-file ts
+        min/max drops every non-overlapping file the same way (the DATETIME
+        payload index, advanced_indexing.py:61-69, as data skipping), then
+        the exact BETWEEN predicate pushes into the surviving files."""
         manifest = self._read_manifest(version)
         if user_id is not None:
-            b = _py_bucket(user_id, self.n_buckets)
-            df = self._read_files(manifest.get(b, []))
-            df = df.filter(F.col("user_id") == user_id)
+            files = manifest.get(_py_bucket(user_id, self.n_buckets), [])
         else:
-            df = self._read_files([f for fs in manifest.values() for f in fs])
+            files = [f for fs in manifest.values() for f in fs]
+        if ts_range is not None:
+            lo, hi = ts_range
+            stats = self._read_file_stats(version)
+            files = [
+                f
+                for f in files
+                if f not in stats or (stats[f][1] >= lo and stats[f][0] <= hi)
+            ]
+        df = self._read_files(files)
+        if user_id is not None:
+            df = df.filter(F.col("user_id") == user_id)
+        if ts_range is not None:
+            df = df.filter(F.col("ts").between(ts_range[0], ts_range[1]))
         return df.select("point_id", "embedding", "user_id", "ts", "metadata")
 
     def input_files(self, *, user_id: str | None = None) -> list[str]:
@@ -235,15 +305,11 @@ class VectorStore:
         own files are written; every pre-existing file is re-linked into the
         new manifest untouched."""
         out = self._with_bucket(self._defaults(batch, normalize=normalize))
-        seg = self._write_segment(out)
-        # exact row count from the written files' parquet footers — the
-        # write job already evaluated the plan once; a separate count()
-        # would evaluate it twice (uuid()/normalize recomputed end-to-end)
-        n = self._footer_rows([f for fs in seg.values() for f in fs])
+        files, stats, n = self._write_segment(out)
         manifest = self._read_manifest()
-        for b, files in seg.items():
-            manifest[b] = manifest.get(b, []) + files
-        self._publish_manifest(manifest)
+        for b, fs in files.items():
+            manifest[b] = manifest.get(b, []) + fs
+        self._publish_manifest(manifest, stats)
         return n
 
     def upsert(self, updates: DataFrame, *, normalize: bool = True) -> int:
@@ -275,18 +341,21 @@ class VectorStore:
             .distinct()
             .collect()
         ]
+        new_stats: dict[str, list[float]] = {}
         if touched:
             survivors = self._read_files(
                 [f for b in touched for f in manifest.get(b, [])]
             ).join(F.broadcast(ids), "point_id", "left_anti")
-            rewritten = self._write_segment(survivors)
+            rewritten, r_stats, _ = self._write_segment(survivors)
+            new_stats.update(r_stats)
             for b in touched:
                 manifest[b] = rewritten.get(b, [])
-        appended = self._write_segment(up)
-        for b, files in appended.items():
-            manifest[b] = manifest.get(b, []) + files
-        self._publish_manifest(manifest)
-        return self._footer_rows([f for fs in appended.values() for f in fs])
+        appended, a_stats, n = self._write_segment(up)
+        new_stats.update(a_stats)
+        for b, fs in appended.items():
+            manifest[b] = manifest.get(b, []) + fs
+        self._publish_manifest(manifest, new_stats)
+        return n
 
     # -- S6/S7 deletes ------------------------------------------------------
 
@@ -299,10 +368,10 @@ class VectorStore:
         if touched:
             bucket_files = [f for b in touched for f in manifest.get(b, [])]
             survivors = keep_filter(self._read_files(bucket_files))
-            rewritten = self._write_segment(survivors)
+            rewritten, stats, _ = self._write_segment(survivors)
             for b in touched:
                 manifest[b] = rewritten.get(b, [])
-            self._publish_manifest(manifest)
+            self._publish_manifest(manifest, stats)
         return sum(touched_counts.values())
 
     def delete_by_id(self, point_ids: list[str]) -> int:
@@ -361,12 +430,12 @@ class VectorStore:
         frag = [b for b, fs in manifest.items() if len(fs) > max_files_per_bucket]
         if not frag:
             return 0
-        merged = self._write_segment(
+        merged, stats, _ = self._write_segment(
             self._read_files([f for b in frag for f in manifest[b]])
         )
         for b in frag:
             manifest[b] = merged.get(b, [])
-        self._publish_manifest(manifest)
+        self._publish_manifest(manifest, stats)
         return len(frag)
 
     # -- O7 vacuum ----------------------------------------------------------

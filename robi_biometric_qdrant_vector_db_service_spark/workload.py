@@ -498,6 +498,41 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_range_scan",
+    """
+SELECT concat('u', CAST(label AS VARCHAR)) AS user_id,
+       CAST(count(*) AS BIGINT) AS n, TRUE AS pruned
+FROM embeddings WHERE vec_id < 50
+GROUP BY label
+""",
+)
+def time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATETIME payload-index semantics (advanced_indexing.py:61-69) as
+    manifest data skipping: a fresh batch lands with a disjoint ts band
+    (5000+), and a ``ts_range`` read drops every base-corpus file from the
+    scan using the per-file min/max the manifest recorded at write time —
+    before Spark ever plans the job.  The ``pruned`` flag asserts the scan
+    touched strictly fewer files than the store holds; the oracle pins it
+    TRUE and checks the surviving rows."""
+    store = _fresh_store(spark, sf_dir, "tsrange")
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") < 50).select(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
+        (F.lit(5000.0) + F.col("vec_id")).alias("ts"),
+    )
+    store.add_batch(batch, normalize=False)
+    total_files = len(store.input_files())
+    df = store.read(ts_range=(5000.0, 6000.0))
+    scanned = len(df.inputFiles())
+    return (
+        df.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("pruned", F.lit(bool(0 < scanned < total_files)))
+    )
+
+
+@register(
     "store_compaction",
     """
 WITH allrows AS (
@@ -768,6 +803,7 @@ FRONT_QUERIES = [
     "time_travel_read",
     "store_compaction",
     "payload_index_filter",
+    "time_range_scan",
     "train_test_split",
     "domain_balanced_sample",
     "benchmark_decontamination",

@@ -192,6 +192,38 @@ def test_payload_promotion_enables_pushdown(spark, tmp_path):
     assert promoted.count() == unpromoted.count()
 
 
+def test_store_ts_range_skips_files(spark, tmp_path):
+    """Manifest ts min/max data skipping: a time-range read must scan ONLY
+    files whose recorded [min_ts, max_ts] overlaps the range — the DATETIME
+    payload index (advanced_indexing.py:61-69) as file-level pruning — and
+    the stats must survive clone and unrelated mutations."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import VectorStore
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(60)
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label")).alias("user_id"),
+        (F.lit(1000.0) + F.col("vec_id")).alias("ts"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    store = VectorStore.create(spark, str(tmp_path / "s"), pts)
+    old_files = set(store.input_files())
+    late = pts.withColumn("ts", F.col("ts") + 9000.0)
+    store.add_batch(late, normalize=False)
+
+    df = store.read(ts_range=(9500.0, 20000.0))
+    scanned = {f.removeprefix("file://") for f in df.inputFiles()}
+    assert scanned and scanned.isdisjoint(old_files), (scanned, old_files)
+    assert df.count() == 60
+    # stats carry through a zero-copy clone and an unrelated delete
+    clone = store.clone(str(tmp_path / "c"))
+    clone.delete_where("user_id = 'u3' AND ts < 5000")
+    df2 = clone.read(ts_range=(9500.0, 20000.0))
+    scanned2 = {f.removeprefix("file://") for f in df2.inputFiles()}
+    assert scanned2.isdisjoint(old_files) and df2.count() == 60
+
+
 def test_store_compaction_merges_fragmented_buckets(spark, tmp_path):
     """O7 optimizer: compact() must merge only over-fragmented buckets,
     keep under-threshold buckets' files by reference, and serve the exact
