@@ -804,6 +804,7 @@ FRONT_QUERIES = [
     "store_compaction",
     "payload_index_filter",
     "time_range_scan",
+    "stream_store_ingest",
     "train_test_split",
     "domain_balanced_sample",
     "benchmark_decontamination",

@@ -232,6 +232,35 @@ def stateful_running_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_store_ingest",
+    """
+SELECT concat('u', CAST(label AS VARCHAR)) AS user_id,
+       CAST(count(*) AS BIGINT) AS n, TRUE AS multi_batch
+FROM embeddings
+GROUP BY label
+""",
+)
+def stream_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The service's continuous-ingest loop (qdrant_client.py:125
+    ``flush_interval_sec=1``): point files stream into a FRESH manifest
+    store via ``foreachBatch`` → ``add_batch`` — every micro-batch is one
+    atomic segment append + manifest publish, so mid-stream readers always
+    see consistent snapshots.  ``multi_batch`` asserts the drain really ran
+    as >1 micro-batch (maxFilesPerTrigger), i.e. the final state was built
+    incrementally, not in one bulk write; the oracle pins it TRUE and
+    checks the converged per-user counts."""
+    from .streaming.ingest import store_ingest_stream
+
+    store, versions = store_ingest_stream(spark, sf_dir)
+    return (
+        store.read()
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("multi_batch", F.lit(bool(versions >= 2)))
+    )
+
+
+@register(
     "salted_user_rollup",
     """
 SELECT user_id,
@@ -301,10 +330,12 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _prepare_stream_staging(spark: SparkSession, sf_dir: str) -> None:
     """Stage the bounded streaming source dirs and the .npy migration
     input out-of-band (bench warmup)."""
+    from .streaming.ingest import _staged_points_path
     from .streaming.stats import _staged_duplicated_events_path, _staged_events_path
 
     _staged_events_path(spark, sf_dir)
     _staged_duplicated_events_path(spark, sf_dir)
+    _staged_points_path(spark, sf_dir)
     _npy_export(sf_dir)
 
 
