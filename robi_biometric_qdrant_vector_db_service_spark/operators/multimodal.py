@@ -80,6 +80,29 @@ def decode_features(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_blobs(blobs: DataFrame, factor: int = 2) -> DataFrame:
+    """mapInPandas binary→binary transform — the RESIZE shape: row count
+    preserved, payload shrunk, output schema == BLOB_SCHEMA so it chains
+    with decode_features/sample_frames (resize → decode is two pipelined
+    Arrow stages in ONE task, no shuffle between).  STUB: keeps every
+    ``factor``-th byte (deterministic, oracle-checkable); a real
+    implementation decodes, resamples pixels, re-encodes — same plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["blob"].map(lambda b: bytes(bytes(b)[::factor]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": resized,
+                    "media_type": pdf["media_type"],
+                    "n_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=BLOB_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_checksum bigint"
 
 

@@ -805,6 +805,7 @@ FRONT_QUERIES = [
     "payload_index_filter",
     "time_range_scan",
     "stream_store_ingest",
+    "multimodal_resize",
     "train_test_split",
     "domain_balanced_sample",
     "benchmark_decontamination",

@@ -185,6 +185,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(to_blob_table(docs), stride=4)
 
 
+@register(
+    "multimodal_resize",
+    """
+SELECT doc_id,
+       CAST(len(text) // 2 + len(text) % 2 AS BIGINT) AS n_bytes,
+       CAST(coalesce(list_sum([unicode(text[i]) FOR i IN range(1, len(text) + 1, 2)]), 0) % 1000003 AS BIGINT) AS byte_checksum
+FROM documents
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary→binary RESIZE then decode, chained: two mapInPandas stages
+    pipeline inside one task (no shuffle between — resize emits
+    BLOB_SCHEMA, decode consumes it), the exact topology of a real
+    image-resize → feature-extract pipeline at 100 TB.  The stub keeps
+    every 2nd byte; the oracle recomputes the surviving-byte count and
+    checksum from the stride-2 character positions (pure-ASCII corpus)."""
+    from .operators.multimodal import decode_features, resize_blobs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(resize_blobs(to_blob_table(docs), factor=2)).select(
+        "doc_id", "n_bytes", "byte_checksum"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming — Structured Streaming twins of A3 / the retention sweep (§2.10)
 # ---------------------------------------------------------------------------
