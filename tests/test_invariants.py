@@ -105,3 +105,53 @@ def test_search_arg_validation(spark):
         validate_search_args(101, None)
     with pytest.raises(ValueError):
         validate_search_args(10, 1.5)
+
+
+def test_curation_mass_conservation(spark):
+    """The curation ops must neither lose nor invent data: the hash split's
+    two halves partition the corpus exactly; sequence packing conserves
+    every token; decontamination never flags a benchmark doc as training."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
+        BENCH_MAX_DOC,
+        benchmark_decontamination,
+        sequence_packing,
+        train_test_split,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("t")
+    ).collect()[0]["t"]
+
+    split = {r["split"]: r for r in train_test_split(spark, SF_SMOKE).collect()}
+    assert set(split) <= {"train", "held_out"}
+    assert sum(r["n_docs"] for r in split.values()) == n_docs
+    assert sum(r["total_tokens"] for r in split.values()) == total_tokens
+
+    packs = sequence_packing(spark, SF_SMOKE)
+    agg = packs.agg(
+        F.sum("pack_tokens").alias("t"), F.sum("n_docs").alias("d")
+    ).collect()[0]
+    assert agg["t"] == total_tokens and agg["d"] == n_docs
+
+    flagged = benchmark_decontamination(spark, SF_SMOKE)
+    assert flagged.filter(F.col("train_doc") < BENCH_MAX_DOC).count() == 0
+    assert flagged.filter(F.col("bench_doc") >= BENCH_MAX_DOC).count() == 0
+
+
+def test_split_membership_is_stable_under_append(spark):
+    """The property hash splits exist for: growing the corpus must never
+    move an existing document across the split boundary."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import SAMPLE_PER_SOURCE  # noqa: F401
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    key = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "c", "train"
+    ).otherwise("held_out")
+    full = {r["doc_id"]: r["s"] for r in docs.select("doc_id", key.alias("s")).collect()}
+    half = {
+        r["doc_id"]: r["s"]
+        for r in docs.limit(200).select("doc_id", key.alias("s")).collect()
+    }
+    assert all(full[d] == s for d, s in half.items())
