@@ -25,10 +25,13 @@ the poor-man's Delta transaction log (the image ships no Delta jars):
   resolve the manifest and read exactly those files — consistent snapshots,
   concurrent readers of v=n unaffected by a writer publishing v=n+1.
 - MUTATIONS are partition-selective: a delete/upsert first locates the
-  buckets that actually contain matching rows (one pruned scan), rewrites
-  ONLY those buckets into a fresh segment, and re-links every untouched
-  bucket's existing files into the new manifest by reference.  A one-user
-  delete on a 100 TB store rewrites one bucket, not the corpus.
+  buckets that actually contain matching rows (a column-pruned scan of the
+  key columns — one bucket when the key is user_id via ``delete_user``,
+  all buckets' id columns for id-keyed ops, which have no bucket to prune
+  to), rewrites ONLY the touched buckets into a fresh segment, and
+  re-links every untouched bucket's existing files into the new manifest
+  by reference.  A one-user delete on a 100 TB store reads and rewrites
+  one bucket, not the corpus.
 - ``add_batch`` is a pure append: new segment files joined onto the bucket
   lists, no existing file touched (Qdrant upsert with fresh ids touches no
   existing segment, qdrant_client.py:292-296).
@@ -72,7 +75,14 @@ def _py_bucket(user_id: str, n_buckets: int) -> int:
 
 
 def _bucket_col(n_buckets: int):
-    return F.pmod(F.crc32(F.col("user_id").cast("binary")), F.lit(n_buckets)).cast("int")
+    # user_id is mandatory (schemas.py:19 — the reference validates it per
+    # request); a NULL would otherwise silently land in a Hive default
+    # partition the manifest can't parse, so fail the write job instead
+    bucket = F.pmod(F.crc32(F.col("user_id").cast("binary")), F.lit(n_buckets)).cast("int")
+    return F.when(
+        F.col("user_id").isNull(),
+        F.raise_error("user_id must not be NULL (required payload field)").cast("int"),
+    ).otherwise(bucket)
 
 
 class VectorStore:
@@ -225,7 +235,13 @@ class VectorStore:
     def clone(self, root: str) -> "VectorStore":
         """Zero-copy snapshot clone (Delta SHALLOW CLONE): the new store's
         first manifest references this store's current files; mutations on
-        the clone write their own segments and never touch shared files."""
+        the clone write their own segments and never touch shared files.
+
+        CAVEAT (same contract as Delta shallow clones): the clone borrows
+        the source's files without the source knowing.  ``vacuum()`` on the
+        SOURCE may therefore delete files a clone still references — treat
+        source-side vacuum as invalidating shallow clones, or deep-copy
+        (re-write) the clone first if it must outlive source maintenance."""
         dst = VectorStore(self.spark, root, n_buckets=self.n_buckets)
         if dst._current_version() < 0:
             dst._publish_manifest(self._read_manifest(), self._read_file_stats())
@@ -317,20 +333,15 @@ class VectorStore:
         new ids appended (Qdrant upsert semantics, qdrant_client.py:292-296);
         with Delta on the classpath this is a single ``MERGE INTO``.
 
-        Partition-selective: one pruned scan finds the buckets holding
-        matched ids; ONLY those buckets are rewritten (anti-join survivors),
-        the update rows append as their own segment, and every other
-        bucket's files carry over by reference."""
-        up = updates
-        if normalize:
-            up = up.withColumn("embedding", F.expr(l2_normalize_sql("embedding")))
-        if "ts" not in up.columns:
-            up = up.withColumn("ts", F.unix_timestamp().cast("double"))
-        if "metadata" not in up.columns:
-            up = up.withColumn("metadata", F.create_map().cast("map<string,string>"))
-        up = self._with_bucket(
-            up.select("point_id", "embedding", "user_id", "ts", "metadata")
-        )
+        Partition-selective: the locate scan reads only the ``point_id``
+        and ``ubucket`` columns (parquet column pruning — not a full-row
+        read; an id-keyed merge has no bucket to prune to, since buckets key
+        on user_id) to find the buckets holding matched ids; ONLY those
+        buckets are rewritten (anti-join survivors), the update rows append
+        as their own segment, and every other bucket's files carry over by
+        reference.  Rows with NULL point_id get a fresh uuid (via
+        ``_defaults``) and therefore append as new points."""
+        up = self._with_bucket(self._defaults(updates, normalize=normalize))
         manifest = self._read_manifest()
         current = self._read_files([f for fs in manifest.values() for f in fs])
         ids = up.select("point_id")
@@ -397,9 +408,13 @@ class VectorStore:
     def delete_where(self, predicate: str) -> int:
         """S7 delete-by-predicate (qdrant_client.py:434-469) with an EXACT
         count — the reference returns an approximation derived from the
-        operation id (:461).  ``predicate`` is a SQL boolean expression.
-        One pruned scan counts matches per bucket; only matching buckets are
-        rewritten."""
+        operation id (:461).  ``predicate`` is a SQL boolean expression;
+        rows where it evaluates NULL are KEPT (three-valued logic: only a
+        TRUE match deletes, mirroring Qdrant's must-filter semantics — the
+        survivor filter coalesces NULL to keep, so the count and the
+        rewrite agree).  The locate scan counts matches per bucket reading
+        only the predicate's columns + ``ubucket`` (parquet column
+        pruning); only matching buckets are rewritten."""
         manifest = self._read_manifest()
         current = self._read_files([f for fs in manifest.values() for f in fs])
         touched_counts = {
@@ -410,7 +425,28 @@ class VectorStore:
             .collect()
         }
         return self._delete_rewrite(
-            manifest, touched_counts, lambda df: df.filter(f"NOT ({predicate})")
+            manifest,
+            touched_counts,
+            lambda df: df.filter(f"NOT coalesce(({predicate}), false)"),
+        )
+
+    def delete_user(self, user_id: str) -> int:
+        """The reference's exact S7 shape — ``delete_user_vectors(user_id)``
+        (qdrant_client.py:434-469) — with the O1 layout fully exploited:
+        the user's bucket is computed DRIVER-SIDE (same crc32 the manifest
+        uses), so both the locate scan and the rewrite touch exactly one
+        bucket's files.  A one-user delete on a 100 TB store reads and
+        rewrites 1/n_buckets of it, nothing else."""
+        manifest = self._read_manifest()
+        b = _py_bucket(user_id, self.n_buckets)
+        bucket_files = manifest.get(b, [])
+        n = (
+            self._read_files(bucket_files)
+            .filter(F.col("user_id") == user_id)
+            .count()
+        )
+        return self._delete_rewrite(
+            manifest, {b: n}, lambda df: df.filter(F.col("user_id") != user_id)
         )
 
     # -- O7 optimizer: segment merge ----------------------------------------
@@ -443,7 +479,12 @@ class VectorStore:
     def vacuum(self, *, keep_versions: int = 1) -> int:
         """Drop segment files unreferenced by the last ``keep_versions``
         manifests (O7: Qdrant's deleted_threshold/vacuum,
-        qdrant_client.py:117-127).  Returns files removed."""
+        qdrant_client.py:117-127).  Returns files removed.
+
+        Only THIS store's manifests are consulted: vacuuming retires time
+        travel past ``keep_versions`` and — as in Delta — invalidates any
+        shallow ``clone()`` still referencing the removed files (see
+        ``clone`` docstring)."""
         latest = self._current_version()
         keep: set[str] = set()
         for v in range(max(0, latest - keep_versions + 1), latest + 1):

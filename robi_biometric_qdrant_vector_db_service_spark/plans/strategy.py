@@ -65,6 +65,8 @@ def smart_search(
     from ..operators.search import knn_search
 
     if force is not None:
+        if force not in ("exact", "signlsh"):
+            raise ValueError(f"force must be 'exact' or 'signlsh', got {force!r}")
         plan = SearchPlan(force) if force == "exact" else choose_search_strategy(
             max(corpus.count(), FULL_SCAN_THRESHOLD), k
         )

@@ -119,10 +119,19 @@ def _normalize_meta(df: DataFrame, *, idx_col) -> DataFrame:
     )
     meta_fields = [n for n in fields if n != "user_id"]
     if meta_fields:
+        # key literal single-quote-escaped, column reference backtick-quoted:
+        # metadata keys are arbitrary JSON field names ("created-at",
+        # "a'b"), not guaranteed to be valid SQL identifiers
+        def _key(n: str) -> str:
+            return "'" + n.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        def _ref(n: str) -> str:
+            return "`" + n.replace("`", "``") + "`"
+
         meta = F.expr(
             "map_filter(map({}), (k, v) -> v IS NOT NULL)".format(
                 ", ".join(
-                    f"'{n}', CAST({n} AS STRING)" for n in meta_fields
+                    f"{_key(n)}, CAST({_ref(n)} AS STRING)" for n in meta_fields
                 )
             )
         )

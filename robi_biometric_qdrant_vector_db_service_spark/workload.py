@@ -51,9 +51,35 @@ REGISTRY: dict[str, QuerySpec] = {}
 PREPARE: list[Callable[[SparkSession, str], None]] = []
 
 
+# Persisted per-query intermediates (shingle indexes, signatures).  A query
+# that persists a DataFrame its RETURNED plan still references cannot
+# unpersist it before the caller collects — so queries register scratch
+# caches here and the next query invocation releases them.  Without this,
+# a long run (77 queries × N bench iterations) accumulates dead cached
+# partitions until eviction starts churning the hot store.
+_SCRATCH: list[DataFrame] = []
+
+
+def track_scratch(df: DataFrame) -> DataFrame:
+    _SCRATCH.append(df)
+    return df
+
+
+def _release_scratch() -> None:
+    while _SCRATCH:
+        try:
+            _SCRATCH.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+
+
 def register(name: str, oracle: Optional[str]):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(run=fn, oracle=oracle)
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _release_scratch()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(run=run, oracle=oracle)
         return fn
 
     return deco
@@ -516,14 +542,17 @@ def time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRUE and checks the surviving rows."""
     store = _fresh_store(spark, sf_dir, "tsrange")
     emb = load_table(spark, sf_dir, "embeddings")
+    # base corpus carries ts = 1000 + vec_id; a 1e9 band stays disjoint at
+    # any scale factor (1e9 base rows is beyond any fixture), so the oracle
+    # contract cannot silently break at a larger sf
     batch = emb.filter(F.col("vec_id") < 50).select(
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
         F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
-        (F.lit(5000.0) + F.col("vec_id")).alias("ts"),
+        (F.lit(1.0e9) + F.col("vec_id")).alias("ts"),
     )
     store.add_batch(batch, normalize=False)
     total_files = len(store.input_files())
-    df = store.read(ts_range=(5000.0, 6000.0))
+    df = store.read(ts_range=(1.0e9, 2.0e9))
     scanned = len(df.inputFiles())
     return (
         df.groupBy("user_id")

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from .functions.vector import cosine_sql
 from .sources.catalog import load_table
-from .workload import register
+from .workload import register, track_scratch
 
 P = 2147483647  # 2^31-1; keeps a*h+b inside signed 64-bit on both engines
 N_HASHES = 16
@@ -167,7 +167,7 @@ def capped_shingle_index(docs: DataFrame, *, df_cap: int = DF_CAP) -> DataFrame:
 def jaccard_pairs(docs: DataFrame, *, df_cap: int = DF_CAP) -> DataFrame:
     """Capped-Jaccard pair detector over an arbitrary documents frame
     (exposed for the adversarial stop-shingle test)."""
-    kept = capped_shingle_index(docs, df_cap=df_cap).persist()
+    kept = track_scratch(capped_shingle_index(docs, df_cap=df_cap).persist())
     kept.count()  # materialize before the multi-branch reuse below
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = kept.select(F.col("doc_id").alias("doc1"), "lang", "shingle")
@@ -303,7 +303,8 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document — at scale this is a checkpoint to storage, same plan).
     s = docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks")).select(
         "doc_id", F.expr(SPARK_SHINGLES).alias("sh")
-    ).persist()
+    )
+    s = track_scratch(s.persist())
     s.count()  # materialize before the multi-branch reuse below
     hashed = s.select(
         "doc_id",
@@ -353,7 +354,7 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > DF_CAP)
         .select("shingle")
     )
-    kept = inv.join(F.broadcast(frequent), ["shingle"], "left_anti").persist()
+    kept = track_scratch(inv.join(F.broadcast(frequent), ["shingle"], "left_anti").persist())
     kept.count()  # materialize: feeds sizes and both verify-join branches
     i1 = kept.select(F.col("doc_id").alias("doc1"), "shingle")
     i2 = kept.select(F.col("doc_id").alias("doc2"), "shingle")
@@ -438,7 +439,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for b in range(SIMHASH_BITS)
     )
-    sig = bits.select("doc_id", F.expr(f"({combine})").alias("simhash")).persist()
+    sig = track_scratch(bits.select("doc_id", F.expr(f"({combine})").alias("simhash")).persist())
     sig.count()  # materialize: both self-join branches must hit the cache,
     # not race to compute the signature chain twice within one job
     # Bit-sliced banding (pigeonhole): any pair within Hamming ≤ 4 agrees

@@ -155,3 +155,68 @@ def test_split_membership_is_stable_under_append(spark):
         for r in docs.limit(200).select("doc_id", key.alias("s")).collect()
     }
     assert all(full[d] == s for d, s in half.items())
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """Three-valued logic: delete_where must delete only TRUE matches — a
+    row where the predicate evaluates NULL (absent metadata key, NULL ts)
+    is kept and excluded from the count, regardless of which bucket it
+    shares with a true match."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import VectorStore
+
+    rows = [
+        ("a", [1.0] * 4, "u1", 100.0, {}),
+        ("b", [1.0] * 4, "u1", None, {}),   # same user -> same bucket as 'a'
+        ("c", [1.0] * 4, "u2", 9000.0, {}),
+    ]
+    pts = spark.createDataFrame(
+        rows,
+        "point_id string, embedding array<double>, user_id string, ts double, metadata map<string,string>",
+    )
+    store = VectorStore.create(spark, str(tmp_path / "s"), pts)
+    n = store.delete_where("ts < 5000")
+    assert n == 1, n
+    left = sorted(r["point_id"] for r in store.read().collect())
+    assert left == ["b", "c"], left
+
+
+def test_null_user_id_write_rejected(spark, tmp_path):
+    """user_id is a mandatory payload field (the reference validates it per
+    request) — a NULL must fail the write loudly, not land in an unparseable
+    Hive default partition."""
+    import pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import VectorStore
+
+    store = VectorStore.create(spark, str(tmp_path / "s"))
+    bad = spark.createDataFrame(
+        [([1.0] * 4, None)], "embedding array<double>, user_id string"
+    )
+    with pytest.raises(Exception, match="user_id must not be NULL"):
+        store.add_batch(bad)
+
+
+def test_smart_search_rejects_unknown_force(spark):
+    import pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.plans.strategy import smart_search
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(10)
+    with pytest.raises(ValueError, match="force"):
+        smart_search(emb, emb.limit(1), force="ivf")
+
+
+def test_metadata_keys_need_not_be_identifiers(spark):
+    """Migration metadata keys are arbitrary JSON field names — quoting must
+    survive dashes and quotes (the reference's dict payloads allow any
+    string key, qdrant_client.py:209-213)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import _normalize_meta
+
+    df = spark.createDataFrame(
+        [(0, "u0", "x", "y")],
+        ["row_idx", "user_id", "created-at", "a'b"],
+    )
+    out = _normalize_meta(df, idx_col=F.col("row_idx")).collect()[0]
+    assert out["metadata"] == {"created-at": "x", "a'b": "y"}, out["metadata"]

@@ -343,3 +343,36 @@ def test_hot_cache_preserves_results(spark, monkeypatch):
             df.unpersist()
             del cat._hot_cache[(sfd, name)]
     assert sorted(map(tuple, cold)) == sorted(map(tuple, hot))
+
+
+def test_delete_user_touches_one_bucket_end_to_end(spark, tmp_path):
+    """delete_user must resolve the bucket DRIVER-SIDE: the locate scan
+    reads only that bucket's files and the rewrite replaces only that
+    bucket's manifest entry."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import (
+        VectorStore,
+        _py_bucket,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label")).alias("user_id"),
+        F.lit(1.0).alias("ts"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    store = VectorStore.create(spark, str(tmp_path / "s"), pts)
+    before = store._read_manifest()
+    expected = store.read().filter("user_id = 'u3'").count()
+    assert expected > 0
+
+    n = store.delete_user("u3")
+    assert n == expected
+    after = store._read_manifest()
+    b3 = _py_bucket("u3", store.n_buckets)
+    assert after[b3] != before[b3]
+    assert all(after[b] == before[b] for b in range(store.n_buckets) if b != b3)
+    assert store.read().filter("user_id = 'u3'").count() == 0
+    # other users in the SAME bucket survive the rewrite
+    assert store.read().count() == 200 - expected
