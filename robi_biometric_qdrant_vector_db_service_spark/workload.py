@@ -363,6 +363,27 @@ def delete_by_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delete_by_user",
+    """
+SELECT concat('u', CAST(label AS VARCHAR)) AS user_id, CAST(count(*) AS BIGINT) AS n
+FROM embeddings WHERE label <> 3
+GROUP BY label
+""",
+)
+def delete_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact S7 call — delete_user_vectors(user_id)
+    (qdrant_client.py:434-469) — on the bucket-pruned fast path: the user's
+    bucket is resolved driver-side, so the locate scan AND the rewrite read
+    exactly one bucket of the store (vs delete_by_predicate's general
+    delete_where, which must scan the predicate columns of every bucket).
+    Same survivor state, cheapest possible mutation."""
+    store = _fresh_store(spark, sf_dir, "deluser")
+    n = store.delete_user("u3")
+    assert n > 0, n
+    return store.read().groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+
+
+@register(
     "upsert_merge",
     """
 SELECT CASE WHEN vec_id < 50 THEN 'moved' ELSE concat('u', CAST(label AS VARCHAR)) END AS user_id,
@@ -835,6 +856,7 @@ FRONT_QUERIES = [
     "time_range_scan",
     "stream_store_ingest",
     "multimodal_resize",
+    "delete_by_user",
     "train_test_split",
     "domain_balanced_sample",
     "benchmark_decontamination",
