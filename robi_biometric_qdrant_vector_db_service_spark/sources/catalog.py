@@ -64,6 +64,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC so timestamp results are bit-comparable with the (UTC-naive)
+    # DuckDB oracle even when the HOSTING session didn't configure it —
+    # the driver contract hands us an arbitrary SparkSession
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _TS_NANOS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
