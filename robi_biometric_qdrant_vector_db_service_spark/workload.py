@@ -861,4 +861,5 @@ FRONT_QUERIES = [
     "domain_balanced_sample",
     "benchmark_decontamination",
     "sequence_packing",
+    "quality_weighted_sample",
 ]

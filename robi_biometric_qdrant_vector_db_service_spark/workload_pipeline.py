@@ -11,6 +11,8 @@ by its dedup/filter posture (SURVEY §2.12):
                           n-gram overlap between the training corpus and a
                           (small) benchmark set — the standard eval-leak scan
 - sequence_packing        greedy token-budget packing into context windows
+- quality_weighted_sample score-proportional acceptance sampling (the
+                          quality-mixing step after filtering)
 
 All deterministic, no RNG: sampling keys off md5(doc_id) (identical in
 Spark and DuckDB — same trick as workload_dedup), so the oracle checks
@@ -201,3 +203,63 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
         )
     )
+
+
+def _quality_sql_subquery() -> str:
+    """The doc_quality_filter 0-4 score, as an oracle subquery (same rules
+    as workload_text.doc_quality_filter — shared constant set)."""
+    from .workload_text import _STOP_SQL
+
+    return f"""
+  SELECT doc_id,
+         CAST((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+             + CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 1 ELSE 0 END
+             + CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END
+             + CASE WHEN uniq_ratio >= 0.3 THEN 1 ELSE 0 END) AS INT) AS quality
+  FROM (
+    SELECT doc_id, len(tokens) AS n_tokens,
+           CAST(n_chars - len(tokens) + 1 AS DOUBLE) / len(tokens) AS mean_tok_len,
+           CAST(len(list_filter(tokens, t -> t IN {_STOP_SQL})) AS DOUBLE) / len(tokens) AS stop_ratio,
+           CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS uniq_ratio
+    FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents)
+  )
+"""
+
+
+def _register_quality_weighted_sample() -> None:
+    oracle = f"""
+WITH q AS ({_quality_sql_subquery()})
+SELECT quality, CAST(count(*) AS BIGINT) AS n_kept
+FROM q
+WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) / 4294967296.0
+      < (quality + 1) / 8.0
+GROUP BY quality
+"""
+
+    @register("quality_weighted_sample", oracle)
+    def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Score-proportional acceptance sampling — the mixing step that
+        keeps high-quality documents at a higher rate instead of a hard
+        keep/drop: accept doc iff md5-uniform(doc_id) < (quality+1)/8.
+        Both the uniform (32-bit hash / 2^32) and the acceptance threshold
+        (eighths) are exact binary fractions, so the sampled SET is
+        deterministic and engine-independent — the oracle compares exact
+        per-tier counts, not a distribution.  Composes the registered
+        quality scorer; map-only projection + one tiny group-by."""
+        from .workload_text import doc_quality_filter
+
+        scored = doc_quality_filter(spark, sf_dir).select("doc_id", "quality")
+        u = (
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            )
+            / F.lit(4294967296.0)
+        )
+        return (
+            scored.filter(u < (F.col("quality") + 1) / F.lit(8.0))
+            .groupBy("quality")
+            .agg(F.count("*").cast("bigint").alias("n_kept"))
+        )
+
+
+_register_quality_weighted_sample()
