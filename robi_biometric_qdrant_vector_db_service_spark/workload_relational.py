@@ -40,8 +40,8 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) -
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(sum({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
-       CAST(sum({_REV_SQL} * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+       round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum({_REV_SQL} * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
        round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
@@ -61,8 +61,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
         F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_base_price"),
-        F.sum(_rev(li)).cast("double").alias("sum_disc_price"),
-        F.sum(_rev(li) * (one + F.col("l_tax").cast(_DEC))).cast("double").alias("sum_charge"),
+        # cents rounding: the DECIMAL product's widened scale is truncated
+        # differently by Spark and DuckDB once the sums grow (last-ulp drift
+        # at sf >= 0.1); both engines agree exactly at 2 decimals
+        F.round(F.sum(_rev(li)).cast("double"), 2).alias("sum_disc_price"),
+        F.round(
+            F.sum(_rev(li) * (one + F.col("l_tax").cast(_DEC))).cast("double"), 2
+        ).alias("sum_charge"),
         F.round(F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count("*"), 6).alias("avg_qty"),
         F.round(F.sum(F.col("l_discount").cast(_DEC)).cast("double") / F.count("*"), 6).alias("avg_disc"),
         F.count("*").cast("bigint").alias("count_order"),
@@ -73,7 +78,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_revenue_customers",
     f"""
 SELECT c.c_custkey, c.c_name, c.c_mktsegment,
-       CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+       round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS revenue,
        CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -97,7 +102,7 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
-            F.sum(_rev(li)).cast("double").alias("revenue"),
+            F.round(F.sum(_rev(li)).cast("double"), 2).alias("revenue"),
             F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), F.col("c_custkey"))
@@ -109,7 +114,7 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_revenue",
     f"""
 SELECT r.r_name AS region, n.n_name AS nation,
-       CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+       round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS revenue,
        CAST(count(*) AS BIGINT) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -138,7 +143,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.sum(_rev(li)).cast("double").alias("revenue"),
+            F.round(F.sum(_rev(li)).cast("double"), 2).alias("revenue"),
             F.count("*").cast("bigint").alias("n_lineitems"),
         )
     )
