@@ -827,6 +827,7 @@ from . import workload_dedup  # noqa: E402,F401
 from . import workload_ann  # noqa: E402,F401
 from . import workload_sources  # noqa: E402,F401
 from . import workload_pipeline  # noqa: E402,F401
+from . import workload_graph  # noqa: E402,F401
 
 # Queries the round-1 correctness pass never recorded (it stopped after 50
 # of 66 registry entries): __spark_entry__ fronts these — cheapest first —
