@@ -215,3 +215,81 @@ def running_ops_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("ops_so_far"),
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("cum_value"),
     )
+
+
+@register(
+    "purchase_attribution_asof",
+    """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, max(event_id) AS click_id,
+         arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
+       c.click_id, c.click_ts, c.click_value,
+       epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+""",
+)
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (last-touch attribution): each purchase matched to the
+    latest click by the same user at-or-before the purchase — the canonical
+    point-in-time join Spark has no native operator for.  The oracle runs
+    DuckDB's native ``ASOF LEFT JOIN``; the Spark plan is the scalable
+    union-tag construction: tag both sides, ONE shuffle+sort per user
+    partition, then a carry-forward ``last(ignorenulls)`` running window —
+    no per-row range probe, no row explosion, cost O(events) regardless of
+    click density.  Clicks are first deduped per (user, ts) with a
+    ``max_by`` tiebreak (= DuckDB ``arg_max``) so equal-timestamp matches
+    are deterministic on both engines.  At equal click/purchase timestamps
+    the click sorts first (tag 0 < 1), giving the same >= inclusive
+    semantics as the oracle's inequality."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.expr("max_by(value, event_id)").alias("click_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    c = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.struct(
+            F.col("click_id"), F.col("ts").alias("click_ts"), F.col("click_value")
+        ).alias("click"),
+    )
+    p = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("struct<click_id:bigint,click_ts:timestamp,click_value:double>").alias("click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = c.union(p).withColumn("attr", F.last("click", ignorenulls=True).over(w))
+    return tagged.filter(F.col("tag") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_value",
+        F.col("attr.click_id").alias("click_id"),
+        F.col("attr.click_ts").alias("click_ts"),
+        F.col("attr.click_value").alias("click_value"),
+        (F.unix_micros("ts") - F.unix_micros("attr.click_ts")).alias("gap_us"),
+    )

@@ -376,3 +376,22 @@ def test_delete_user_touches_one_bucket_end_to_end(spark, tmp_path):
     assert store.read().filter("user_id = 'u3'").count() == 0
     # other users in the SAME bucket survive the rewrite
     assert store.read().count() == 200 - expected
+
+
+def test_asof_join_is_one_shuffle_no_range_probe(spark):
+    """The union-tag as-of construction must not degenerate into a
+    broadcast-nested-loop/range join: one hash exchange on user_id feeds
+    the carry-forward window; everything else stays in-partition."""
+    import re
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    df = REGISTRY["purchase_attribution_asof"].run(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    non_broadcast_exchanges = re.findall(r"^\(\d+\) Exchange$", plan, re.M)
+    # one exchange per union branch (same user_id partitioning, coalesced at
+    # runtime by AQE); the window itself adds none
+    assert len(non_broadcast_exchanges) <= 2, plan
+    assert "Window" in plan, plan
