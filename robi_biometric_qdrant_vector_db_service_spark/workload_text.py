@@ -293,3 +293,140 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5(F.lower("text")).alias("fingerprint"))
+
+
+@register(
+    "tfidf_top_terms",
+    """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC
+         ) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 6) AS tfidf_ratio, CAST(rnk AS INT) AS rnk
+FROM scored WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by TF-IDF — the
+    keyword-extraction primitive of a curation pipeline.
+
+    The inverse-document-frequency factor is the RAW ratio N/df rather than
+    its logarithm: IEEE-754 division is correctly rounded, so the score and
+    its ordering are bit-identical in Spark and DuckDB, while ``ln`` is
+    implementation-defined in its last ulp and log is monotone in N/df —
+    same ranking, engine-checkable score.
+
+    Scale: two hash aggregates on (doc, term) / (term,) — both map-side
+    combined — a broadcast of the df side's join is NOT forced (vocabulary
+    grows with corpus; AQE decides), corpus size N is a broadcast scalar,
+    and the per-doc top-3 is a WindowGroupLimit-prunable ranking window."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = (
+        t.distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n = docs.agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term").asc()
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+    return scored.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.round((F.col("tf") * F.col("n")).cast("double") / F.col("df"), 6).alias(
+            "tfidf_ratio"
+        ),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+REPETITION_T = 0.08  # top-bigram fraction above which a doc is "repetitive"
+                     # (fixture p90 ≈ 0.069, max ≈ 0.167 — flags the top decile)
+
+
+@register(
+    "repetition_profile",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT doc_id, [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] AS bgs
+  FROM t WHERE len(toks) >= 2
+),
+ex AS (SELECT doc_id, unnest(bgs) AS bigram FROM b),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM ex GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, bigram AS top_bigram, c AS top_cnt,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS total_bigrams,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram ASC) AS rn
+  FROM cnt
+)
+SELECT doc_id, top_bigram, CAST(top_cnt AS BIGINT) AS top_cnt, total_bigrams,
+       round(CAST(top_cnt AS DOUBLE) / total_bigrams, 6) AS top_frac,
+       CAST(top_cnt AS DOUBLE) / total_bigrams > {REPETITION_T} AS is_repetitive
+FROM top WHERE rn = 1
+""",
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition: the most frequent word
+    bigram's share of all bigrams (non-distinct — repetition is about
+    multiplicity), flagged against REPETITION_T.  The filter downstream
+    pipelines apply to drop boilerplate/templated documents.
+
+    Scale: one explode + per-(doc, bigram) count, then a per-doc ranking
+    window — all keys carry doc_id, so every shuffle is doc-partitioned and
+    the ranking is WindowGroupLimit-pruned; nothing global."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    total = Window.partitionBy("doc_id")
+    rn = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("bigram").asc())
+    top = (
+        cnt.withColumn("total_bigrams", F.sum("c").over(total).cast("bigint"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+    )
+    frac = F.col("top_cnt").cast("double") / F.col("total_bigrams")
+    return top.select(
+        "doc_id",
+        F.col("bigram").alias("top_bigram"),
+        F.col("c").cast("bigint").alias("top_cnt"),
+        "total_bigrams",
+    ).select(
+        "*",
+        F.round(frac, 6).alias("top_frac"),
+        (frac > REPETITION_T).alias("is_repetitive"),
+    )
