@@ -327,3 +327,18 @@ def adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_recall.py, where approximate answers are expected."""
     corpus = load_table(spark, sf_dir, "embeddings")
     return smart_search(corpus, _probes(spark, sf_dir), k=10, force="exact")
+
+
+@register("pq_adc_topk", None)  # iterative codebook build → rows-only check
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric-distance search (operators.pq):
+    8 subspaces × 16 centroids compress dim-64 vectors 32×; the candidate
+    scan reads only the m-byte code column against a broadcast per-probe
+    LUT, then exact-rescoring the 4×k ADC survivors.  Recall vs the exact
+    engine is asserted in tests/test_ann_recall.py; Lloyd's training has no
+    single-statement SQL oracle, so the driver runs the rows-only check
+    (same status as ann_kmeans_ivf_topk)."""
+    from .operators.pq import pq_adc_topk as _pq
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return _pq(corpus, _probes(spark, sf_dir), k=10)

@@ -137,3 +137,45 @@ def test_adaptive_routes_to_ann_above_threshold(spark):
     r = _recall(approx, exact)
     print(f"adaptive(signlsh) recall@5 at n=25k: {r:.3f}")
     assert r > 0.1
+
+
+def test_pq_adc_recall_and_exact_scores(spark):
+    """PQ-ADC candidates + exact rescore: recall is bounded by how well the
+    8×16 codebook preserves cosine ordering at 4× oversample, and every
+    RETURNED score must equal the exact engine's score for that pair (the
+    rescore stage uses the same cosine — approximation may drop pairs, it
+    must never perturb scores)."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.pq import pq_adc_topk
+
+    from robi_biometric_qdrant_vector_db_service_spark.functions.vector import cosine_sql
+
+    corpus, probes, exact = _setup(spark, k=10)
+    all_pairs = corpus.crossJoin(probes).select(
+        "q_id",
+        "vec_id",
+        F.round(F.expr(cosine_sql("embedding", "q_emb")), 6).alias("score"),
+    )
+    exact_scores = {
+        (r["q_id"], r["vec_id"]): r["score"] for r in all_pairs.collect()
+    }
+    approx = pq_adc_topk(corpus, probes, k=10).collect()
+    r = _recall(approx, exact)
+    print(f"pq adc recall@10 (m=8, ksub=16, 4x oversample) = {r:.3f}")
+    assert r >= 0.5
+    for row in approx:
+        assert row["score"] == exact_scores[(row["q_id"], row["vec_id"])]
+
+
+def test_pq_codes_shape(spark):
+    """Every vector encodes to exactly m codes in [0, ksub)."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.pq import pq_codebooks, pq_encode
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    cents = pq_codebooks(corpus, m=8, ksub=16, dim=64)
+    codes = pq_encode(corpus, cents, m=8, dim=64)
+    bad = codes.filter(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+    assert codes.count() == corpus.count()
