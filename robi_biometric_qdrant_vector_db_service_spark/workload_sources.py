@@ -364,3 +364,28 @@ def _prepare_stream_staging(spark: SparkSession, sf_dir: str) -> None:
 
 
 PREPARE.append(_prepare_stream_staging)
+
+
+@register(
+    "stream_attribution_join",
+    """
+SELECT p.event_id AS purchase_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(max(c.event_id) AS BIGINT) AS last_click_id
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+GROUP BY 1
+""",
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 stream-stream JOIN: purchases joined to same-user clicks in the
+    preceding 30 minutes, both sides watermarked so click state is evicted
+    past the bound — the only join shape that runs forever on unbounded
+    input.  The drained bounded run must equal the batch range-join, which
+    the oracle computes directly."""
+    from .streaming.joins import attribution_join_stream
+
+    return attribution_join_stream(spark, sf_dir, _uniq("attr_join"))
