@@ -593,3 +593,52 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pair_scan(emb, threshold=COSINE_T).select(
         "v1", "v2", F.round("cos_raw", 6).alias("cos_sim")
     )
+
+
+@register(
+    "shingle_novelty",
+    f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+s AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM t),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY shingle)
+SELECT ex.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty_ratio
+FROM ex JOIN firsts f ON f.shingle = ex.shingle
+GROUP BY ex.doc_id
+""",
+)
+def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-corpus novelty: the fraction of a document's (distinct)
+    3-token shingles whose FIRST occurrence (min doc_id = ingest order) is
+    this document — the "how much genuinely new content does this crawl
+    batch add" metric; near-dups of earlier docs score ≈ 0.
+
+    Scale: one shuffle keyed by shingle (min-combine map-side) re-joined to
+    the inverted index on the same key — co-partitioned, so AQE plans a
+    shuffle-free join — then a per-doc count.  No windows, no N² anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    inv = (
+        docs.select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
+        .select("doc_id", F.expr(SPARK_SHINGLES).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+    firsts = inv.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        inv.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novelty_ratio"),
+        )
+    )
