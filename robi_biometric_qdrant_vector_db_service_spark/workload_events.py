@@ -293,3 +293,59 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attr.click_value").alias("click_value"),
         (F.unix_micros("ts") - F.unix_micros("attr.click_ts")).alias("gap_us"),
     )
+
+
+@register(
+    "funnel_stages",
+    """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'click', CAST(count(*) AS BIGINT) FROM s3
+  UNION ALL SELECT 4, 'purchase', CAST(count(*) AS BIGINT) FROM s4
+)
+""",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users whose event history contains the
+    SUBSEQUENCE signup < view < click < purchase (strict event-time order),
+    counted per stage reached.  Earliest-occurrence greedy chaining — min
+    ts of stage k after stage k-1's chosen ts — is provably optimal for
+    subsequence matching, and expresses as k-1 co-partitioned user_id
+    equi-joins + min aggregates: every shuffle is on user_id, reused across
+    stages, no windows, no per-user sequence materialization."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame, etype: str, tcol: str, prev_t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage(s1, "view", "t2", "t1")
+    s3 = stage(s2, "click", "t3", "t2")
+    s4 = stage(s3, "purchase", "t4", "t3")
+    rows = None
+    for idx, (name, df) in enumerate(
+        [("signup", s1), ("view", s2), ("click", s3), ("purchase", s4)], start=1
+    ):
+        c = df.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_users"
+        )
+        rows = c if rows is None else rows.unionAll(c)
+    return rows
