@@ -25,10 +25,20 @@ set shrinks monotonically in expectation.  ``localCheckpoint`` truncates
 lineage per round — without it round ``i`` replays rounds ``1..i-1`` and
 total work goes quadratic in rounds.
 
-Convergence is checked with a symmetric ``exceptAll`` probe (one job per
-round, short-circuited by ``limit(1)``); the theoretical round bound for
-any input is O(log² n) so ``max_rounds`` default 25 covers any corpus that
-fits in a cluster (2^25 components deep would need > 10^7-diameter chains).
+Convergence is detected STRUCTURALLY rather than by diffing edge sets: the
+algorithm's fixed points are exactly the star labellings, i.e. edge sets
+where (a) no dst ever appears as a src and (b) every src carries a single
+dst.  (⇐: on such a set both stars are identities — a leaf's only, smaller
+neighbor is its root so it emits nothing new, and a root's min is itself.
+⇒: a violated (a) means some node still points above a smaller label; a
+violated (b) means two labels for one node — either way the next
+small-star changes the set.)  The test is one short-circuited job over the
+just-checkpointed edges and — unlike an ``exceptAll`` diff, which must
+compute round R+1 to observe "no change" — it certifies round R's output
+directly, and certifies pair/star-shaped inputs (the common dup-graph
+case) in zero rounds.  The theoretical round bound for any input is
+O(log² n), so ``max_rounds`` default 25 covers any corpus that fits in a
+cluster.
 """
 
 from __future__ import annotations
@@ -66,6 +76,23 @@ def _small_star(e: DataFrame) -> DataFrame:
     return relink.union(self_link).distinct()
 
 
+def _is_star_labelling(e: DataFrame) -> bool:
+    """Fixed-point test (see module docstring): every src has exactly one
+    dst AND no dst appears as a src — one short-circuited probe job."""
+    multi_dst = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select(F.lit(1).alias("v"))
+    )
+    dst_is_src = (
+        e.select(F.col("dst").alias("n"))
+        .join(e.select(F.col("src").alias("n")), "n", "left_semi")
+        .select(F.lit(1).alias("v"))
+    )
+    return multi_dst.union(dst_is_src).limit(1).count() == 0
+
+
 def connected_components(edges: DataFrame, *, max_rounds: int = 25) -> DataFrame:
     """Component labelling of an undirected edge list.
 
@@ -86,14 +113,12 @@ def connected_components(edges: DataFrame, *, max_rounds: int = 25) -> DataFrame
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_rounds):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
-        changed = e2.exceptAll(e).union(e.exceptAll(e2)).limit(1).count()
+    for _ in range(max_rounds + 1):
+        if _is_star_labelling(e):
+            break
         # superseded rounds' checkpoint blocks are released by the
         # ContextCleaner once the old DataFrame is unreachable
-        e = e2
-        if changed == 0:
-            break
+        e = _small_star(_large_star(e)).localCheckpoint()
     else:
         raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
     labels = e.select(F.col("src").alias("node"), F.col("dst").alias("component")).union(

@@ -350,11 +350,19 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — no exact-dedup shuffle.  DuckDB's sketch differs bit-wise, so
     the checkable contract is the ACCURACY claim: emit the exact count plus
     ``within_5pct`` (|approx − exact| ≤ 5 % · exact); the oracle recomputes
-    the exact count and asserts the boolean (VERDICT r1 item 4)."""
+    the exact count and asserts the boolean (VERDICT r1 item 4).
+
+    Plan note: mixing countDistinct with another aggregate makes Catalyst
+    plan an Expand (every input row duplicated per aggregate branch).
+    Pre-deduplicating the (flag, part) pairs and counting the survivors
+    keeps one map-side-combinable shuffle, and the HLL sketch of a set
+    equals the sketch of the multiset (register maxima ignore
+    multiplicity), so the approx estimate is bit-identical."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    agg = pairs.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").cast("bigint").alias("n_exact_parts"),
+        F.count("*").cast("bigint").alias("n_exact_parts"),
     )
     return agg.select(
         "l_returnflag",
