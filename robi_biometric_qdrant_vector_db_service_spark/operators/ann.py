@@ -123,14 +123,22 @@ def _assign_cells(corpus: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def kmeans_ivf_topk(
-    corpus: DataFrame, probes: DataFrame, k: int = 10, n_cells: int = 8, nprobe: int = 2
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search over the k-means codebook: probe the top-``nprobe`` cells
     per query, exact rescore inside.  At scale the assignment is a write-time
-    partition key, so probing prunes partitions at scan time.
+    partition key, so probing prunes partitions at scan time.  ``cents``
+    lets callers supply the pre-trained codebook (index training is a
+    background build; serving should not retrain per query).
 
     Returns (q_id, vec_id, rank, score)."""
-    cents = kmeans_centroids(corpus, k=n_cells)
+    if cents is None:
+        cents = kmeans_centroids(corpus, k=n_cells)
     assigned = _assign_cells(corpus, cents)
     cell_scores = probes.crossJoin(F.broadcast(cents)).withColumn(
         "cscore", F.expr(cosine_sql("q_emb", "centroid"))

@@ -152,14 +152,23 @@ def pq_adc_topk(
     ksub: int = 16,
     dim: int = 64,
     oversample: int = 4,
+    cents: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC search: broadcast per-probe LUTs over the code column, exact
     cosine rescore of the ``oversample × k`` ADC survivors.
 
+    ``cents``/``codes`` let callers supply the pre-trained codebook and the
+    pre-encoded code column (both are INDEX state written at build time,
+    like the reference's background HNSW indexing — serving neither
+    retrains nor re-encodes).
+
     Returns (q_id, vec_id, rank, score) — final ranking by exact score.
     """
-    cents = pq_codebooks(corpus, m=m, ksub=ksub, dim=dim)
-    codes = pq_encode(corpus, cents, m=m, dim=dim)
+    if cents is None:
+        cents = pq_codebooks(corpus, m=m, ksub=ksub, dim=dim)
+    if codes is None:
+        codes = pq_encode(corpus, cents, m=m, dim=dim)
 
     # per-probe LUT: lut[sub][code] = dot(q_sub, centroid) on the
     # normalized query — (probes × m × ksub) rows folded into one nested

