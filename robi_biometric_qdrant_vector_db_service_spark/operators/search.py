@@ -161,6 +161,139 @@ def verify(
     )
 
 
+def recommend(
+    corpus: DataFrame,
+    examples: DataFrame,
+    k: int = 10,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Q5: recommend-by-example — the Qdrant ``recommend`` API the reference's
+    client library exposes alongside ``search`` (qdrant_client.py:311 wraps
+    the same collection the public recommend endpoint serves).
+
+    ``examples``: (q_id, vec_id, polarity∈{'pos','neg'}) — example *point
+    ids*, resolved against the corpus, never raw vectors (the API contract).
+    Per query the synthetic probe follows Qdrant's documented
+    ``average_vector`` strategy::
+
+        q = avg(positives)                        if no negatives
+        q = avg(positives) + (avg(positives) - avg(negatives))
+
+    and the example points themselves are excluded from the results.
+
+    Plan shape: the example set is request-sized, so resolving vectors,
+    building the probe (posexplode → per-dimension avg → array re-assembly)
+    and the exclusion list all stay broadcast-side; the corpus is scanned
+    once, map-side, exactly like ``knn_search``.
+
+    Returns: (q_id, vec_id, rank, score).
+    """
+    validate_search_args(k, None)
+    ex_vecs = examples.join(
+        corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_emb")),
+        "vec_id",
+    )
+    dims = ex_vecs.select(
+        "q_id", "polarity", F.posexplode(F.col("_emb")).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    per_dim = dims.groupBy("q_id", "pos").agg(
+        F.avg(F.when(F.col("polarity") == "pos", F.col("v"))).alias("ap"),
+        F.avg(F.when(F.col("polarity") == "neg", F.col("v"))).alias("an"),
+    )
+    probes = (
+        per_dim.withColumn(
+            "qv",
+            F.when(F.col("an").isNull(), F.col("ap")).otherwise(
+                F.lit(2.0) * F.col("ap") - F.col("an")
+            ),
+        )
+        .groupBy("q_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "qv"))), lambda s: s["qv"]
+            ).alias("q_emb")
+        )
+    )
+    scored = score_pairs(corpus, probes, corpus_vec=corpus_vec).join(
+        F.broadcast(examples.select("q_id", F.col("vec_id").alias(corpus_id))),
+        ["q_id", corpus_id],
+        "left_anti",
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", corpus_id, "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def search_groups(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    group_col: str = "label",
+    n_groups: int = 5,
+    group_size: int = 3,
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Q6: grouped search — Qdrant's ``search_groups`` API over the payload
+    field the reference filters on (``user_id``/``label``,
+    qdrant_client.py:354-366): top ``n_groups`` groups per query ranked by
+    their best hit, at most ``group_size`` hits per group.
+
+    One shuffle on q_id serves all three windows: hash(q_id) satisfies the
+    (q_id, group) clustering (subset rule), so the hit ranking, group_best
+    and dense_rank all plan as sorts over the same exchange — grouping adds
+    no extra shuffle over plain top-k (asserted in test_plans).
+
+    Returns: (q_id, <group_col>, group_rank, vec_id, hit_rank, score).
+    """
+    scored = score_pairs(corpus, queries).repartition("q_id")
+    wg = Window.partitionBy("q_id", group_col).orderBy(F.desc("score"), F.col(corpus_id))
+    hits = scored.withColumn("hit_rank", F.row_number().over(wg)).filter(
+        F.col("hit_rank") <= group_size
+    )
+    hits = hits.withColumn(
+        "group_best", F.max("score").over(Window.partitionBy("q_id", group_col))
+    ).withColumn(
+        "group_rank",
+        F.dense_rank().over(
+            Window.partitionBy("q_id").orderBy(F.desc("group_best"), F.col(group_col))
+        ),
+    )
+    return hits.filter(F.col("group_rank") <= n_groups).select(
+        "q_id",
+        group_col,
+        "group_rank",
+        corpus_id,
+        "hit_rank",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def scroll_page(
+    corpus: DataFrame,
+    *,
+    after_id=None,
+    page_size: int = 100,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """S9: keyset-paginated scroll — Qdrant's ``scroll`` API (list points
+    with filter + ``next_page_offset``).  The cursor is ``id > after_id``,
+    never OFFSET: the predicate pushes into the parquet scan and the page is
+    a TakeOrderedAndProject (per-partition top-p, merge p rows on the
+    driver) — no global sort, no skip-scan, at any corpus size.
+
+    Callers apply payload filters before calling (they push down the same
+    way).  Returns the page ordered by ``id_col``.
+    """
+    if after_id is not None:
+        corpus = corpus.filter(F.col(id_col) > F.lit(after_id))
+    return corpus.orderBy(id_col).limit(page_size)
+
+
 def detect(
     corpus: DataFrame,
     queries: DataFrame,

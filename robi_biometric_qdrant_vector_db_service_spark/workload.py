@@ -817,6 +817,147 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q5/Q6/S9 — the remaining Qdrant client query surface the reference's
+# collection serves beside `search`: recommend-by-example, grouped search,
+# keyset scroll (public qdrant-client API; qdrant_client.py:311 wraps the
+# same collection).
+# ---------------------------------------------------------------------------
+
+# 4 recommend requests, each 2 positive + 1 negative example point id.  Two
+# positives keep the per-dimension average a single commutative addition, so
+# Spark's parallel avg and DuckDB's sequential avg are bit-identical.
+RECOMMEND_EXAMPLES = [
+    (q, vid, pol)
+    for q in range(4)
+    for vid, pol in [(2 * q, "pos"), (2 * q + 1, "pos"), (100 + q, "neg")]
+]
+
+_EX_VALUES = ", ".join(f"({q}, {v}, '{p}')" for q, v, p in RECOMMEND_EXAMPLES)
+
+
+@register(
+    "recommend_by_examples",
+    f"""
+WITH ex(q_id, vec_id, polarity) AS (VALUES {_EX_VALUES}),
+exv AS (
+  SELECT ex.q_id, ex.polarity, e.embedding FROM ex JOIN embeddings e USING (vec_id)
+),
+flat AS (
+  SELECT q_id, polarity, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM exv
+),
+per_dim AS (
+  SELECT q_id, pos,
+         avg(CASE WHEN polarity = 'pos' THEN v END) AS ap,
+         avg(CASE WHEN polarity = 'neg' THEN v END) AS an
+  FROM flat GROUP BY q_id, pos
+),
+probes AS (
+  SELECT q_id,
+         list(CASE WHEN an IS NULL THEN ap ELSE 2.0 * ap - an END ORDER BY pos) AS q_emb
+  FROM per_dim GROUP BY q_id
+),
+scored AS (
+  SELECT p.q_id, e.vec_id, {_dcos('e.embedding', 'p.q_emb')} AS score
+  FROM embeddings e CROSS JOIN probes p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ex WHERE ex.q_id = p.q_id AND ex.vec_id = e.vec_id
+  )
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def recommend_by_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 recommend: average_vector strategy from example point ids, examples
+    excluded from the hits (public Qdrant recommend API)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    examples = spark.createDataFrame(
+        RECOMMEND_EXAMPLES, "q_id int, vec_id bigint, polarity string"
+    )
+    return S.recommend(corpus, examples, k=10)
+
+
+@register(
+    "search_groups_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+),
+hits AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id, label ORDER BY score DESC, vec_id) AS hit_rank
+  FROM scored
+),
+kept AS (SELECT * FROM hits WHERE hit_rank <= 2),
+gb AS (
+  SELECT *, max(score) OVER (PARTITION BY q_id, label) AS group_best FROM kept
+),
+gr AS (
+  SELECT *, dense_rank() OVER (PARTITION BY q_id ORDER BY group_best DESC, label) AS group_rank
+  FROM gb
+)
+SELECT q_id, label, CAST(group_rank AS INT) AS group_rank, vec_id,
+       CAST(hit_rank AS INT) AS hit_rank, round(score, 6) AS score
+FROM gr WHERE group_rank <= 4
+""",
+)
+def search_groups_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 grouped search: top-4 labels per probe by best hit, ≤2 hits each
+    (public Qdrant search_groups API over the reference's payload field)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return S.search_groups(
+        corpus, _probes(spark, sf_dir, 4), n_groups=4, group_size=2
+    )
+
+
+@register(
+    "scroll_keyset",
+    """
+WITH f AS (SELECT vec_id, label FROM embeddings WHERE label IN (1, 3)),
+p1 AS (SELECT * FROM f ORDER BY vec_id LIMIT 50),
+b AS (SELECT max(vec_id) AS _b FROM p1),
+p2 AS (
+  SELECT f.* FROM f, b WHERE f.vec_id > b._b ORDER BY f.vec_id LIMIT 50
+)
+SELECT CAST(1 AS INT) AS page, vec_id, label FROM p1
+UNION ALL
+SELECT CAST(2 AS INT) AS page, vec_id, label FROM p2
+""",
+)
+def scroll_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 scroll: two consecutive keyset pages of a filtered listing.  The
+    page-2 cursor is derived relationally (max id of page 1, broadcast) —
+    the id predicate pushes to the scan; each page is a
+    TakeOrderedAndProject, no OFFSET skip-scan at any scale."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .filter(F.col("label").isin(1, 3))
+    )
+    p1 = S.scroll_page(emb, page_size=50).withColumn("page", F.lit(1))
+    boundary = p1.agg(F.max("vec_id").alias("_b"))
+    p2 = (
+        emb.crossJoin(F.broadcast(boundary))
+        .filter(F.col("vec_id") > F.col("_b"))
+        .drop("_b")
+        .orderBy("vec_id")
+        .limit(50)
+        .withColumn("page", F.lit(2))
+    )
+    return p1.unionByName(p2).select("page", "vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
 # Extended surfaces register themselves into this registry on import.
 # ---------------------------------------------------------------------------
 
@@ -834,6 +975,9 @@ from . import workload_graph  # noqa: E402,F401
 # so any sequential budget on the driver side covers them (VERDICT r1 item
 # 1).  Kept here next to the registry; consumed by __spark_entry__.queries().
 FRONT_QUERIES = [
+    "recommend_by_examples",
+    "search_groups_topk",
+    "scroll_keyset",
     "salted_user_rollup",
     "multimodal_decode",
     "multimodal_frame_sample",
