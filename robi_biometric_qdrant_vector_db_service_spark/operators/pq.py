@@ -39,6 +39,17 @@ from ..functions.vector import cosine_sql, l2_normalize_sql
 
 _DEC12 = "decimal(28,12)"
 
+# Squared-L2 fold with per-term round-to-9dp DECIMAL accumulation: exact and
+# order-independent, so code assignment is bit-identical on any partitioning
+# AND matches a sequential oracle (the repo's additive-aggregate discipline,
+# workload.py module docstring).  Index-build path — the decimal arithmetic
+# cost is paid once at encode time, never at serve time.
+_L2SQ_DEC = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(round((x - y) * (x - y), 9) AS DECIMAL(19,9))), "
+    "CAST(0.0 AS DECIMAL(19,9)), (acc, v) -> CAST(acc + v AS DECIMAL(19,9))) AS DOUBLE)"
+)
+
 # squared L2 distance between two equal-length double arrays
 _L2SQ = (
     "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
@@ -107,7 +118,7 @@ def _assign_codes(subs: DataFrame, cents: DataFrame) -> DataFrame:
     with a code tiebreak keeps it a map-side-combinable hash agg."""
     id_col = subs.columns[0]
     paired = subs.join(F.broadcast(cents), "sub")
-    d = _L2SQ.format(a="subvec", b="centroid")
+    d = _L2SQ_DEC.format(a="subvec", b="centroid")
     scored = paired.withColumn("d", F.expr(d))
     return (
         scored.groupBy(id_col, "sub")
@@ -204,6 +215,113 @@ def pq_adc_topk(
     rescored = (
         survivors.join(corpus.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(qe), "q_id")
+        .withColumn("score", F.expr(cosine_sql("embedding", "q_emb")))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    oversample: int = 4,
+    cell_col: str = "label",
+    coarse: DataFrame | None = None,
+    cents: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF+PQ composed search — the FAISS IVFPQ layout (Jégou §V) and the
+    batch analogue of Qdrant's HNSW-over-PQ option the reference's
+    quantization config gestures at (qdrant_client.py:129-138).
+
+    Index state (all off the query path, like the reference's background
+    indexing): ``coarse`` cell centroids (default: per-label DECIMAL-exact
+    means — supply ``ann.kmeans_centroids`` output in production),
+    ``cents`` PQ codebooks (default: init-from-first-``ksub`` — supply
+    ``pq_codebooks(..., iters>0)`` for the Lloyd-trained book; the default
+    keeps the registered query fully SQL-expressible for the oracle),
+    ``codes`` the encoded corpus with its cell id.
+
+    Serve plan, in 100 TB terms:
+    1. probe: query × coarse centroids (tiny, broadcast) → top-``nprobe``
+       cells — at scale the cell id is the write-time partition key, so
+       this prunes partition directories before any scan;
+    2. ADC: the scan inside probed cells reads the m-byte code column only
+       (32× narrower than the floats); LUT rows are broadcast and the
+       per-candidate score is an exact DECIMAL sum (order-independent →
+       deterministic under any partitioning);
+    3. exact cosine rescore of the ``oversample × k`` survivors against the
+       float vectors — only oversample×k×Q rows ever touch full vectors.
+
+    One q_id shuffle serves the ADC aggregate and both ranking windows
+    (subset satisfaction).  Returns (q_id, vec_id, rank, score).
+    """
+    from .ann import label_centroids
+
+    if coarse is None:
+        coarse = label_centroids(corpus).select(
+            F.col(cell_col).alias("cell"), "centroid"
+        )
+    if cents is None:
+        cents = pq_codebooks(corpus, m=m, ksub=ksub, dim=dim, iters=0)
+    if codes is None:
+        codes = pq_encode(corpus, cents, m=m, dim=dim).join(
+            corpus.select("vec_id", F.col(cell_col).alias("cell")), "vec_id"
+        )
+
+    # stage 1 — probe top-nprobe cells per query
+    cell_scores = probes.crossJoin(F.broadcast(coarse)).withColumn(
+        "cscore", F.expr(cosine_sql("q_emb", "centroid"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("cscore"), F.col("cell"))
+    probe_cells = (
+        cell_scores.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= nprobe)
+        .select("q_id", "cell")
+    )
+
+    # stage 2 — ADC over the probed cells' codes
+    qn = probes.withColumn("qn", F.expr(l2_normalize_sql("q_emb")))
+    qsubs = _subvectors(qn, "qn", m, dim).select("q_id", "sub", "subvec")
+    dot = (
+        "aggregate(zip_with(subvec, centroid, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    lut_rows = qsubs.join(F.broadcast(cents), "sub").select(
+        "q_id", "sub", "code", F.expr(dot).alias("p")
+    )
+    cand = codes.join(F.broadcast(probe_cells), "cell").repartition("q_id")
+    cexp = cand.select("q_id", "vec_id", F.posexplode("codes").alias("sub", "code"))
+    adc = (
+        cexp.join(F.broadcast(lut_rows), ["q_id", "sub", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum(F.expr("CAST(round(p, 9) AS DECIMAL(19,9))"))
+            .cast("double")
+            .alias("adc")
+        )
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.col("vec_id"))
+    survivors = (
+        adc.withColumn("arank", F.row_number().over(w1))
+        .filter(F.col("arank") <= oversample * k)
+        .select("q_id", "vec_id")
+    )
+
+    # stage 3 — exact rescore of survivors only
+    rescored = (
+        survivors.join(corpus.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(probes.select("q_id", "q_emb")), "q_id")
         .withColumn("score", F.expr(cosine_sql("embedding", "q_emb")))
     )
     w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))

@@ -975,6 +975,7 @@ from . import workload_graph  # noqa: E402,F401
 # so any sequential budget on the driver side covers them (VERDICT r1 item
 # 1).  Kept here next to the registry; consumed by __spark_entry__.queries().
 FRONT_QUERIES = [
+    "ann_ivfpq_topk",
     "recommend_by_examples",
     "search_groups_topk",
     "scroll_keyset",

