@@ -30,6 +30,7 @@ from .workload_dedup import (
     DUCK_TOKENS,
     JACCARD_T,
     jaccard_pairs,
+    staged_shingle_index,
 )
 
 # Shared oracle text: capped-Jaccard pairs (identical to ngram_jaccard_dups)
@@ -86,7 +87,11 @@ def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor), plus the group size.  Components via distributed
     large-star/small-star (`operators.graph.connected_components`)."""
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(jaccard_pairs(docs).select("doc1", "doc2"))
+    comp = connected_components(
+        jaccard_pairs(docs, index=staged_shingle_index(spark, sf_dir)).select(
+            "doc1", "doc2"
+        )
+    )
     sizes = comp.groupBy("component").agg(F.count("*").alias("gs"))
     return (
         comp.join(sizes, "component")
@@ -119,7 +124,11 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — the drop set is usually tiny but scales with the dup rate,
     so AQE picks the join strategy from its runtime size."""
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(jaccard_pairs(docs).select("doc1", "doc2"))
+    comp = connected_components(
+        jaccard_pairs(docs, index=staged_shingle_index(spark, sf_dir)).select(
+            "doc1", "doc2"
+        )
+    )
     dropped = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
