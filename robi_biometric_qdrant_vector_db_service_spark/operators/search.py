@@ -273,6 +273,108 @@ def search_groups(
     )
 
 
+def discover(
+    corpus: DataFrame,
+    targets: DataFrame,
+    context: DataFrame,
+    k: int = 10,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Q7: discovery search — Qdrant's ``discover`` API: rank by similarity
+    to a target, restricted to the region the context pairs carve out.
+
+    ``targets``: (q_id, q_emb).  ``context``: (q_id, pos_id, neg_id) pairs
+    of example *point ids*.  A candidate is context-consistent for a pair
+    when it is closer to the positive than to the negative example
+    (Qdrant's context filter: each pair contributes zero loss only on the
+    positive side of its bisecting hyperplane); candidates must satisfy
+    EVERY pair, then rank by target cosine.
+
+    Plan shape: pair vectors resolve broadcast-side and collapse to one
+    array row per query; the corpus is scanned once and the context test is
+    a map-side ``forall`` conjunction — only the surviving candidates reach
+    the ranking shuffle (an explode+groupBy would shuffle Q×N rows).
+
+    Returns: (q_id, vec_id, rank, score).
+    """
+    validate_search_args(k, None)
+    vecs = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cemb")
+    )
+    pairs = (
+        context.join(
+            vecs.select(
+                F.col("_cid").alias("pos_id"), F.col("_cemb").alias("pos_emb")
+            ),
+            "pos_id",
+        )
+        .join(
+            vecs.select(
+                F.col("_cid").alias("neg_id"), F.col("_cemb").alias("neg_emb")
+            ),
+            "neg_id",
+        )
+        .select("q_id", "pos_emb", "neg_emb")
+    )
+    pair_arrays = pairs.groupBy("q_id").agg(
+        F.collect_list(F.struct("pos_emb", "neg_emb")).alias("ctx")
+    )
+    ok_expr = (
+        "forall(ctx, p -> "
+        + cosine_sql(corpus_vec, "p.pos_emb")
+        + " > "
+        + cosine_sql(corpus_vec, "p.neg_emb")
+        + ")"
+    )
+    cand = corpus.crossJoin(F.broadcast(pair_arrays)).filter(F.expr(ok_expr))
+    ranked = cand.join(F.broadcast(targets), "q_id").withColumn(
+        "score", F.expr(cosine_sql(corpus_vec, "q_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(corpus_id))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", corpus_id, "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def similarity_matrix_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Q8: distance-matrix sampling — Qdrant's ``search_matrix`` API:
+    pairwise similarity among the (filtered) points, top-``k`` neighbours
+    per point, self excluded.
+
+    This is the kNN-join special case query==corpus: callers pre-filter the
+    corpus (the filter pushes to the scan on both legs); the per-point
+    ranking shuffle carries only survivors.  For unfiltered 100 TB corpora
+    the blocked-GEMM pair scan (operators.pairscan) is the bulk path — this
+    operator is the request-sized API twin.
+
+    Returns: (vec_id, other_id, rank, score).
+    """
+    probes = corpus.select(
+        F.col(corpus_id).alias("other_id"), F.col(corpus_vec).alias("q_emb")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col(corpus_id) != F.col("other_id"))
+        .withColumn("score", F.expr(cosine_sql(corpus_vec, "q_emb")))
+    )
+    w = Window.partitionBy(corpus_id).orderBy(F.desc("score"), F.col("other_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(corpus_id, "other_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 def scroll_page(
     corpus: DataFrame,
     *,

@@ -957,6 +957,109 @@ def scroll_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p1.unionByName(p2).select("page", "vec_id", "label")
 
 
+# 2 discovery requests, each 2 (positive, negative) context example pairs.
+DISCOVER_CONTEXT = [(0, 10, 20), (0, 12, 22), (1, 11, 21), (1, 13, 23)]
+
+_CTX_VALUES = ", ".join(f"({q}, {p}, {n})" for q, p, n in DISCOVER_CONTEXT)
+
+
+@register(
+    "discover_context",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 2
+),
+ctx(q_id, pos_id, neg_id) AS (VALUES {_CTX_VALUES}),
+pairs AS (
+  SELECT ctx.q_id, p.embedding AS pos_emb, n.embedding AS neg_emb
+  FROM ctx JOIN embeddings p ON p.vec_id = ctx.pos_id
+           JOIN embeddings n ON n.vec_id = ctx.neg_id
+),
+ok AS (
+  SELECT pr.q_id, e.vec_id,
+         min(CASE WHEN {_dcos('e.embedding', 'pr.pos_emb')}
+                     > {_dcos('e.embedding', 'pr.neg_emb')} THEN 1 ELSE 0 END) AS all_ok
+  FROM embeddings e CROSS JOIN pairs pr
+  GROUP BY pr.q_id, e.vec_id
+),
+scored AS (
+  SELECT o.q_id, o.vec_id, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM ok o JOIN embeddings e ON e.vec_id = o.vec_id JOIN q ON q.q_id = o.q_id
+  WHERE o.all_ok = 1
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def discover_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 discovery search: rank by target similarity inside the region the
+    context pairs carve out — every candidate must sit on the positive side
+    of each pair's bisecting hyperplane (public Qdrant discover API)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    targets = _probes(spark, sf_dir, 2)
+    context = spark.createDataFrame(
+        DISCOVER_CONTEXT, "q_id bigint, pos_id bigint, neg_id bigint"
+    )
+    return S.discover(corpus, targets, context, k=10)
+
+
+@register(
+    "similarity_matrix_topk",
+    f"""
+WITH f AS (SELECT vec_id, embedding FROM embeddings WHERE label IN (4, 7)),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS other_id, {_dcos('a.embedding', 'b.embedding')} AS score
+  FROM f a JOIN f b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, other_id, score,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, other_id) AS rank
+  FROM scored
+)
+SELECT vec_id, other_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 distance matrix: pairwise cosine among the filtered points, top-5
+    neighbours per point, self excluded (public Qdrant search_matrix API).
+    The label filter pushes to the scan on both legs."""
+    corpus = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isin(4, 7)
+    )
+    return S.similarity_matrix_topk(corpus, k=5)
+
+
+@register(
+    "facet_counts",
+    """
+SELECT source, CAST(count(*) AS BIGINT) AS n
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+ORDER BY n DESC, source
+LIMIT 10
+""",
+)
+def facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 facet counts: per-value cardinalities of a payload field under a
+    filter (public Qdrant facet API) — a pushed scan predicate, a map-side-
+    combined count, top values by count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "source")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extended surfaces register themselves into this registry on import.
 # ---------------------------------------------------------------------------
@@ -975,6 +1078,9 @@ from . import workload_graph  # noqa: E402,F401
 # so any sequential budget on the driver side covers them (VERDICT r1 item
 # 1).  Kept here next to the registry; consumed by __spark_entry__.queries().
 FRONT_QUERIES = [
+    "discover_context",
+    "similarity_matrix_topk",
+    "facet_counts",
     "ann_ivfpq_topk",
     "recommend_by_examples",
     "search_groups_topk",

@@ -126,3 +126,67 @@ def test_scroll_cursor_pushes_to_scan_no_global_sort(spark):
     # keyset page = per-partition top-p merged on the driver, not a sort+offset
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+# -- discover / matrix / facet ----------------------------------------------
+
+
+def test_discover_candidates_satisfy_context(spark):
+    """Every returned candidate must be strictly closer to each positive
+    example than to its paired negative."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import discover
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    targets = _probes(spark, 1).withColumnRenamed("vec_id", "q_id")
+    context = spark.createDataFrame(
+        [(0, 5, 9), (0, 7, 11)], "q_id bigint, pos_id bigint, neg_id bigint"
+    )
+    got = discover(corpus, targets, context, k=10).collect()
+    assert got, "discover returned no candidates"
+    import math
+
+    emb = {r.vec_id: [float(x) for x in r.embedding] for r in corpus.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1e-12
+        nb = math.sqrt(sum(x * x for x in b)) or 1e-12
+        return dot / (na * nb)
+
+    for r in got:
+        c = emb[r.vec_id]
+        for pos, neg in [(5, 9), (7, 11)]:
+            assert cos(c, emb[pos]) > cos(c, emb[neg]), (r.vec_id, pos, neg)
+
+
+def test_discover_context_filter_is_map_side(spark):
+    """The all-pairs conjunction must run as a scan-side forall filter —
+    candidates are pruned before any exchange, so the ranking shuffle
+    carries survivors only."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import discover
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    targets = _probes(spark, 1).withColumnRenamed("vec_id", "q_id")
+    context = spark.createDataFrame(
+        [(0, 5, 9)], "q_id bigint, pos_id bigint, neg_id bigint"
+    )
+    plan = _plan(discover(corpus, targets, context, k=5))
+    assert "forall" in plan, plan
+
+
+def test_similarity_matrix_no_self_pairs_and_ranks(spark):
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import (
+        similarity_matrix_topk,
+    )
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("label").isin(1, 2))
+    rows = similarity_matrix_topk(corpus, k=3).collect()
+    n_points = corpus.count()
+    assert rows
+    per = {}
+    for r in rows:
+        assert r.vec_id != r.other_id
+        per.setdefault(r.vec_id, []).append(r.rank)
+    for v, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= min(3, n_points - 1)
