@@ -1,0 +1,82 @@
+"""Vector-search SERVING as Structured Streaming.
+
+The reference is an always-on search service: probe vectors arrive over
+HTTP and are scored against the in-RAM collection
+(src/api/endpoints.py → qdrant_client.py:311-405).  The engine twin turns
+the request side into the stream: probe batches arrive on a file/Kafka
+source, each micro-batch broadcast-scores against the STATIC corpus and
+appends its top-k results to the sink — request latency is the trigger
+interval plus one map-side scan of the (cached) corpus partitions.
+
+Why this shape scales:
+- the corpus is the stream-static side and never moves: each micro-batch
+  re-uses the same cached/partitioned corpus, only the (tiny) probe batch
+  is broadcast — identical physical plan to the batch ``knn_search``, so
+  the serving path inherits every batch-plan property (pushdown, map-side
+  WindowGroupLimit, no corpus shuffle);
+- ``foreachBatch`` + checkpoint gives at-least-once request processing
+  with idempotent (re-)appends per batch id;
+- the drained bounded run must equal the batch engine on the same probes
+  — asserted by the driver oracle (same SQL as ``knn_topk``).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.search import knn_search
+from ..sources.catalog import load_table
+
+PROBE_SCHEMA = "q_id bigint, q_emb array<float>"
+
+_staged_probe_cache: dict[str, str] = {}
+N_PROBE_FILES = 4
+
+
+def _staged_probe_batches_path(spark: SparkSession, sf_dir: str) -> str:
+    """The request log: 8 probe vectors split across 4 parquet files (2 per
+    file, partitioned by a deterministic batch key) so ``maxFilesPerTrigger
+    = 1`` drains as 4 micro-batches of 2 requests each."""
+    if sf_dir not in _staged_probe_cache:
+        out = tempfile.mkdtemp(prefix="stream_probes_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            (F.col("vec_id") % N_PROBE_FILES).cast("int").alias("batch"),
+        )
+        probes.write.mode("overwrite").partitionBy("batch").parquet(out)
+        _staged_probe_cache[sf_dir] = out
+    return _staged_probe_cache[sf_dir]
+
+
+def search_serving_stream(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Drain the probe stream against the static corpus; return the
+    accumulated results (q_id, vec_id, rank, score) — must equal the batch
+    ``knn_search`` over the same probes."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    path = _staged_probe_batches_path(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="stream_serving_out_")
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        res = knn_search(corpus, batch_df.select("q_id", "q_emb"), k=k)
+        res.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(PROBE_SCHEMA + ", batch int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_serving_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)

@@ -1078,6 +1078,7 @@ from . import workload_graph  # noqa: E402,F401
 # so any sequential budget on the driver side covers them (VERDICT r1 item
 # 1).  Kept here next to the registry; consumed by __spark_entry__.queries().
 FRONT_QUERIES = [
+    "stream_search_serving",
     "discover_context",
     "similarity_matrix_topk",
     "facet_counts",

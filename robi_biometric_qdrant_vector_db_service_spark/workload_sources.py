@@ -389,3 +389,44 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.joins import attribution_join_stream
 
     return attribution_join_stream(spark, sf_dir, _uniq("attr_join"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming search serving — the reference's request loop with the request
+# side as the stream and the corpus static.
+# ---------------------------------------------------------------------------
+
+from .workload import _ORACLE_SCORED  # noqa: E402
+
+
+@register(
+    "stream_search_serving",
+    _ORACLE_SCORED
+    + """
+, ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def stream_search_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search serving as Structured Streaming (streaming/serving.py): probe
+    batches drain through foreachBatch, each broadcast-scored against the
+    static corpus with the SAME physical plan as batch knn_search — the
+    drained results must equal the batch engine on the same 8 probes, which
+    is exactly the knn_topk oracle."""
+    from .streaming.serving import search_serving_stream
+
+    return search_serving_stream(spark, sf_dir, k=10)
+
+
+def _prepare_serving_staging(spark: SparkSession, sf_dir: str) -> None:
+    from .streaming.serving import _staged_probe_batches_path
+
+    _staged_probe_batches_path(spark, sf_dir)
+
+
+PREPARE.append(_prepare_serving_staging)

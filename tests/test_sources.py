@@ -163,3 +163,25 @@ def test_store_edge_cases(spark, tmp_path):
     stats = store.stats()
     assert stats["total_vectors"] == 2 and stats["distinct_users"] == 2
     assert abs(stats["avg_norm"] - 1.0) < 1e-9  # normalize-at-write
+
+
+def test_stream_search_serving_equals_batch(spark):
+    """The drained serving stream must produce exactly the batch engine's
+    top-k for the same probes — same plan, different arrival mode."""
+    import robi_biometric_qdrant_vector_db_service_spark.workload  # noqa: F401 — registry init
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import knn_search
+    from robi_biometric_qdrant_vector_db_service_spark.streaming.serving import search_serving_stream
+
+    streamed = {
+        (r.q_id, r.vec_id, r.rank, r.score)
+        for r in search_serving_stream(spark, SF_SMOKE, k=5).collect()
+    }
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    probes = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    batch = {
+        (r.q_id, r.vec_id, r.rank, r.score)
+        for r in knn_search(corpus, probes, k=5).collect()
+    }
+    assert streamed == batch
