@@ -430,3 +430,115 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("top_frac"),
         (frac > REPETITION_T).alias("is_repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Char-bigram LM quality scoring — the statistical-LM quality dimension
+# (KenLM-style perplexity filtering in real pipelines).  Scores are kept in
+# probability space, not log space: add-1 bigram probabilities are exact
+# integer ratios, so DECIMAL-summed means are bit-identical across engines,
+# where ln() would differ in the last ulp between libm and Java (the same
+# engine-checkability trade as TF-IDF's raw N/df ratio).
+# ---------------------------------------------------------------------------
+
+
+_charlm_cache: dict[str, list] = {}
+
+
+def _charlm_model(spark: SparkSession, sf_dir: str) -> list:
+    """Train the corpus char-bigram LM once per corpus (one explode →
+    map-side-combined groupBy; the model is vocab² rows of (bg, p)) and pin
+    it driver-side — the k-means-codebook discipline for model state."""
+    if sf_dir not in _charlm_cache:
+        docs = load_table(spark, sf_dir, "documents")
+        ex = docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+                )
+            ).alias("bg")
+        )
+        lm = ex.groupBy("bg").agg(F.count("*").alias("cnt"))
+        ctx = lm.groupBy(F.expr("substring(bg, 1, 1)").alias("c1")).agg(
+            F.sum("cnt").alias("cctx")
+        )
+        v = lm.select(F.countDistinct(F.expr("substring(bg, 2, 1)")).alias("vsize"))
+        _charlm_cache[sf_dir] = (
+            lm.join(ctx, F.expr("substring(bg, 1, 1)") == F.col("c1"))
+            .crossJoin(v)
+            .select("bg", F.expr("round((cnt + 1.0) / (cctx + vsize), 12)").alias("p"))
+            .collect()
+        )
+    return _charlm_cache[sf_dir]
+
+
+def _prepare_charlm(spark: SparkSession, sf_dir: str) -> None:
+    _charlm_model(spark, sf_dir)
+
+
+from .workload import PREPARE  # noqa: E402
+
+PREPARE.append(_prepare_charlm)
+
+
+@register(
+    "charlm_quality",
+    """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text)),
+                               i -> substr(text, CAST(i AS INT), 2))) AS bg
+  FROM documents
+),
+lm AS (SELECT bg, count(*) AS cnt FROM ex GROUP BY bg),
+ctx AS (SELECT substr(bg, 1, 1) AS c1, sum(cnt) AS cctx FROM lm GROUP BY 1),
+v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS vsize FROM lm),
+p_table AS (
+  SELECT lm.bg,
+         CAST(round((lm.cnt + 1.0) / (ctx.cctx + v.vsize), 12) AS DECIMAL(16,12)) AS p
+  FROM lm JOIN ctx ON substr(lm.bg, 1, 1) = ctx.c1 CROSS JOIN v
+)
+SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS avg_p
+FROM ex JOIN p_table ON p_table.bg = ex.bg
+GROUP BY ex.doc_id
+""",
+)
+def charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained char-bigram LM scored over each document: mean add-1
+    transition probability of the doc's character bigrams.  Atypical
+    character statistics (mojibake, binary junk, boilerplate runs) score
+    low — the classic perplexity quality gate, probability-space.
+
+    Plan: one explode → groupBy builds the LM (map-side combined); context
+    counts and the smoothing vocabulary derive from the LM itself (exact
+    integer sums, no second corpus pass).  The probability table is vocab²
+    — MODEL state, pinned driver-side like the k-means codebooks — so
+    scoring is a pure map-side projection: a DECIMAL fold over each doc's
+    bigrams against the broadcast map literal.  ONE shuffle total (the LM
+    build) at any corpus size; the scoring pass shuffles nothing.
+
+    Probabilities are computed and 12dp-rounded by Spark SQL (never
+    Python), keeping the round() semantics identical to the oracle's."""
+    docs = load_table(spark, sf_dir, "documents")
+    p_rows = _charlm_model(spark, sf_dir)
+    keys = [r.bg for r in p_rows]
+    vals = [r.p for r in p_rows]
+    lm_map = F.map_from_arrays(F.lit(keys), F.lit(vals))
+    fold = (
+        "aggregate(transform(sequence(1, length(text) - 1), "
+        "i -> substring(text, i, 2)), "
+        "CAST(0.0 AS DECIMAL(19,12)), "
+        "(acc, bg) -> CAST(acc + CAST(element_at(_lm, bg) AS DECIMAL(16,12)) AS DECIMAL(19,12)))"
+    )
+    return (
+        docs.filter(F.expr("length(text) >= 2"))
+        .withColumn("_lm", lm_map)
+        .select(
+            "doc_id",
+            (F.length("text") - 1).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.expr(fold).cast("double") / (F.length("text") - 1), 6
+            ).alias("avg_p"),
+        )
+    )
