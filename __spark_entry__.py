@@ -22,8 +22,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _ordered() -> list[str]:
-    # front the queries whose round-1 correctness rows were lost to the
-    # driver's sequential cutoff, so they are recorded first this round
+    # FRONT_QUERIES rotates per round by recording provenance (never
+    # driver-recorded first, then changed-this-round, then stalest rows) so
+    # the driver's 50-row correctness window cycles through the registry;
+    # the rest keep registry order and are covered by the committed local
+    # oracle replica (CORRECTNESS_LOCAL_r{N}.json)
     return FRONT_QUERIES + [n for n in REGISTRY if n not in FRONT_QUERIES]
 
 

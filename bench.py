@@ -85,22 +85,59 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    detail = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # what the per-query timings EXCLUDE (ADVICE r1): one-time
+        # warmup/staging wall time and whether the opt-in memory-resident
+        # hot store served the reads
+        "warmup_prepare_sec": warmup_sec,
+        "hot_cache": hot_cache,
+        "iters": iters,
+        "per_query_stat": "min",
+    }
+    # full per-query detail goes to a file (and an informational line):
+    # 97 queries don't fit the consumer's 2000-char output-tail window, so
+    # the FINAL line is compact — total + a headline subset — and parseable
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print("full per-query detail:", detail_path)
+    headline = {
+        n: timings[n]
+        for n in (
+            "knn_topk", "knn_filtered", "knn_batch_throughput", "knn_topk_gemm",
+            "ann_ivfpq_topk", "pq_adc_topk", "ann_kmeans_ivf_topk",
+            "int8_rescore_topk", "multi_vector_fusion", "ingest_bulk_100k",
+            "upsert_merge", "delete_by_user", "minhash_lsh_dups",
+            "ngram_jaccard_dups", "embedding_near_dups_lsh",
+            "dedup_group_components", "tfidf_top_terms", "charlm_quality",
+            "multimodal_resize", "stream_dedup_events", "stream_search_serving",
+            "regional_revenue",
+        )
+        if n in timings
+    }
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline,
+                "n_queries_total": len(timings),
                 "sf": sf,
-                # what the per-query timings EXCLUDE (ADVICE r1): one-time
-                # warmup/staging wall time and whether the opt-in
-                # memory-resident hot store served the reads
                 "warmup_prepare_sec": warmup_sec,
                 "hot_cache": hot_cache,
                 "iters": iters,
                 "per_query_stat": "min",
-            }
+                "detail_file": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
 

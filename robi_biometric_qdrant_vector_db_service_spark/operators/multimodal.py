@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,6 +43,29 @@ def to_blob_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def _flatten(blobs: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One Arrow batch of binary rows → a single contiguous uint8 buffer +
+    per-row (start, end, len) offsets — the zero-per-row-Python batch shape
+    a real vectorized codec needs (one frombuffer, C-speed everywhere
+    after)."""
+    n = len(blobs)
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+    data = (
+        np.frombuffer(b"".join(bytes(b) for b in blobs), dtype=np.uint8)
+        if n
+        else np.empty(0, dtype=np.uint8)
+    )
+    ends = np.cumsum(lens)
+    return data, ends - lens, ends, lens
+
+
+def _segment_sums(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Per-segment byte sums via one int64 cumsum + two gathers (robust for
+    empty segments, unlike add.reduceat)."""
+    csum = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
+    return csum[ends] - csum[starts]
+
+
 def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """STUB DECODER (deterministic fake — no codec libs in this image).
 
@@ -52,18 +76,19 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
       n_frames = n_bytes // 100 + 1      (a fake video frame-sample count)
       byte_checksum = sum(bytes) % 1000003
     A real decoder would raise NotImplementedError here if bytes were a
-    real codec stream; the arithmetic below exercises the same batch shape.
+    real codec stream; the arithmetic below exercises the same batch shape
+    — fully vectorized (one flattened buffer, cumsum segment sums), no
+    per-row Python.
     """
-    blobs = pdf["blob"]
-    n_bytes = blobs.map(len)
+    data, starts, ends, lens = _flatten(pdf["blob"])
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
-            "n_bytes": n_bytes,
-            "width": (n_bytes % 64 + 16).astype("int32"),
-            "height": (n_bytes % 48 + 16).astype("int32"),
-            "n_frames": (n_bytes // 100 + 1).astype("int32"),
-            "byte_checksum": blobs.map(lambda b: sum(b) % 1000003).astype("int64"),
+            "n_bytes": lens,
+            "width": (lens % 64 + 16).astype("int32"),
+            "height": (lens % 48 + 16).astype("int32"),
+            "n_frames": (lens // 100 + 1).astype("int32"),
+            "byte_checksum": _segment_sums(data, starts, ends) % 1000003,
         }
     )
 
@@ -90,13 +115,25 @@ def resize_blobs(blobs: DataFrame, factor: int = 2) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = pdf["blob"].map(lambda b: bytes(bytes(b)[::factor]))
+            data, starts, ends, lens = _flatten(pdf["blob"])
+            # keep every factor-th byte of each row, batch-wide: one
+            # boolean mask over the flattened buffer (relative position
+            # within the owning row ≡ 0 mod factor), then re-slice rows
+            # out of the kept bytes — no per-row byte loops
+            rel = np.arange(data.size, dtype=np.int64) - np.repeat(starts, lens)
+            kept = data[rel % factor == 0]
+            new_lens = (lens + factor - 1) // factor
+            new_ends = np.cumsum(new_lens)
+            new_starts = new_ends - new_lens
+            resized = [
+                kept[s:e].tobytes() for s, e in zip(new_starts, new_ends)
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "blob": resized,
                     "media_type": pdf["media_type"],
-                    "n_bytes": resized.map(len).astype("int64"),
+                    "n_bytes": new_lens,
                 }
             )
 
@@ -115,20 +152,25 @@ def sample_frames(blobs: DataFrame, stride: int = 4) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            doc_ids, idxs, sums = [], [], []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                b = bytes(blob)
-                n_frames = len(b) // 100 + 1
-                for k in range(0, n_frames, stride):
-                    seg = b[k * 100 : (k + 1) * 100]
-                    doc_ids.append(doc_id)
-                    idxs.append(k)
-                    sums.append(sum(seg) % 1000003)
+            data, starts, ends, lens = _flatten(pdf["blob"])
+            # expand rows to sampled frames entirely with offset
+            # arithmetic: repeat each doc ceil(n_frames/stride) times, then
+            # one cumsum gather scores every sampled 100-byte window
+            n_frames = lens // 100 + 1
+            n_samp = (n_frames + stride - 1) // stride
+            doc_rep = np.repeat(np.arange(len(lens)), n_samp)
+            samp_ends = np.cumsum(n_samp)
+            within = np.arange(int(n_samp.sum()), dtype=np.int64) - np.repeat(
+                samp_ends - n_samp, n_samp
+            )
+            frame_idx = within * stride
+            fs = starts[doc_rep] + 100 * frame_idx
+            fe = np.minimum(fs + 100, ends[doc_rep])
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(doc_ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                    "doc_id": pdf["doc_id"].to_numpy()[doc_rep],
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_checksum": _segment_sums(data, fs, fe) % 1000003,
                 }
             )
 

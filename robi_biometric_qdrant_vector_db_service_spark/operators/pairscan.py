@@ -32,6 +32,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Upper bound on the driver-collected probe batch (request side of the
+# GEMM plan): 100k × dim-64 doubles ≈ 50 MB broadcast — comfortably request
+# scale, far below anything corpus-shaped.
+MAX_PROBE_ROWS = 100_000
+
 PAIR_SCHEMA = "v1 bigint, v2 bigint, cos_raw double"
 
 
@@ -85,7 +90,18 @@ def gemm_knn(
 
     from pyspark.sql import Window
 
-    q_rows = probes.select("q_id", "q_emb").collect()
+    # request-side contract: the probe batch is collected to the driver, so
+    # it must be request-sized — fail fast with a clear error instead of
+    # letting a corpus-sized table masquerade as the query side and OOM the
+    # driver (collect limit+1 rows: one job, no separate count)
+    q_rows = probes.select("q_id", "q_emb").limit(MAX_PROBE_ROWS + 1).collect()
+    if len(q_rows) > MAX_PROBE_ROWS:
+        raise ValueError(
+            f"gemm_knn probe side exceeds MAX_PROBE_ROWS={MAX_PROBE_ROWS}: "
+            "the probe batch is driver-collected request state; for "
+            "corpus × corpus similarity use blocked_pair_scores / the LSH "
+            "near-dup operators instead"
+        )
     qids_h = np.asarray([r["q_id"] for r in q_rows], dtype=np.int64)
     Q_h = np.asarray([list(r["q_emb"]) for r in q_rows], dtype=np.float64)
     bc = corpus.sparkSession.sparkContext.broadcast((qids_h, Q_h))

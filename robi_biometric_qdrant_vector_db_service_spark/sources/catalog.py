@@ -68,11 +68,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB oracle even when the HOSTING session didn't configure it —
     # the driver contract hands us an arbitrary SparkSession
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # tz-naive parquet timestamps (the round-5 regenerated corpus stores
+    # timestamp[us] without isAdjustedToUTC) must come back as TimestampType
+    # instants, not TIMESTAMP_NTZ — time arithmetic (unix_micros, windows)
+    # and the UTC-naive DuckDB oracle both assume instants
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _TS_NANOS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             # integer DIV: double division loses microseconds at 1e18 nanos
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            # belt-and-braces for sessions where the conf above landed after
+            # a plan was already cached: session tz is UTC, so the cast
+            # preserves the stored wall-clock values as UTC instants
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     if name in _HOT_TABLES and _hot_enabled():
         key = (sf_dir, name)
         if key not in _hot_cache:

@@ -1073,46 +1073,71 @@ from . import workload_sources  # noqa: E402,F401
 from . import workload_pipeline  # noqa: E402,F401
 from . import workload_graph  # noqa: E402,F401
 
-# Queries the round-1 correctness pass never recorded (it stopped after 50
-# of 66 registry entries): __spark_entry__ fronts these — cheapest first —
-# so any sequential budget on the driver side covers them (VERDICT r1 item
-# 1).  Kept here next to the registry; consumed by __spark_entry__.queries().
+# The driver's correctness pass records the FIRST 50 registry entries per
+# round, so this list is rotated each round by recording provenance
+# (VERDICT r3 item 1): (a) queries with NO green driver row in any round's
+# CORRECTNESS artifact, cheapest first; (b) queries whose code changed this
+# round (their old rows no longer certify the current plan); (c) the
+# stalest remaining rows (r1-only).  Everything outside the 50-row window
+# stays verified by the full local oracle replica
+# (tools/run_correctness.py), whose per-round output is committed as
+# CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
+# Rotated-out-this-round (r1-only rows, re-front next round):
+#   simhash_hamming_pairs, minhash_lsh_dups, embedding_near_dups,
+#   embedding_near_dups_lsh, sessionization.
 FRONT_QUERIES = [
-    "stream_search_serving",
-    "discover_context",
-    "similarity_matrix_topk",
-    "facet_counts",
-    "ann_ivfpq_topk",
-    "recommend_by_examples",
-    "search_groups_topk",
-    "scroll_keyset",
-    "salted_user_rollup",
+    # (a) never recorded by the driver (r1+r3+r4 artifacts)
+    "approx_distinct_parts",
+    "repetition_profile",
+    "purchase_attribution_asof",
+    "tfidf_top_terms",
+    "shingle_novelty",
+    "dedup_group_components",
+    "dedup_survivors",
+    "funnel_stages",
+    "stream_attribution_join",
+    "charlm_quality",
+    "pq_adc_topk",
+    # (b) changed in round 5: new hash oracle / vectorized codec /
+    # streaming-floor + perf work
+    "ann_kmeans_ivf_topk",
     "multimodal_decode",
     "multimodal_frame_sample",
-    "label_centroids",
-    "ann_signlsh_topk",
-    "adaptive_search",
-    "knn_topk_gemm",
-    "int8_rescore_topk",
-    "knn_batch_throughput",
-    "sql_surface_knn",
-    "stateful_running_stats",
-    "stream_ops_stats",
-    "stream_hourly_counts",
-    "stream_dedup_events",
-    "npy_migration",
-    "ann_kmeans_ivf_topk",
-    "ingest_bulk_100k",
-    "time_travel_read",
-    "store_compaction",
-    "payload_index_filter",
-    "time_range_scan",
-    "stream_store_ingest",
     "multimodal_resize",
-    "delete_by_user",
-    "train_test_split",
-    "domain_balanced_sample",
-    "benchmark_decontamination",
-    "sequence_packing",
-    "quality_weighted_sample",
+    "stream_dedup_events",
+    "stream_hourly_counts",
+    "stream_store_ingest",
+    "stream_search_serving",
+    "ngram_jaccard_dups",
+    # (c) stalest driver rows (recorded in r1 only)
+    "text_stats",
+    "vector_norms",
+    "rolling_hash_fp",
+    "lang_id_heuristic",
+    "running_ops_stats",
+    "regex_token_profile",
+    "running_supplier_qty",
+    "rollup_returns",
+    "latency_distribution",
+    "doc_fingerprints",
+    "doc_quality_filter",
+    "lang_token_summary",
+    "pricing_summary",
+    "order_status_except",
+    "qty_pivot_by_status",
+    "events_json_extract",
+    "events_hourly_rollup",
+    "events_retention_24h",
+    "exact_dedup_groups",
+    "distinct_part_counts",
+    "cube_orders",
+    "customers_without_orders",
+    "active_customer_balance",
+    "top_part_per_supplier",
+    "regional_revenue",
+    "top_revenue_customers",
+    "order_status_intersect",
+    "ann_ivf_topk",
+    "ann_ivf_pruned_topk",
+    "session_window_rollup",
 ]

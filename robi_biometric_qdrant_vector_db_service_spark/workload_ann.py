@@ -237,7 +237,6 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain rows (k×D doubles) and rebuilt into a literal DataFrame per call —
 # session-independent, trained at most once per (process, sf_dir).
 _kmeans_codebook_cache: dict[str, list] = {}
-_pq_codebook_cache: dict[str, list] = {}
 
 
 def _kmeans_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,38 +246,6 @@ def _kmeans_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         _kmeans_codebook_cache[sf_dir], schema="cell int, centroid array<double>"
     )
-
-
-def _pq_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.pq import pq_codebooks
-
-    if sf_dir not in _pq_codebook_cache:
-        corpus = load_table(spark, sf_dir, "embeddings")
-        _pq_codebook_cache[sf_dir] = pq_codebooks(corpus, m=8, ksub=16, dim=64).collect()
-    return spark.createDataFrame(
-        _pq_codebook_cache[sf_dir], schema="sub int, code int, centroid array<double>"
-    )
-
-
-_pq_codes_cache: dict[str, str] = {}
-
-
-def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted PQ code column: encoded once at index-build time and
-    written as its own (m-byte-per-row) table — the 32×-smaller scan the
-    ADC stage reads instead of the float vectors."""
-    from .operators.pq import pq_encode
-
-    if sf_dir not in _pq_codes_cache:
-        import tempfile
-
-        corpus = load_table(spark, sf_dir, "embeddings")
-        out = tempfile.mkdtemp(prefix="pq_codes_")
-        pq_encode(corpus, _pq_cents(spark, sf_dir), m=8, dim=64).write.mode(
-            "overwrite"
-        ).parquet(out)
-        _pq_codes_cache[sf_dir] = out
-    return spark.read.parquet(_pq_codes_cache[sf_dir])
 
 
 _ivfpq_cache: dict[str, tuple] = {}
@@ -320,20 +287,88 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
 
 def _prepare_codebooks(spark: SparkSession, sf_dir: str) -> None:
     _kmeans_cents(spark, sf_dir)
-    _pq_codes(spark, sf_dir)
     _ivfpq_index(spark, sf_dir)
 
 
 PREPARE.append(_prepare_codebooks)
 
 
-@register("ann_kmeans_ivf_topk", None)  # iterative build → rows-only check
+def _duck_kmeans_ivf_sql(
+    k: int = 10, n_cells: int = 8, nprobe: int = 3, iters: int = 2
+) -> str:
+    """The ENTIRE deterministic Lloyd's build unrolled into SQL: seeded
+    init (first ``n_cells`` vectors by id, ann.kmeans_centroids), then
+    ``iters`` rounds of assign (cosine argmax, cell-id tiebreak) →
+    DECIMAL-exact per-cell means, then the serve-time assignment + probe +
+    exact rescore of ann.kmeans_ivf_topk.  Every ranking boundary (argmax
+    assignment, probe-cell top-nprobe, final top-k) is bit-parity with the
+    Spark plan, so the trained-index query carries a full hash oracle —
+    the fixed iteration count is what makes the 'iterative' build a
+    finite CTE chain."""
+    cte = [
+        f"WITH q AS ({_DUCK_Q}),",
+        "nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),",
+        f"cents0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS centroid FROM nv WHERE vec_id < {n_cells}),",
+    ]
+    prev = "cents0"
+    for it in range(1, iters + 1):
+        cte.append(f"""asg{it} AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT nv.vec_id, nv.emb, c.cell,
+           row_number() OVER (PARTITION BY nv.vec_id
+                              ORDER BY {_dcos('nv.emb', 'c.centroid')} DESC, c.cell) AS rn
+    FROM nv CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+dims{it} AS (
+  SELECT cell, i, CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12)) AS v
+  FROM (SELECT cell, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM asg{it})
+),
+cents{it} AS (
+  SELECT cell, list(m ORDER BY i) AS centroid
+  FROM (SELECT cell, i, CAST(sum(v) AS DOUBLE) / count(*) AS m
+        FROM dims{it} GROUP BY cell, i)
+  GROUP BY cell
+),""")
+        prev = f"cents{it}"
+    cte.append(f"""served AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT nv.vec_id, nv.emb, c.cell,
+           row_number() OVER (PARTITION BY nv.vec_id
+                              ORDER BY {_dcos('nv.emb', 'c.centroid')} DESC, c.cell) AS rn
+    FROM nv CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT q.q_id, q.q_emb, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_dcos('q.q_emb', 'c.centroid')} DESC, c.cell) AS crank
+    FROM q CROSS JOIN {prev} c
+  ) WHERE crank <= {nprobe}
+),
+scored AS (
+  SELECT cells.q_id, s.vec_id, {_dcos('s.emb', 'cells.q_emb')} AS score
+  FROM served s JOIN cells ON s.cell = cells.cell
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}""")
+    return "\n".join(cte)
+
+
+@register("ann_kmeans_ivf_topk", _duck_kmeans_ivf_sql())
 def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over a REAL k-means codebook built as a Spark batch job
     (deterministic Lloyd's, operators.ann.kmeans_centroids) — recall vs the
-    exact engine is measured in tests/test_ann_recall.py; the iterative
-    build has no tractable single-statement SQL oracle, so the driver runs
-    the rows-only check."""
+    exact engine is measured in tests/test_ann_recall.py.  The build is
+    seeded-deterministic with a FIXED iteration count, so the oracle unrolls
+    the same two Lloyd rounds as CTEs (_duck_kmeans_ivf_sql) and the whole
+    train→assign→probe→rescore pipeline is hash-checked."""
     corpus = load_table(spark, sf_dir, "embeddings")
     return ann.kmeans_ivf_topk(
         corpus, _probes(spark, sf_dir), k=10, n_cells=8, nprobe=3,
@@ -428,24 +463,107 @@ def adaptive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smart_search(corpus, _probes(spark, sf_dir), k=10, force="exact")
 
 
-@register("pq_adc_topk", None)  # iterative codebook build → rows-only check
+def _duck_pq_adc_sql(
+    k: int = 10, m: int = 8, ksub: int = 16, dsub: int = 8, oversample: int = 4
+) -> str:
+    """Pure-PQ ADC search restated in DuckDB over the same SQL-expressible
+    index state as the ivfpq oracle (init-from-first-ksub codebook,
+    DECIMAL-exact code assignment).  The ADC stage replicates the Spark
+    plan's codegen'd fixed-order LUT fold bit-for-bit:
+    list_prepend(0.0) + list_reduce over p's in sub order ==
+    aggregate(sequence(0, m-1), 0.0, acc + lut[j][code_j])."""
+    norm = (
+        "list_transform(CAST({c} AS DOUBLE[]), x -> x / greatest(sqrt("
+        "list_dot_product(CAST({c} AS DOUBLE[]), CAST({c} AS DOUBLE[]))), 1e-12))"
+    )
+    return f"""
+WITH q AS ({_DUCK_Q}),
+nc AS (SELECT vec_id, {norm.format(c='embedding')} AS nvec FROM embeddings),
+cb AS (
+  SELECT gs.sub, CAST(nc.vec_id AS INT) AS code,
+         nc.nvec[(gs.sub * {dsub} + 1):((gs.sub + 1) * {dsub})] AS centroid
+  FROM nc, generate_series(0, {m - 1}) AS gs(sub)
+  WHERE nc.vec_id < {ksub}
+),
+cs AS (
+  SELECT nc.vec_id, gs.sub,
+         nc.nvec[(gs.sub * {dsub} + 1):((gs.sub + 1) * {dsub})] AS subvec
+  FROM nc, generate_series(0, {m - 1}) AS gs(sub)
+),
+terms AS (
+  SELECT vec_id, sub, code, CAST(round((a - b) * (a - b), 9) AS DECIMAL(19,9)) AS t
+  FROM (SELECT cs.vec_id, cs.sub, cb.code, unnest(cs.subvec) AS a, unnest(cb.centroid) AS b
+        FROM cs JOIN cb ON cs.sub = cb.sub)
+),
+dist AS (
+  SELECT vec_id, sub, code, CAST(sum(t) AS DOUBLE) AS d
+  FROM terms GROUP BY vec_id, sub, code
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+qn AS (SELECT q_id, {norm.format(c='q_emb')} AS qnv FROM q),
+qs AS (
+  SELECT qn.q_id, gs.sub, qn.qnv[(gs.sub * {dsub} + 1):((gs.sub + 1) * {dsub})] AS subvec
+  FROM qn, generate_series(0, {m - 1}) AS gs(sub)
+),
+lut AS (
+  SELECT qs.q_id, qs.sub, cb.code, list_dot_product(qs.subvec, cb.centroid) AS p
+  FROM qs JOIN cb ON qs.sub = cb.sub
+),
+adc AS (
+  SELECT l.q_id, c.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.p ORDER BY l.sub)),
+                     (a, b) -> a + b) AS adc
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  GROUP BY l.q_id, c.vec_id
+),
+surv AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS ar
+    FROM adc
+  ) WHERE ar <= {oversample * k}
+),
+resc AS (
+  SELECT s.q_id, s.vec_id, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM surv s JOIN embeddings e ON e.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM resc
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("pq_adc_topk", _duck_pq_adc_sql())
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization + asymmetric-distance search (operators.pq):
     8 subspaces × 16 centroids compress dim-64 vectors 32×; the candidate
     scan reads only the m-byte code column against a broadcast per-probe
-    LUT, then exact-rescoring the 4×k ADC survivors.  Recall vs the exact
-    engine is asserted in tests/test_ann_recall.py; Lloyd's training has no
-    single-statement SQL oracle, so the driver runs the rows-only check
-    (same status as ann_kmeans_ivf_topk)."""
+    nested LUT (a fixed-order codegen'd fold), then exact-rescores the 4×k
+    ADC survivors.  This registration pins the SQL-expressible index state
+    (init-from-first-ksub codebook, shared with ann_ivfpq_topk's staged
+    index) so assignment, LUTs, the ADC fold, and the rescore are ALL
+    hash-checked; the Lloyd-trained codebook stays in
+    tests/test_ann_recall.py."""
     from .operators.pq import pq_adc_topk as _pq
 
     corpus = load_table(spark, sf_dir, "embeddings")
+    _, cents0, codes = _ivfpq_index(spark, sf_dir)
     return _pq(
         corpus,
         _probes(spark, sf_dir),
         k=10,
-        cents=_pq_cents(spark, sf_dir),
-        codes=_pq_codes(spark, sf_dir),
+        cents=cents0,
+        codes=codes,
     )
 
 

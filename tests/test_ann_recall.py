@@ -5,6 +5,7 @@ ANN output where exact results are expected, always measure)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from robi_biometric_qdrant_vector_db_service_spark.operators import ann
@@ -94,6 +95,17 @@ def test_gemm_knn_equals_exact(spark):
     exact = sorted(map(tuple, knn_search(corpus, probes, k=10).collect()))
     gemm = sorted(map(tuple, gemm_knn(corpus, probes, k=10).collect()))
     assert exact == gemm
+
+
+def test_gemm_knn_rejects_corpus_sized_probe_side(spark, monkeypatch):
+    """The probe batch is driver-collected request state: a mis-sized probe
+    table must fail fast with a clear contract error, not OOM the driver."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators import pairscan
+
+    corpus, probes, _ = _setup(spark, k=10)
+    monkeypatch.setattr(pairscan, "MAX_PROBE_ROWS", 3)
+    with pytest.raises(ValueError, match="MAX_PROBE_ROWS"):
+        pairscan.gemm_knn(corpus, probes, k=10)
 
 
 def test_kmeans_ivf_recall(spark):

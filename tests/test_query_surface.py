@@ -190,3 +190,21 @@ def test_similarity_matrix_no_self_pairs_and_ranks(spark):
     for v, ranks in per.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= min(3, n_points - 1)
+
+
+def test_readme_counts_match_registry():
+    """README's coverage claims must track the registry (VERDICT r3 item 7:
+    the counts drifted twice; pin them so they can't again)."""
+    import re
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    text = open("/root/repo/README.md").read()
+    m = re.search(r"(\d+) named queries", text)
+    assert m and int(m.group(1)) == len(REGISTRY), (
+        f"README says {m and m.group(1)} queries, registry has {len(REGISTRY)}"
+    )
+    m = re.search(r"all (\d+) registered queries", text)
+    assert m and int(m.group(1)) == len(REGISTRY)
+    # 'every one DuckDB-oracle-checked' claim: no oracle-less entries
+    assert all(q.oracle is not None for q in REGISTRY.values())
