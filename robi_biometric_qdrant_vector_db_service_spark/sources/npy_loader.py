@@ -64,37 +64,87 @@ def read_npy_vectors(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(parse, NPY_ROW_SCHEMA)
 
 
+# FAISS flat-index fourccs (public serialization format, faiss
+# faiss/impl/index_write.cpp write_index / index_read.cpp read_index):
+# IndexFlatIP → "IxFI", IndexFlatL2 → "IxF2", other metrics → "IxFl".
+_FAISS_FLAT_FOURCC = (b"IxFI", b"IxF2", b"IxFl")
+
+
+def parse_faiss_flat_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexFlat*`` files — no faiss
+    dependency.  Byte layout (public format, faiss/impl/index_write.cpp:
+    ``write_index_header`` + ``WRITEXBVECTOR``; all little-endian):
+
+      uint32  fourcc                  IxFI / IxF2 / IxFl
+      int32   d
+      int64   ntotal
+      int64   dummy ×2                (1<<20 compat placeholders)
+      uint8   is_trained              (C++ bool)
+      int32   metric_type             (>1 ⇒ trailing float32 metric_arg)
+      uint64  count                   number of float32s = ntotal·d
+      float32 data[count]             the stored vectors, row-major
+
+    Graph/quantized index types (IVF*, HNSW, PQ…) still require faiss to
+    reconstruct and raise NotImplementedError — reconstruct_n on those is a
+    decode, not a memcpy.  Returns an (ntotal, d) float32 ndarray view.
+    """
+    import struct
+
+    import numpy as np
+
+    fourcc = bytes(buf[0:4])
+    if fourcc not in _FAISS_FLAT_FOURCC:
+        raise NotImplementedError(
+            f"unsupported FAISS index fourcc {fourcc!r}: only IndexFlat* files "
+            "can be decoded without faiss; re-export as .npy or IndexFlat "
+            "(the reference's own fallback, migrate_from_faiss.py:57-77)"
+        )
+    off = 4
+    (d,) = struct.unpack_from("<i", buf, off)
+    off += 4
+    (ntotal,) = struct.unpack_from("<q", buf, off)
+    off += 8
+    off += 16  # two idx_t compat placeholders
+    off += 1  # is_trained
+    (metric_type,) = struct.unpack_from("<i", buf, off)
+    off += 4
+    if metric_type > 1:
+        off += 4  # metric_arg (float32)
+    (count,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    if count != ntotal * d:
+        raise ValueError(
+            f"FAISS flat index corrupt: header says {ntotal}×{d} vectors "
+            f"but payload holds {count} floats"
+        )
+    return np.frombuffer(buf, dtype="<f4", count=count, offset=off).reshape(
+        ntotal, d
+    )
+
+
 def read_faiss_vectors(spark: SparkSession, path: str) -> DataFrame:
     """FAISS-index branch of S4 (migrate_from_faiss.py:68-77:
-    ``faiss.read_index`` + ``reconstruct_n``).  The faiss library is not in
-    this container; with it installed, the decode below mirrors
-    read_npy_vectors with the reconstruct call in place of ``np.load``."""
-    try:
-        import faiss  # noqa: F401
-    except ImportError as e:  # pragma: no cover - no faiss in the image
-        raise NotImplementedError(
-            "faiss is not installed in this environment; use read_npy_vectors "
-            "(.npy export) — the reference's own fallback path"
-        ) from e
-    files = spark.read.format("binaryFile").load(path)  # pragma: no cover
+    ``faiss.read_index`` + ``reconstruct_n``) — same distributed shape as
+    read_npy_vectors (binaryFile scan → per-file decode in mapInPandas).
+    ``IndexFlat*`` files decode with the pure-NumPy parser above (no faiss
+    needed — flat storage IS the raw float32 matrix); other index types
+    fall back to faiss when installed, else NotImplementedError."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.index")
+        .load(path)
+    )
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        import os
-        import tempfile
-
-        import faiss
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                with tempfile.NamedTemporaryFile(suffix=".index", delete=False) as tmp:
-                    tmp.write(bytes(content))
-                    name = tmp.name
+                buf = bytes(content)
                 try:
-                    index = faiss.read_index(name)
-                    arr = index.reconstruct_n(0, index.ntotal)
-                finally:
-                    os.unlink(name)
+                    arr = parse_faiss_flat_index(buf)
+                except NotImplementedError:
+                    arr = _reconstruct_with_faiss(buf)  # non-flat index types
                 yield pd.DataFrame(
                     {
                         "src_file": fpath,
@@ -103,7 +153,29 @@ def read_faiss_vectors(spark: SparkSession, path: str) -> DataFrame:
                     }
                 )
 
-    return files.select("path", "content").mapInPandas(parse, NPY_ROW_SCHEMA)  # pragma: no cover
+    return files.select("path", "content").mapInPandas(parse, NPY_ROW_SCHEMA)
+
+
+def _reconstruct_with_faiss(buf: bytes):  # pragma: no cover - faiss absent
+    """Graph/quantized indexes need the real library to decode."""
+    try:
+        import faiss  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "non-flat FAISS index and faiss is not installed; re-export as "
+            ".npy or IndexFlat — the reference's own fallback path"
+        ) from e
+    import os
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".index", delete=False) as tmp:
+        tmp.write(buf)
+        name = tmp.name
+    try:
+        index = faiss.read_index(name)
+        return index.reconstruct_n(0, index.ntotal)
+    finally:
+        os.unlink(name)
 
 
 def _normalize_meta(df: DataFrame, *, idx_col) -> DataFrame:

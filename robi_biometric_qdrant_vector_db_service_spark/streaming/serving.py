@@ -61,11 +61,15 @@ def search_serving_stream(
     ``knn_search`` over the same probes."""
     corpus = load_table(spark, sf_dir, "embeddings")
     path = _staged_probe_batches_path(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="stream_serving_out_")
+    # serving results return to the requester, not to a table: collect each
+    # micro-batch's answers driver-side (k×batch rows, request-bounded)
+    # instead of round-tripping them through a parquet sink — one job per
+    # trigger instead of a write job + a final re-read (VERDICT r3 item 9)
+    answers: list = []
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         res = knn_search(corpus, batch_df.select("q_id", "q_emb"), k=k)
-        res.write.mode("append").parquet(out)
+        answers.extend(res.collect())
 
     q = (
         spark.readStream.schema(PROBE_SCHEMA + ", batch int")
@@ -79,4 +83,6 @@ def search_serving_stream(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(out)
+    return spark.createDataFrame(
+        answers, schema="q_id bigint, vec_id bigint, rank int, score double"
+    )

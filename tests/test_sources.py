@@ -120,9 +120,54 @@ def test_metadata_jsonl_distributed_shape(spark):
     assert rows[3]["metadata"]["q"] == "6"
 
 
-def test_faiss_loader_is_gated(spark):
-    with pytest.raises(NotImplementedError):
-        read_faiss_vectors(spark, "/nonexistent")
+def _flat_index_bytes(mat: np.ndarray, fourcc: bytes = b"IxFI") -> bytes:
+    """Mirror of the public FAISS IndexFlat serialization (faiss
+    faiss/impl/index_write.cpp): fourcc, header, float count, raw floats."""
+    import struct
+
+    n, d = mat.shape
+    metric = 0 if fourcc == b"IxFI" else 1
+    return (
+        fourcc
+        + struct.pack("<i", d)
+        + struct.pack("<q", n)
+        + struct.pack("<qq", 1 << 20, 1 << 20)
+        + struct.pack("<B", 1)
+        + struct.pack("<i", metric)
+        + struct.pack("<Q", n * d)
+        + mat.astype("<f4").tobytes()
+    )
+
+
+def test_faiss_flat_index_roundtrip(spark, npy_fixture):
+    """IndexFlat bytes decode without faiss and must equal the .npy path
+    for the same matrix (VERDICT r3 item 6)."""
+    _, _, mat = npy_fixture
+    tmp = tempfile.mkdtemp(prefix="faiss_test_")
+    with open(os.path.join(tmp, "vectors.index"), "wb") as f:
+        f.write(_flat_index_bytes(mat, b"IxFI"))
+    rows = read_faiss_vectors(spark, tmp).orderBy("row_idx").collect()
+    got = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    assert np.array_equal(got, mat)
+    # L2-metric flavor parses identically
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import parse_faiss_flat_index
+
+    assert np.array_equal(parse_faiss_flat_index(_flat_index_bytes(mat, b"IxF2")), mat)
+
+
+def test_faiss_non_flat_index_still_gated():
+    """Graph/quantized index types need faiss to reconstruct — the pure
+    reader must refuse them loudly, and corrupt flat headers must not
+    decode garbage."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import parse_faiss_flat_index
+
+    with pytest.raises(NotImplementedError, match="fourcc"):
+        parse_faiss_flat_index(b"IwFl" + b"\x00" * 64)  # IVF flat fourcc
+    mat = np.ones((3, 4), dtype=np.float32)
+    bad = bytearray(_flat_index_bytes(mat))
+    bad[4:8] = (99).to_bytes(4, "little")  # header d no longer matches count
+    with pytest.raises(ValueError, match="corrupt"):
+        parse_faiss_flat_index(bytes(bad))
 
 
 def test_multimodal_decode_matches_python(spark):
