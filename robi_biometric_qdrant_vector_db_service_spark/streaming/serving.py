@@ -71,18 +71,24 @@ def search_serving_stream(
         res = knn_search(corpus, batch_df.select("q_id", "q_emb"), k=k)
         answers.extend(res.collect())
 
-    q = (
-        spark.readStream.schema(PROBE_SCHEMA + ", batch int")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(path)
-        .writeStream.foreachBatch(_serve)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_serving_ckpt_"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from .stats import _state_partitions
+
+    with _state_partitions(spark, 4):
+        q = (
+            spark.readStream.schema(PROBE_SCHEMA + ", batch int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .writeStream.foreachBatch(_serve)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_serving_ckpt_"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.createDataFrame(
         answers, schema="q_id bigint, vec_id bigint, rank int, score double"
     )

@@ -114,7 +114,10 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str, query_name: str) -> Da
     equal the batch GROUP BY over the ORIGINAL (pre-duplication) table."""
     path = _staged_duplicated_events_path(spark, sf_dir)
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    deduped = stream.dropDuplicates(["event_id"])
+    # project to the columns the downstream agg reads BEFORE deduplicating:
+    # the dedup state rows and the sink rows both shrink to (id, type) —
+    # event_id determines the row, so dropping payload columns is lossless
+    deduped = stream.select("event_id", "event_type").dropDuplicates(["event_id"])
     with _state_partitions(spark, 4):
         q = (
             deduped.writeStream.outputMode("append")
