@@ -395,3 +395,23 @@ def test_asof_join_is_one_shuffle_no_range_probe(spark):
     # runtime by AQE); the window itself adds none
     assert len(non_broadcast_exchanges) <= 2, plan
     assert "Window" in plan, plan
+
+
+def test_pq_adc_scan_reads_only_the_code_column(spark):
+    """The ADC stage's marquee property: the candidate scan touches the
+    m-byte code column, never the float vectors (32x narrower at rest).
+    The staged codes table also carries a cell id for the IVFPQ consumer -
+    pq_adc must let Catalyst prune it out of the scan."""
+    import re
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    df = REGISTRY["pq_adc_topk"].run(spark, SF_SMOKE)
+    plan = _plan(df)
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    code_scans = [s for s in schemas if "codes" in s]
+    assert code_scans, plan
+    for s in code_scans:
+        assert "embedding" not in s and "cell" not in s, s
+    # float vectors appear only in rescore/probe-side scans
+    assert any("embedding" in s for s in schemas), plan
