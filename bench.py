@@ -98,6 +98,12 @@ def main() -> None:
         "hot_cache": hot_cache,
         "iters": iters,
         "per_query_stat": "min",
+        # cross-round caveat: /root/testdata was regenerated before round 5
+        # with a denser near-duplicate documents corpus (simhash emits ~248k
+        # pairs at sf0.1 vs hundreds before) and different events session
+        # structure - documents/events query timings are not comparable to
+        # r1/r3 numbers; embeddings-based queries are unaffected
+        "corpus_generation": "2026-08-13 regen (round 5+)",
     }
     # full per-query detail goes to a file (and an informational line):
     # 97 queries don't fit the consumer's 2000-char output-tail window, so

@@ -68,6 +68,7 @@ def gemm_knn(
     score_threshold: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Q1 top-k with the GEMM physical plan: the query batch is collected
     (bounded — it is the request side) into one NumPy matrix, broadcast to
@@ -110,6 +111,21 @@ def gemm_knn(
     src = corpus.select(
         F.col(id_col).cast("bigint").alias("_id"), F.col(vec_col).alias("_v")
     )
+    if corpus_rows is not None:
+        # stats-driven task sizing (the CBO move: table statistics inform
+        # the physical plan): when the corpus is far below
+        # BLOCK_TARGET_ROWS per partition, per-task fixed cost (scheduler +
+        # Python worker round-trip) dominates the tile math — coalesce
+        # (shuffle-free) toward full blocks, but keep at least cores/4
+        # tasks of pipeline parallelism.  At scale ceil(N/BLOCK) exceeds
+        # the partition count and this is a no-op.
+        import math
+
+        parts = src.rdd.getNumPartitions()
+        floor = max(1, src.sparkSession.sparkContext.defaultParallelism // 4)
+        want = min(parts, max(math.ceil(corpus_rows / BLOCK_TARGET_ROWS), floor))
+        if want < parts:
+            src = src.coalesce(want)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -376,6 +376,17 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Table row counts are CBO-style catalog statistics: computed once per
+# (process, corpus), consumed by physical planning (gemm task sizing).
+_corpus_rows_cache: dict[str, int] = {}
+
+
+def _corpus_rows(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _corpus_rows_cache:
+        _corpus_rows_cache[sf_dir] = load_table(spark, sf_dir, "embeddings").count()
+    return _corpus_rows_cache[sf_dir]
+
+
 @register("knn_topk_gemm", _DUCK_EXACT_K10)
 def knn_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 exact top-k on the GEMM physical plan (operators.pairscan.gemm_knn):
@@ -385,7 +396,10 @@ def knn_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pairscan import gemm_knn
 
     corpus = load_table(spark, sf_dir, "embeddings")
-    return gemm_knn(corpus, _probes(spark, sf_dir), k=10)
+    return gemm_knn(
+        corpus, _probes(spark, sf_dir), k=10,
+        corpus_rows=_corpus_rows(spark, sf_dir),
+    )
 
 
 @register("sql_surface_knn", _DUCK_EXACT_K10)
@@ -449,7 +463,7 @@ def knn_batch_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = corpus.filter(F.col("vec_id") < 1000).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    return gemm_knn(corpus, probes, k=5)
+    return gemm_knn(corpus, probes, k=5, corpus_rows=_corpus_rows(spark, sf_dir))
 
 
 @register("adaptive_search", _DUCK_EXACT_K10)
