@@ -170,7 +170,32 @@ class VectorStore:
         non-reexecutable)."""
         seg = os.path.join(self.root, f"seg_{uuid.uuid4().hex[:12]}")
         out = df.withColumn("ubucket_p", F.col("ubucket"))
-        out = out.repartition(self.n_buckets, "ubucket_p")
+        # write parallelism = n_buckets × within-bucket salt, sized so write
+        # tasks ≈ cores: a bare repartition(n_buckets) caps the encode+write
+        # stage at n_buckets tasks no matter the cluster.  The salt follows
+        # the INPUT's parallelism (a small batch stays one file per bucket;
+        # a wide bulk ingest fans out to every core) and bounds
+        # files-per-bucket (compact() merges them later), so mutations keep
+        # their bucket-selective shape while bulk ingest uses every core.
+        import math
+
+        spark = df.sparkSession
+        in_parts = df.rdd.getNumPartitions()
+        salt_n = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism // self.n_buckets,
+                math.ceil(in_parts / self.n_buckets),
+            ),
+        )
+        if salt_n > 1:
+            out = out.repartition(
+                self.n_buckets * salt_n,
+                "ubucket_p",
+                F.pmod(F.xxhash64("point_id"), F.lit(salt_n)),
+            )
+        else:
+            out = out.repartition(self.n_buckets, "ubucket_p")
         out.write.mode("overwrite").partitionBy("ubucket_p").parquet(seg)
         files: dict[int, list[str]] = {}
         for d in _glob.glob(os.path.join(seg, "ubucket_p=*")):
