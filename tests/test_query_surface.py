@@ -208,3 +208,15 @@ def test_readme_counts_match_registry():
     assert m and int(m.group(1)) == len(REGISTRY)
     # 'every one DuckDB-oracle-checked' claim: no oracle-less entries
     assert all(q.oracle is not None for q in REGISTRY.values())
+
+
+def test_front_queries_rotation_is_well_formed():
+    """FRONT_QUERIES is hand-rotated every round; a typo'd name would
+    KeyError the whole driver contract at queries() time, and a duplicate
+    would waste a slot of the driver's 50-row correctness window."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload import FRONT_QUERIES, REGISTRY
+
+    unknown = [n for n in FRONT_QUERIES if n not in REGISTRY]
+    assert not unknown, f"FRONT_QUERIES names not in REGISTRY: {unknown}"
+    assert len(set(FRONT_QUERIES)) == len(FRONT_QUERIES), "duplicate rotation entries"
+    assert len(FRONT_QUERIES) == 50, "window should exactly fill the driver's 50-row cap"
