@@ -48,6 +48,7 @@ class VectorService:
         self.spark = spark
         self.store = VectorStore.create(spark, store_root)
         self._write_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         self._op_stats: dict[str, list] = {}  # op -> [count, total_ms]
         self._started = time.time()
 
@@ -55,9 +56,10 @@ class VectorService:
 
     def _record(self, op: str, t0: float) -> float:
         ms = (time.perf_counter() - t0) * 1000.0
-        c = self._op_stats.setdefault(op, [0, 0.0])
-        c[0] += 1
-        c[1] += ms
+        with self._stats_lock:  # handlers run on the HTTP thread pool
+            c = self._op_stats.setdefault(op, [0, 0.0])
+            c[0] += 1
+            c[1] += ms
         return ms
 
     def _rows_df(self, rows: list[dict]):
@@ -178,14 +180,18 @@ class VectorService:
             "timestamp": time.time(),
         }
 
+    def _perf_stats(self) -> dict:
+        with self._stats_lock:
+            return {
+                op: {"count": c, "avg_ms": round(tot / c, 3)}
+                for op, (c, tot) in self._op_stats.items()
+            }
+
     def stats(self) -> dict:
         return {
             "success": True,
             "collection_info": self.store.stats(),
-            "performance_stats": {
-                op: {"count": c, "avg_ms": round(tot / c, 3)}
-                for op, (c, tot) in self._op_stats.items()
-            },
+            "performance_stats": self._perf_stats(),
             "gpu_info": {"gpu_available": False, "engine": "spark"},
             "timestamp": time.time(),
         }
