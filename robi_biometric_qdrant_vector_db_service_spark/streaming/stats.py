@@ -165,3 +165,41 @@ def hourly_window_stream(
     # update mode may emit a window several times; keep the latest value
     t = spark.table(query_name)
     return t.groupBy("hour", "event_type").agg(F.max("n").alias("n"))
+
+
+def dedup_events_stream_watermarked(
+    spark: SparkSession, sf_dir: str, query_name: str, delay: str = "3650 days"
+) -> DataFrame:
+    """The PRODUCTION shape of the streaming dedup:
+    ``dropDuplicatesWithinWatermark`` bounds the id state to the watermark
+    delay instead of growing forever (the 100 TB posture — at-least-once
+    sources redeliver within a bounded horizon, so state eviction past the
+    delay is safe).  With a delay that covers the whole bounded fixture the
+    state never evicts mid-run, so the result is deterministic and must
+    equal the unbounded variant (asserted in tests/test_sources.py).
+
+    State is keyed on ``event_id`` (the subset argument); the projection
+    carries only the key, the grouping column, and the watermark column."""
+    path = _staged_duplicated_events_path(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    deduped = (
+        stream.select("event_id", "event_type", "ts")
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    with _state_partitions(spark, 4):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    t = spark.table(query_name)
+    return t.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("event_id").cast("bigint").alias("n_unique"),
+    )

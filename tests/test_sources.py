@@ -230,3 +230,24 @@ def test_stream_search_serving_equals_batch(spark):
         for r in knn_search(corpus, probes, k=5).collect()
     }
     assert streamed == batch
+
+
+def test_watermarked_dedup_matches_unbounded(spark):
+    """dropDuplicatesWithinWatermark (bounded state, the production shape)
+    must produce exactly the unbounded dropDuplicates counts when the
+    watermark delay covers the whole replayed fixture."""
+    from robi_biometric_qdrant_vector_db_service_spark.streaming.stats import (
+        dedup_events_stream,
+        dedup_events_stream_watermarked,
+    )
+
+    a = sorted(
+        map(tuple, dedup_events_stream(spark, SF_SMOKE, "wm_base").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup_events_stream_watermarked(spark, SF_SMOKE, "wm_bounded").collect(),
+        )
+    )
+    assert a == b and len(a) > 0
