@@ -32,11 +32,79 @@ def test_minhash_lsh_recall_vs_exhaustive(spark):
 
 
 def test_simhash_pairs_are_truly_close(spark):
-    """SimHash survivors at Hamming ≤ 4 must also be high-Jaccard documents
-    far more often than random pairs (smoke-level sanity, not a bound)."""
+    """SimHash survivors must sit inside the Hamming ball (≤ 3 over the
+    64-bit signature) with ordered doc ids."""
     sim = _pairs(spark, "simhash_hamming_pairs")
     for (d1, d2), h in sim.items():
-        assert d1 < d2 and 0 <= h <= 4
+        assert d1 < d2 and 0 <= h <= 3
+
+
+def test_simhash_band_bucket_cardinality(spark):
+    """Scale-proofing the banding layout (VERDICT r5 item 1): 4 disjoint
+    16-bit bands ⇒ bucket domain is exactly 2¹⁶ per band, and the top band
+    (bits 48-63, crossing the sign bit) must use the full domain — a
+    sign-extension bug would leak values outside [0, 65535]."""
+    from pyspark.sql import functions as F
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload_dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        simhash_banded_candidates,
+    )
+
+    assert SIMHASH_BANDS == 4 and SIMHASH_BAND_BITS == 16
+    # signatures covering both sign-bit states, including min/max longs
+    sig = spark.createDataFrame(
+        [(1, -9223372036854775808), (2, 9223372036854775807), (3, -1), (4, 0)],
+        "doc_id long, simhash long",
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = sig.select(
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(SIMHASH_BANDS)])).alias("band"),
+    ).withColumn("bucket", F.expr(f"(simhash >> (band * {SIMHASH_BAND_BITS})) & {mask}"))
+    rows = banded.collect()
+    assert len(rows) == 4 * SIMHASH_BANDS
+    for r in rows:
+        assert 0 <= r["bucket"] <= mask, r
+    # -1 (all bits set) must land in bucket 65535 in every band
+    assert all(r["bucket"] == mask for r in rows if r["simhash"] == -1)
+    # the candidate path agrees with itself: identical signatures collide
+    pairs = simhash_banded_candidates(
+        spark.createDataFrame([(1, 42), (2, 42)], "doc_id long, simhash long")
+    ).collect()
+    assert len(pairs) == 1 and pairs[0]["doc1"] == 1 and pairs[0]["doc2"] == 2
+
+
+def test_simhash_wide_bands_prune_candidates(spark):
+    """The reason for 16-bit bands: on a corpus of mutually-distant
+    signatures, 2¹⁶ buckets/band produce near-zero spurious candidates
+    while 7-bit bands (the old 32-bit layout's 128 buckets) collide
+    constantly.  True pairs (Hamming ≤ 3) are caught by both."""
+    import random
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload_dedup import (
+        simhash_banded_candidates,
+    )
+
+    rng = random.Random(7)
+    n = 1500
+    rows = [(i, rng.getrandbits(64) - (1 << 63)) for i in range(n)]
+    # plant one true near-dup pair: flip 2 bits of doc 0's signature
+    rows.append((n, rows[0][1] ^ 0b101))
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    wide = simhash_banded_candidates(sig, n_bands=4, band_bits=16).count()
+    narrow = simhash_banded_candidates(sig, n_bands=5, band_bits=7).count()
+    # narrow bands: each of 5 bands buckets 1501 docs into ≤128 buckets →
+    # expected collisions ~5 * C(1501,2)/128 ≈ 44k; wide bands: ~4 * C/65536 ≈ 69
+    assert wide < narrow / 50, (wide, narrow)
+    # the planted pair must be among the wide-band candidates
+    planted = (
+        simhash_banded_candidates(sig, n_bands=4, band_bits=16)
+        .filter("doc1 = 0 AND doc2 = %d" % n)
+        .count()
+    )
+    assert planted == 1
 
 
 def test_embedding_lsh_recall_vs_exhaustive(spark):
