@@ -10,6 +10,16 @@ reference service can point at this facade unchanged:
   DELETE /api/v1/vectors/{point_id}
   DELETE /api/v1/vectors/user/{user_id}
   GET    /api/v1/stats | /api/v1/health | /api/v1/info
+  GET    /benchmark                   (also under /api/v1) — in-service
+         insertion/search/concurrent micro-benchmark graded against the
+         reference's <=20 ms search / >=1000 ops/s bars
+         (src/main.py:229-259, src/utils/performance.py:258-484)
+
+Fidelity note — metadata typing: the reference accepts ``Dict[str, Any]``
+metadata; this store persists ``map<string,string>``, so non-string values
+round-trip as their string form ({"a": 1} comes back {"a": "1"}).  Clients
+needing typed values should JSON-encode them; everything else on the wire
+(keys, routes, response envelopes) is unchanged.
 
 Implementation: stdlib ``http.server`` (no web framework in this image —
 and none needed: the handler is a thin JSON shim; every data operation is
@@ -26,7 +36,9 @@ from __future__ import annotations
 import json
 import threading
 import time
+import urllib.parse
 import uuid
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
@@ -47,9 +59,14 @@ class VectorService:
 
         self.spark = spark
         self.store = VectorStore.create(spark, store_root)
+        self.collection_name = store_root.rstrip("/").rsplit("/", 1)[-1]
         self._write_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._op_stats: dict[str, list] = {}  # op -> [count, total_ms]
+        # bounded per-op latency ring (the reference keeps its last 1000
+        # PerformanceMetrics records, utils/performance.py:130-137) —
+        # feeds the p50/p95/p99 quantiles in /stats
+        self._op_recent: dict[str, deque] = {}
         self._started = time.time()
 
     # -- engine calls -------------------------------------------------------
@@ -60,6 +77,7 @@ class VectorService:
             c = self._op_stats.setdefault(op, [0, 0.0])
             c[0] += 1
             c[1] += ms
+            self._op_recent.setdefault(op, deque(maxlen=1000)).append(ms)
         return ms
 
     def _rows_df(self, rows: list[dict]):
@@ -100,6 +118,12 @@ class VectorService:
             raise ValueError("embeddings and user_ids must be the same length")
         metas = body.get("metadata_list") or [None] * len(embs)
         pids = body.get("point_ids") or [None] * len(embs)
+        # a short optional list would zip-truncate the tail embeddings while
+        # still reporting success — reject it instead (ADVICE r5)
+        if len(metas) != len(embs):
+            raise ValueError("metadata_list must match embeddings length")
+        if len(pids) != len(embs):
+            raise ValueError("point_ids must match embeddings length")
         rows = [
             {"embedding": e, "user_id": u, "metadata": m, "point_id": p}
             for e, u, m, p in zip(embs, users, metas, pids)
@@ -123,15 +147,23 @@ class VectorService:
             [(0, [float(x) for x in body["embedding"]])],
             schema="q_id bigint, q_emb array<double>",
         )
-        hits = self.store.search(
+        # Pin ONE manifest snapshot per request (ADVICE r5): search and
+        # payload enrichment must see the same corpus version, or a
+        # concurrent add/delete on another HTTP thread can drop hits from
+        # the inner join or mix payloads from a newer version.
+        from ..operators.search import knn_search
+
+        version = self.store._current_version()
+        corpus = self.store.read(user_id=body.get("user_filter"), version=version)
+        hits = knn_search(
+            corpus,
             probe,
             k,
             score_threshold=body.get("threshold"),
-            user_filter=body.get("user_filter"),
+            corpus_id="point_id",
         )
         # enrich hits with payload columns, as the reference's results carry
         # (id, score, user_id, metadata, timestamp)
-        corpus = self.store.read(user_id=body.get("user_filter"))
         rows = (
             hits.join(corpus.select("point_id", "user_id", "metadata", "ts"), "point_id")
             .orderBy("rank")
@@ -180,12 +212,28 @@ class VectorService:
             "timestamp": time.time(),
         }
 
+    @staticmethod
+    def _quantile(sorted_ms: list[float], q: float) -> float:
+        """Nearest-rank quantile over the bounded recent-latency ring."""
+        idx = min(len(sorted_ms) - 1, max(0, int(round(q * (len(sorted_ms) - 1)))))
+        return sorted_ms[idx]
+
     def _perf_stats(self) -> dict:
         with self._stats_lock:
-            return {
-                op: {"count": c, "avg_ms": round(tot / c, 3)}
-                for op, (c, tot) in self._op_stats.items()
-            }
+            snap = {op: (c, tot, list(self._op_recent.get(op, ()))) for op, (c, tot) in self._op_stats.items()}
+        out = {}
+        for op, (c, tot, recent) in snap.items():
+            entry = {"count": c, "avg_ms": round(tot / c, 3)}
+            if recent:
+                s = sorted(recent)
+                entry.update(
+                    p50_ms=round(self._quantile(s, 0.50), 3),
+                    p95_ms=round(self._quantile(s, 0.95), 3),
+                    p99_ms=round(self._quantile(s, 0.99), 3),
+                    window=len(s),  # ring is bounded at 1000 records
+                )
+            out[op] = entry
+        return out
 
     def stats(self) -> dict:
         return {
@@ -197,14 +245,18 @@ class VectorService:
         }
 
     def health(self) -> dict:
-        # keys mirror HealthCheckResponse (schemas.py:118-122); the
-        # "connection" here is the store manifest being readable
+        # keys mirror HealthCheckResponse (schemas.py:118-124) — ALL of its
+        # no-default fields, so a reference client parsing with that pydantic
+        # model validates; the "connection" is the store manifest being
+        # readable, and gpu_available is honestly False on a CPU Spark engine
         ok = self.store._current_version() >= 0
         return {
             "success": True,
             "status": "healthy" if ok else "unhealthy",
             "qdrant_connection": ok,
             "collection_exists": ok,
+            "collection_name": self.collection_name,
+            "gpu_available": False,
             "timestamp": time.time(),
         }
 
@@ -215,6 +267,158 @@ class VectorService:
             "api_version": "v1",
             "uptime_sec": round(time.time() - self._started, 1),
             "store_version": self.store._current_version(),
+        }
+
+    def benchmark(self, config: dict | None = None) -> dict:
+        """GET /benchmark (main.py:229-259): a bounded in-service
+        insertion + search + concurrent micro-benchmark, graded against the
+        reference's bars (performance.py:450-451: search <= 20 ms,
+        throughput >= 1000 ops/s).  Defaults are scaled down from the
+        reference's lightweight config so the route answers in seconds on
+        a cold JVM; pass query params to raise them.  The grading is honest:
+        a per-request Spark job does NOT beat a 20 ms GPU bar — the engine's
+        amortized batch path (bench.py) is where that comparison lives."""
+        import numpy as np
+
+        cfg = {
+            "num_vectors": 48,
+            "single_insertions": 6,
+            "search_queries": 8,
+            "batch_size": 16,
+            "concurrent_requests": 3,
+            "operations_per_request": 3,
+            "k": 5,
+            "vector_dim": 16,
+            "cleanup": True,
+        }
+        cfg.update(config or {})
+        # probes must live in the corpus' vector space: reuse the live dim
+        first = self.store.read().select("embedding").first()
+        dim = len(first["embedding"]) if first else int(cfg["vector_dim"])
+        rng = np.random.default_rng(12345)
+
+        def vec() -> list[float]:
+            return [float(x) for x in rng.standard_normal(dim)]
+
+        # insertion: singles through the wire path, then batches
+        t_single = time.perf_counter()
+        for i in range(int(cfg["single_insertions"])):
+            self.add({"embedding": vec(), "user_id": f"bench_single_{i}"})
+        single_avg_ms = (
+            (time.perf_counter() - t_single) / max(1, int(cfg["single_insertions"])) * 1000
+        )
+        n_batched = int(cfg["num_vectors"]) - int(cfg["single_insertions"])
+        bs = int(cfg["batch_size"])
+        t_batch = time.perf_counter()
+        batches = 0
+        for lo in range(0, n_batched, bs):
+            n = min(bs, n_batched - lo)
+            self.add_batch(
+                {
+                    "embeddings": [vec() for _ in range(n)],
+                    "user_ids": [f"bench_user_{lo + j}" for j in range(n)],
+                }
+            )
+            batches += 1
+        batch_sec = time.perf_counter() - t_batch
+        insertion = {
+            "total_vectors": int(cfg["num_vectors"]),
+            "vector_dimension": dim,
+            "batch_size": bs,
+            "single_insertion": {
+                "count": int(cfg["single_insertions"]),
+                "avg_time_ms": round(single_avg_ms, 3),
+            },
+            "batch_insertion": {
+                "batches": batches,
+                "avg_batch_time_ms": round(batch_sec / max(1, batches) * 1000, 3),
+                "avg_vectors_per_sec": round(n_batched / max(batch_sec, 1e-9), 1),
+            },
+        }
+
+        # search: serial probes through the wire path
+        times = []
+        result_counts = []
+        for _ in range(int(cfg["search_queries"])):
+            r = self.search({"embedding": vec(), "k": int(cfg["k"])})
+            times.append(r["query_time_ms"])
+            result_counts.append(r["total_results"])
+        avg_ms = sum(times) / max(1, len(times))
+        search = {
+            "total_queries": len(times),
+            "k": int(cfg["k"]),
+            "vector_dimension": dim,
+            "search_performance": {
+                "avg_time_ms": round(avg_ms, 3),
+                "min_time_ms": round(min(times), 3) if times else 0,
+                "max_time_ms": round(max(times), 3) if times else 0,
+                "queries_per_sec": round(1000 / avg_ms, 2) if avg_ms else 0,
+            },
+            "result_stats": {
+                "avg_results": round(sum(result_counts) / max(1, len(result_counts)), 2),
+                "total_results": sum(result_counts),
+            },
+        }
+
+        # concurrent: N threads x M searches, overall wall-clock throughput
+        n_threads = int(cfg["concurrent_requests"])
+        per_thread = int(cfg["operations_per_request"])
+
+        def worker():
+            for _ in range(per_thread):
+                self.search({"embedding": vec(), "k": int(cfg["k"])})
+
+        t_conc = time.perf_counter()
+        threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        conc_sec = time.perf_counter() - t_conc
+        total_ops = n_threads * per_thread
+        concurrent = {
+            "concurrent_requests": n_threads,
+            "operations_per_request": per_thread,
+            "total_operations": total_ops,
+            "total_time_sec": round(conc_sec, 3),
+            "overall_throughput_ops_per_sec": round(total_ops / max(conc_sec, 1e-9), 2),
+        }
+
+        # grade against the reference's fixed bars (performance.py:450-451)
+        target_ms, target_ops = 20.0, 1000.0
+        analysis = {
+            "targets": {
+                "search_time_ms": target_ms,
+                "throughput_ops_per_sec": target_ops,
+            },
+            "search_analysis": {
+                "actual_avg_time_ms": round(avg_ms, 3),
+                "target_time_ms": target_ms,
+                "improvement_percent": round((target_ms - avg_ms) / target_ms * 100, 1),
+                "meets_target": avg_ms <= target_ms,
+            },
+            "throughput_analysis": {
+                "actual_ops_per_sec": concurrent["overall_throughput_ops_per_sec"],
+                "target_ops_per_sec": target_ops,
+                "improvement_percent": round(
+                    (concurrent["overall_throughput_ops_per_sec"] - target_ops)
+                    / target_ops
+                    * 100,
+                    1,
+                ),
+                "meets_target": concurrent["overall_throughput_ops_per_sec"] >= target_ops,
+            },
+        }
+
+        if cfg["cleanup"]:
+            with self._write_lock:
+                self.store.delete_where("user_id LIKE 'bench%'")
+
+        return {
+            "insertion": insertion,
+            "search": search,
+            "concurrent": concurrent,
+            "performance_analysis": analysis,
         }
 
     # -- http ---------------------------------------------------------------
@@ -241,28 +445,53 @@ class VectorService:
                 return json.loads(self.rfile.read(n) or b"{}")
 
             def _route(self, method: str) -> None:
-                path = self.path.rstrip("/")
+                # Match on SPLIT, URL-DECODED path segments (ADVICE r5):
+                # prefix string-matching mis-routed DELETE /vectors/user
+                # (no id) and point ids that merely start with "user/", and
+                # never percent-decoded ids.  Splitting before unquoting
+                # keeps an encoded %2F inside one segment, so any point id
+                # is expressible on the wire.
+                parts = [
+                    urllib.parse.unquote(p)
+                    for p in urllib.parse.urlsplit(self.path).path.split("/")
+                    if p
+                ]
+                V = ["api", "v1", "vectors"]
                 try:
-                    if method == "POST" and path == f"{PREFIX}/vectors/add":
+                    if method == "POST" and parts == V + ["add"]:
                         return self._send(200, service.add(self._body()))
-                    if method == "POST" and path == f"{PREFIX}/vectors/add_batch":
+                    if method == "POST" and parts == V + ["add_batch"]:
                         return self._send(200, service.add_batch(self._body()))
-                    if method == "POST" and path == f"{PREFIX}/vectors/search":
+                    if method == "POST" and parts == V + ["search"]:
                         return self._send(200, service.search(self._body()))
-                    if method == "DELETE" and path.startswith(
-                        f"{PREFIX}/vectors/user/"
-                    ):
-                        uid = path.removeprefix(f"{PREFIX}/vectors/user/")
-                        return self._send(200, service.delete_user(uid))
-                    if method == "DELETE" and path.startswith(f"{PREFIX}/vectors/"):
-                        pid = path.removeprefix(f"{PREFIX}/vectors/")
-                        return self._send(200, service.delete_point(pid))
-                    if method == "GET" and path == f"{PREFIX}/stats":
+                    if method == "DELETE" and len(parts) == 5 and parts[:4] == V + ["user"] and parts[4]:
+                        return self._send(200, service.delete_user(parts[4]))
+                    if method == "DELETE" and len(parts) == 4 and parts[:3] == V and parts[3]:
+                        # /vectors/user (4 segments) lands here as point id
+                        # "user" — FastAPI's /vectors/{point_id} route does
+                        # the same when the /user/{id} pattern can't match
+                        return self._send(200, service.delete_point(parts[3]))
+                    if method == "GET" and parts == ["api", "v1", "stats"]:
                         return self._send(200, service.stats())
-                    if method == "GET" and path == f"{PREFIX}/health":
+                    if method == "GET" and parts == ["api", "v1", "health"]:
                         return self._send(200, service.health())
-                    if method == "GET" and path == f"{PREFIX}/info":
+                    if method == "GET" and parts == ["api", "v1", "info"]:
                         return self._send(200, service.info())
+                    if method == "GET" and parts in (
+                        ["benchmark"],
+                        ["api", "v1", "benchmark"],
+                    ):
+                        qs = urllib.parse.parse_qs(urllib.parse.urlsplit(self.path).query)
+                        cfg = {k: int(v[0]) for k, v in qs.items() if v and v[0].isdigit()}
+                        results = service.benchmark(cfg)
+                        return self._send(
+                            200,
+                            {
+                                "success": True,
+                                "benchmark_results": results,
+                                "timestamp": time.time(),
+                            },
+                        )
                     return self._send(404, {"success": False, "message": "not found"})
                 except (KeyError, ValueError, TypeError) as e:
                     return self._send(422, {"success": False, "message": str(e)})

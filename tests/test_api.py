@@ -112,3 +112,92 @@ def test_http_stats_health_info_and_errors(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _call(port, "GET", "/nope")
     assert e.value.code == 404
+
+
+def test_http_health_carries_reference_schema_fields(served):
+    """HealthCheckResponse (schemas.py:118-124) has NO-default fields
+    collection_name and gpu_available — a reference client parsing with
+    that pydantic model must validate against our payload."""
+    _, port = served
+    r = _call(port, "GET", "/health")
+    for key in (
+        "success", "status", "qdrant_connection", "collection_exists",
+        "collection_name", "gpu_available", "timestamp",
+    ):
+        assert key in r, key
+    assert r["gpu_available"] is False and isinstance(r["collection_name"], str)
+
+
+def test_http_add_batch_rejects_short_optional_lists(served):
+    """A short metadata_list/point_ids used to zip-truncate the tail
+    embeddings while reporting success — must be a 422 (ADVICE r5)."""
+    import urllib.error
+
+    _, port = served
+    for extra in (
+        {"metadata_list": [{"a": "1"}]},
+        {"point_ids": ["only-one"]},
+    ):
+        body = {
+            "embeddings": [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+            "user_ids": ["u1", "u2"],
+            **extra,
+        }
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _call(port, "POST", "/vectors/add_batch", body)
+        assert e.value.code == 422
+
+
+def test_http_route_matching_on_segments(served):
+    """DELETE /vectors/user (no id) routes as point id "user" (FastAPI's
+    {point_id} fallback), never as a user-wide delete; percent-encoded ids
+    decode, so a point id containing '/' is expressible."""
+    _, port = served
+    r = _call(port, "POST", "/vectors/add", {
+        "embedding": [0.5, 0.5, 0.0, 0.0],
+        "user_id": "seg_user",
+        "point_id": "a/b c",
+    })
+    assert r["success"]
+    # no-id user delete must NOT delete seg_user's vectors
+    r = _call(port, "DELETE", "/vectors/user")
+    assert r["success"] and r["deleted"] is False  # point "user" absent
+    r = _call(port, "DELETE", "/vectors/a%2Fb%20c")
+    assert r["success"] and r["deleted"] is True
+
+
+def test_http_stats_percentiles_monotone(served):
+    """/stats exposes p50/p95/p99 from the bounded recent-latency ring
+    (the reference's last-1000 performance records shape)."""
+    _, port = served
+    for _ in range(3):
+        _call(port, "POST", "/vectors/search", {"embedding": [1.0, 0.0, 0.0, 0.0], "k": 1})
+    r = _call(port, "GET", "/stats")
+    s = r["performance_stats"]["search"]
+    assert s["count"] >= 3 and s["window"] <= 1000
+    assert 0 < s["p50_ms"] <= s["p95_ms"] <= s["p99_ms"]
+
+
+def test_http_benchmark_route(served):
+    """GET /benchmark (main.py:229-259): runs the bounded in-service
+    micro-benchmark and grades against the reference's fixed bars."""
+    _, port = served
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/benchmark?num_vectors=24&single_insertions=2"
+        "&search_queries=3&concurrent_requests=2&operations_per_request=2",
+        method="GET",
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        r = json.loads(resp.read())
+    assert r["success"]
+    b = r["benchmark_results"]
+    assert b["insertion"]["total_vectors"] == 24
+    assert b["search"]["total_queries"] == 3
+    assert b["concurrent"]["total_operations"] == 4
+    pa = b["performance_analysis"]
+    assert pa["targets"] == {"search_time_ms": 20.0, "throughput_ops_per_sec": 1000.0}
+    for section in ("search_analysis", "throughput_analysis"):
+        assert isinstance(pa[section]["meets_target"], bool)
+    # cleanup removed the bench users from the store
+    stats = _call(port, "GET", "/stats")["collection_info"]
+    assert stats["total_vectors"] >= 1
