@@ -48,7 +48,13 @@ def _staged_probe_batches_path(spark: SparkSession, sf_dir: str) -> str:
             F.col("embedding").alias("q_emb"),
             (F.col("vec_id") % N_PROBE_FILES).cast("int").alias("batch"),
         )
-        probes.write.mode("overwrite").partitionBy("batch").parquet(out)
+        # co-locate each batch key in one task before the partitioned write:
+        # without this every input task writes its own file per batch dir
+        # (2 rows → 2 files each), silently doubling the micro-batch count
+        # (and its per-trigger checkpoint cost) under maxFilesPerTrigger=1
+        probes.repartition(N_PROBE_FILES, "batch").write.mode("overwrite").partitionBy(
+            "batch"
+        ).parquet(out)
         _staged_probe_cache[sf_dir] = out
     return _staged_probe_cache[sf_dir]
 
@@ -79,6 +85,10 @@ def search_serving_stream(
             .option("maxFilesPerTrigger", 1)
             .parquet(path)
             .writeStream.foreachBatch(_serve)
+            # AvailableNow: plan the pending files up-front, drain them as
+            # maxFilesPerTrigger-sized micro-batches, then terminate —
+            # no processAllAvailable polling loop after the last batch
+            .trigger(availableNow=True)
             .option(
                 "checkpointLocation",
                 tempfile.mkdtemp(prefix="stream_serving_ckpt_"),
@@ -86,7 +96,7 @@ def search_serving_stream(
             .start()
         )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     return spark.createDataFrame(
