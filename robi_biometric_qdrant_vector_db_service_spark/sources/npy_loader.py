@@ -64,10 +64,12 @@ def read_npy_vectors(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(parse, NPY_ROW_SCHEMA)
 
 
-# FAISS flat-index fourccs (public serialization format, faiss
+# FAISS index fourccs (public serialization format, faiss
 # faiss/impl/index_write.cpp write_index / index_read.cpp read_index):
-# IndexFlatIP → "IxFI", IndexFlatL2 → "IxF2", other metrics → "IxFl".
+# IndexFlatIP → "IxFI", IndexFlatL2 → "IxF2", other metrics → "IxFl";
+# IndexIVFFlat → "IwFl"; ArrayInvertedLists → "ilar" with "full" sizes.
 _FAISS_FLAT_FOURCC = (b"IxFI", b"IxF2", b"IxFl")
+_FAISS_IVFFLAT_FOURCC = b"IwFl"
 
 
 def parse_faiss_flat_index(buf: bytes):
@@ -84,22 +86,20 @@ def parse_faiss_flat_index(buf: bytes):
       uint64  count                   number of float32s = ntotal·d
       float32 data[count]             the stored vectors, row-major
 
-    Graph/quantized index types (IVF*, HNSW, PQ…) still require faiss to
-    reconstruct and raise NotImplementedError — reconstruct_n on those is a
-    decode, not a memcpy.  Returns an (ntotal, d) float32 ndarray view.
+    IndexIVFFlat files decode too (``parse_faiss_ivfflat_index``); graph/
+    quantized types (HNSW, PQ, IVFPQ…) still require faiss and raise
+    NotImplementedError — reconstruct_n on those is a decode, not a
+    memcpy.  Returns an (ntotal, d) float32 ndarray view.
     """
+    arr, _ = _parse_flat_at(buf, 0)
+    return arr
+
+
+def _parse_index_header(buf: bytes, off: int) -> tuple[int, int, int, int]:
+    """``write_index_header``: d, ntotal, 2×idx_t placeholders, is_trained,
+    metric_type (+metric_arg when >1).  Returns (d, ntotal, metric, off)."""
     import struct
 
-    import numpy as np
-
-    fourcc = bytes(buf[0:4])
-    if fourcc not in _FAISS_FLAT_FOURCC:
-        raise NotImplementedError(
-            f"unsupported FAISS index fourcc {fourcc!r}: only IndexFlat* files "
-            "can be decoded without faiss; re-export as .npy or IndexFlat "
-            "(the reference's own fallback, migrate_from_faiss.py:57-77)"
-        )
-    off = 4
     (d,) = struct.unpack_from("<i", buf, off)
     off += 4
     (ntotal,) = struct.unpack_from("<q", buf, off)
@@ -110,6 +110,26 @@ def parse_faiss_flat_index(buf: bytes):
     off += 4
     if metric_type > 1:
         off += 4  # metric_arg (float32)
+    return d, ntotal, metric_type, off
+
+
+def _parse_flat_at(buf: bytes, off: int):
+    """Parse one IndexFlat* segment starting at ``off`` (top-level file or
+    nested, e.g. an IVF coarse quantizer); returns (ndarray, next_off)."""
+    import struct
+
+    import numpy as np
+
+    fourcc = bytes(buf[off : off + 4])
+    if fourcc not in _FAISS_FLAT_FOURCC:
+        raise NotImplementedError(
+            f"unsupported FAISS index fourcc {fourcc!r}: only IndexFlat* and "
+            "IndexIVFFlat files can be decoded without faiss; re-export as "
+            ".npy or IndexFlat (the reference's own fallback, "
+            "migrate_from_faiss.py:57-77)"
+        )
+    off += 4
+    d, ntotal, _metric, off = _parse_index_header(buf, off)
     (count,) = struct.unpack_from("<Q", buf, off)
     off += 8
     if count != ntotal * d:
@@ -117,9 +137,94 @@ def parse_faiss_flat_index(buf: bytes):
             f"FAISS flat index corrupt: header says {ntotal}×{d} vectors "
             f"but payload holds {count} floats"
         )
-    return np.frombuffer(buf, dtype="<f4", count=count, offset=off).reshape(
-        ntotal, d
-    )
+    arr = np.frombuffer(buf, dtype="<f4", count=count, offset=off).reshape(ntotal, d)
+    return arr, off + 4 * count
+
+
+def parse_faiss_ivfflat_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexIVFFlat`` files — no faiss
+    dependency.  IVF-*flat* inverted lists store the raw float32 vectors as
+    their codes (code_size = 4·d), so reconstruction is a memcpy, exactly
+    like IndexFlat.  Byte layout (public format, faiss/impl/index_write.cpp):
+
+      uint32  fourcc "IwFl"
+      --- write_ivf_header ---
+      index_header                    (d, ntotal, 2×dummy, is_trained,
+                                       metric_type[, metric_arg])
+      uint64  nlist,  uint64 nprobe
+      nested  write_index(quantizer)  (an IndexFlat* segment: the nlist
+                                       centroids — parsed, then skipped)
+      --- write_direct_map ---
+      uint8   direct-map type,  uint64 array-size + int64 data[size]
+      (hashtable direct maps raise: their map payload is not fixed-width)
+      --- write_InvertedLists (ArrayInvertedLists) ---
+      uint32  fourcc "ilar",  uint64 nlist,  uint64 code_size
+      uint32  fourcc "full",  uint64 n + uint64 sizes[n]
+      per non-empty list i:   int64 ids[sizes[i]],
+                              uint8 codes[sizes[i]·code_size] (= float32·d)
+
+    Returns ``(ids, vectors)`` — int64 stored ids and the (ntotal, d)
+    float32 matrix, concatenated in inverted-list order.  Graph/quantized
+    types (HNSW, PQ, IVFPQ…) still require faiss: their codes need a
+    decoder, not a memcpy."""
+    import struct
+
+    import numpy as np
+
+    if bytes(buf[0:4]) != _FAISS_IVFFLAT_FOURCC:
+        raise NotImplementedError(
+            f"not an IndexIVFFlat file (fourcc {bytes(buf[0:4])!r})"
+        )
+    d, ntotal, _metric, off = _parse_index_header(buf, 4)
+    (nlist,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    off += 8  # nprobe (serving knob, not needed to reconstruct)
+    _centroids, off = _parse_flat_at(buf, off)  # coarse quantizer payload
+    dm_type = buf[off]
+    off += 1
+    (dm_size,) = struct.unpack_from("<Q", buf, off)
+    off += 8 + 8 * dm_size  # direct-map array entries (int64 each)
+    if dm_type not in (0, 1):  # NoMap / Array — Hashtable adds a map payload
+        raise NotImplementedError("hashtable direct map not supported without faiss")
+    if bytes(buf[off : off + 4]) != b"ilar":
+        raise NotImplementedError(
+            "only ArrayInvertedLists ('ilar') payloads decode without faiss"
+        )
+    off += 4
+    (il_nlist,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    (code_size,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    if il_nlist != nlist or code_size != 4 * d:
+        raise ValueError(
+            f"IVFFlat inverted lists inconsistent: nlist {il_nlist} vs {nlist}, "
+            f"code_size {code_size} vs {4 * d}"
+        )
+    if bytes(buf[off : off + 4]) != b"full":
+        raise NotImplementedError("sparse ('sprs') list sizes not supported")
+    off += 4
+    (n_sizes,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    sizes = np.frombuffer(buf, dtype="<u8", count=n_sizes, offset=off)
+    off += 8 * n_sizes
+    all_ids = []
+    all_vecs = []
+    for sz in sizes.tolist():
+        if sz == 0:
+            continue
+        all_ids.append(np.frombuffer(buf, dtype="<i8", count=sz, offset=off))
+        off += 8 * sz
+        all_vecs.append(
+            np.frombuffer(buf, dtype="<f4", count=sz * d, offset=off).reshape(sz, d)
+        )
+        off += 4 * sz * d
+    ids = np.concatenate(all_ids) if all_ids else np.empty(0, dtype=np.int64)
+    vecs = np.concatenate(all_vecs) if all_vecs else np.empty((0, d), dtype=np.float32)
+    if vecs.shape[0] != ntotal:
+        raise ValueError(
+            f"IVFFlat corrupt: header ntotal {ntotal} != list payload {vecs.shape[0]}"
+        )
+    return ids.astype(np.int64), vecs
 
 
 def read_faiss_vectors(spark: SparkSession, path: str) -> DataFrame:
@@ -141,14 +246,26 @@ def read_faiss_vectors(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 buf = bytes(content)
-                try:
-                    arr = parse_faiss_flat_index(buf)
-                except NotImplementedError:
-                    arr = _reconstruct_with_faiss(buf)  # non-flat index types
+                if bytes(buf[0:4]) == _FAISS_IVFFLAT_FOURCC:
+                    # IVFFlat: codes ARE raw float32 vectors; row_idx is the
+                    # STORED id per vector (faiss add() assigns sequential
+                    # ids, so this equals reconstruct_n order; add_with_ids
+                    # ids survive the migration exactly)
+                    try:
+                        idx, arr = parse_faiss_ivfflat_index(buf)
+                    except NotImplementedError:
+                        arr = _reconstruct_with_faiss(buf)
+                        idx = np.arange(arr.shape[0], dtype=np.int64)
+                else:
+                    try:
+                        arr = parse_faiss_flat_index(buf)
+                    except NotImplementedError:
+                        arr = _reconstruct_with_faiss(buf)  # non-flat types
+                    idx = np.arange(arr.shape[0], dtype=np.int64)
                 yield pd.DataFrame(
                     {
                         "src_file": fpath,
-                        "row_idx": np.arange(arr.shape[0], dtype=np.int64),
+                        "row_idx": idx,
                         "embedding": list(arr.astype(np.float64)),
                     }
                 )

@@ -155,6 +155,86 @@ def test_faiss_flat_index_roundtrip(spark, npy_fixture):
     assert np.array_equal(parse_faiss_flat_index(_flat_index_bytes(mat, b"IxF2")), mat)
 
 
+def _ivfflat_index_bytes(
+    mat: np.ndarray,
+    list_of: list[int],
+    ids: list[int] | None = None,
+    nlist: int = 3,
+) -> bytes:
+    """Mirror of the public FAISS IndexIVFFlat serialization (faiss
+    faiss/impl/index_write.cpp): "IwFl" + ivf header (index header, nlist,
+    nprobe, nested IndexFlat quantizer, direct map) + ArrayInvertedLists
+    ("ilar"/"full", per-list int64 ids then raw float32 codes)."""
+    import struct
+
+    n, d = mat.shape
+    ids = ids if ids is not None else list(range(n))
+    centroids = np.zeros((nlist, d), dtype=np.float32)
+    out = (
+        b"IwFl"
+        + struct.pack("<i", d)
+        + struct.pack("<q", n)
+        + struct.pack("<qq", 1 << 20, 1 << 20)
+        + struct.pack("<B", 1)
+        + struct.pack("<i", 1)  # METRIC_L2
+        + struct.pack("<Q", nlist)
+        + struct.pack("<Q", 1)  # nprobe
+        + _flat_index_bytes(centroids, b"IxF2")  # nested coarse quantizer
+        + struct.pack("<B", 0)  # DirectMap::NoMap
+        + struct.pack("<Q", 0)  # empty direct-map array
+        + b"ilar"
+        + struct.pack("<Q", nlist)
+        + struct.pack("<Q", 4 * d)  # code_size: raw float32 vectors
+        + b"full"
+        + struct.pack("<Q", nlist)
+    )
+    per_list: list[list[int]] = [[] for _ in range(nlist)]
+    for row, lst in enumerate(list_of):
+        per_list[lst].append(row)
+    for rows in per_list:
+        out += struct.pack("<Q", len(rows))
+    for rows in per_list:
+        if not rows:
+            continue
+        out += np.array([ids[r] for r in rows], dtype="<i8").tobytes()
+        out += mat[rows].astype("<f4").tobytes()
+    return out
+
+
+def test_faiss_ivfflat_index_roundtrip(spark, npy_fixture):
+    """IndexIVFFlat bytes decode without faiss (VERDICT r5 item 8): the
+    inverted-list codes ARE raw float32 vectors, so reconstruction must
+    equal the .npy path for the same matrix, with stored ids preserved."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_ivfflat_index,
+    )
+
+    _, _, mat = npy_fixture
+    n = mat.shape[0]
+    assignment = [i % 3 for i in range(n)]  # scatter rows across 3 lists
+    idx, vecs = parse_faiss_ivfflat_index(_ivfflat_index_bytes(mat, assignment))
+    # reassembled by stored id, the matrix equals the original exactly
+    order = np.argsort(idx)
+    assert np.array_equal(vecs[order], mat)
+    assert sorted(idx.tolist()) == list(range(n))
+
+    # the distributed reader path: same tmpdir shape as the flat test,
+    # including add_with_ids-style non-sequential ids surviving as row_idx
+    custom_ids = [100 + 2 * i for i in range(n)]
+    tmp = tempfile.mkdtemp(prefix="faiss_ivf_test_")
+    with open(os.path.join(tmp, "vectors.index"), "wb") as f:
+        f.write(_ivfflat_index_bytes(mat, assignment, ids=custom_ids))
+    rows = read_faiss_vectors(spark, tmp).orderBy("row_idx").collect()
+    assert [r["row_idx"] for r in rows] == custom_ids
+    got = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    assert np.array_equal(got, mat)
+
+    # empty inverted lists are legal (untrained cells)
+    sparse = [0 for _ in range(n)]  # everything in list 0, lists 1-2 empty
+    idx2, vecs2 = parse_faiss_ivfflat_index(_ivfflat_index_bytes(mat, sparse))
+    assert np.array_equal(vecs2[np.argsort(idx2)], mat)
+
+
 def test_faiss_non_flat_index_still_gated():
     """Graph/quantized index types need faiss to reconstruct — the pure
     reader must refuse them loudly, and corrupt flat headers must not
@@ -162,7 +242,7 @@ def test_faiss_non_flat_index_still_gated():
     from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import parse_faiss_flat_index
 
     with pytest.raises(NotImplementedError, match="fourcc"):
-        parse_faiss_flat_index(b"IwFl" + b"\x00" * 64)  # IVF flat fourcc
+        parse_faiss_flat_index(b"IHNf" + b"\x00" * 64)  # HNSW-flat fourcc
     mat = np.ones((3, 4), dtype=np.float32)
     bad = bytearray(_flat_index_bytes(mat))
     bad[4:8] = (99).to_bytes(4, "little")  # header d no longer matches count
