@@ -122,6 +122,7 @@ def main() -> None:
             "int8_rescore_topk", "multi_vector_fusion", "ingest_bulk_100k",
             "upsert_merge", "delete_by_user", "minhash_lsh_dups",
             "ngram_jaccard_dups", "embedding_near_dups_lsh",
+            "embedding_near_dups_lsh_hi", "simhash_hamming_pairs",
             "dedup_group_components", "tfidf_top_terms", "charlm_quality",
             "multimodal_resize", "stream_dedup_events", "stream_search_serving",
             "regional_revenue",

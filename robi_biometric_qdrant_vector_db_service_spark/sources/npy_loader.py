@@ -123,10 +123,10 @@ def _parse_flat_at(buf: bytes, off: int):
     fourcc = bytes(buf[off : off + 4])
     if fourcc not in _FAISS_FLAT_FOURCC:
         raise NotImplementedError(
-            f"unsupported FAISS index fourcc {fourcc!r}: only IndexFlat* and "
-            "IndexIVFFlat files can be decoded without faiss; re-export as "
-            ".npy or IndexFlat (the reference's own fallback, "
-            "migrate_from_faiss.py:57-77)"
+            f"unsupported FAISS index fourcc {fourcc!r}: only IndexFlat*, "
+            "IndexIVFFlat, IndexHNSWFlat, and IDMap-wrapped flat files can "
+            "be decoded without faiss; re-export as .npy or IndexFlat (the "
+            "reference's own fallback, migrate_from_faiss.py:57-77)"
         )
     off += 4
     d, ntotal, _metric, off = _parse_index_header(buf, off)
@@ -227,6 +227,83 @@ def parse_faiss_ivfflat_index(buf: bytes):
     return ids.astype(np.int64), vecs
 
 
+def parse_faiss_hnswflat_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexHNSWFlat`` files — no faiss
+    dependency.  HNSW-*flat* keeps the raw vectors in a nested IndexFlat
+    storage AFTER the graph arrays, so decoding skips the graph and reads
+    the flat payload (public format, faiss/impl/index_write.cpp
+    ``write_HNSW``):
+
+      uint32  fourcc "IHNf"
+      index_header
+      vector<double> assign_probas        (each: uint64 count + data)
+      vector<int>    cum_nneighbor_per_level
+      vector<int>    levels
+      vector<uint64> offsets
+      vector<int>    neighbors
+      int32 ×5       entry_point, max_level, efConstruction, efSearch,
+                     upper_beam           (count drifts across faiss
+                                           versions — see scan below)
+      nested  write_index(storage)        (IndexFlat*: the vectors)
+
+    The scalar block between ``neighbors`` and the nested storage has
+    changed across faiss releases, so rather than hard-coding its width the
+    parser scans forward a bounded window for a valid IndexFlat segment
+    whose header agrees with (d, ntotal) — alignment cannot false-positive
+    on graph bytes because the fourcc + dimension + count must all match.
+    Returns the (ntotal, d) float32 matrix."""
+    import struct
+
+    if bytes(buf[0:4]) != b"IHNf":
+        raise NotImplementedError(
+            f"not an IndexHNSWFlat file (fourcc {bytes(buf[0:4])!r})"
+        )
+    d, ntotal, _metric, off = _parse_index_header(buf, 4)
+    for elem_size in (8, 4, 4, 8, 4):  # the five write_HNSW vectors
+        (count,) = struct.unpack_from("<Q", buf, off)
+        off += 8 + elem_size * count
+    for skip in range(0, 65, 1):  # version-drifting scalar block
+        try:
+            arr, _ = _parse_flat_at(buf, off + skip)
+        except (NotImplementedError, ValueError, struct.error):
+            continue
+        if arr.shape == (ntotal, d):
+            return arr
+    raise NotImplementedError(
+        "IndexHNSWFlat storage segment not found — unrecognized faiss "
+        "serialization revision; re-export as .npy or IndexFlat"
+    )
+
+
+def parse_faiss_idmap_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexIDMap`` files wrapping a flat
+    index (the standard way to ``add_with_ids`` onto IndexFlat).  Layout
+    (faiss/impl/index_write.cpp): fourcc "IxMp" (or "IxM2" for IDMap2),
+    index_header, nested write_index(sub-index), vector<int64> id_map.
+    Returns (ids, vectors); non-flat sub-indexes raise NotImplementedError
+    (IVFFlat sub-indexes are better written directly, not IDMap-wrapped —
+    IVF supports add_with_ids natively)."""
+    import struct
+
+    import numpy as np
+
+    if bytes(buf[0:4]) not in (b"IxMp", b"IxM2"):
+        raise NotImplementedError(
+            f"not an IndexIDMap file (fourcc {bytes(buf[0:4])!r})"
+        )
+    _d, ntotal, _metric, off = _parse_index_header(buf, 4)
+    arr, off = _parse_flat_at(buf, off)
+    (count,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    if count != ntotal or arr.shape[0] != ntotal:
+        raise ValueError(
+            f"IndexIDMap corrupt: header ntotal {ntotal}, id_map {count}, "
+            f"storage {arr.shape[0]}"
+        )
+    ids = np.frombuffer(buf, dtype="<i8", count=count, offset=off)
+    return ids.astype(np.int64), arr
+
+
 def read_faiss_vectors(spark: SparkSession, path: str) -> DataFrame:
     """FAISS-index branch of S4 (migrate_from_faiss.py:68-77:
     ``faiss.read_index`` + ``reconstruct_n``) — same distributed shape as
@@ -245,23 +322,7 @@ def read_faiss_vectors(spark: SparkSession, path: str) -> DataFrame:
 
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                buf = bytes(content)
-                if bytes(buf[0:4]) == _FAISS_IVFFLAT_FOURCC:
-                    # IVFFlat: codes ARE raw float32 vectors; row_idx is the
-                    # STORED id per vector (faiss add() assigns sequential
-                    # ids, so this equals reconstruct_n order; add_with_ids
-                    # ids survive the migration exactly)
-                    try:
-                        idx, arr = parse_faiss_ivfflat_index(buf)
-                    except NotImplementedError:
-                        arr = _reconstruct_with_faiss(buf)
-                        idx = np.arange(arr.shape[0], dtype=np.int64)
-                else:
-                    try:
-                        arr = parse_faiss_flat_index(buf)
-                    except NotImplementedError:
-                        arr = _reconstruct_with_faiss(buf)  # non-flat types
-                    idx = np.arange(arr.shape[0], dtype=np.int64)
+                idx, arr = _decode_faiss_bytes(bytes(content))
                 yield pd.DataFrame(
                     {
                         "src_file": fpath,
@@ -271,6 +332,39 @@ def read_faiss_vectors(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     return files.select("path", "content").mapInPandas(parse, NPY_ROW_SCHEMA)
+
+
+def _decode_faiss_bytes(buf: bytes):
+    """Dispatch one index file to its pure-NumPy decoder by fourcc; fall
+    back to the real faiss library for types whose codes need a decoder.
+    Returns (row_idx int64 ndarray, vectors float32 ndarray).  row_idx is
+    the STORED id per vector where the format records ids (IVFFlat, IDMap
+    — add_with_ids ids survive the migration exactly), else sequential
+    0..ntotal-1, matching reconstruct_n order."""
+    import numpy as np
+
+    fourcc = bytes(buf[0:4])
+    if fourcc == _FAISS_IVFFLAT_FOURCC:
+        try:
+            return parse_faiss_ivfflat_index(buf)
+        except NotImplementedError:
+            arr = _reconstruct_with_faiss(buf)
+    elif fourcc == b"IHNf":
+        try:
+            arr = parse_faiss_hnswflat_index(buf)
+        except NotImplementedError:
+            arr = _reconstruct_with_faiss(buf)
+    elif fourcc in (b"IxMp", b"IxM2"):
+        try:
+            return parse_faiss_idmap_index(buf)
+        except NotImplementedError:
+            arr = _reconstruct_with_faiss(buf)
+    else:
+        try:
+            arr = parse_faiss_flat_index(buf)
+        except NotImplementedError:
+            arr = _reconstruct_with_faiss(buf)  # quantized types need faiss
+    return np.arange(arr.shape[0], dtype=np.int64), arr
 
 
 def _reconstruct_with_faiss(buf: bytes):  # pragma: no cover - faiss absent

@@ -1082,62 +1082,61 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotated-out-this-round (r1-only rows, re-front next round):
-#   simhash_hamming_pairs, minhash_lsh_dups, embedding_near_dups,
-#   embedding_near_dups_lsh, sessionization.
+# Rotation r6: (a) embedding_near_dups_lsh_hi is new this round (never
+# recorded); (b) simhash_hamming_pairs (64-bit rewrite),
+# embedding_near_dups_lsh (bucket-term refactor), stream_search_serving
+# (4-batch staging + AvailableNow), npy_migration (IVFFlat reader) changed
+# this round; (c) the five r1-only rows rotated out in r5 come back;
+# (d) the stalest r4 rows fill the window, then the three stalest r5 rows.
 FRONT_QUERIES = [
-    # (a) never recorded by the driver (r1+r3+r4 artifacts)
-    "approx_distinct_parts",
-    "repetition_profile",
-    "purchase_attribution_asof",
-    "tfidf_top_terms",
-    "shingle_novelty",
-    "dedup_group_components",
-    "dedup_survivors",
-    "funnel_stages",
-    "stream_attribution_join",
-    "charlm_quality",
-    "pq_adc_topk",
-    # (b) changed in round 5: new hash oracle / vectorized codec /
-    # streaming-floor + perf work
-    "ann_kmeans_ivf_topk",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "stream_dedup_events",
-    "stream_hourly_counts",
-    "stream_store_ingest",
+    "embedding_near_dups_lsh_hi",
+    "simhash_hamming_pairs",
+    "embedding_near_dups_lsh",
     "stream_search_serving",
-    "ngram_jaccard_dups",
-    # (c) stalest driver rows (recorded in r1 only)
-    "text_stats",
-    "vector_norms",
-    "rolling_hash_fp",
-    "lang_id_heuristic",
-    "running_ops_stats",
-    "regex_token_profile",
-    "running_supplier_qty",
-    "rollup_returns",
+    "npy_migration",
+    "sessionization",
+    "minhash_lsh_dups",
+    "embedding_near_dups",
+    "knn_topk",
+    "knn_filtered",
+    "multi_vector_fusion",
+    "verify_1to1",
+    "detect_1toN",
+    "delete_by_predicate",
+    "delete_by_user",
+    "upsert_merge",
+    "add_batch_append",
+    "store_search_api",
+    "dedup_keep_newest",
+    "delete_by_id",
+    "time_travel_read",
+    "time_range_scan",
+    "store_compaction",
+    "payload_index_filter",
+    "payload_projection",
+    "collection_stats",
+    "recommend_by_examples",
+    "search_groups_topk",
+    "scroll_keyset",
+    "discover_context",
+    "similarity_matrix_topk",
+    "facet_counts",
+    "ann_signlsh_topk",
+    "int8_rescore_topk",
+    "label_centroids",
+    "knn_topk_gemm",
+    "sql_surface_knn",
+    "knn_batch_throughput",
+    "adaptive_search",
+    "ann_ivfpq_topk",
+    "ingest_bulk_100k",
+    "stream_ops_stats",
+    "stateful_running_stats",
+    "salted_user_rollup",
+    "train_test_split",
+    "domain_balanced_sample",
+    "benchmark_decontamination",
+    "sequence_packing",
+    "quality_weighted_sample",
     "latency_distribution",
-    "doc_fingerprints",
-    "doc_quality_filter",
-    "lang_token_summary",
-    "pricing_summary",
-    "order_status_except",
-    "qty_pivot_by_status",
-    "events_json_extract",
-    "events_hourly_rollup",
-    "events_retention_24h",
-    "exact_dedup_groups",
-    "distinct_part_counts",
-    "cube_orders",
-    "customers_without_orders",
-    "active_customer_balance",
-    "top_part_per_supplier",
-    "regional_revenue",
-    "top_revenue_customers",
-    "order_status_intersect",
-    "ann_ivf_topk",
-    "ann_ivf_pruned_topk",
-    "session_window_rollup",
 ]

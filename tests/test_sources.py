@@ -235,6 +235,92 @@ def test_faiss_ivfflat_index_roundtrip(spark, npy_fixture):
     assert np.array_equal(vecs2[np.argsort(idx2)], mat)
 
 
+def _hnswflat_index_bytes(mat: np.ndarray, scalar_block: int = 20) -> bytes:
+    """Mirror of the public FAISS IndexHNSWFlat serialization: "IHNf" +
+    header + five graph vectors (uint64 count + data) + a scalar block
+    whose width drifts across faiss versions (default 5×int32) + nested
+    IndexFlat storage."""
+    import struct
+
+    n, d = mat.shape
+    rng = np.random.default_rng(9)
+
+    def vec(count, dtype):
+        data = rng.integers(0, 100, count).astype(dtype)
+        return struct.pack("<Q", count) + data.tobytes()
+
+    return (
+        b"IHNf"
+        + struct.pack("<i", d)
+        + struct.pack("<q", n)
+        + struct.pack("<qq", 1 << 20, 1 << 20)
+        + struct.pack("<B", 1)
+        + struct.pack("<i", 1)
+        + vec(8, "<f8")          # assign_probas (double)
+        + vec(9, "<i4")          # cum_nneighbor_per_level
+        + vec(n, "<i4")          # levels
+        + vec(n + 1, "<u8")      # offsets
+        + vec(32 * n, "<i4")     # neighbors
+        + b"\x00" * scalar_block  # entry_point..upper_beam (version-drifting)
+        + _flat_index_bytes(mat, b"IxF2")
+    )
+
+
+def _idmap_index_bytes(mat: np.ndarray, ids: list[int]) -> bytes:
+    """Mirror of the public FAISS IndexIDMap serialization: "IxMp" +
+    header + nested sub-index + int64 id vector."""
+    import struct
+
+    n, d = mat.shape
+    return (
+        b"IxMp"
+        + struct.pack("<i", d)
+        + struct.pack("<q", n)
+        + struct.pack("<qq", 1 << 20, 1 << 20)
+        + struct.pack("<B", 1)
+        + struct.pack("<i", 0)
+        + _flat_index_bytes(mat, b"IxFI")
+        + struct.pack("<Q", n)
+        + np.array(ids, dtype="<i8").tobytes()
+    )
+
+
+def test_faiss_hnswflat_and_idmap_decode(spark, npy_fixture):
+    """IndexHNSWFlat keeps raw vectors in its nested flat storage, and
+    IndexIDMap wraps a flat index plus an id vector — both decode without
+    faiss.  The HNSW scalar block between the graph arrays and the storage
+    drifts across faiss versions, so the parser must tolerate widths other
+    than the default 20 bytes."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_hnswflat_index,
+        parse_faiss_idmap_index,
+    )
+
+    _, _, mat = npy_fixture
+    n = mat.shape[0]
+    for scalar_block in (20, 16, 24):  # current faiss, older, future-drift
+        got = parse_faiss_hnswflat_index(_hnswflat_index_bytes(mat, scalar_block))
+        assert np.array_equal(got, mat), scalar_block
+
+    custom_ids = [7 * i + 3 for i in range(n)]
+    ids, vecs = parse_faiss_idmap_index(_idmap_index_bytes(mat, custom_ids))
+    assert ids.tolist() == custom_ids
+    assert np.array_equal(vecs, mat)
+
+    # distributed reader: both formats land with the right row_idx
+    tmp = tempfile.mkdtemp(prefix="faiss_mixed_test_")
+    with open(os.path.join(tmp, "hnsw.index"), "wb") as f:
+        f.write(_hnswflat_index_bytes(mat))
+    with open(os.path.join(tmp, "idmap.index"), "wb") as f:
+        f.write(_idmap_index_bytes(mat, custom_ids))
+    rows = read_faiss_vectors(spark, tmp).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(os.path.basename(r["src_file"]), []).append(r)
+    assert sorted(r["row_idx"] for r in by_file["hnsw.index"]) == list(range(n))
+    assert sorted(r["row_idx"] for r in by_file["idmap.index"]) == sorted(custom_ids)
+
+
 def test_faiss_non_flat_index_still_gated():
     """Graph/quantized index types need faiss to reconstruct — the pure
     reader must refuse them loudly, and corrupt flat headers must not
