@@ -275,6 +275,68 @@ def parse_faiss_hnswflat_index(buf: bytes):
     )
 
 
+def _parse_product_quantizer(buf: bytes, off: int):
+    """``write_ProductQuantizer``: d, M, nbits (size_t each) + centroids
+    vector (uint64 count + float32 data, count = M·2^nbits·(d/M)).
+    Returns (d, M, nbits, centroids[M, ksub, dsub], next_off)."""
+    import struct
+
+    import numpy as np
+
+    d, M, nbits = struct.unpack_from("<QQQ", buf, off)
+    off += 24
+    (count,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    ksub, dsub = 1 << nbits, d // M
+    if count != M * ksub * dsub:
+        raise ValueError(
+            f"ProductQuantizer corrupt: centroids {count} != {M}·{ksub}·{dsub}"
+        )
+    cent = np.frombuffer(buf, dtype="<f4", count=count, offset=off).reshape(
+        M, ksub, dsub
+    )
+    return d, M, nbits, cent, off + 4 * count
+
+
+def parse_faiss_pq_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexPQ`` files — no faiss dependency.
+    PQ codes decode by codebook lookup, which is exactly what faiss's own
+    ``reconstruct_n`` does, so the result is bit-identical to the library
+    path: the QUANTIZED vectors (PQ is lossy by construction — the original
+    floats are not in the file).  Layout (faiss/impl/index_write.cpp):
+    fourcc "IxPq", index_header, write_ProductQuantizer (d/M/nbits +
+    centroids), codes vector (uint8, ntotal·M for 8-bit codes), then search
+    params (not needed).  Only nbits=8 — faiss's default and the reference
+    deployment's setting — avoids bit-unpacking; others raise."""
+    import struct
+
+    import numpy as np
+
+    if bytes(buf[0:4]) != b"IxPq":
+        raise NotImplementedError(f"not an IndexPQ file (fourcc {bytes(buf[0:4])!r})")
+    d, ntotal, _metric, off = _parse_index_header(buf, 4)
+    pq_d, M, nbits, cent, off = _parse_product_quantizer(buf, off)
+    if pq_d != d:
+        raise ValueError(f"IndexPQ corrupt: header d {d} != quantizer d {pq_d}")
+    if nbits != 8:
+        raise NotImplementedError(
+            f"IndexPQ with nbits={nbits}: only 8-bit codes decode without faiss"
+        )
+    (n_codes,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    if n_codes != ntotal * M:
+        raise ValueError(f"IndexPQ corrupt: codes {n_codes} != {ntotal}·{M}")
+    codes = np.frombuffer(buf, dtype=np.uint8, count=n_codes, offset=off).reshape(
+        ntotal, M
+    )
+    # decode: vec[m·dsub:(m+1)·dsub] = centroids[m, code[m]]
+    out = np.empty((ntotal, d), dtype=np.float32)
+    dsub = d // M
+    for m in range(M):
+        out[:, m * dsub : (m + 1) * dsub] = cent[m, codes[:, m]]
+    return out
+
+
 def parse_faiss_idmap_index(buf: bytes):
     """Pure-NumPy reader for FAISS ``IndexIDMap`` files wrapping a flat
     index (the standard way to ``add_with_ids`` onto IndexFlat).  Layout
@@ -359,6 +421,11 @@ def _decode_faiss_bytes(buf: bytes):
             return parse_faiss_idmap_index(buf)
         except NotImplementedError:
             arr = _reconstruct_with_faiss(buf)
+    elif fourcc == b"IxPq":
+        try:
+            arr = parse_faiss_pq_index(buf)
+        except NotImplementedError:
+            arr = _reconstruct_with_faiss(buf)
     else:
         try:
             arr = parse_faiss_flat_index(buf)
@@ -373,8 +440,9 @@ def _reconstruct_with_faiss(buf: bytes):  # pragma: no cover - faiss absent
         import faiss  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "non-flat FAISS index and faiss is not installed; re-export as "
-            ".npy or IndexFlat — the reference's own fallback path"
+            "FAISS index type not decodable without faiss (flat, IVFFlat, "
+            "HNSWFlat, IDMap-flat, and 8-bit IndexPQ decode natively); "
+            "re-export as .npy or IndexFlat — the reference's own fallback"
         ) from e
     import os
     import tempfile

@@ -321,6 +321,49 @@ def test_faiss_hnswflat_and_idmap_decode(spark, npy_fixture):
     assert sorted(r["row_idx"] for r in by_file["idmap.index"]) == sorted(custom_ids)
 
 
+def test_faiss_pq_index_decodes_to_quantized_vectors():
+    """IndexPQ files decode by codebook lookup — the same computation as
+    faiss reconstruct_n, so the decoded matrix must equal the reference
+    decode done directly in NumPy here, and nbits != 8 must stay gated."""
+    import struct
+
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_pq_index,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d, M = 20, 16, 4
+    ksub, dsub = 256, d // M
+    cent = rng.standard_normal((M, ksub, dsub)).astype(np.float32)
+    codes = rng.integers(0, ksub, (n, M), dtype=np.uint8)
+
+    def pq_bytes(nbits=8):
+        c = cent[:, : 1 << nbits]  # codebook sized to the code width
+        return (
+            b"IxPq"
+            + struct.pack("<i", d)
+            + struct.pack("<q", n)
+            + struct.pack("<qq", 1 << 20, 1 << 20)
+            + struct.pack("<B", 1)
+            + struct.pack("<i", 1)
+            + struct.pack("<QQQ", d, M, nbits)
+            + struct.pack("<Q", c.size)
+            + np.ascontiguousarray(c).tobytes()
+            + struct.pack("<Q", codes.size)
+            + codes.tobytes()
+            + b"\x00" * 12  # trailing search params, ignored
+        )
+
+    got = parse_faiss_pq_index(pq_bytes())
+    want = np.empty((n, d), dtype=np.float32)
+    for m in range(M):
+        want[:, m * dsub : (m + 1) * dsub] = cent[m, codes[:, m]]
+    assert np.array_equal(got, want)
+
+    with pytest.raises(NotImplementedError, match="nbits"):
+        parse_faiss_pq_index(pq_bytes(nbits=6))
+
+
 def test_faiss_non_flat_index_still_gated():
     """Graph/quantized index types need faiss to reconstruct — the pure
     reader must refuse them loudly, and corrupt flat headers must not
