@@ -186,6 +186,33 @@ def parse_faiss_ivfflat_index(buf: bytes):
     off += 8 + 8 * dm_size  # direct-map array entries (int64 each)
     if dm_type not in (0, 1):  # NoMap / Array — Hashtable adds a map payload
         raise NotImplementedError("hashtable direct map not supported without faiss")
+    entries, _ = _parse_inverted_lists(buf, off, nlist, 4 * d)
+    ids = (
+        np.concatenate([e[1] for e in entries])
+        if entries
+        else np.empty(0, dtype=np.int64)
+    )
+    vecs = (
+        np.concatenate([e[2].view("<f4").reshape(-1, d) for e in entries])
+        if entries
+        else np.empty((0, d), dtype=np.float32)
+    )
+    if vecs.shape[0] != ntotal:
+        raise ValueError(
+            f"IVFFlat corrupt: header ntotal {ntotal} != list payload {vecs.shape[0]}"
+        )
+    return ids.astype(np.int64), vecs
+
+
+def _parse_inverted_lists(buf: bytes, off: int, nlist: int, code_size: int):
+    """``write_InvertedLists`` (ArrayInvertedLists): "ilar" + nlist +
+    code_size + "full" sizes vector + per-non-empty-list int64 ids and
+    uint8 codes.  Returns ([(list_idx, ids, codes), …], next_off) with
+    empty lists omitted; codes stay raw uint8 rows of ``code_size``."""
+    import struct
+
+    import numpy as np
+
     if bytes(buf[off : off + 4]) != b"ilar":
         raise NotImplementedError(
             "only ArrayInvertedLists ('ilar') payloads decode without faiss"
@@ -193,12 +220,12 @@ def parse_faiss_ivfflat_index(buf: bytes):
     off += 4
     (il_nlist,) = struct.unpack_from("<Q", buf, off)
     off += 8
-    (code_size,) = struct.unpack_from("<Q", buf, off)
+    (il_code_size,) = struct.unpack_from("<Q", buf, off)
     off += 8
-    if il_nlist != nlist or code_size != 4 * d:
+    if il_nlist != nlist or il_code_size != code_size:
         raise ValueError(
-            f"IVFFlat inverted lists inconsistent: nlist {il_nlist} vs {nlist}, "
-            f"code_size {code_size} vs {4 * d}"
+            f"inverted lists inconsistent: nlist {il_nlist} vs {nlist}, "
+            f"code_size {il_code_size} vs {code_size}"
         )
     if bytes(buf[off : off + 4]) != b"full":
         raise NotImplementedError("sparse ('sprs') list sizes not supported")
@@ -207,24 +234,18 @@ def parse_faiss_ivfflat_index(buf: bytes):
     off += 8
     sizes = np.frombuffer(buf, dtype="<u8", count=n_sizes, offset=off)
     off += 8 * n_sizes
-    all_ids = []
-    all_vecs = []
-    for sz in sizes.tolist():
+    entries: list = []
+    for li, sz in enumerate(sizes.tolist()):
         if sz == 0:
             continue
-        all_ids.append(np.frombuffer(buf, dtype="<i8", count=sz, offset=off))
+        ids = np.frombuffer(buf, dtype="<i8", count=sz, offset=off)
         off += 8 * sz
-        all_vecs.append(
-            np.frombuffer(buf, dtype="<f4", count=sz * d, offset=off).reshape(sz, d)
-        )
-        off += 4 * sz * d
-    ids = np.concatenate(all_ids) if all_ids else np.empty(0, dtype=np.int64)
-    vecs = np.concatenate(all_vecs) if all_vecs else np.empty((0, d), dtype=np.float32)
-    if vecs.shape[0] != ntotal:
-        raise ValueError(
-            f"IVFFlat corrupt: header ntotal {ntotal} != list payload {vecs.shape[0]}"
-        )
-    return ids.astype(np.int64), vecs
+        codes = np.frombuffer(
+            buf, dtype=np.uint8, count=sz * code_size, offset=off
+        ).reshape(sz, code_size)
+        off += sz * code_size
+        entries.append((li, ids, codes))
+    return entries, off
 
 
 def parse_faiss_hnswflat_index(buf: bytes):
@@ -337,6 +358,71 @@ def parse_faiss_pq_index(buf: bytes):
     return out
 
 
+def parse_faiss_ivfpq_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexIVFPQ`` files — no faiss
+    dependency.  Reconstruction is the same arithmetic faiss's
+    ``reconstruct_n`` performs: PQ-decode each code via the codebook and,
+    when ``by_residual`` is set (the default), add the list's coarse
+    centroid — which is right there in the nested flat quantizer.  Layout
+    (faiss/impl/index_write.cpp): fourcc "IwPQ", ivf header (index header,
+    nlist, nprobe, nested IndexFlat quantizer, direct map), by_residual
+    (bool), code_size (size_t), ProductQuantizer, ArrayInvertedLists whose
+    codes are the M uint8 PQ codes per vector.  Returns (ids, vectors) —
+    the QUANTIZED vectors, identical to the library decode; 8-bit codes
+    only, like ``parse_faiss_pq_index``."""
+    import struct
+
+    import numpy as np
+
+    if bytes(buf[0:4]) != b"IwPQ":
+        raise NotImplementedError(
+            f"not an IndexIVFPQ file (fourcc {bytes(buf[0:4])!r})"
+        )
+    d, ntotal, _metric, off = _parse_index_header(buf, 4)
+    (nlist,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    off += 8  # nprobe
+    centroids, off = _parse_flat_at(buf, off)  # coarse quantizer payload
+    dm_type = buf[off]
+    off += 1
+    (dm_size,) = struct.unpack_from("<Q", buf, off)
+    off += 8 + 8 * dm_size
+    if dm_type not in (0, 1):
+        raise NotImplementedError("hashtable direct map not supported without faiss")
+    by_residual = buf[off]
+    off += 1
+    (code_size,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    pq_d, M, nbits, cent, off = _parse_product_quantizer(buf, off)
+    if pq_d != d:
+        raise ValueError(f"IndexIVFPQ corrupt: header d {d} != quantizer d {pq_d}")
+    if nbits != 8:
+        raise NotImplementedError(
+            f"IndexIVFPQ with nbits={nbits}: only 8-bit codes decode without faiss"
+        )
+    if code_size != M:
+        raise ValueError(f"IndexIVFPQ corrupt: code_size {code_size} != M {M}")
+    entries, _ = _parse_inverted_lists(buf, off, nlist, code_size)
+    dsub = d // M
+    all_ids = []
+    all_vecs = []
+    for li, ids, codes in entries:
+        out = np.empty((codes.shape[0], d), dtype=np.float32)
+        for m in range(M):
+            out[:, m * dsub : (m + 1) * dsub] = cent[m, codes[:, m]]
+        if by_residual:
+            out += centroids[li]
+        all_ids.append(ids)
+        all_vecs.append(out)
+    ids = np.concatenate(all_ids) if all_ids else np.empty(0, dtype=np.int64)
+    vecs = np.concatenate(all_vecs) if all_vecs else np.empty((0, d), dtype=np.float32)
+    if vecs.shape[0] != ntotal:
+        raise ValueError(
+            f"IndexIVFPQ corrupt: header ntotal {ntotal} != list payload {vecs.shape[0]}"
+        )
+    return ids.astype(np.int64), vecs
+
+
 def parse_faiss_idmap_index(buf: bytes):
     """Pure-NumPy reader for FAISS ``IndexIDMap`` files wrapping a flat
     index (the standard way to ``add_with_ids`` onto IndexFlat).  Layout
@@ -424,6 +510,11 @@ def _decode_faiss_bytes(buf: bytes):
     elif fourcc == b"IxPq":
         try:
             arr = parse_faiss_pq_index(buf)
+        except NotImplementedError:
+            arr = _reconstruct_with_faiss(buf)
+    elif fourcc == b"IwPQ":
+        try:
+            return parse_faiss_ivfpq_index(buf)
         except NotImplementedError:
             arr = _reconstruct_with_faiss(buf)
     else:

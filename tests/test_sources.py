@@ -364,6 +364,74 @@ def test_faiss_pq_index_decodes_to_quantized_vectors():
         parse_faiss_pq_index(pq_bytes(nbits=6))
 
 
+def test_faiss_ivfpq_index_decodes_to_quantized_vectors():
+    """IndexIVFPQ decode = PQ codebook lookup (+ the list's coarse centroid
+    when by_residual, the faiss default) — identical arithmetic to faiss
+    reconstruct_n, checked against a direct NumPy decode here."""
+    import struct
+
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(13)
+    n, d, M, nlist = 18, 16, 4, 3
+    ksub, dsub = 256, d // M
+    cent = rng.standard_normal((M, ksub, dsub)).astype(np.float32)
+    coarse = rng.standard_normal((nlist, d)).astype(np.float32)
+    codes = rng.integers(0, ksub, (n, M), dtype=np.uint8)
+    assignment = [i % nlist for i in range(n)]
+    ids = [5 * i + 1 for i in range(n)]
+
+    def ivfpq_bytes(by_residual=1):
+        out = (
+            b"IwPQ"
+            + struct.pack("<i", d)
+            + struct.pack("<q", n)
+            + struct.pack("<qq", 1 << 20, 1 << 20)
+            + struct.pack("<B", 1)
+            + struct.pack("<i", 1)
+            + struct.pack("<Q", nlist)
+            + struct.pack("<Q", 1)  # nprobe
+            + _flat_index_bytes(coarse, b"IxF2")  # coarse quantizer
+            + struct.pack("<B", 0)  # DirectMap::NoMap
+            + struct.pack("<Q", 0)
+            + struct.pack("<B", by_residual)
+            + struct.pack("<Q", M)  # code_size
+            + struct.pack("<QQQ", d, M, 8)
+            + struct.pack("<Q", cent.size)
+            + cent.tobytes()
+            + b"ilar"
+            + struct.pack("<Q", nlist)
+            + struct.pack("<Q", M)
+            + b"full"
+            + struct.pack("<Q", nlist)
+        )
+        per_list: list[list[int]] = [[] for _ in range(nlist)]
+        for row, lst in enumerate(assignment):
+            per_list[lst].append(row)
+        for rows in per_list:
+            out += struct.pack("<Q", len(rows))
+        for rows in per_list:
+            if not rows:
+                continue
+            out += np.array([ids[r] for r in rows], dtype="<i8").tobytes()
+            out += codes[rows].tobytes()
+        return out
+
+    for by_residual in (1, 0):
+        got_ids, got = parse_faiss_ivfpq_index(ivfpq_bytes(by_residual))
+        order = np.argsort(got_ids)
+        got = got[order]  # back to insertion order (ids are monotone per row)
+        want = np.empty((n, d), dtype=np.float32)
+        for m in range(M):
+            want[:, m * dsub : (m + 1) * dsub] = cent[m, codes[:, m]]
+        if by_residual:
+            want = want + coarse[np.array(assignment)]
+        assert sorted(got_ids.tolist()) == sorted(ids)
+        assert np.array_equal(got, want), by_residual
+
+
 def test_faiss_non_flat_index_still_gated():
     """Graph/quantized index types need faiss to reconstruct — the pure
     reader must refuse them loudly, and corrupt flat headers must not
