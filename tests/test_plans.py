@@ -415,3 +415,25 @@ def test_pq_adc_scan_reads_only_the_code_column(spark):
         assert "embedding" not in s and "cell" not in s, s
     # float vectors appear only in rescore/probe-side scans
     assert any("embedding" in s for s in schemas), plan
+
+
+def test_hi_lsh_plan_is_bucketed_not_cartesian(spark):
+    """The production-threshold LSH must get its candidates from the
+    (table, bucket) equi-join — never a cartesian/nested-loop pair scan —
+    and the verify step's vector lookups must broadcast the (corpus-sized
+    but fixture-small) embedding sides, leaving no corpus-vs-corpus
+    shuffle join on pair keys."""
+    import robi_biometric_qdrant_vector_db_service_spark.workload  # noqa: F401 — registry init
+    from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+    from robi_biometric_qdrant_vector_db_service_spark.workload_dedup import (
+        sign_lsh_near_dups,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(sign_lsh_near_dups(emb))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # candidate generation: sort-merge/hash equi-join on the band key
+    assert "table" in plan and "bucket" in plan
+    # verify joins carry the explicit broadcast hint
+    assert plan.count("BroadcastExchange") >= 2, plan

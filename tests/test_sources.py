@@ -509,6 +509,26 @@ def test_stream_search_serving_equals_batch(spark):
     assert streamed == batch
 
 
+def test_stream_serving_probe_staging_is_one_file_per_batch(spark):
+    """Regression guard (round-6 fix): the staged probe log must hold
+    EXACTLY one parquet file per batch directory — a second file per dir
+    silently doubles the micro-batch count under maxFilesPerTrigger=1,
+    doubling per-trigger scan work and checkpoint commits."""
+    import glob
+
+    from robi_biometric_qdrant_vector_db_service_spark.streaming.serving import (
+        N_PROBE_FILES,
+        _staged_probe_batches_path,
+    )
+
+    path = _staged_probe_batches_path(spark, SF_SMOKE)
+    dirs = sorted(glob.glob(os.path.join(path, "batch=*")))
+    assert len(dirs) == N_PROBE_FILES
+    for d in dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, (d, files)
+
+
 def test_watermarked_dedup_matches_unbounded(spark):
     """dropDuplicatesWithinWatermark (bounded state, the production shape)
     must produce exactly the unbounded dropDuplicates counts when the
