@@ -358,6 +358,79 @@ def parse_faiss_pq_index(buf: bytes):
     return out
 
 
+def parse_faiss_sq_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexScalarQuantizer`` files — no
+    faiss dependency.  SQ decode is a per-dim affine dequantization, the
+    same arithmetic faiss's ``reconstruct_n`` runs.  Layout
+    (faiss/impl/index_write.cpp): fourcc "IxSQ", index_header,
+    write_ScalarQuantizer (qtype int32, rangestat int32, rangestat_arg
+    float32, d size_t, code_size size_t, trained float vector), codes
+    vector (uint8).  Supported qtypes:
+
+      QT_8bit (0)         trained = [vmin[d], vdiff[d]];
+                          x[i] = vmin[i] + (code[i] + 0.5)/255 · vdiff[i]
+      QT_8bit_uniform (2) trained = [vmin, vdiff] (scalars, same formula)
+      QT_fp16 (4)         codes are little-endian float16 pairs
+      QT_8bit_direct (5)  x[i] = code[i]
+
+    4-/6-bit packings raise NotImplementedError (bit unpacking + faiss's
+    exact rounding there is not worth re-deriving without the library)."""
+    import struct
+
+    import numpy as np
+
+    if bytes(buf[0:4]) != b"IxSQ":
+        raise NotImplementedError(
+            f"not an IndexScalarQuantizer file (fourcc {bytes(buf[0:4])!r})"
+        )
+    d, ntotal, _metric, off = _parse_index_header(buf, 4)
+    (qtype,) = struct.unpack_from("<i", buf, off)
+    off += 4
+    off += 4  # rangestat (int32)
+    off += 4  # rangestat_arg (float32)
+    (sq_d,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    (code_size,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    (n_trained,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    trained = np.frombuffer(buf, dtype="<f4", count=n_trained, offset=off)
+    off += 4 * n_trained
+    if sq_d != d:
+        raise ValueError(f"IndexSQ corrupt: header d {d} != quantizer d {sq_d}")
+    (n_codes,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    if n_codes != ntotal * code_size:
+        raise ValueError(f"IndexSQ corrupt: codes {n_codes} != {ntotal}·{code_size}")
+    codes = np.frombuffer(buf, dtype=np.uint8, count=n_codes, offset=off).reshape(
+        ntotal, code_size
+    )
+    if qtype == 0:  # QT_8bit, per-dim [vmin | vdiff]
+        if code_size != d or n_trained != 2 * d:
+            raise ValueError("QT_8bit layout mismatch")
+        vmin, vdiff = trained[:d], trained[d:]
+        return (
+            vmin + (codes.astype(np.float32) + 0.5) / 255.0 * vdiff
+        ).astype(np.float32)
+    if qtype == 2:  # QT_8bit_uniform, scalar vmin/vdiff
+        if code_size != d or n_trained < 2:
+            raise ValueError("QT_8bit_uniform layout mismatch")
+        return (
+            trained[0] + (codes.astype(np.float32) + 0.5) / 255.0 * trained[1]
+        ).astype(np.float32)
+    if qtype == 4:  # QT_fp16
+        if code_size != 2 * d:
+            raise ValueError("QT_fp16 layout mismatch")
+        return codes.view("<f2").reshape(ntotal, d).astype(np.float32)
+    if qtype == 5:  # QT_8bit_direct
+        if code_size != d:
+            raise ValueError("QT_8bit_direct layout mismatch")
+        return codes.astype(np.float32)
+    raise NotImplementedError(
+        f"ScalarQuantizer qtype {qtype}: sub-byte packings need faiss"
+    )
+
+
 def parse_faiss_ivfpq_index(buf: bytes):
     """Pure-NumPy reader for FAISS ``IndexIVFPQ`` files — no faiss
     dependency.  Reconstruction is the same arithmetic faiss's
@@ -515,6 +588,11 @@ def _decode_faiss_bytes(buf: bytes):
     elif fourcc == b"IwPQ":
         try:
             return parse_faiss_ivfpq_index(buf)
+        except NotImplementedError:
+            arr = _reconstruct_with_faiss(buf)
+    elif fourcc == b"IxSQ":
+        try:
+            arr = parse_faiss_sq_index(buf)
         except NotImplementedError:
             arr = _reconstruct_with_faiss(buf)
     else:

@@ -432,6 +432,63 @@ def test_faiss_ivfpq_index_decodes_to_quantized_vectors():
         assert np.array_equal(got, want), by_residual
 
 
+def test_faiss_scalar_quantizer_index_decodes():
+    """IndexScalarQuantizer decode = per-dim affine dequantization (or a
+    fp16 widen), identical to faiss reconstruct_n; 4-/6-bit packings stay
+    gated."""
+    import struct
+
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_sq_index,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d = 12, 8
+    vmin = rng.standard_normal(d).astype(np.float32)
+    vdiff = (rng.random(d) + 0.5).astype(np.float32)
+    codes8 = rng.integers(0, 256, (n, d), dtype=np.uint8)
+    f16 = rng.standard_normal((n, d)).astype("<f2")
+
+    def sq_bytes(qtype, trained, codes):
+        return (
+            b"IxSQ"
+            + struct.pack("<i", d)
+            + struct.pack("<q", n)
+            + struct.pack("<qq", 1 << 20, 1 << 20)
+            + struct.pack("<B", 1)
+            + struct.pack("<i", 1)
+            + struct.pack("<i", qtype)
+            + struct.pack("<i", 0)      # rangestat
+            + struct.pack("<f", 0.0)    # rangestat_arg
+            + struct.pack("<Q", d)
+            + struct.pack("<Q", codes.shape[1])
+            + struct.pack("<Q", trained.size)
+            + trained.astype("<f4").tobytes()
+            + struct.pack("<Q", codes.size)
+            + codes.tobytes()
+        )
+
+    got = parse_faiss_sq_index(sq_bytes(0, np.concatenate([vmin, vdiff]), codes8))
+    want = (vmin + (codes8.astype(np.float32) + 0.5) / 255.0 * vdiff).astype(np.float32)
+    assert np.array_equal(got, want)
+
+    got_u = parse_faiss_sq_index(
+        sq_bytes(2, np.array([2.0, 3.0], dtype=np.float32), codes8)
+    )
+    assert np.array_equal(
+        got_u, (2.0 + (codes8.astype(np.float32) + 0.5) / 255.0 * 3.0).astype(np.float32)
+    )
+
+    got_h = parse_faiss_sq_index(sq_bytes(4, np.empty(0), f16.view(np.uint8)))
+    assert np.array_equal(got_h, f16.astype(np.float32))
+
+    got_dir = parse_faiss_sq_index(sq_bytes(5, np.empty(0), codes8))
+    assert np.array_equal(got_dir, codes8.astype(np.float32))
+
+    with pytest.raises(NotImplementedError, match="qtype"):
+        parse_faiss_sq_index(sq_bytes(1, np.concatenate([vmin, vdiff]), codes8))
+
+
 def test_faiss_non_flat_index_still_gated():
     """Graph/quantized index types need faiss to reconstruct — the pure
     reader must refuse them loudly, and corrupt flat headers must not
