@@ -64,6 +64,41 @@ def read_npy_vectors(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(parse, NPY_ROW_SCHEMA)
 
 
+def read_npy_shard_counts(spark: SparkSession, path: str) -> DataFrame:
+    """(src_file, cnt) per ``.npy`` shard from the npy HEADERS alone — the
+    shape is in the first ~128 bytes, so the global-offset pass of a
+    migration never materializes the embedding arrays a second time.  At
+    100 TB this is the difference between a metadata pass and a second full
+    decode of the corpus."""
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.npy").load(path)
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from numpy.lib import format as npf
+
+        for pdf in batches:
+            names, cnts = [], []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                f = io.BytesIO(bytes(content))
+                version = npf.read_magic(f)
+                if version == (1, 0):
+                    shape, _, _ = npf.read_array_header_1_0(f)
+                else:
+                    shape, _, _ = npf.read_array_header_2_0(f)
+                if len(shape) != 2:
+                    raise ValueError(f"{fpath}: expected (N, D) matrix, got {shape}")
+                names.append(fpath)
+                cnts.append(shape[0])
+            yield pd.DataFrame({"src_file": names, "cnt": cnts})
+
+    return files.select("path", "content").mapInPandas(
+        parse, "src_file string, cnt bigint"
+    )
+
+
 # FAISS index fourccs (public serialization format, faiss
 # faiss/impl/index_write.cpp write_index / index_read.cpp read_index):
 # IndexFlatIP → "IxFI", IndexFlatL2 → "IxF2", other metrics → "IxFl";
@@ -752,7 +787,7 @@ def run_migration(
     # — shards ordered by name, prefix-summed counts — makes ``global_idx``
     # the metadata key and the point id.  The offsets frame is one row per
     # shard (bounded), computed with a single ordered window.
-    counts = vecs.groupBy("src_file").agg(F.count("*").alias("cnt"))
+    counts = read_npy_shard_counts(spark, vectors_path)  # header-only pass
     w = Window.orderBy("src_file").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "src_file", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("offset")

@@ -108,6 +108,39 @@ def test_migration_multi_shard_global_offsets(spark):
         assert r["metadata"]["gidx"] == r["point_id"]
 
 
+def test_npy_shard_counts_from_headers(spark):
+    """The migration's global-offset pass reads shard sizes from the npy
+    HEADERS (a metadata pass), which must agree exactly with a full decode
+    — including npy format v2 headers (large/oddly-padded header blocks)."""
+    from numpy.lib import format as npf
+
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        read_npy_shard_counts,
+        read_npy_vectors,
+    )
+
+    rng = np.random.default_rng(19)
+    tmp = tempfile.mkdtemp(prefix="npy_hdr_")
+    sizes = {"part-000.npy": 6, "part-001.npy": 4, "part-002.npy": 9}
+    for name, n in sizes.items():
+        np.save(os.path.join(tmp, name), rng.standard_normal((n, 4)).astype(np.float32))
+    # a v2-header shard (write_array with version pinned)
+    v2 = rng.standard_normal((3, 4)).astype(np.float32)
+    with open(os.path.join(tmp, "part-003.npy"), "wb") as f:
+        npf.write_array(f, v2, version=(2, 0))
+    sizes["part-003.npy"] = 3
+
+    got = {
+        os.path.basename(r["src_file"]): r["cnt"]
+        for r in read_npy_shard_counts(spark, tmp).collect()
+    }
+    assert got == sizes
+    decoded = (
+        read_npy_vectors(spark, tmp).groupBy("src_file").count().collect()
+    )
+    assert {os.path.basename(r["src_file"]): r["count"] for r in decoded} == sizes
+
+
 def test_metadata_jsonl_distributed_shape(spark):
     """JSONL metadata (the splittable scale shape) with explicit row_idx."""
     tmp = tempfile.mkdtemp(prefix="meta_jsonl_")
