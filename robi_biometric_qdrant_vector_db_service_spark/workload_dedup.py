@@ -394,8 +394,11 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept.count()  # materialize: feeds sizes and both verify-join branches
     i1 = kept.select(F.col("doc_id").alias("doc1"), "shingle")
     i2 = kept.select(F.col("doc_id").alias("doc2"), "shingle")
+    # cand is collision-bounded but grows with corpus dup-density (~248k
+    # pairs already at sf0.1) — no forced broadcast; Catalyst/AQE broadcast
+    # it only while its measured size stays under the 64 MB threshold
     inter = (
-        F.broadcast(cand)
+        cand
         .join(i1, "doc1")
         .join(i2, ["doc2", "shingle"])
         .groupBy("doc1", "doc2")
@@ -639,12 +642,16 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
     # verify with the Arrow-batched twin of cosine_sql (bit-equal at the
     # fixtures' D, tests/test_kernels.py) — NumPy throughput on the ~0.4·N²/2
-    # candidate pairs instead of a per-row Catalyst fold
+    # candidate pairs instead of a per-row Catalyst fold.  No broadcast hint
+    # on e1/e2: they are the FULL corpus, the one side that cannot be
+    # broadcast at crawl scale.  Catalyst's size-gated autoBroadcast (64 MB,
+    # session.py) still broadcasts them at fixture scale; above it the
+    # equi-join shuffles candidate-many rows, which is the right cost model.
     from .functions.vector import cosine_pudf
 
     return (
-        cand.join(F.broadcast(e1), "v1")
-        .join(F.broadcast(e2), "v2")
+        cand.join(e1, "v1")
+        .join(e2, "v2")
         .withColumn("cos_raw", cosine_pudf(F.col("e1"), F.col("e2")))
         .filter(F.col("cos_raw") >= COSINE_T)
         .select("v1", "v2", F.round("cos_raw", 6).alias("cos_sim"))
@@ -699,9 +706,11 @@ def sign_lsh_near_dups(
     )
     e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
     e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    # corpus sides carry no broadcast hint (see embedding_near_dups_lsh):
+    # size-gated autoBroadcast handles fixture scale, shuffle join above it
     return (
-        cand.join(F.broadcast(e1), "v1")
-        .join(F.broadcast(e2), "v2")
+        cand.join(e1, "v1")
+        .join(e2, "v2")
         .withColumn("cos_raw", cosine_pudf(F.col("e1"), F.col("e2")))
         .filter(F.col("cos_raw") >= threshold)
         .select("v1", "v2", F.round("cos_raw", 6).alias("cos_sim"))

@@ -419,10 +419,10 @@ def test_pq_adc_scan_reads_only_the_code_column(spark):
 
 def test_hi_lsh_plan_is_bucketed_not_cartesian(spark):
     """The production-threshold LSH must get its candidates from the
-    (table, bucket) equi-join — never a cartesian/nested-loop pair scan —
-    and the verify step's vector lookups must broadcast the (corpus-sized
-    but fixture-small) embedding sides, leaving no corpus-vs-corpus
-    shuffle join on pair keys."""
+    (table, bucket) equi-join — never a cartesian/nested-loop pair scan.
+    At fixture scale Catalyst's size-gated autoBroadcast may still
+    broadcast the small embedding sides of the verify join — that is the
+    size-gate working, not a forced hint (see the companion test below)."""
     import robi_biometric_qdrant_vector_db_service_spark.workload  # noqa: F401 — registry init
     from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
     from robi_biometric_qdrant_vector_db_service_spark.workload_dedup import (
@@ -435,5 +435,30 @@ def test_hi_lsh_plan_is_bucketed_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # candidate generation: sort-merge/hash equi-join on the band key
     assert "table" in plan and "bucket" in plan
-    # verify joins carry the explicit broadcast hint
-    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_lsh_verify_joins_never_force_corpus_broadcast(spark):
+    """VERDICT r6 item 1: the embedding-LSH verify joins must NOT pin a
+    broadcast hint on the corpus embedding sides — at 10⁹+ rows that hint
+    is a guaranteed executor OOM.  Proof: with autoBroadcastJoinThreshold
+    disabled, any BroadcastExchange left in the plan could only come from
+    a user hint, so the verify-join plans must contain none (the bounded
+    stop-shingle anti-join in the Jaccard path is the one allowed hint,
+    and it does not appear in these two queries)."""
+    import robi_biometric_qdrant_vector_db_service_spark.workload  # noqa: F401 — registry init
+    from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+    from robi_biometric_qdrant_vector_db_service_spark.workload_dedup import (
+        embedding_near_dups_lsh,
+        sign_lsh_near_dups,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for df in (sign_lsh_near_dups(emb), embedding_near_dups_lsh(spark, SF_SMOKE)):
+            plan = _plan(df)
+            assert "BroadcastExchange" not in plan, plan
+            assert "CartesianProduct" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
