@@ -195,8 +195,9 @@ def parse_faiss_ivfflat_index(buf: bytes):
       --- write_InvertedLists (ArrayInvertedLists) ---
       uint32  fourcc "ilar",  uint64 nlist,  uint64 code_size
       uint32  fourcc "full",  uint64 n + uint64 sizes[n]
-      per non-empty list i:   int64 ids[sizes[i]],
-                              uint8 codes[sizes[i]·code_size] (= float32·d)
+      per non-empty list i:   uint8 codes[sizes[i]·code_size] (= float32·d),
+                              then int64 ids[sizes[i]]  (codes FIRST —
+                              index_write.cpp writes codes before ids)
 
     Returns ``(ids, vectors)`` — int64 stored ids and the (ntotal, d)
     float32 matrix, concatenated in inverted-list order.  Graph/quantized
@@ -241,9 +242,13 @@ def parse_faiss_ivfflat_index(buf: bytes):
 
 def _parse_inverted_lists(buf: bytes, off: int, nlist: int, code_size: int):
     """``write_InvertedLists`` (ArrayInvertedLists): "ilar" + nlist +
-    code_size + "full" sizes vector + per-non-empty-list int64 ids and
-    uint8 codes.  Returns ([(list_idx, ids, codes), …], next_off) with
-    empty lists omitted; codes stay raw uint8 rows of ``code_size``."""
+    code_size + "full" sizes vector + per-non-empty-list payload.  Each
+    non-empty list stores its CODES buffer first (sz·code_size raw uint8
+    bytes) and the int64 ids after it — faiss/impl/index_write.cpp writes
+    ``WRITEANDCHECK(codes)`` then ``WRITEANDCHECK(ids)``, and index_read.cpp
+    reads in the same order.  Returns ([(list_idx, ids, codes), …],
+    next_off) with empty lists omitted; codes stay raw uint8 rows of
+    ``code_size``."""
     import struct
 
     import numpy as np
@@ -273,12 +278,15 @@ def _parse_inverted_lists(buf: bytes, off: int, nlist: int, code_size: int):
     for li, sz in enumerate(sizes.tolist()):
         if sz == 0:
             continue
-        ids = np.frombuffer(buf, dtype="<i8", count=sz, offset=off)
-        off += 8 * sz
+        # order matters: codes precede ids on disk (index_write.cpp) — the
+        # per-list byte TOTAL is order-independent, so only reading in the
+        # written order distinguishes vectors from garbage
         codes = np.frombuffer(
             buf, dtype=np.uint8, count=sz * code_size, offset=off
         ).reshape(sz, code_size)
         off += sz * code_size
+        ids = np.frombuffer(buf, dtype="<i8", count=sz, offset=off)
+        off += 8 * sz
         entries.append((li, ids, codes))
     return entries, off
 

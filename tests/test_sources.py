@@ -197,7 +197,8 @@ def _ivfflat_index_bytes(
     """Mirror of the public FAISS IndexIVFFlat serialization (faiss
     faiss/impl/index_write.cpp): "IwFl" + ivf header (index header, nlist,
     nprobe, nested IndexFlat quantizer, direct map) + ArrayInvertedLists
-    ("ilar"/"full", per-list int64 ids then raw float32 codes)."""
+    ("ilar"/"full", per-list raw float32 codes FIRST, then int64 ids —
+    index_write.cpp writes codes before ids)."""
     import struct
 
     n, d = mat.shape
@@ -229,8 +230,8 @@ def _ivfflat_index_bytes(
     for rows in per_list:
         if not rows:
             continue
+        out += mat[rows].astype("<f4").tobytes()  # codes precede ids on disk
         out += np.array([ids[r] for r in rows], dtype="<i8").tobytes()
-        out += mat[rows].astype("<f4").tobytes()
     return out
 
 
@@ -448,8 +449,8 @@ def test_faiss_ivfpq_index_decodes_to_quantized_vectors():
         for rows in per_list:
             if not rows:
                 continue
+            out += codes[rows].tobytes()  # codes precede ids on disk
             out += np.array([ids[r] for r in rows], dtype="<i8").tobytes()
-            out += codes[rows].tobytes()
         return out
 
     for by_residual in (1, 0):
