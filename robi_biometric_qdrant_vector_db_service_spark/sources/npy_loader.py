@@ -65,11 +65,14 @@ def read_npy_vectors(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_npy_shard_counts(spark: SparkSession, path: str) -> DataFrame:
-    """(src_file, cnt) per ``.npy`` shard from the npy HEADERS alone — the
-    shape is in the first ~128 bytes, so the global-offset pass of a
-    migration never materializes the embedding arrays a second time.  At
-    100 TB this is the difference between a metadata pass and a second full
-    decode of the corpus."""
+    """(src_file, cnt) per ``.npy`` shard from the npy HEADERS alone — a
+    true metadata pass.  The ``binaryFile`` scan projects ONLY the ``path``
+    column (the source builds rows from the required schema, so the file
+    bytes are never read or shipped), and each task then issues one ranged
+    read of the first 4 KiB per shard via ``pyarrow.fs`` — enough for any
+    npy v1/v2 header.  At 100 TB this is the difference between a metadata
+    pass (one small ranged GET per shard) and a second full I/O pass over
+    the corpus."""
     files = (
         spark.read.format("binaryFile").option("pathGlobFilter", "*.npy").load(path)
     )
@@ -78,11 +81,15 @@ def read_npy_shard_counts(spark: SparkSession, path: str) -> DataFrame:
         import io
 
         from numpy.lib import format as npf
+        from pyarrow import fs as pafs
 
         for pdf in batches:
             names, cnts = [], []
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                f = io.BytesIO(bytes(content))
+            for fpath in pdf["path"]:
+                filesystem, p = pafs.FileSystem.from_uri(fpath)
+                with filesystem.open_input_file(p) as fh:
+                    head = fh.read_at(4096, 0)
+                f = io.BytesIO(head)
                 version = npf.read_magic(f)
                 if version == (1, 0):
                     shape, _, _ = npf.read_array_header_1_0(f)
@@ -94,9 +101,7 @@ def read_npy_shard_counts(spark: SparkSession, path: str) -> DataFrame:
                 cnts.append(shape[0])
             yield pd.DataFrame({"src_file": names, "cnt": cnts})
 
-    return files.select("path", "content").mapInPandas(
-        parse, "src_file string, cnt bigint"
-    )
+    return files.select("path").mapInPandas(parse, "src_file string, cnt bigint")
 
 
 # FAISS index fourccs (public serialization format, faiss
@@ -412,12 +417,17 @@ def parse_faiss_sq_index(buf: bytes):
 
       QT_8bit (0)         trained = [vmin[d], vdiff[d]];
                           x[i] = vmin[i] + (code[i] + 0.5)/255 · vdiff[i]
-      QT_8bit_uniform (2) trained = [vmin, vdiff] (scalars, same formula)
+      QT_4bit (1)         nibble-packed (Codec4bit: component i in the low
+                          nibble of byte i/2 for even i, high for odd;
+                          code_size = ceil(d/2));
+                          x[i] = vmin[i] + (nib[i] + 0.5)/15 · vdiff[i]
+      QT_8bit_uniform (2) trained = [vmin, vdiff] (scalars, 8-bit formula)
+      QT_4bit_uniform (3) scalar vmin/vdiff, 4-bit nibble formula
       QT_fp16 (4)         codes are little-endian float16 pairs
       QT_8bit_direct (5)  x[i] = code[i]
 
-    4-/6-bit packings raise NotImplementedError (bit unpacking + faiss's
-    exact rounding there is not worth re-deriving without the library)."""
+    6-bit packing raises NotImplementedError (faiss's 6-bit bit-twiddling
+    is not worth re-deriving without the library)."""
     import struct
 
     import numpy as np
@@ -461,6 +471,22 @@ def parse_faiss_sq_index(buf: bytes):
         return (
             trained[0] + (codes.astype(np.float32) + 0.5) / 255.0 * trained[1]
         ).astype(np.float32)
+    if qtype in (1, 3):  # QT_4bit / QT_4bit_uniform — Codec4bit nibbles
+        if code_size != (d + 1) // 2:
+            raise ValueError("QT_4bit layout mismatch")
+        nibbles = np.empty((ntotal, 2 * code_size), dtype=np.uint8)
+        nibbles[:, 0::2] = codes & 0x0F  # even components: low nibble
+        nibbles[:, 1::2] = (codes >> 4) & 0x0F  # odd: high nibble
+        q = (nibbles[:, :d].astype(np.float32) + 0.5) / 15.0
+        if qtype == 1:
+            if n_trained != 2 * d:
+                raise ValueError("QT_4bit layout mismatch")
+            vmin, vdiff = trained[:d], trained[d:]
+        else:
+            if n_trained < 2:
+                raise ValueError("QT_4bit_uniform layout mismatch")
+            vmin, vdiff = trained[0], trained[1]
+        return (vmin + q * vdiff).astype(np.float32)
     if qtype == 4:  # QT_fp16
         if code_size != 2 * d:
             raise ValueError("QT_fp16 layout mismatch")
@@ -470,7 +496,7 @@ def parse_faiss_sq_index(buf: bytes):
             raise ValueError("QT_8bit_direct layout mismatch")
         return codes.astype(np.float32)
     raise NotImplementedError(
-        f"ScalarQuantizer qtype {qtype}: sub-byte packings need faiss"
+        f"ScalarQuantizer qtype {qtype}: 6-bit packing needs faiss"
     )
 
 
@@ -608,11 +634,14 @@ def _decode_faiss_bytes(buf: bytes):
     import numpy as np
 
     fourcc = bytes(buf[0:4])
+    # id-carrying formats (IVF*, IDMap) must yield STORED ids from the
+    # library fallback too — a positional arange would silently remap
+    # add_with_ids ids depending on which decode path ran
     if fourcc == _FAISS_IVFFLAT_FOURCC:
         try:
             return parse_faiss_ivfflat_index(buf)
         except NotImplementedError:
-            arr = _reconstruct_with_faiss(buf)
+            return _reconstruct_with_faiss(buf, want_ids=True)
     elif fourcc == b"IHNf":
         try:
             arr = parse_faiss_hnswflat_index(buf)
@@ -622,7 +651,7 @@ def _decode_faiss_bytes(buf: bytes):
         try:
             return parse_faiss_idmap_index(buf)
         except NotImplementedError:
-            arr = _reconstruct_with_faiss(buf)
+            return _reconstruct_with_faiss(buf, want_ids=True)
     elif fourcc == b"IxPq":
         try:
             arr = parse_faiss_pq_index(buf)
@@ -632,7 +661,7 @@ def _decode_faiss_bytes(buf: bytes):
         try:
             return parse_faiss_ivfpq_index(buf)
         except NotImplementedError:
-            arr = _reconstruct_with_faiss(buf)
+            return _reconstruct_with_faiss(buf, want_ids=True)
     elif fourcc == b"IxSQ":
         try:
             arr = parse_faiss_sq_index(buf)
@@ -646,25 +675,72 @@ def _decode_faiss_bytes(buf: bytes):
     return np.arange(arr.shape[0], dtype=np.int64), arr
 
 
-def _reconstruct_with_faiss(buf: bytes):  # pragma: no cover - faiss absent
-    """Graph/quantized indexes need the real library to decode."""
+def _reconstruct_with_faiss(buf: bytes, want_ids: bool = False):  # pragma: no cover - faiss absent
+    """Graph/quantized indexes need the real library to decode.
+
+    ``want_ids=True`` (id-carrying formats: IVF*, IDMap) additionally
+    recovers the STORED ids — from ``id_map`` for IDMap wrappers, from the
+    inverted lists for IVF indexes — so the fallback agrees with the native
+    parsers; if ids cannot be recovered it raises rather than returning
+    positional indices that could collide in metadata joins."""
     try:
         import faiss  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
             "FAISS index type not decodable without faiss (flat, IVFFlat, "
-            "HNSWFlat, IDMap-flat, and 8-bit IndexPQ decode natively); "
-            "re-export as .npy or IndexFlat — the reference's own fallback"
+            "HNSWFlat, IDMap-flat, 8-bit PQ/IVFPQ and 4/8-bit/fp16 SQ "
+            "decode natively); re-export as .npy or IndexFlat — the "
+            "reference's own fallback"
         ) from e
     import os
     import tempfile
+
+    import numpy as np
 
     with tempfile.NamedTemporaryFile(suffix=".index", delete=False) as tmp:
         tmp.write(buf)
         name = tmp.name
     try:
         index = faiss.read_index(name)
-        return index.reconstruct_n(0, index.ntotal)
+        if not want_ids:
+            return index.reconstruct_n(0, index.ntotal)
+        if isinstance(index, (faiss.IndexIDMap, faiss.IndexIDMap2)):
+            # base index stores vectors positionally; id_map is in the
+            # same insertion order
+            ids = faiss.vector_to_array(index.id_map).astype(np.int64)
+            return ids, index.index.reconstruct_n(0, index.ntotal)
+        try:
+            ivf = faiss.extract_index_ivf(index)
+        except Exception:
+            ivf = None
+        if ivf is not None:
+            # inverted-list order, matching the native IVF parsers
+            ids_out: list = []
+            vec_out: list = []
+            for li in range(ivf.nlist):
+                sz = ivf.invlists.list_size(li)
+                if sz == 0:
+                    continue
+                list_ids = faiss.rev_swig_ptr(ivf.invlists.get_ids(li), sz)
+                ids_out.append(np.array(list_ids, dtype=np.int64))
+                vec_out.append(
+                    np.stack(
+                        [ivf.reconstruct_from_offset(li, o) for o in range(sz)]
+                    ).astype(np.float32)
+                )
+            ids = (
+                np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)
+            )
+            vecs = (
+                np.concatenate(vec_out)
+                if vec_out
+                else np.empty((0, index.d), np.float32)
+            )
+            return ids, vecs
+        raise NotImplementedError(
+            "stored ids not recoverable via faiss for this index type; "
+            "re-export with explicit ids (.npy + metadata)"
+        )
     finally:
         os.unlink(name)
 

@@ -135,6 +135,17 @@ def test_npy_shard_counts_from_headers(spark):
         for r in read_npy_shard_counts(spark, tmp).collect()
     }
     assert got == sizes
+    # metadata pass means metadata-only scan: the binaryFile source must
+    # prune `content` (bytes never shipped) — the header read is a 4 KiB
+    # ranged read inside the UDF, not a full-file materialization
+    cnt_df = read_npy_shard_counts(spark, tmp)
+    plan = cnt_df._sc._jvm.PythonSQLUtils.explainString(
+        cnt_df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert schemas and all("content" not in s for s in schemas), plan
     decoded = (
         read_npy_vectors(spark, tmp).groupBy("src_file").count().collect()
     )
@@ -519,8 +530,62 @@ def test_faiss_scalar_quantizer_index_decodes():
     got_dir = parse_faiss_sq_index(sq_bytes(5, np.empty(0), codes8))
     assert np.array_equal(got_dir, codes8.astype(np.float32))
 
+    # QT_4bit / QT_4bit_uniform: Codec4bit nibble packing (component i in
+    # the low nibble of byte i/2 for even i, high for odd), decode
+    # vmin + (nib + 0.5)/15 · vdiff.  Even d here; odd-d padding below.
+    nib = rng.integers(0, 16, (n, d), dtype=np.uint8)
+    packed = (nib[:, 0::2] | (nib[:, 1::2] << 4)).astype(np.uint8)
+    want4 = (vmin + (nib.astype(np.float32) + 0.5) / 15.0 * vdiff).astype(np.float32)
+    got4 = parse_faiss_sq_index(sq_bytes(1, np.concatenate([vmin, vdiff]), packed))
+    assert np.array_equal(got4, want4)
+    got4u = parse_faiss_sq_index(sq_bytes(3, np.array([2.0, 3.0], dtype=np.float32), packed))
+    assert np.array_equal(
+        got4u, (2.0 + (nib.astype(np.float32) + 0.5) / 15.0 * 3.0).astype(np.float32)
+    )
+
     with pytest.raises(NotImplementedError, match="qtype"):
-        parse_faiss_sq_index(sq_bytes(1, np.concatenate([vmin, vdiff]), codes8))
+        # QT_6bit stays gated; code_size = ceil(6·d/8)
+        parse_faiss_sq_index(
+            sq_bytes(6, np.concatenate([vmin, vdiff]), codes8[:, : (6 * d + 7) // 8])
+        )
+
+
+def test_faiss_sq_4bit_odd_dim_padding():
+    """Odd d: the last byte's high nibble is padding and must be ignored —
+    code_size = ceil(d/2) per faiss Codec4bit."""
+    import struct
+
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_sq_index,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d = 5, 7
+    vmin = rng.standard_normal(d).astype(np.float32)
+    vdiff = (rng.random(d) + 0.5).astype(np.float32)
+    nib = rng.integers(0, 16, (n, d), dtype=np.uint8)
+    padded = np.concatenate([nib, np.full((n, 1), 0xF, np.uint8)], axis=1)
+    packed = (padded[:, 0::2] | (padded[:, 1::2] << 4)).astype(np.uint8)
+    assert packed.shape[1] == (d + 1) // 2
+    buf = (
+        b"IxSQ"
+        + struct.pack("<i", d)
+        + struct.pack("<q", n)
+        + struct.pack("<qq", 1 << 20, 1 << 20)
+        + struct.pack("<B", 1)
+        + struct.pack("<i", 1)
+        + struct.pack("<i", 1)  # QT_4bit
+        + struct.pack("<i", 0)
+        + struct.pack("<f", 0.0)
+        + struct.pack("<Q", d)
+        + struct.pack("<Q", packed.shape[1])
+        + struct.pack("<Q", 2 * d)
+        + np.concatenate([vmin, vdiff]).astype("<f4").tobytes()
+        + struct.pack("<Q", packed.size)
+        + packed.tobytes()
+    )
+    want = (vmin + (nib.astype(np.float32) + 0.5) / 15.0 * vdiff).astype(np.float32)
+    assert np.array_equal(parse_faiss_sq_index(buf), want)
 
 
 def test_faiss_non_flat_index_still_gated():
