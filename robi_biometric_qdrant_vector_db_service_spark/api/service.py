@@ -14,6 +14,10 @@ reference service can point at this facade unchanged:
          insertion/search/concurrent micro-benchmark graded against the
          reference's <=20 ms search / >=1000 ops/s bars
          (src/main.py:229-259, src/utils/performance.py:258-484)
+  GET    /                            service banner (src/main.py:198-214)
+  GET    /metrics                     Prometheus text exposition of the
+         per-op counters/latency quantiles (src/main.py:216-227,
+         src/utils/performance.py:48-100)
 
 Fidelity note — metadata typing: the reference accepts ``Dict[str, Any]``
 metadata; this store persists ``map<string,string>``, so non-string values
@@ -68,8 +72,15 @@ class VectorService:
         # feeds the p50/p95/p99 quantiles in /stats
         self._op_recent: dict[str, deque] = {}
         self._started = time.time()
+        self._errors: dict[str, int] = {}  # error_type -> count (main.py /metrics)
 
     # -- engine calls -------------------------------------------------------
+
+    def record_error(self, error_type: str) -> None:
+        """qdrant_errors_total{error_type=…} counter feed
+        (utils/performance.py:57-61)."""
+        with self._stats_lock:
+            self._errors[error_type] = self._errors.get(error_type, 0) + 1
 
     def _record(self, op: str, t0: float) -> float:
         ms = (time.perf_counter() - t0) * 1000.0
@@ -269,6 +280,76 @@ class VectorService:
             "store_version": self.store._current_version(),
         }
 
+    def root(self) -> dict:
+        """GET / service banner — same keys as the reference's root endpoint
+        (src/main.py:198-214: service/version/status/description/endpoints/
+        timestamp), with honest values for a CPU Spark engine; metrics are
+        served in-process at /metrics rather than a separate port."""
+        return {
+            "service": "Qdrant Vector Database Service",
+            "version": "v1",
+            "status": "running",
+            "description": (
+                "PySpark-native vector analytics engine "
+                "(API-compatible facade over a DataFrame store)"
+            ),
+            "endpoints": {
+                "health": f"{PREFIX}/health",
+                "docs": None,  # no OpenAPI autogen on the stdlib server
+                "metrics": "/metrics",
+            },
+            "timestamp": time.time(),
+        }
+
+    def metrics_text(self) -> str:
+        """GET /metrics — Prometheus text exposition (format version 0.0.4)
+        of the live per-op accounting, mirroring the reference's metric
+        families (src/main.py:216-227 + src/utils/performance.py:48-100):
+        qdrant_search_requests_total / qdrant_add_requests_total /
+        qdrant_errors_total counters, plus a per-operation latency summary
+        whose quantiles come from the bounded last-1000 ring (_perf_stats).
+        GPU gauges are honestly absent on a CPU engine, and
+        qdrant_vector_count_total is served by /stats (it needs a Spark
+        job — too heavy for a 15 s scrape loop)."""
+        with self._stats_lock:
+            ops = {
+                op: (c, tot, sorted(self._op_recent.get(op, ())))
+                for op, (c, tot) in self._op_stats.items()
+            }
+            errors = dict(self._errors)
+        lines: list[str] = []
+
+        def fam(name: str, mtype: str, help_: str) -> None:
+            lines.append(f"# HELP {name} {help_}")
+            lines.append(f"# TYPE {name} {mtype}")
+
+        searches = ops.get("search", (0, 0.0, []))[0]
+        adds = ops.get("add", (0, 0.0, []))[0] + ops.get("add_batch", (0, 0.0, []))[0]
+        fam("qdrant_search_requests_total", "counter", "Total number of search requests")
+        lines.append(f"qdrant_search_requests_total {searches}")
+        fam("qdrant_add_requests_total", "counter", "Total number of add requests")
+        lines.append(f"qdrant_add_requests_total {adds}")
+        fam("qdrant_errors_total", "counter", "Total number of errors")
+        for et, c in sorted(errors.items()):
+            lines.append(f'qdrant_errors_total{{error_type="{et}"}} {c}')
+        fam(
+            "qdrant_op_duration_seconds",
+            "summary",
+            "Per-operation request duration (quantiles over the last 1000 requests)",
+        )
+        for op, (c, tot, recent) in sorted(ops.items()):
+            for q in (0.5, 0.95, 0.99):
+                if recent:
+                    v = self._quantile(recent, q) / 1000.0
+                    lines.append(
+                        f'qdrant_op_duration_seconds{{operation="{op}",quantile="{q}"}} {v:.6f}'
+                    )
+            lines.append(f'qdrant_op_duration_seconds_sum{{operation="{op}"}} {tot / 1000.0:.6f}')
+            lines.append(f'qdrant_op_duration_seconds_count{{operation="{op}"}} {c}')
+        fam("service_uptime_seconds", "gauge", "Seconds since service start")
+        lines.append(f"service_uptime_seconds {time.time() - self._started:.3f}")
+        return "\n".join(lines) + "\n"
+
     def benchmark(self, config: dict | None = None) -> dict:
         """GET /benchmark (main.py:229-259): a bounded in-service
         insertion + search + concurrent micro-benchmark, graded against the
@@ -296,6 +377,10 @@ class VectorService:
         first = self.store.read().select("embedding").first()
         dim = len(first["embedding"]) if first else int(cfg["vector_dim"])
         rng = np.random.default_rng(12345)
+        # unique per-run tenant prefix so cleanup deletes EXACTLY this run's
+        # rows — a bare 'bench%' pattern would destroy any pre-existing
+        # tenant whose user_id merely starts with "bench"
+        run = uuid.uuid4().hex[:12]
 
         def vec() -> list[float]:
             return [float(x) for x in rng.standard_normal(dim)]
@@ -303,7 +388,7 @@ class VectorService:
         # insertion: singles through the wire path, then batches
         t_single = time.perf_counter()
         for i in range(int(cfg["single_insertions"])):
-            self.add({"embedding": vec(), "user_id": f"bench_single_{i}"})
+            self.add({"embedding": vec(), "user_id": f"bench_{run}_single_{i}"})
         single_avg_ms = (
             (time.perf_counter() - t_single) / max(1, int(cfg["single_insertions"])) * 1000
         )
@@ -316,7 +401,7 @@ class VectorService:
             self.add_batch(
                 {
                     "embeddings": [vec() for _ in range(n)],
-                    "user_ids": [f"bench_user_{lo + j}" for j in range(n)],
+                    "user_ids": [f"bench_{run}_user_{lo + j}" for j in range(n)],
                 }
             )
             batches += 1
@@ -412,7 +497,8 @@ class VectorService:
 
         if cfg["cleanup"]:
             with self._write_lock:
-                self.store.delete_where("user_id LIKE 'bench%'")
+                # run is hex, so the LIKE _ wildcards cannot over-match
+                self.store.delete_where(f"user_id LIKE 'bench_{run}_%'")
 
         return {
             "insertion": insertion,
@@ -436,6 +522,14 @@ class VectorService:
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _send_text(self, code: int, text: str, ctype: str) -> None:
+                body = text.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -471,6 +565,14 @@ class VectorService:
                         # "user" — FastAPI's /vectors/{point_id} route does
                         # the same when the /user/{id} pattern can't match
                         return self._send(200, service.delete_point(parts[3]))
+                    if method == "GET" and parts == []:
+                        return self._send(200, service.root())
+                    if method == "GET" and parts == ["metrics"]:
+                        return self._send_text(
+                            200,
+                            service.metrics_text(),
+                            "text/plain; version=0.0.4; charset=utf-8",
+                        )
                     if method == "GET" and parts == ["api", "v1", "stats"]:
                         return self._send(200, service.stats())
                     if method == "GET" and parts == ["api", "v1", "health"]:
@@ -494,8 +596,10 @@ class VectorService:
                         )
                     return self._send(404, {"success": False, "message": "not found"})
                 except (KeyError, ValueError, TypeError) as e:
+                    service.record_error(type(e).__name__)
                     return self._send(422, {"success": False, "message": str(e)})
                 except Exception as e:  # mirror endpoints.py HTTP 500 wrap
+                    service.record_error(type(e).__name__)
                     return self._send(500, {"success": False, "message": str(e)})
 
             def do_POST(self):

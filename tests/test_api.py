@@ -201,3 +201,65 @@ def test_http_benchmark_route(served):
     # cleanup removed the bench users from the store
     stats = _call(port, "GET", "/stats")["collection_info"]
     assert stats["total_vectors"] >= 1
+
+
+def test_http_root_banner(served):
+    """GET / (main.py:198-214): same keys as the reference's root endpoint,
+    pointing at the live health and metrics routes."""
+    _, port = served
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/", method="GET")
+    with urllib.request.urlopen(req) as resp:
+        r = json.loads(resp.read())
+    assert set(r) == {
+        "service", "version", "status", "description", "endpoints", "timestamp",
+    }
+    assert r["status"] == "running"
+    assert r["endpoints"]["health"] == "/api/v1/health"
+    assert r["endpoints"]["metrics"] == "/metrics"
+
+
+def test_http_metrics_prometheus_exposition(served):
+    """GET /metrics (main.py:216-227): text/plain 0.0.4 exposition of the
+    reference's counter families + per-op latency summary; every sample
+    line must parse as `name{labels} value`."""
+    import re
+    import urllib.error
+
+    _, port = served
+    # generate traffic so counters/quantiles are non-trivial
+    _call(port, "POST", "/vectors/add", {"embedding": [1.0, 0.0], "user_id": "m1"})
+    _call(
+        port,
+        "POST",
+        "/vectors/search",
+        {"embedding": [1.0, 0.0], "k": 1, "threshold": 0.0},
+    )
+    # a 422 feeds qdrant_errors_total
+    try:
+        _call(port, "POST", "/vectors/add", {"user_id": "no_embedding"})
+    except urllib.error.HTTPError as e:
+        assert e.code == 422
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/metrics", method="GET")
+    with urllib.request.urlopen(req) as resp:
+        ctype = resp.headers["Content-Type"]
+        text = resp.read().decode()
+    assert ctype.startswith("text/plain") and "version=0.0.4" in ctype
+    sample = re.compile(
+        r'^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[a-zA-Z_]+="[^"]*"(,[a-zA-Z_]+="[^"]*")*\})? '
+        r"-?[0-9.eE+-]+$"
+    )
+    samples = {}
+    for line in text.strip().splitlines():
+        if line.startswith("#"):
+            continue
+        assert sample.match(line), line
+        name, value = line.rsplit(" ", 1)
+        samples[name] = float(value)
+    assert samples["qdrant_search_requests_total"] >= 1
+    assert samples["qdrant_add_requests_total"] >= 1
+    assert any(k.startswith("qdrant_errors_total") for k in samples), samples
+    assert any(
+        'operation="search",quantile="0.5"' in k for k in samples
+    ), samples
+    assert samples['qdrant_op_duration_seconds_count{operation="search"}'] >= 1
+    assert samples["service_uptime_seconds"] > 0
