@@ -1082,61 +1082,63 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r6: (a) embedding_near_dups_lsh_hi is new this round (never
-# recorded); (b) simhash_hamming_pairs (64-bit rewrite),
-# embedding_near_dups_lsh (bucket-term refactor), stream_search_serving
-# (4-batch staging + AvailableNow), npy_migration (IVFFlat reader) changed
-# this round; (c) the five r1-only rows rotated out in r5 come back;
-# (d) the stalest r4 rows fill the window, then the three stalest r5 rows.
+# Rotation r7: (a) the four verify-join queries whose broadcast hints were
+# removed this round (embedding_near_dups_lsh, …_lsh_hi, minhash_lsh_dups,
+# ngram_jaccard_dups) plus npy_migration (inverted-list read-order fix +
+# header-only offsets pass) lead the window; (b) the rest is the 48-row
+# r5-certified cohort — everything r6 did not re-certify — minus
+# cube_orders and qty_pivot_by_status (unchanged-since-r3 relational
+# group-bys; they stay green in the committed local replica) to fit the
+# 50-row cap.
 FRONT_QUERIES = [
-    "embedding_near_dups_lsh_hi",
-    "simhash_hamming_pairs",
     "embedding_near_dups_lsh",
-    "stream_search_serving",
-    "npy_migration",
-    "sessionization",
+    "embedding_near_dups_lsh_hi",
     "minhash_lsh_dups",
-    "embedding_near_dups",
-    "knn_topk",
-    "knn_filtered",
-    "multi_vector_fusion",
-    "verify_1to1",
-    "detect_1toN",
-    "delete_by_predicate",
-    "delete_by_user",
-    "upsert_merge",
-    "add_batch_append",
-    "store_search_api",
-    "dedup_keep_newest",
-    "delete_by_id",
-    "time_travel_read",
-    "time_range_scan",
-    "store_compaction",
-    "payload_index_filter",
-    "payload_projection",
-    "collection_stats",
-    "recommend_by_examples",
-    "search_groups_topk",
-    "scroll_keyset",
-    "discover_context",
-    "similarity_matrix_topk",
-    "facet_counts",
-    "ann_signlsh_topk",
-    "int8_rescore_topk",
-    "label_centroids",
-    "knn_topk_gemm",
-    "sql_surface_knn",
-    "knn_batch_throughput",
-    "adaptive_search",
-    "ann_ivfpq_topk",
-    "ingest_bulk_100k",
-    "stream_ops_stats",
-    "stateful_running_stats",
-    "salted_user_rollup",
-    "train_test_split",
-    "domain_balanced_sample",
-    "benchmark_decontamination",
-    "sequence_packing",
-    "quality_weighted_sample",
-    "latency_distribution",
+    "ngram_jaccard_dups",
+    "npy_migration",
+    "active_customer_balance",
+    "ann_ivf_pruned_topk",
+    "ann_ivf_topk",
+    "ann_kmeans_ivf_topk",
+    "approx_distinct_parts",
+    "charlm_quality",
+    "customers_without_orders",
+    "dedup_group_components",
+    "dedup_survivors",
+    "distinct_part_counts",
+    "doc_fingerprints",
+    "doc_quality_filter",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_retention_24h",
+    "exact_dedup_groups",
+    "funnel_stages",
+    "lang_id_heuristic",
+    "lang_token_summary",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "order_status_except",
+    "order_status_intersect",
+    "pq_adc_topk",
+    "pricing_summary",
+    "purchase_attribution_asof",
+    "regex_token_profile",
+    "regional_revenue",
+    "repetition_profile",
+    "rolling_hash_fp",
+    "rollup_returns",
+    "running_ops_stats",
+    "running_supplier_qty",
+    "session_window_rollup",
+    "shingle_novelty",
+    "stream_attribution_join",
+    "stream_dedup_events",
+    "stream_hourly_counts",
+    "stream_store_ingest",
+    "text_stats",
+    "tfidf_top_terms",
+    "top_part_per_supplier",
+    "top_revenue_customers",
+    "vector_norms",
 ]
