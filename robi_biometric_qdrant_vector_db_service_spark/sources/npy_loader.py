@@ -126,11 +126,11 @@ def parse_faiss_flat_index(buf: bytes):
       uint64  count                   number of float32s = ntotal·d
       float32 data[count]             the stored vectors, row-major
 
-    IndexIVFFlat files decode too (``parse_faiss_ivfflat_index``); graph/
-    quantized types (HNSW, PQ, IVFPQ…) still require faiss and raise
-    NotImplementedError — reconstruct_n on those is a decode, not a
-    memcpy.  Returns an (ntotal, d) float32 ndarray view.
-    """
+    The other mainstream families have their own pure-NumPy readers below
+    (IVFFlat, HNSWFlat, IDMap, 4/8-bit PQ and IVFPQ, every serialized
+    ScalarQuantizer type); only PQEncoderGeneric bit widths and unknown
+    fourccs still require faiss.  Returns an (ntotal, d) float32 ndarray
+    view."""
     arr, _ = _parse_flat_at(buf, 0)
     return arr
 
@@ -196,18 +196,17 @@ def parse_faiss_ivfflat_index(buf: bytes):
                                        centroids — parsed, then skipped)
       --- write_direct_map ---
       uint8   direct-map type,  uint64 array-size + int64 data[size]
-      (hashtable direct maps raise: their map payload is not fixed-width)
+      (+ for Hashtable maps: uint64 n + int64 pairs[2n] — skipped)
       --- write_InvertedLists (ArrayInvertedLists) ---
       uint32  fourcc "ilar",  uint64 nlist,  uint64 code_size
-      uint32  fourcc "full",  uint64 n + uint64 sizes[n]
+      uint32  fourcc "full" (uint64 n + sizes[n]) or "sprs"
+              (uint64 2m + (list_no, size) pairs for non-empty lists)
       per non-empty list i:   uint8 codes[sizes[i]·code_size] (= float32·d),
                               then int64 ids[sizes[i]]  (codes FIRST —
                               index_write.cpp writes codes before ids)
 
     Returns ``(ids, vectors)`` — int64 stored ids and the (ntotal, d)
-    float32 matrix, concatenated in inverted-list order.  Graph/quantized
-    types (HNSW, PQ, IVFPQ…) still require faiss: their codes need a
-    decoder, not a memcpy."""
+    float32 matrix, concatenated in inverted-list order."""
     import struct
 
     import numpy as np
@@ -221,12 +220,7 @@ def parse_faiss_ivfflat_index(buf: bytes):
     off += 8
     off += 8  # nprobe (serving knob, not needed to reconstruct)
     _centroids, off = _parse_flat_at(buf, off)  # coarse quantizer payload
-    dm_type = buf[off]
-    off += 1
-    (dm_size,) = struct.unpack_from("<Q", buf, off)
-    off += 8 + 8 * dm_size  # direct-map array entries (int64 each)
-    if dm_type not in (0, 1):  # NoMap / Array — Hashtable adds a map payload
-        raise NotImplementedError("hashtable direct map not supported without faiss")
+    off = _parse_direct_map(buf, off)
     entries, _ = _parse_inverted_lists(buf, off, nlist, 4 * d)
     ids = (
         np.concatenate([e[1] for e in entries])
@@ -245,9 +239,31 @@ def parse_faiss_ivfflat_index(buf: bytes):
     return ids.astype(np.int64), vecs
 
 
+def _parse_direct_map(buf: bytes, off: int) -> int:
+    """``write_direct_map`` (faiss/impl/index_write.cpp): uint8 type +
+    array vector (uint64 count + int64 data), and for Hashtable (2) an
+    additional vector of (id, idx) int64 pairs.  The direct map is a
+    lookup accelerator, not data — reconstruction only needs to SKIP it.
+    Returns the offset past the map."""
+    import struct
+
+    dm_type = buf[off]
+    off += 1
+    (dm_size,) = struct.unpack_from("<Q", buf, off)
+    off += 8 + 8 * dm_size  # array entries (int64 each)
+    if dm_type == 2:  # DirectMap::Hashtable — vector of int64 pairs
+        (n_pairs,) = struct.unpack_from("<Q", buf, off)
+        off += 8 + 16 * n_pairs
+    elif dm_type not in (0, 1):  # NoMap / Array
+        raise ValueError(f"unknown direct-map type {dm_type}")
+    return off
+
+
 def _parse_inverted_lists(buf: bytes, off: int, nlist: int, code_size: int):
     """``write_InvertedLists`` (ArrayInvertedLists): "ilar" + nlist +
-    code_size + "full" sizes vector + per-non-empty-list payload.  Each
+    code_size + sizes vector — "full" (one size per list) or "sprs"
+    ((list_no, size) pairs for non-empty lists, written when over half the
+    lists are empty) — + per-non-empty-list payload.  Each
     non-empty list stores its CODES buffer first (sz·code_size raw uint8
     bytes) and the int64 ids after it — faiss/impl/index_write.cpp writes
     ``WRITEANDCHECK(codes)`` then ``WRITEANDCHECK(ids)``, and index_read.cpp
@@ -272,15 +288,24 @@ def _parse_inverted_lists(buf: bytes, off: int, nlist: int, code_size: int):
             f"inverted lists inconsistent: nlist {il_nlist} vs {nlist}, "
             f"code_size {il_code_size} vs {code_size}"
         )
-    if bytes(buf[off : off + 4]) != b"full":
-        raise NotImplementedError("sparse ('sprs') list sizes not supported")
+    list_type = bytes(buf[off : off + 4])
     off += 4
     (n_sizes,) = struct.unpack_from("<Q", buf, off)
     off += 8
-    sizes = np.frombuffer(buf, dtype="<u8", count=n_sizes, offset=off)
+    raw = np.frombuffer(buf, dtype="<u8", count=n_sizes, offset=off)
     off += 8 * n_sizes
+    if list_type == b"full":
+        # sizes[i] per list, zeros included
+        per_list = list(enumerate(raw.tolist()))
+    elif list_type == b"sprs":
+        # sparse encoding: (list_no, size) int64 pairs for non-empty lists
+        if n_sizes % 2:
+            raise ValueError("sprs sizes vector has odd length")
+        per_list = list(zip(raw[0::2].tolist(), raw[1::2].tolist()))
+    else:
+        raise NotImplementedError(f"unknown inverted-list sizes type {list_type!r}")
     entries: list = []
-    for li, sz in enumerate(sizes.tolist()):
+    for li, sz in per_list:
         if sz == 0:
             continue
         # order matters: codes precede ids on disk (index_write.cpp) — the
@@ -367,6 +392,27 @@ def _parse_product_quantizer(buf: bytes, off: int):
     return d, M, nbits, cent, off + 4 * count
 
 
+def _pq_code_indices(codes_raw, M: int, nbits: int):
+    """Expand packed PQ code rows (n, code_size) to (n, M) subquantizer
+    indices.  8-bit: one byte per code.  4-bit (PQEncoder4/PQDecoder4,
+    faiss/impl/ProductQuantizer.h): two codes per byte, FIRST code in the
+    low nibble.  Other widths use PQEncoderGeneric's bit stream and stay
+    gated."""
+    import numpy as np
+
+    if nbits == 8:
+        return codes_raw[:, :M]
+    if nbits == 4:
+        n, code_size = codes_raw.shape
+        nib = np.empty((n, 2 * code_size), dtype=np.uint8)
+        nib[:, 0::2] = codes_raw & 0x0F
+        nib[:, 1::2] = (codes_raw >> 4) & 0x0F
+        return nib[:, :M]
+    raise NotImplementedError(
+        f"PQ with nbits={nbits}: only 4- and 8-bit codes decode without faiss"
+    )
+
+
 def parse_faiss_pq_index(buf: bytes):
     """Pure-NumPy reader for FAISS ``IndexPQ`` files — no faiss dependency.
     PQ codes decode by codebook lookup, which is exactly what faiss's own
@@ -374,9 +420,10 @@ def parse_faiss_pq_index(buf: bytes):
     path: the QUANTIZED vectors (PQ is lossy by construction — the original
     floats are not in the file).  Layout (faiss/impl/index_write.cpp):
     fourcc "IxPq", index_header, write_ProductQuantizer (d/M/nbits +
-    centroids), codes vector (uint8, ntotal·M for 8-bit codes), then search
-    params (not needed).  Only nbits=8 — faiss's default and the reference
-    deployment's setting — avoids bit-unpacking; others raise."""
+    centroids), codes vector (uint8, ntotal·code_size where code_size =
+    ceil(M·nbits/8)), then search params (not needed).  nbits=8 (faiss's
+    default) and nbits=4 (nibble-packed, PQEncoder4) decode; other widths
+    use PQEncoderGeneric's bit stream and raise."""
     import struct
 
     import numpy as np
@@ -387,17 +434,17 @@ def parse_faiss_pq_index(buf: bytes):
     pq_d, M, nbits, cent, off = _parse_product_quantizer(buf, off)
     if pq_d != d:
         raise ValueError(f"IndexPQ corrupt: header d {d} != quantizer d {pq_d}")
-    if nbits != 8:
-        raise NotImplementedError(
-            f"IndexPQ with nbits={nbits}: only 8-bit codes decode without faiss"
-        )
+    code_size = (M * nbits + 7) // 8
     (n_codes,) = struct.unpack_from("<Q", buf, off)
     off += 8
-    if n_codes != ntotal * M:
-        raise ValueError(f"IndexPQ corrupt: codes {n_codes} != {ntotal}·{M}")
-    codes = np.frombuffer(buf, dtype=np.uint8, count=n_codes, offset=off).reshape(
-        ntotal, M
+    if n_codes != ntotal * code_size:
+        raise ValueError(
+            f"IndexPQ corrupt: codes {n_codes} != {ntotal}·{code_size}"
+        )
+    raw = np.frombuffer(buf, dtype=np.uint8, count=n_codes, offset=off).reshape(
+        ntotal, code_size
     )
+    codes = _pq_code_indices(raw, M, nbits)
     # decode: vec[m·dsub:(m+1)·dsub] = centroids[m, code[m]]
     out = np.empty((ntotal, d), dtype=np.float32)
     dsub = d // M
@@ -425,9 +472,12 @@ def parse_faiss_sq_index(buf: bytes):
       QT_4bit_uniform (3) scalar vmin/vdiff, 4-bit nibble formula
       QT_fp16 (4)         codes are little-endian float16 pairs
       QT_8bit_direct (5)  x[i] = code[i]
-
-    6-bit packing raises NotImplementedError (faiss's 6-bit bit-twiddling
-    is not worth re-deriving without the library)."""
+      QT_6bit (6)         Codec6bit: 3 bytes per 4 components, little-
+                          endian bit order (component 0 in byte0 bits 0-5,
+                          1 in byte0 bits 6-7 + byte1 bits 0-3, …);
+                          x[i] = vmin[i] + (c6[i] + 0.5)/63 · vdiff[i]
+      QT_bf16 (7)         codes are bfloat16 pairs (high half of float32)
+      QT_8bit_direct_signed (8)  x[i] = code[i] - 128"""
     import struct
 
     import numpy as np
@@ -495,8 +545,43 @@ def parse_faiss_sq_index(buf: bytes):
         if code_size != d:
             raise ValueError("QT_8bit_direct layout mismatch")
         return codes.astype(np.float32)
+    if qtype == 6:  # QT_6bit — Codec6bit, per-dim [vmin | vdiff]
+        if code_size != (d * 6 + 7) // 8 or n_trained != 2 * d:
+            raise ValueError("QT_6bit layout mismatch")
+        # pad each row to whole 3-byte groups, then extract component i
+        # from its group per Codec6bit's little-endian layout
+        groups = (d + 3) // 4
+        padded = np.zeros((ntotal, groups * 3), dtype=np.uint8)
+        padded[:, :code_size] = codes
+        i = np.arange(d)
+        b0 = padded[:, (i >> 2) * 3]
+        b1 = padded[:, (i >> 2) * 3 + 1]
+        b2 = padded[:, (i >> 2) * 3 + 2]
+        rem = i & 3
+        c6 = np.where(
+            rem == 0,
+            b0 & 0x3F,
+            np.where(
+                rem == 1,
+                (b0 >> 6) | ((b1 & 0x0F) << 2),
+                np.where(rem == 2, (b1 >> 4) | ((b2 & 0x03) << 4), b2 >> 2),
+            ),
+        )
+        vmin, vdiff = trained[:d], trained[d:]
+        return (vmin + (c6.astype(np.float32) + 0.5) / 63.0 * vdiff).astype(
+            np.float32
+        )
+    if qtype == 7:  # QT_bf16 — high half of a float32
+        if code_size != 2 * d:
+            raise ValueError("QT_bf16 layout mismatch")
+        u16 = codes.view("<u2").reshape(ntotal, d).astype(np.uint32)
+        return (u16 << 16).view(np.float32)
+    if qtype == 8:  # QT_8bit_direct_signed
+        if code_size != d:
+            raise ValueError("QT_8bit_direct_signed layout mismatch")
+        return codes.astype(np.float32) - 128.0
     raise NotImplementedError(
-        f"ScalarQuantizer qtype {qtype}: 6-bit packing needs faiss"
+        f"ScalarQuantizer qtype {qtype} not recognized"
     )
 
 
@@ -509,9 +594,9 @@ def parse_faiss_ivfpq_index(buf: bytes):
     (faiss/impl/index_write.cpp): fourcc "IwPQ", ivf header (index header,
     nlist, nprobe, nested IndexFlat quantizer, direct map), by_residual
     (bool), code_size (size_t), ProductQuantizer, ArrayInvertedLists whose
-    codes are the M uint8 PQ codes per vector.  Returns (ids, vectors) —
-    the QUANTIZED vectors, identical to the library decode; 8-bit codes
-    only, like ``parse_faiss_pq_index``."""
+    codes are the packed PQ codes per vector.  Returns (ids, vectors) —
+    the QUANTIZED vectors, identical to the library decode; 4- and 8-bit
+    codes, like ``parse_faiss_pq_index``."""
     import struct
 
     import numpy as np
@@ -525,12 +610,7 @@ def parse_faiss_ivfpq_index(buf: bytes):
     off += 8
     off += 8  # nprobe
     centroids, off = _parse_flat_at(buf, off)  # coarse quantizer payload
-    dm_type = buf[off]
-    off += 1
-    (dm_size,) = struct.unpack_from("<Q", buf, off)
-    off += 8 + 8 * dm_size
-    if dm_type not in (0, 1):
-        raise NotImplementedError("hashtable direct map not supported without faiss")
+    off = _parse_direct_map(buf, off)
     by_residual = buf[off]
     off += 1
     (code_size,) = struct.unpack_from("<Q", buf, off)
@@ -538,17 +618,16 @@ def parse_faiss_ivfpq_index(buf: bytes):
     pq_d, M, nbits, cent, off = _parse_product_quantizer(buf, off)
     if pq_d != d:
         raise ValueError(f"IndexIVFPQ corrupt: header d {d} != quantizer d {pq_d}")
-    if nbits != 8:
-        raise NotImplementedError(
-            f"IndexIVFPQ with nbits={nbits}: only 8-bit codes decode without faiss"
+    if code_size != (M * nbits + 7) // 8:
+        raise ValueError(
+            f"IndexIVFPQ corrupt: code_size {code_size} != ceil({M}·{nbits}/8)"
         )
-    if code_size != M:
-        raise ValueError(f"IndexIVFPQ corrupt: code_size {code_size} != M {M}")
     entries, _ = _parse_inverted_lists(buf, off, nlist, code_size)
     dsub = d // M
     all_ids = []
     all_vecs = []
-    for li, ids, codes in entries:
+    for li, ids, raw in entries:
+        codes = _pq_code_indices(raw, M, nbits)
         out = np.empty((codes.shape[0], d), dtype=np.float32)
         for m in range(M):
             out[:, m * dsub : (m + 1) * dsub] = cent[m, codes[:, m]]

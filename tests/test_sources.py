@@ -204,17 +204,31 @@ def _ivfflat_index_bytes(
     list_of: list[int],
     ids: list[int] | None = None,
     nlist: int = 3,
+    sparse: bool = False,
+    dm_hashtable: bool = False,
 ) -> bytes:
     """Mirror of the public FAISS IndexIVFFlat serialization (faiss
     faiss/impl/index_write.cpp): "IwFl" + ivf header (index header, nlist,
     nprobe, nested IndexFlat quantizer, direct map) + ArrayInvertedLists
-    ("ilar"/"full", per-list raw float32 codes FIRST, then int64 ids —
-    index_write.cpp writes codes before ids)."""
+    ("ilar", "full" or "sprs" sizes, per-list raw float32 codes FIRST,
+    then int64 ids — index_write.cpp writes codes before ids).
+    ``sparse`` emits the "sprs" (list_no, size)-pairs sizes encoding;
+    ``dm_hashtable`` emits a DirectMap::Hashtable payload (type 2 + empty
+    array + (id, idx) pairs) that the parser must skip over."""
     import struct
 
     n, d = mat.shape
     ids = ids if ids is not None else list(range(n))
     centroids = np.zeros((nlist, d), dtype=np.float32)
+    if dm_hashtable:
+        dm = (
+            struct.pack("<B", 2)  # DirectMap::Hashtable
+            + struct.pack("<Q", 0)  # empty direct-map array
+            + struct.pack("<Q", n)  # hashtable pairs
+            + b"".join(struct.pack("<qq", ids[r], r) for r in range(n))
+        )
+    else:
+        dm = struct.pack("<B", 0) + struct.pack("<Q", 0)  # NoMap, empty array
     out = (
         b"IwFl"
         + struct.pack("<i", d)
@@ -225,19 +239,23 @@ def _ivfflat_index_bytes(
         + struct.pack("<Q", nlist)
         + struct.pack("<Q", 1)  # nprobe
         + _flat_index_bytes(centroids, b"IxF2")  # nested coarse quantizer
-        + struct.pack("<B", 0)  # DirectMap::NoMap
-        + struct.pack("<Q", 0)  # empty direct-map array
+        + dm
         + b"ilar"
         + struct.pack("<Q", nlist)
         + struct.pack("<Q", 4 * d)  # code_size: raw float32 vectors
-        + b"full"
-        + struct.pack("<Q", nlist)
     )
     per_list: list[list[int]] = [[] for _ in range(nlist)]
     for row, lst in enumerate(list_of):
         per_list[lst].append(row)
-    for rows in per_list:
-        out += struct.pack("<Q", len(rows))
+    if sparse:
+        pairs = [(li, len(rows)) for li, rows in enumerate(per_list) if rows]
+        out += b"sprs" + struct.pack("<Q", 2 * len(pairs))
+        for li, sz in pairs:
+            out += struct.pack("<QQ", li, sz)
+    else:
+        out += b"full" + struct.pack("<Q", nlist)
+        for rows in per_list:
+            out += struct.pack("<Q", len(rows))
     for rows in per_list:
         if not rows:
             continue
@@ -278,6 +296,21 @@ def test_faiss_ivfflat_index_roundtrip(spark, npy_fixture):
     sparse = [0 for _ in range(n)]  # everything in list 0, lists 1-2 empty
     idx2, vecs2 = parse_faiss_ivfflat_index(_ivfflat_index_bytes(mat, sparse))
     assert np.array_equal(vecs2[np.argsort(idx2)], mat)
+
+    # "sprs" sizes encoding (written when >half the lists are empty)
+    idx3, vecs3 = parse_faiss_ivfflat_index(
+        _ivfflat_index_bytes(mat, sparse, nlist=8, sparse=True)
+    )
+    assert np.array_equal(vecs3[np.argsort(idx3)], mat)
+    assert sorted(idx3.tolist()) == list(range(n))
+
+    # a Hashtable direct map rides between the quantizer and the lists —
+    # the parser skips its pair payload and still lands on "ilar"
+    idx4, vecs4 = parse_faiss_ivfflat_index(
+        _ivfflat_index_bytes(mat, assignment, ids=custom_ids, dm_hashtable=True)
+    )
+    assert sorted(idx4.tolist()) == sorted(custom_ids)
+    assert np.array_equal(vecs4[np.argsort(idx4)], mat[np.argsort(custom_ids)])
 
 
 def _hnswflat_index_bytes(mat: np.ndarray, scalar_block: int = 20) -> bytes:
@@ -369,7 +402,9 @@ def test_faiss_hnswflat_and_idmap_decode(spark, npy_fixture):
 def test_faiss_pq_index_decodes_to_quantized_vectors():
     """IndexPQ files decode by codebook lookup — the same computation as
     faiss reconstruct_n, so the decoded matrix must equal the reference
-    decode done directly in NumPy here, and nbits != 8 must stay gated."""
+    decode done directly in NumPy here.  8-bit and nibble-packed 4-bit
+    (PQEncoder4: first code in the low nibble) decode; PQEncoderGeneric
+    widths stay gated."""
     import struct
 
     from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
@@ -382,7 +417,7 @@ def test_faiss_pq_index_decodes_to_quantized_vectors():
     cent = rng.standard_normal((M, ksub, dsub)).astype(np.float32)
     codes = rng.integers(0, ksub, (n, M), dtype=np.uint8)
 
-    def pq_bytes(nbits=8):
+    def pq_bytes(packed, nbits=8):
         c = cent[:, : 1 << nbits]  # codebook sized to the code width
         return (
             b"IxPq"
@@ -394,19 +429,30 @@ def test_faiss_pq_index_decodes_to_quantized_vectors():
             + struct.pack("<QQQ", d, M, nbits)
             + struct.pack("<Q", c.size)
             + np.ascontiguousarray(c).tobytes()
-            + struct.pack("<Q", codes.size)
-            + codes.tobytes()
+            + struct.pack("<Q", packed.size)
+            + packed.tobytes()
             + b"\x00" * 12  # trailing search params, ignored
         )
 
-    got = parse_faiss_pq_index(pq_bytes())
+    got = parse_faiss_pq_index(pq_bytes(codes))
     want = np.empty((n, d), dtype=np.float32)
     for m in range(M):
         want[:, m * dsub : (m + 1) * dsub] = cent[m, codes[:, m]]
     assert np.array_equal(got, want)
 
+    # 4-bit: two codes per byte, first in the low nibble
+    codes4 = rng.integers(0, 16, (n, M), dtype=np.uint8)
+    packed4 = (codes4[:, 0::2] | (codes4[:, 1::2] << 4)).astype(np.uint8)
+    got4 = parse_faiss_pq_index(pq_bytes(packed4, nbits=4))
+    want4 = np.empty((n, d), dtype=np.float32)
+    for m in range(M):
+        want4[:, m * dsub : (m + 1) * dsub] = cent[m, codes4[:, m]]
+    assert np.array_equal(got4, want4)
+
+    # generic bit-stream widths (e.g. 6) stay gated; code_size = ceil(M·6/8)
+    codes6 = rng.integers(0, 256, (n, (M * 6 + 7) // 8), dtype=np.uint8)
     with pytest.raises(NotImplementedError, match="nbits"):
-        parse_faiss_pq_index(pq_bytes(nbits=6))
+        parse_faiss_pq_index(pq_bytes(codes6, nbits=6))
 
 
 def test_faiss_ivfpq_index_decodes_to_quantized_vectors():
@@ -478,9 +524,10 @@ def test_faiss_ivfpq_index_decodes_to_quantized_vectors():
 
 
 def test_faiss_scalar_quantizer_index_decodes():
-    """IndexScalarQuantizer decode = per-dim affine dequantization (or a
-    fp16 widen), identical to faiss reconstruct_n; 4-/6-bit packings stay
-    gated."""
+    """IndexScalarQuantizer decode = per-dim affine dequantization (or an
+    fp16/bf16 widen), identical to faiss reconstruct_n, across every
+    QuantizerType faiss serializes (8/4/6-bit, uniform and per-dim, fp16,
+    bf16, direct and direct-signed); unknown qtypes stay gated."""
     import struct
 
     from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
@@ -543,11 +590,43 @@ def test_faiss_scalar_quantizer_index_decodes():
         got4u, (2.0 + (nib.astype(np.float32) + 0.5) / 15.0 * 3.0).astype(np.float32)
     )
 
+    # QT_6bit: Codec6bit packs 4 components into 3 bytes, little-endian —
+    # emulate faiss's encode_component bit layout and assert the decode
+    c6 = rng.integers(0, 64, (n, d), dtype=np.uint8)
+    groups = (d + 3) // 4
+    packed6 = np.zeros((n, groups * 3), dtype=np.uint8)
+    for i in range(d):
+        g, r = divmod(i, 4)
+        bits = c6[:, i]
+        if r == 0:
+            packed6[:, g * 3] |= bits
+        elif r == 1:
+            packed6[:, g * 3] |= (bits << 6) & 0xFF
+            packed6[:, g * 3 + 1] |= bits >> 2
+        elif r == 2:
+            packed6[:, g * 3 + 1] |= (bits << 4) & 0xFF
+            packed6[:, g * 3 + 2] |= bits >> 4
+        else:
+            packed6[:, g * 3 + 2] |= (bits << 2) & 0xFF
+    packed6 = packed6[:, : (d * 6 + 7) // 8]
+    got6 = parse_faiss_sq_index(sq_bytes(6, np.concatenate([vmin, vdiff]), packed6))
+    want6 = (vmin + (c6.astype(np.float32) + 0.5) / 63.0 * vdiff).astype(np.float32)
+    assert np.array_equal(got6, want6)
+
+    # QT_bf16: high half of a float32
+    f32 = rng.standard_normal((n, d)).astype(np.float32)
+    bf16 = (f32.view(np.uint32) >> 16).astype("<u2")
+    got_bf = parse_faiss_sq_index(sq_bytes(7, np.empty(0), bf16.view(np.uint8)))
+    assert np.array_equal(
+        got_bf, (bf16.astype(np.uint32) << 16).view(np.float32)
+    )
+
+    # QT_8bit_direct_signed
+    got_s = parse_faiss_sq_index(sq_bytes(8, np.empty(0), codes8))
+    assert np.array_equal(got_s, codes8.astype(np.float32) - 128.0)
+
     with pytest.raises(NotImplementedError, match="qtype"):
-        # QT_6bit stays gated; code_size = ceil(6·d/8)
-        parse_faiss_sq_index(
-            sq_bytes(6, np.concatenate([vmin, vdiff]), codes8[:, : (6 * d + 7) // 8])
-        )
+        parse_faiss_sq_index(sq_bytes(99, np.empty(0), codes8))
 
 
 def test_faiss_sq_4bit_odd_dim_padding():
