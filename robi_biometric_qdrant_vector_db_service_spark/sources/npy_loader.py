@@ -396,8 +396,10 @@ def _pq_code_indices(codes_raw, M: int, nbits: int):
     """Expand packed PQ code rows (n, code_size) to (n, M) subquantizer
     indices.  8-bit: one byte per code.  4-bit (PQEncoder4/PQDecoder4,
     faiss/impl/ProductQuantizer.h): two codes per byte, FIRST code in the
-    low nibble.  Other widths use PQEncoderGeneric's bit stream and stay
-    gated."""
+    low nibble.  Every other width uses PQEncoderGeneric's stream — codes
+    packed back-to-back LSB-first — which the 4-bit layout is a special
+    case of, so one unpackbits path covers all of them (nbits ≤ 16 per
+    faiss's own limit)."""
     import numpy as np
 
     if nbits == 8:
@@ -408,9 +410,11 @@ def _pq_code_indices(codes_raw, M: int, nbits: int):
         nib[:, 0::2] = codes_raw & 0x0F
         nib[:, 1::2] = (codes_raw >> 4) & 0x0F
         return nib[:, :M]
-    raise NotImplementedError(
-        f"PQ with nbits={nbits}: only 4- and 8-bit codes decode without faiss"
-    )
+    if not 1 <= nbits <= 16:
+        raise NotImplementedError(f"PQ with nbits={nbits} out of faiss's range")
+    bits = np.unpackbits(codes_raw, axis=1, bitorder="little")
+    idx = bits[:, : M * nbits].reshape(-1, M, nbits).astype(np.uint32)
+    return (idx << np.arange(nbits, dtype=np.uint32)).sum(axis=2)
 
 
 def parse_faiss_pq_index(buf: bytes):
@@ -421,9 +425,10 @@ def parse_faiss_pq_index(buf: bytes):
     floats are not in the file).  Layout (faiss/impl/index_write.cpp):
     fourcc "IxPq", index_header, write_ProductQuantizer (d/M/nbits +
     centroids), codes vector (uint8, ntotal·code_size where code_size =
-    ceil(M·nbits/8)), then search params (not needed).  nbits=8 (faiss's
-    default) and nbits=4 (nibble-packed, PQEncoder4) decode; other widths
-    use PQEncoderGeneric's bit stream and raise."""
+    ceil(M·nbits/8)), then search params (not needed).  All code widths
+    decode: nbits=8 (byte-per-code), nbits=4 (nibble-packed, PQEncoder4),
+    and every other 1..16-bit width via PQEncoderGeneric's LSB-first
+    stream."""
     import struct
 
     import numpy as np
@@ -595,8 +600,8 @@ def parse_faiss_ivfpq_index(buf: bytes):
     nlist, nprobe, nested IndexFlat quantizer, direct map), by_residual
     (bool), code_size (size_t), ProductQuantizer, ArrayInvertedLists whose
     codes are the packed PQ codes per vector.  Returns (ids, vectors) —
-    the QUANTIZED vectors, identical to the library decode; 4- and 8-bit
-    codes, like ``parse_faiss_pq_index``."""
+    the QUANTIZED vectors, identical to the library decode; every code
+    width decodes, like ``parse_faiss_pq_index``."""
     import struct
 
     import numpy as np

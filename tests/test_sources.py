@@ -402,9 +402,9 @@ def test_faiss_hnswflat_and_idmap_decode(spark, npy_fixture):
 def test_faiss_pq_index_decodes_to_quantized_vectors():
     """IndexPQ files decode by codebook lookup — the same computation as
     faiss reconstruct_n, so the decoded matrix must equal the reference
-    decode done directly in NumPy here.  8-bit and nibble-packed 4-bit
-    (PQEncoder4: first code in the low nibble) decode; PQEncoderGeneric
-    widths stay gated."""
+    decode done directly in NumPy here, across 8-bit, nibble-packed 4-bit
+    (PQEncoder4: first code in the low nibble), and PQEncoderGeneric
+    bit-stream widths."""
     import struct
 
     from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
@@ -449,10 +449,22 @@ def test_faiss_pq_index_decodes_to_quantized_vectors():
         want4[:, m * dsub : (m + 1) * dsub] = cent[m, codes4[:, m]]
     assert np.array_equal(got4, want4)
 
-    # generic bit-stream widths (e.g. 6) stay gated; code_size = ceil(M·6/8)
-    codes6 = rng.integers(0, 256, (n, (M * 6 + 7) // 8), dtype=np.uint8)
-    with pytest.raises(NotImplementedError, match="nbits"):
-        parse_faiss_pq_index(pq_bytes(codes6, nbits=6))
+    # generic bit-stream widths (PQEncoderGeneric: codes packed
+    # back-to-back LSB-first) — 6-bit, code_size = ceil(M·6/8)
+    for nbits in (6, 2):
+        ksub_w = 1 << nbits
+        codes_w = rng.integers(0, ksub_w, (n, M), dtype=np.uint8)
+        bit_rows = (
+            ((codes_w[:, :, None] >> np.arange(nbits)) & 1)
+            .reshape(n, M * nbits)
+            .astype(np.uint8)
+        )
+        packed_w = np.packbits(bit_rows, axis=1, bitorder="little")
+        got_w = parse_faiss_pq_index(pq_bytes(packed_w, nbits=nbits))
+        want_w = np.empty((n, d), dtype=np.float32)
+        for m in range(M):
+            want_w[:, m * dsub : (m + 1) * dsub] = cent[m, codes_w[:, m]]
+        assert np.array_equal(got_w, want_w), nbits
 
 
 def test_faiss_ivfpq_index_decodes_to_quantized_vectors():
