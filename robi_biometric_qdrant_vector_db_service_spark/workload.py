@@ -1085,10 +1085,11 @@ from . import workload_graph  # noqa: E402,F401
 # Rotation r7: (a) the four verify-join queries whose broadcast hints were
 # removed this round (embedding_near_dups_lsh, …_lsh_hi, minhash_lsh_dups,
 # ngram_jaccard_dups) plus npy_migration (inverted-list read-order fix +
-# header-only offsets pass) lead the window; (b) the rest is the 48-row
-# r5-certified cohort — everything r6 did not re-certify — minus
-# cube_orders and qty_pivot_by_status (unchanged-since-r3 relational
-# group-bys; they stay green in the committed local replica) to fit the
+# header-only offsets pass) lead the window, and bm25_top_docs is new this
+# round (never recorded); (b) the rest is the 48-row r5-certified cohort —
+# everything r6 did not re-certify — minus cube_orders,
+# qty_pivot_by_status, and approx_distinct_parts (unchanged-since-r3
+# queries; they stay green in the committed local replica) to fit the
 # 50-row cap.
 FRONT_QUERIES = [
     "embedding_near_dups_lsh",
@@ -1100,7 +1101,7 @@ FRONT_QUERIES = [
     "ann_ivf_pruned_topk",
     "ann_ivf_topk",
     "ann_kmeans_ivf_topk",
-    "approx_distinct_parts",
+    "bm25_top_docs",
     "charlm_quality",
     "customers_without_orders",
     "dedup_group_components",

@@ -542,3 +542,110 @@ def charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_p"),
         )
     )
+
+
+# BM25 ranked retrieval over a fixed query-term set — the retrieval /
+# quality-weighting primitive of a curation pipeline (reference analogue:
+# payload-filtered relevance ranking, SURVEY §2.4/§2.7).  Constants are the
+# classic Robertson defaults.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("vector", "stream", "hash")  # present at every fixture sf
+
+# One textual formula, used verbatim by BOTH engines: every op is IEEE-754
+# correctly-rounded mul/div/add over identically-derived operands, so the
+# scores are bit-identical and the top-k selection agrees without rounding
+# tricks.  idf is the RAW Robertson ratio (n - df + 0.5)/(df + 0.5) rather
+# than its logarithm — same ranking (log is monotone), engine-checkable
+# score (ln differs in its last ulp across libm builds; tfidf_top_terms
+# applies the same substitution).  Literals carry the e0 suffix: a bare
+# `1.2` parses as DECIMAL in both engines, and each promotes DECIMAL to
+# DOUBLE at a different point in the tree — `1.2e0` is a DOUBLE literal in
+# both, keeping the whole evaluation in binary floating point.
+_BM25_S = (
+    f"((n - df + 0.5e0) / (df + 0.5e0)) * (tf * ({BM25_K1}e0 + 1)) / "
+    f"(tf + {BM25_K1}e0 * (1 - {BM25_B}e0 + {BM25_B}e0 * dl / avgdl))"
+)
+_BM25_IN = "('" + "', '".join(BM25_TERMS) + "')"
+
+
+@register(
+    "bm25_top_docs",
+    f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+dl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+terms AS (SELECT doc_id, term
+          FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+          WHERE term IN {_BM25_IN}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM terms GROUP BY 1),
+comp AS (
+  SELECT tf.doc_id, tf.term, {_BM25_S} AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+pivoted AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN term = '{BM25_TERMS[0]}' THEN s END), 0) AS s0,
+         coalesce(max(CASE WHEN term = '{BM25_TERMS[1]}' THEN s END), 0) AS s1,
+         coalesce(max(CASE WHEN term = '{BM25_TERMS[2]}' THEN s END), 0) AS s2
+  FROM comp GROUP BY 1
+)
+SELECT doc_id, round(s0 + s1 + s2, 6) AS bm25
+FROM pivoted
+ORDER BY s0 + s1 + s2 DESC, doc_id
+LIMIT 10
+""",
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 over the fixed query ``BM25_TERMS`` —
+    ranked retrieval, the curation-pipeline primitive for pulling the most
+    on-topic documents for a query (k1=1.2, b=0.75).
+
+    Determinism: the per-term partial scores are summed in FIXED written
+    order (s0 + s1 + s2) instead of a float SUM aggregate, whose
+    accumulation order is engine- and partition-dependent; with both
+    engines evaluating the identical expression tree over identical
+    operands the doubles are bit-equal and the top-10 cut agrees.
+
+    Scale: tokenize/explode is map-side; tf and the ≤|terms| df rows are
+    map-side-combined hash aggregates; df and the (n, avgdl) scalar
+    broadcast (bounded by the QUERY, not the corpus); dl joins tf on
+    doc_id — AQE picks the side; the final cut is a distributed
+    TakeOrdered(10), never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    dl = toks.select("doc_id", F.size("tokens").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    terms = toks.select("doc_id", F.explode("tokens").alias("term")).filter(
+        F.expr(f"term IN ({in_list})")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    df_ = (
+        terms.distinct().groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    )
+    comp = (
+        tf.join(F.broadcast(df_), "term")  # ≤ len(BM25_TERMS) rows
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))  # one scalar row
+        .withColumn("s", F.expr(_BM25_S))
+    )
+    pivoted = comp.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"s{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    score = F.col("s0") + F.col("s1") + F.col("s2")
+    return (
+        pivoted.orderBy(score.desc(), F.col("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+    )
