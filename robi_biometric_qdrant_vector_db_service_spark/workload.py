@@ -1085,12 +1085,12 @@ from . import workload_graph  # noqa: E402,F401
 # Rotation r7: (a) the four verify-join queries whose broadcast hints were
 # removed this round (embedding_near_dups_lsh, …_lsh_hi, minhash_lsh_dups,
 # ngram_jaccard_dups) plus npy_migration (inverted-list read-order fix +
-# header-only offsets pass) lead the window, and bm25_top_docs is new this
-# round (never recorded); (b) the rest is the 48-row r5-certified cohort —
-# everything r6 did not re-certify — minus cube_orders,
-# qty_pivot_by_status, and approx_distinct_parts (unchanged-since-r3
-# queries; they stay green in the committed local replica) to fit the
-# 50-row cap.
+# header-only offsets pass) lead the window, and bm25_top_docs / doc_chunks
+# are new this round (never recorded); (b) the rest is the 48-row
+# r5-certified cohort — everything r6 did not re-certify — minus
+# cube_orders, qty_pivot_by_status, approx_distinct_parts, and
+# distinct_part_counts (unchanged-since-r3 queries; they stay green in the
+# committed local replica) to fit the 50-row cap.
 FRONT_QUERIES = [
     "embedding_near_dups_lsh",
     "embedding_near_dups_lsh_hi",
@@ -1106,7 +1106,7 @@ FRONT_QUERIES = [
     "customers_without_orders",
     "dedup_group_components",
     "dedup_survivors",
-    "distinct_part_counts",
+    "doc_chunks",
     "doc_fingerprints",
     "doc_quality_filter",
     "events_hourly_rollup",

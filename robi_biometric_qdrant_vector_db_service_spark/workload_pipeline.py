@@ -263,3 +263,50 @@ GROUP BY quality
 
 
 _register_quality_weighted_sample()
+
+
+CHUNK_SIZE = 32  # tokens per context chunk
+CHUNK_STRIDE = 24  # start-to-start distance (8-token overlap)
+
+
+@register(
+    "doc_chunks",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS BIGINT) AS start
+  FROM t
+)
+SELECT doc_id, start,
+       CAST(len(list_slice(toks, start + 1, least(start + {CHUNK_SIZE}, len(toks)))) AS BIGINT) AS chunk_len,
+       array_to_string(list_slice(toks, start + 1, least(start + {CHUNK_SIZE}, len(toks))), ' ') AS chunk_text
+FROM s
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: every document is cut into
+    CHUNK_SIZE-token chunks on a CHUNK_STRIDE-token stride (8-token
+    overlap), the canonical tokenize-and-chunk step between curation and
+    the trainer; the companion op `sequence_packing` then packs SHORT
+    documents up to the budget while this op splits LONG ones down to it.
+
+    Scale: pure per-document projection — sequence + slice + explode, no
+    shuffle at any corpus size; chunk boundaries depend only on the row,
+    so the op is embarrassingly parallel and deterministic (oracle checks
+    the exact chunk text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = F.expr(
+        f"sequence(0, greatest(size(toks) - 1, 0), {CHUNK_STRIDE})"
+    )
+    chunk = F.expr(f"slice(toks, start + 1, {CHUNK_SIZE})")
+    return (
+        t.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.col("start").cast("bigint").alias("start"),
+            F.size(chunk).cast("bigint").alias("chunk_len"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
