@@ -462,3 +462,23 @@ def test_lsh_verify_joins_never_force_corpus_broadcast(spark):
             assert "CartesianProduct" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    """Chunking is a per-document projection — the plan must contain no
+    Exchange at all: sequence/slice/explode never shuffle."""
+    import robi_biometric_qdrant_vector_db_service_spark.workload  # noqa: F401 — registry init
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    plan = _plan(REGISTRY["doc_chunks"].run(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+
+
+def test_bm25_topk_is_take_ordered_not_global_sort(spark):
+    """The BM25 top-10 cut must be a distributed TakeOrdered, never a
+    global Sort of all per-doc scores (corpus-sized at 100 TB)."""
+    import robi_biometric_qdrant_vector_db_service_spark.workload  # noqa: F401 — registry init
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    plan = _plan(REGISTRY["bm25_top_docs"].run(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
