@@ -123,7 +123,8 @@ def main() -> None:
             "upsert_merge", "delete_by_user", "minhash_lsh_dups",
             "ngram_jaccard_dups", "embedding_near_dups_lsh",
             "embedding_near_dups_lsh_hi", "simhash_hamming_pairs",
-            "dedup_group_components", "tfidf_top_terms", "charlm_quality",
+            "dedup_group_components", "tfidf_top_terms", "bm25_top_docs",
+            "doc_chunks", "charlm_quality",
             "multimodal_resize", "stream_dedup_events", "stream_search_serving",
             "regional_revenue",
         )
