@@ -795,3 +795,45 @@ def test_watermarked_dedup_matches_unbounded(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_faiss_ivfflat_parser_fuzz():
+    """Property fuzz over the IVFFlat writer/parser space: random shapes,
+    list assignments (including empty and single-list extremes), custom
+    ids, full vs sprs sizes, and hashtable direct maps must all
+    reconstruct the exact matrix keyed by stored id.  (The writer mirrors
+    faiss/impl/index_write.cpp; the byte-order and layout assertions are
+    pinned by the deterministic tests above — this widens the parameter
+    space.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_ivfflat_index,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=40),
+        d=st.integers(min_value=1, max_value=12),
+        nlist=st.integers(min_value=1, max_value=8),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        sparse=st.booleans(),
+        hashtable=st.booleans(),
+        id_stride=st.integers(min_value=1, max_value=7),
+    )
+    def check(n, d, nlist, seed, sparse, hashtable, id_stride):
+        rng = np.random.default_rng(seed)
+        mat = rng.standard_normal((n, d)).astype(np.float32)
+        assignment = [int(x) for x in rng.integers(0, nlist, n)]
+        ids = [13 + id_stride * i for i in range(n)]
+        buf = _ivfflat_index_bytes(
+            mat, assignment, ids=ids, nlist=nlist,
+            sparse=sparse, dm_hashtable=hashtable,
+        )
+        got_ids, got = parse_faiss_ivfflat_index(buf)
+        assert sorted(got_ids.tolist()) == ids
+        order = np.argsort(got_ids)
+        assert np.array_equal(got[order], mat)
+
+    check()
