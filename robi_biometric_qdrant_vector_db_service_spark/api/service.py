@@ -229,19 +229,27 @@ class VectorService:
         idx = min(len(sorted_ms) - 1, max(0, int(round(q * (len(sorted_ms) - 1)))))
         return sorted_ms[idx]
 
-    def _perf_stats(self) -> dict:
+    def _ops_snapshot(self) -> dict:
+        """Locked snapshot of the per-op accounting: op → (count, total_ms,
+        sorted recent-latency ring).  The ONE producer for both /stats
+        percentiles and /metrics exposition."""
         with self._stats_lock:
-            snap = {op: (c, tot, list(self._op_recent.get(op, ()))) for op, (c, tot) in self._op_stats.items()}
+            return {
+                op: (c, tot, sorted(self._op_recent.get(op, ())))
+                for op, (c, tot) in self._op_stats.items()
+            }
+
+    def _perf_stats(self) -> dict:
+        snap = self._ops_snapshot()
         out = {}
         for op, (c, tot, recent) in snap.items():
             entry = {"count": c, "avg_ms": round(tot / c, 3)}
-            if recent:
-                s = sorted(recent)
+            if recent:  # already sorted by _ops_snapshot
                 entry.update(
-                    p50_ms=round(self._quantile(s, 0.50), 3),
-                    p95_ms=round(self._quantile(s, 0.95), 3),
-                    p99_ms=round(self._quantile(s, 0.99), 3),
-                    window=len(s),  # ring is bounded at 1000 records
+                    p50_ms=round(self._quantile(recent, 0.50), 3),
+                    p95_ms=round(self._quantile(recent, 0.95), 3),
+                    p99_ms=round(self._quantile(recent, 0.99), 3),
+                    window=len(recent),  # ring is bounded at 1000 records
                 )
             out[op] = entry
         return out
@@ -311,11 +319,8 @@ class VectorService:
         GPU gauges are honestly absent on a CPU engine, and
         qdrant_vector_count_total is served by /stats (it needs a Spark
         job — too heavy for a 15 s scrape loop)."""
+        ops = self._ops_snapshot()
         with self._stats_lock:
-            ops = {
-                op: (c, tot, sorted(self._op_recent.get(op, ())))
-                for op, (c, tot) in self._op_stats.items()
-            }
             errors = dict(self._errors)
         lines: list[str] = []
 
@@ -519,12 +524,7 @@ class VectorService:
                 pass
 
             def _send(self, code: int, payload: dict) -> None:
-                body = json.dumps(payload).encode()
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._send_text(code, json.dumps(payload), "application/json")
 
             def _send_text(self, code: int, text: str, ctype: str) -> None:
                 body = text.encode()

@@ -79,16 +79,47 @@ def read_npy_shard_counts(spark: SparkSession, path: str) -> DataFrame:
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
+        import re
+        from urllib.parse import quote
 
         from numpy.lib import format as npf
         from pyarrow import fs as pafs
 
+        # the binaryFile `path` column is Hadoop Path.toString output:
+        # NOT percent-encoded (spaces stay literal) and with Hadoop scheme
+        # names (s3a://) pyarrow doesn't know.  Local paths bypass URI
+        # parsing entirely; remote ones get scheme translation +
+        # percent-encoding before from_uri, and the resolved filesystem is
+        # cached per (scheme, authority) — one client per task, not per
+        # shard.
+        fs_cache: dict[str, object] = {}
+
+        def read_header(fpath: str) -> bytes:
+            if fpath.startswith("file:"):
+                # bypass URI parsing: literal spaces etc. stay intact
+                local = fpath[len("file:") :]
+                if local.startswith("//"):  # file:///x or file://host/x
+                    local = "/" + local.lstrip("/")
+                with open(local, "rb") as fh:
+                    return fh.read(4096)
+            uri = re.sub(r"^s3[an]://", "s3://", fpath)
+            encoded = quote(uri, safe=":/")  # from_uri decodes this back
+            scheme = encoded.split("://", 1)[0]
+            if scheme == "s3":
+                bucket_key = uri.split("://", 1)[1]  # pyarrow S3 path form
+                cache_key = "s3://" + bucket_key.split("/", 1)[0]
+                if cache_key not in fs_cache:
+                    fs_cache[cache_key] = pafs.FileSystem.from_uri(encoded)[0]
+                fs_, path_in_fs = fs_cache[cache_key], bucket_key
+            else:
+                fs_, path_in_fs = pafs.FileSystem.from_uri(encoded)
+            with fs_.open_input_file(path_in_fs) as fh:
+                return fh.read_at(4096, 0)
+
         for pdf in batches:
             names, cnts = [], []
             for fpath in pdf["path"]:
-                filesystem, p = pafs.FileSystem.from_uri(fpath)
-                with filesystem.open_input_file(p) as fh:
-                    head = fh.read_at(4096, 0)
+                head = read_header(fpath)
                 f = io.BytesIO(head)
                 version = npf.read_magic(f)
                 if version == (1, 0):
@@ -127,10 +158,10 @@ def parse_faiss_flat_index(buf: bytes):
       float32 data[count]             the stored vectors, row-major
 
     The other mainstream families have their own pure-NumPy readers below
-    (IVFFlat, HNSWFlat, IDMap, 4/8-bit PQ and IVFPQ, every serialized
-    ScalarQuantizer type); only PQEncoderGeneric bit widths and unknown
-    fourccs still require faiss.  Returns an (ntotal, d) float32 ndarray
-    view."""
+    (IVFFlat, HNSWFlat, IDMap, PQ and IVFPQ at every code width, every
+    serialized ScalarQuantizer type); only unknown fourccs / unknown
+    sub-layouts still require faiss.  Returns an (ntotal, d) float32
+    ndarray view."""
     arr, _ = _parse_flat_at(buf, 0)
     return arr
 
@@ -255,7 +286,9 @@ def _parse_direct_map(buf: bytes, off: int) -> int:
         (n_pairs,) = struct.unpack_from("<Q", buf, off)
         off += 8 + 16 * n_pairs
     elif dm_type not in (0, 1):  # NoMap / Array
-        raise ValueError(f"unknown direct-map type {dm_type}")
+        # NotImplementedError (not ValueError) so _decode_faiss_bytes can
+        # still route the file to the faiss-library fallback when present
+        raise NotImplementedError(f"unknown direct-map type {dm_type}")
     return off
 
 
@@ -772,9 +805,9 @@ def _reconstruct_with_faiss(buf: bytes, want_ids: bool = False):  # pragma: no c
     except ImportError as e:
         raise NotImplementedError(
             "FAISS index type not decodable without faiss (flat, IVFFlat, "
-            "HNSWFlat, IDMap-flat, 8-bit PQ/IVFPQ and 4/8-bit/fp16 SQ "
-            "decode natively); re-export as .npy or IndexFlat — the "
-            "reference's own fallback"
+            "HNSWFlat, IDMap-flat, PQ/IVFPQ at every code width, and every "
+            "serialized ScalarQuantizer type decode natively); re-export "
+            "as .npy or IndexFlat — the reference's own fallback"
         ) from e
     import os
     import tempfile

@@ -272,7 +272,8 @@ CHUNK_STRIDE = 24  # start-to-start distance (8-token overlap)
 @register(
     "doc_chunks",
     f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE text IS NOT NULL),
 s AS (
   SELECT doc_id, toks,
          CAST(unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS BIGINT) AS start
@@ -296,7 +297,12 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the op is embarrassingly parallel and deterministic (oracle checks
     the exact chunk text)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # NULL text yields no chunks — filtered EXPLICITLY on both sides: Spark
+    # would drop the row anyway (NULL sequence), but DuckDB's greatest()
+    # ignores NULLs and would emit a NULL chunk, silently diverging
+    t = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     starts = F.expr(
         f"sequence(0, greatest(size(toks) - 1, 0), {CHUNK_STRIDE})"
     )

@@ -121,7 +121,10 @@ def test_npy_shard_counts_from_headers(spark):
 
     rng = np.random.default_rng(19)
     tmp = tempfile.mkdtemp(prefix="npy_hdr_")
-    sizes = {"part-000.npy": 6, "part-001.npy": 4, "part-002.npy": 9}
+    # "part 004": binaryFile path strings are NOT percent-encoded (Hadoop
+    # Path.toString), so a URI-unsafe shard name must still header-read
+    sizes = {"part-000.npy": 6, "part-001.npy": 4, "part-002.npy": 9,
+             "part 004.npy": 5}
     for name, n in sizes.items():
         np.save(os.path.join(tmp, name), rng.standard_normal((n, 4)).astype(np.float32))
     # a v2-header shard (write_array with version pinned)
