@@ -594,7 +594,28 @@ class VectorService:
                                 "timestamp": time.time(),
                             },
                         )
-                    return self._send(404, {"success": False, "message": "not found"})
+                    # 404 body mirrors not_found_handler (src/main.py:323-341:
+                    # success/error/path/available_endpoints/timestamp), with
+                    # the list naming the routes THIS facade actually serves
+                    return self._send(
+                        404,
+                        {
+                            "success": False,
+                            "error": "Endpoint not found",
+                            "path": urllib.parse.urlsplit(self.path).path,
+                            "available_endpoints": [
+                                f"{PREFIX}/health",
+                                f"{PREFIX}/stats",
+                                f"{PREFIX}/info",
+                                f"{PREFIX}/vectors/add",
+                                f"{PREFIX}/vectors/add_batch",
+                                f"{PREFIX}/vectors/search",
+                                "/benchmark",
+                                "/metrics",
+                            ],
+                            "timestamp": time.time(),
+                        },
+                    )
                 except (KeyError, ValueError, TypeError) as e:
                     service.record_error(type(e).__name__)
                     return self._send(422, {"success": False, "message": str(e)})

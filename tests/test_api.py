@@ -112,6 +112,13 @@ def test_http_stats_health_info_and_errors(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _call(port, "GET", "/nope")
     assert e.value.code == 404
+    # 404 body mirrors the reference's not_found_handler keys
+    body = json.loads(e.value.read())
+    assert set(body) == {
+        "success", "error", "path", "available_endpoints", "timestamp",
+    }
+    assert body["path"] == "/api/v1/nope"
+    assert "/metrics" in body["available_endpoints"]
 
 
 def test_http_health_carries_reference_schema_fields(served):
