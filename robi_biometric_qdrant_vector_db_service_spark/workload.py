@@ -237,6 +237,66 @@ def multi_vector_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+@register(
+    "rrf_fusion_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {{dcos}} AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+),
+hits AS (SELECT * FROM ranked WHERE rank <= 20)
+SELECT vec_id,
+       CAST(sum(CAST(1e0 / ({RRF_K} + rank) AS DECIMAL(18,12))) AS DOUBLE) AS rrf_score,
+       CAST(count(*) AS BIGINT) AS votes
+FROM hits
+GROUP BY vec_id
+ORDER BY rrf_score DESC, votes DESC, vec_id
+LIMIT 10
+""".format(dcos=_dcos("e.embedding", "q.q_emb")),
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of several probes' rankings — Qdrant's
+    ``Fusion.RRF`` prefetch combinator (public query_points API): each
+    probe contributes 1/(60 + rank) for its top-20 hits and candidates are
+    ordered by the summed contribution.  Rank-based fusion complements the
+    score-weighted Q2 (`multi_vector_fusion`): it needs no weight tuning
+    and is robust to incomparable score scales.
+
+    Determinism: contributions are exact DECIMAL(18,12) values summed with
+    an order-independent DECIMAL aggregate (float SUM would depend on
+    accumulation order), then cast to DOUBLE once — the same trick Q2 uses
+    for its weighted sum.
+
+    Scale: per-probe rankings come from the broadcast-probe k-NN plan
+    (corpus never shuffles; map-side WindowGroupLimit bounds the shuffle to
+    k rows per probe per partition); the fusion group-by touches ≤ probes·k
+    rows."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    probes = _probes(spark, sf_dir, 3)
+    hits = S.knn_search(corpus, probes, k=20)
+    contrib = F.expr(f"CAST(1e0 / ({RRF_K} + rank) AS DECIMAL(18,12))")
+    return (
+        hits.groupBy("vec_id")
+        .agg(
+            F.sum(contrib).cast("double").alias("rrf_score"),
+            F.count("*").cast("bigint").alias("votes"),
+        )
+        .orderBy(F.desc("rrf_score"), F.desc("votes"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q3 verify (1:1) and Q4 detect (1:N) — api_spec.md:452-528 (spec-only in the
 # reference; implemented here as first-class queries)
@@ -1086,11 +1146,11 @@ from . import workload_graph  # noqa: E402,F401
 # removed this round (embedding_near_dups_lsh, …_lsh_hi, minhash_lsh_dups,
 # ngram_jaccard_dups) plus npy_migration (inverted-list read-order fix +
 # header-only offsets pass) lead the window, and bm25_top_docs / doc_chunks
-# are new this round (never recorded); (b) the rest is the 48-row
-# r5-certified cohort — everything r6 did not re-certify — minus
-# cube_orders, qty_pivot_by_status, approx_distinct_parts, and
-# distinct_part_counts (unchanged-since-r3 queries; they stay green in the
-# committed local replica) to fit the 50-row cap.
+# / rrf_fusion_topk are new this round (never recorded); (b) the rest is
+# the 48-row r5-certified cohort — everything r6 did not re-certify —
+# minus cube_orders, qty_pivot_by_status, approx_distinct_parts,
+# distinct_part_counts, and rollup_returns (unchanged-since-r3 queries;
+# they stay green in the committed local replica) to fit the 50-row cap.
 FRONT_QUERIES = [
     "embedding_near_dups_lsh",
     "embedding_near_dups_lsh_hi",
@@ -1128,7 +1188,7 @@ FRONT_QUERIES = [
     "regional_revenue",
     "repetition_profile",
     "rolling_hash_fp",
-    "rollup_returns",
+    "rrf_fusion_topk",
     "running_ops_stats",
     "running_supplier_qty",
     "session_window_rollup",
