@@ -604,12 +604,16 @@ class VectorService:
                             "error": "Endpoint not found",
                             "path": urllib.parse.urlsplit(self.path).path,
                             "available_endpoints": [
+                                "/",
                                 f"{PREFIX}/health",
                                 f"{PREFIX}/stats",
                                 f"{PREFIX}/info",
                                 f"{PREFIX}/vectors/add",
                                 f"{PREFIX}/vectors/add_batch",
                                 f"{PREFIX}/vectors/search",
+                                f"{PREFIX}/vectors/{{point_id}}",
+                                f"{PREFIX}/vectors/user/{{user_id}}",
+                                f"{PREFIX}/benchmark",
                                 "/benchmark",
                                 "/metrics",
                             ],

@@ -237,7 +237,9 @@ def multi_vector_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_K = 60  # Cormack et al.'s standard constant; Qdrant's own Fusion.RRF
+            # uses a much smaller K, which weights top ranks harder — the
+            # combinator shape is identical and K is this one knob
 
 
 @register(
@@ -266,12 +268,14 @@ LIMIT 10
 """.format(dcos=_dcos("e.embedding", "q.q_emb")),
 )
 def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion of several probes' rankings — Qdrant's
-    ``Fusion.RRF`` prefetch combinator (public query_points API): each
-    probe contributes 1/(60 + rank) for its top-20 hits and candidates are
-    ordered by the summed contribution.  Rank-based fusion complements the
-    score-weighted Q2 (`multi_vector_fusion`): it needs no weight tuning
-    and is robust to incomparable score scales.
+    """Reciprocal-rank fusion of several probes' rankings — the rank-based
+    combinator of Qdrant's ``Fusion.RRF`` prefetch API: each probe
+    contributes 1/(RRF_K + rank) for its top-20 hits and candidates are
+    ordered by the summed contribution.  RRF_K here is the standard
+    Cormack 60 (Qdrant's implementation picks a smaller K, weighting top
+    ranks harder — same formula, different knob setting).  Rank-based
+    fusion complements the score-weighted Q2 (`multi_vector_fusion`): it
+    needs no weight tuning and is robust to incomparable score scales.
 
     Determinism: contributions are exact DECIMAL(18,12) values summed with
     an order-independent DECIMAL aggregate (float SUM would depend on

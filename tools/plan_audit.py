@@ -8,7 +8,11 @@ scans are pruned/pushed, how wide the codegen spans are — into
 shuffle, a lost pushdown, a corpus-side broadcast) are diffable even when
 wall-clock is not comparable.
 
-Usage: python tools/plan_audit.py [round_number] [names ...]
+Usage:
+  python tools/plan_audit.py <round_number>   # full registry → PLANS_r{N}.json
+  python tools/plan_audit.py [names ...]      # ad-hoc subset, print-only
+(The artifact is only written for full-registry runs — a named subset
+never overwrites a round's committed audit.)
 """
 
 from __future__ import annotations
@@ -25,22 +29,31 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def plan_metrics(plan: str) -> dict:
-    """Counters over the `formatted` explain output."""
+    """Counters over the `formatted` explain output.
+
+    Formatted mode prints every node twice (once in the header tree, once
+    as a `(N) NodeName` detail header), so ALL node counters anchor on the
+    detail-header lines — naive substring counts double every node."""
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    from collections import Counter
+
+    c = Counter(nodes)
     return {
         # every non-broadcast Exchange is a shuffle
-        "shuffles": len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)),
-        "broadcasts": len(re.findall(r"^\(\d+\) BroadcastExchange$", plan, re.M)),
-        "sort_merge_joins": plan.count("SortMergeJoin"),
-        "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
-        "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
-        "cartesian": plan.count("CartesianProduct"),
-        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "shuffles": c["Exchange"],
+        "broadcasts": c["BroadcastExchange"],
+        "sort_merge_joins": c["SortMergeJoin"],
+        "broadcast_hash_joins": c["BroadcastHashJoin"],
+        "nested_loop_joins": c["BroadcastNestedLoopJoin"],
+        "cartesian": c["CartesianProduct"],
+        # formatted mode tags codegen as "[codegen id : N]" detail notes
+        "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
         "scans": len(re.findall(r"^\(\d+\) Scan ", plan, re.M)),
         "pushed_filter_scans": len(
             [m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m.strip()]
         ),
-        "window_group_limits": plan.count("WindowGroupLimit"),
-        "take_ordered": plan.count("TakeOrderedAndProject"),
+        "window_group_limits": c["WindowGroupLimit"],
+        "take_ordered": c["TakeOrderedAndProject"],
     }
 
 
@@ -77,7 +90,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"{name}: ERROR {e}", flush=True)
-    if rnd:
+    if rnd and not names:  # artifact only for full-registry runs
         path = f"/root/repo/PLANS_r{rnd.zfill(2)}.json"
         with open(path, "w") as f:
             json.dump(
