@@ -50,6 +50,10 @@ HAMMING_T = 3  # Manku WWW'07 operating point: k=3 over 64 bits, 4 bands
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = 16
 COSINE_T = 0.4
+# LSH candidate-pair sets broadcast in the verify joins only below this
+# many pairs (~2 small ints + overhead each → tens of MB at the cap);
+# above it the equi-join shuffles — the plans/strategy.py gating pattern
+CAND_BROADCAST_MAX = 1_000_000
 
 _rng = random.Random(42)
 MINHASH_AB = [(_rng.randrange(1, P), _rng.randrange(0, P)) for _ in range(N_HASHES)]
@@ -374,11 +378,20 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> transform(sequence(i + 1, size(ds) - 1), "
         "j -> struct(least(ds[i], ds[j]) AS doc1, greatest(ds[i], ds[j]) AS doc2))))"
     )
-    cand = (
+    cand = track_scratch(
         buckets.select(F.explode(F.expr(combos)).alias("p"))
         .select("p.doc1", "p.doc2")
         .distinct()
+        .persist()
     )
+    # cand is collision-bounded but grows with corpus dup-density (~248k
+    # pairs already at sf0.1), so the broadcast is SIZE-GATED on its
+    # materialized count (the strategy.py pattern): under the cap it skips
+    # shuffling the corpus-sized inverted index through the verify joins;
+    # over it, the equi-join shuffles — scale-safe either way.  The count
+    # doubles as the persist materialization, so banding runs once.
+    n_cand = cand.count()
+    cand_side = F.broadcast(cand) if n_cand <= CAND_BROADCAST_MAX else cand
     # verify: intersection size by counting shared shingles (equi-joins
     # against the exploded, frequency-capped shingle index — stop-shingles
     # would contribute |posting|² join rows and no signal; the stop-set is
@@ -394,11 +407,8 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept.count()  # materialize: feeds sizes and both verify-join branches
     i1 = kept.select(F.col("doc_id").alias("doc1"), "shingle")
     i2 = kept.select(F.col("doc_id").alias("doc2"), "shingle")
-    # cand is collision-bounded but grows with corpus dup-density (~248k
-    # pairs already at sf0.1) — no forced broadcast; Catalyst/AQE broadcast
-    # it only while its measured size stays under the 64 MB threshold
     inter = (
-        cand
+        cand_side
         .join(i1, "doc1")
         .join(i2, ["doc2", "shingle"])
         .groupBy("doc1", "doc2")
