@@ -64,6 +64,31 @@ def read_npy_vectors(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(parse, NPY_ROW_SCHEMA)
 
 
+def _resolve_shard_path(fpath: str):
+    """Classify a ``binaryFile`` path string (Hadoop Path.toString: NOT
+    percent-encoded, Hadoop scheme names) for a ranged read.  Returns
+    ``("local", local_path)`` for file: URIs (opened directly — literal
+    spaces etc. stay intact), else ``("remote", encoded_uri, cache_key,
+    path_in_fs)`` where ``encoded_uri`` is percent-encoded for
+    ``pyarrow.fs.FileSystem.from_uri``, ``cache_key`` identifies the
+    filesystem to reuse per (scheme, bucket), and ``path_in_fs`` is the
+    pyarrow-side path (bucket/key for s3; None → use from_uri's own)."""
+    import re
+    from urllib.parse import quote
+
+    if fpath.startswith("file:"):
+        local = fpath[len("file:") :]
+        if local.startswith("//"):  # file:///x or file://host/x
+            local = "/" + local.lstrip("/")
+        return ("local", local)
+    uri = re.sub(r"^s3[an]://", "s3://", fpath)
+    encoded = quote(uri, safe=":/")  # from_uri decodes this back
+    if encoded.split("://", 1)[0] == "s3":
+        bucket_key = uri.split("://", 1)[1]  # pyarrow S3 path form
+        return ("remote", encoded, "s3://" + bucket_key.split("/", 1)[0], bucket_key)
+    return ("remote", encoded, encoded, None)
+
+
 def read_npy_shard_counts(spark: SparkSession, path: str) -> DataFrame:
     """(src_file, cnt) per ``.npy`` shard from the npy HEADERS alone — a
     true metadata pass.  The ``binaryFile`` scan projects ONLY the ``path``
@@ -79,41 +104,27 @@ def read_npy_shard_counts(spark: SparkSession, path: str) -> DataFrame:
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
-        import re
-        from urllib.parse import quote
 
         from numpy.lib import format as npf
         from pyarrow import fs as pafs
 
-        # the binaryFile `path` column is Hadoop Path.toString output:
-        # NOT percent-encoded (spaces stay literal) and with Hadoop scheme
-        # names (s3a://) pyarrow doesn't know.  Local paths bypass URI
-        # parsing entirely; remote ones get scheme translation +
-        # percent-encoding before from_uri, and the resolved filesystem is
-        # cached per (scheme, authority) — one client per task, not per
-        # shard.
+        # _resolve_shard_path handles the binaryFile path quirks; the
+        # resolved filesystem is cached per (scheme, bucket) — one client
+        # per task, not per shard
         fs_cache: dict[str, object] = {}
 
         def read_header(fpath: str) -> bytes:
-            if fpath.startswith("file:"):
-                # bypass URI parsing: literal spaces etc. stay intact
-                local = fpath[len("file:") :]
-                if local.startswith("//"):  # file:///x or file://host/x
-                    local = "/" + local.lstrip("/")
-                with open(local, "rb") as fh:
+            resolved = _resolve_shard_path(fpath)
+            if resolved[0] == "local":
+                with open(resolved[1], "rb") as fh:
                     return fh.read(4096)
-            uri = re.sub(r"^s3[an]://", "s3://", fpath)
-            encoded = quote(uri, safe=":/")  # from_uri decodes this back
-            scheme = encoded.split("://", 1)[0]
-            if scheme == "s3":
-                bucket_key = uri.split("://", 1)[1]  # pyarrow S3 path form
-                cache_key = "s3://" + bucket_key.split("/", 1)[0]
-                if cache_key not in fs_cache:
-                    fs_cache[cache_key] = pafs.FileSystem.from_uri(encoded)[0]
-                fs_, path_in_fs = fs_cache[cache_key], bucket_key
-            else:
-                fs_, path_in_fs = pafs.FileSystem.from_uri(encoded)
-            with fs_.open_input_file(path_in_fs) as fh:
+            _, encoded, cache_key, path_in_fs = resolved
+            if cache_key not in fs_cache:
+                fs_cache[cache_key] = pafs.FileSystem.from_uri(encoded)
+            fs_, default_path = fs_cache[cache_key]
+            with fs_.open_input_file(
+                path_in_fs if path_in_fs is not None else default_path
+            ) as fh:
                 return fh.read_at(4096, 0)
 
         for pdf in batches:

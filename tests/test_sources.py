@@ -840,3 +840,32 @@ def test_faiss_ivfflat_parser_fuzz():
         assert np.array_equal(got[order], mat)
 
     check()
+
+
+def test_resolve_shard_path_handles_hadoop_path_strings():
+    """binaryFile paths are Hadoop Path.toString output — not
+    percent-encoded, with Hadoop scheme names.  The resolver must keep
+    local paths (spaces included) out of URI parsing, translate s3a/s3n
+    to pyarrow's s3 scheme with percent-encoding, and cache-key remote
+    filesystems per bucket."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        _resolve_shard_path,
+    )
+
+    assert _resolve_shard_path("file:/data/a b.npy") == ("local", "/data/a b.npy")
+    assert _resolve_shard_path("file:///data/x.npy") == ("local", "/data/x.npy")
+    assert _resolve_shard_path("file://host/data/x.npy") == ("local", "/host/data/x.npy")
+
+    kind, encoded, cache_key, path_in_fs = _resolve_shard_path(
+        "s3a://bucket/pre fix/x.npy"
+    )
+    assert kind == "remote"
+    assert encoded == "s3://bucket/pre%20fix/x.npy"  # parseable by from_uri
+    assert cache_key == "s3://bucket"  # one client per bucket
+    assert path_in_fs == "bucket/pre fix/x.npy"  # pyarrow S3 path form
+
+    kind, encoded, cache_key, path_in_fs = _resolve_shard_path(
+        "hdfs://nn:8020/warehouse/x.npy"
+    )
+    assert kind == "remote" and path_in_fs is None
+    assert encoded == "hdfs://nn:8020/warehouse/x.npy"
