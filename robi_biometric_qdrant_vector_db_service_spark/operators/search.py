@@ -396,6 +396,31 @@ def scroll_page(
     return corpus.orderBy(id_col).limit(page_size)
 
 
+def scroll_page_order_by(
+    corpus: DataFrame,
+    order_col: str,
+    *,
+    after: tuple | None = None,
+    page_size: int = 100,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """S9 extension: Qdrant's ``scroll(order_by=…)`` (public API since
+    1.8) — keyset pagination over an arbitrary payload field with the
+    point id as tiebreaker.  The cursor is the composite
+    ``(order_value, id) > (after_value, after_id)`` predicate — both
+    comparisons are plain column/literal ops, so the whole OR-of-ANDs
+    pushes into the parquet scan — and each page is a
+    TakeOrderedAndProject: no OFFSET skip-scan, no global sort, at any
+    corpus size."""
+    if after is not None:
+        av, aid = after
+        corpus = corpus.filter(
+            (F.col(order_col) > F.lit(av))
+            | ((F.col(order_col) == F.lit(av)) & (F.col(id_col) > F.lit(aid)))
+        )
+    return corpus.orderBy(order_col, id_col).limit(page_size)
+
+
 def detect(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1021,6 +1021,53 @@ def scroll_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p1.unionByName(p2).select("page", "vec_id", "label")
 
 
+@register(
+    "scroll_order_by",
+    """
+WITH f AS (SELECT vec_id, label FROM embeddings),
+p1 AS (SELECT * FROM f ORDER BY label, vec_id LIMIT 40),
+b AS (SELECT label AS bl, vec_id AS bv FROM p1 ORDER BY label DESC, vec_id DESC LIMIT 1),
+p2 AS (
+  SELECT f.* FROM f, b
+  WHERE f.label > b.bl OR (f.label = b.bl AND f.vec_id > b.bv)
+  ORDER BY f.label, f.vec_id LIMIT 40
+)
+SELECT CAST(1 AS INT) AS page, vec_id, label FROM p1
+UNION ALL
+SELECT CAST(2 AS INT) AS page, vec_id, label FROM p2
+""",
+)
+def scroll_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 extension — Qdrant's ``scroll(order_by=…)``: two consecutive
+    pages ordered by a payload field (label) with the point id as
+    tiebreaker.  The page-2 cursor is the page-1 maximum (order_value, id)
+    pair, derived relationally and broadcast; the composite keyset
+    predicate pushes to the scan and each page is a TakeOrderedAndProject
+    — same scale posture as `scroll_keyset`, generalized to an arbitrary
+    sort field."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    p1 = S.scroll_page_order_by(emb, "label", page_size=40).withColumn(
+        "page", F.lit(1)
+    )
+    boundary = (
+        p1.orderBy(F.desc("label"), F.desc("vec_id"))
+        .limit(1)
+        .select(F.col("label").alias("_bl"), F.col("vec_id").alias("_bv"))
+    )
+    p2 = (
+        emb.crossJoin(F.broadcast(boundary))
+        .filter(
+            (F.col("label") > F.col("_bl"))
+            | ((F.col("label") == F.col("_bl")) & (F.col("vec_id") > F.col("_bv")))
+        )
+        .drop("_bl", "_bv")
+        .orderBy("label", "vec_id")
+        .limit(40)
+        .withColumn("page", F.lit(2))
+    )
+    return p1.unionByName(p2).select("page", "vec_id", "label")
+
+
 # 2 discovery requests, each 2 (positive, negative) context example pairs.
 DISCOVER_CONTEXT = [(0, 10, 20), (0, 12, 22), (1, 11, 21), (1, 13, 23)]
 
@@ -1150,11 +1197,12 @@ from . import workload_graph  # noqa: E402,F401
 # removed this round (embedding_near_dups_lsh, …_lsh_hi, minhash_lsh_dups,
 # ngram_jaccard_dups) plus npy_migration (inverted-list read-order fix +
 # header-only offsets pass) lead the window, and bm25_top_docs / doc_chunks
-# / rrf_fusion_topk are new this round (never recorded); (b) the rest is
-# the 48-row r5-certified cohort — everything r6 did not re-certify —
-# minus cube_orders, qty_pivot_by_status, approx_distinct_parts,
-# distinct_part_counts, and rollup_returns (unchanged-since-r3 queries;
-# they stay green in the committed local replica) to fit the 50-row cap.
+# / rrf_fusion_topk / scroll_order_by are new this round (never
+# recorded); (b) the rest is the 48-row r5-certified cohort — everything
+# r6 did not re-certify — minus cube_orders, qty_pivot_by_status,
+# approx_distinct_parts, distinct_part_counts, rollup_returns, and
+# running_ops_stats (unchanged-since-r3/r5 queries; they stay green in
+# the committed local replica) to fit the 50-row cap.
 FRONT_QUERIES = [
     "embedding_near_dups_lsh",
     "embedding_near_dups_lsh_hi",
@@ -1193,7 +1241,7 @@ FRONT_QUERIES = [
     "repetition_profile",
     "rolling_hash_fp",
     "rrf_fusion_topk",
-    "running_ops_stats",
+    "scroll_order_by",
     "running_supplier_qty",
     "session_window_rollup",
     "shingle_novelty",
