@@ -407,11 +407,12 @@ def scroll_page_order_by(
     """S9 extension: Qdrant's ``scroll(order_by=…)`` (public API since
     1.8) — keyset pagination over an arbitrary payload field with the
     point id as tiebreaker.  The cursor is the composite
-    ``(order_value, id) > (after_value, after_id)`` predicate — both
-    comparisons are plain column/literal ops, so the whole OR-of-ANDs
-    pushes into the parquet scan — and each page is a
-    TakeOrderedAndProject: no OFFSET skip-scan, no global sort, at any
-    corpus size."""
+    ``(order_value, id) > (after_value, after_id)`` predicate; with a
+    LITERAL cursor (the serving path: the client echoes the previous
+    page's last row) both comparisons are column/literal ops and the
+    whole OR-of-ANDs pushes into the parquet scan — asserted in
+    tests/test_plans.py.  Each page is a TakeOrderedAndProject: no
+    OFFSET skip-scan, no global sort, at any corpus size."""
     if after is not None:
         av, aid = after
         corpus = corpus.filter(

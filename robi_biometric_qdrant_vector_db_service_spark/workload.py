@@ -1040,10 +1040,13 @@ SELECT CAST(2 AS INT) AS page, vec_id, label FROM p2
 def scroll_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 extension — Qdrant's ``scroll(order_by=…)``: two consecutive
     pages ordered by a payload field (label) with the point id as
-    tiebreaker.  The page-2 cursor is the page-1 maximum (order_value, id)
-    pair, derived relationally and broadcast; the composite keyset
-    predicate pushes to the scan and each page is a TakeOrderedAndProject
-    — same scale posture as `scroll_keyset`, generalized to an arbitrary
+    tiebreaker.  The page-2 cursor here is derived RELATIONALLY (page-1
+    max, broadcast), so the predicate is evaluated as the broadcast-join
+    condition rather than a scan pushdown — one job for both pages; the
+    serving path passes the client-echoed cursor as literals via
+    ``scroll_page_order_by(after=…)``, where the same predicate DOES push
+    to the scan (plan test).  Each page is a TakeOrderedAndProject —
+    same scale posture as `scroll_keyset`, generalized to an arbitrary
     sort field."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     p1 = S.scroll_page_order_by(emb, "label", page_size=40).withColumn(

@@ -482,3 +482,32 @@ def test_bm25_topk_is_take_ordered_not_global_sort(spark):
 
     plan = _plan(REGISTRY["bm25_top_docs"].run(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ordered_scroll_literal_cursor_pushes_and_paginates(spark):
+    """scroll_page_order_by with a LITERAL client-echoed cursor: the
+    composite (field, id) OR-of-ANDs must reach the parquet scan as
+    PushedFilters, and walking pages must be disjoint and exhaustive."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import (
+        scroll_page_order_by,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "label")
+    total = emb.count()
+    seen: list[tuple] = []
+    cursor = None
+    while True:
+        page = scroll_page_order_by(emb, "label", after=cursor, page_size=37)
+        rows = page.collect()
+        if not rows:
+            break
+        keys = [(r["label"], r["vec_id"]) for r in rows]
+        assert keys == sorted(keys), "page must be (field, id)-ordered"
+        if seen:
+            assert keys[0] > seen[-1], "pages must be strictly increasing"
+        seen.extend(keys)
+        cursor = keys[-1]
+    assert len(seen) == total and len(set(seen)) == total, "disjoint + exhaustive"
+    # the literal-cursor predicate reaches the scan
+    plan = _plan(scroll_page_order_by(emb, "label", after=(3, 100), page_size=10))
+    assert "PushedFilters: [Or(GreaterThan(label,3)" in plan, plan
