@@ -412,9 +412,24 @@ def scroll_page_order_by(
     page's last row) both comparisons are column/literal ops and the
     whole OR-of-ANDs pushes into the parquet scan — asserted in
     tests/test_plans.py.  Each page is a TakeOrderedAndProject: no
-    OFFSET skip-scan, no global sort, at any corpus size."""
+    OFFSET skip-scan, no global sort, at any corpus size.
+
+    Points with a NULL ``order_col`` are SKIPPED, matching Qdrant's
+    ``scroll(order_by=…)`` contract (points missing the field are not
+    returned).  Without this filter pagination is inconsistent: Spark
+    sorts NULLs first, so NULL rows could fill page 1, yet the keyset
+    predicate evaluates to NULL for them on every later page — and a
+    NULL cursor value would make the filter all-NULL and terminate the
+    scroll early.  The IS NOT NULL conjunct pushes to the scan alongside
+    the cursor predicate."""
+    corpus = corpus.filter(F.col(order_col).isNotNull())
     if after is not None:
         av, aid = after
+        if av is None:
+            raise ValueError(
+                "scroll_page_order_by: cursor order-value must not be None "
+                "(NULL-field points are skipped, so no valid cursor has one)"
+            )
         corpus = corpus.filter(
             (F.col(order_col) > F.lit(av))
             | ((F.col(order_col) == F.lit(av)) & (F.col(id_col) > F.lit(aid)))

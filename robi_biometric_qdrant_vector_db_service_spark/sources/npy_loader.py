@@ -74,7 +74,7 @@ def _resolve_shard_path(fpath: str):
     filesystem to reuse per (scheme, bucket), and ``path_in_fs`` is the
     pyarrow-side path (bucket/key for s3; None → use from_uri's own)."""
     import re
-    from urllib.parse import quote
+    from urllib.parse import quote, urlsplit
 
     if fpath.startswith("file:"):
         local = fpath[len("file:") :]
@@ -86,7 +86,65 @@ def _resolve_shard_path(fpath: str):
     if encoded.split("://", 1)[0] == "s3":
         bucket_key = uri.split("://", 1)[1]  # pyarrow S3 path form
         return ("remote", encoded, "s3://" + bucket_key.split("/", 1)[0], bucket_key)
-    return ("remote", encoded, encoded, None)
+    # Non-S3 remotes (hdfs, gs, abfs, …): key the client cache on
+    # scheme+authority, NOT the full URI — the full URI differs per shard,
+    # so keying on it would never hit and a new FileSystem client would be
+    # built per shard.  The in-FS path is derived lazily (the URI→path
+    # mapping is filesystem-specific) — see _fs_and_path.
+    parts = urlsplit(encoded)
+    return ("remote", encoded, f"{parts.scheme}://{parts.netloc}", None)
+
+
+def _fs_and_path(resolved, fs_cache: dict, pafs):
+    """(pyarrow FileSystem, in-FS path) for a remote shard resolved by
+    ``_resolve_shard_path``, creating at most ONE FileSystem client per
+    (scheme, authority) cache key.  pyarrow's ``from_uri`` maps a URI to
+    an in-FS path differently per filesystem — host-style keeps only the
+    path (``hdfs://h:p/a/b`` → ``/a/b``), bucket-style keeps
+    authority+path (``gs://bkt/k`` → ``bkt/k``) — so the mapping is
+    LEARNED from the first file per cache key and replayed for the rest;
+    an unrecognized mapping falls back to per-file ``from_uri`` (correct,
+    just uncached)."""
+    from urllib.parse import unquote, urlsplit
+
+    _, encoded, cache_key, path_in_fs = resolved
+    entry = fs_cache.get(cache_key)
+    if entry is None:
+        fs_, p0 = pafs.FileSystem.from_uri(encoded)
+        if path_in_fs is not None:  # s3: path form is known a priori
+            style = "s3"
+        else:
+            parts = urlsplit(encoded)
+            if p0 == unquote(parts.path):
+                style = "host"
+            elif p0 == unquote(parts.netloc + parts.path):
+                style = "bucket"
+            else:
+                style = None
+        fs_cache[cache_key] = (fs_, style)
+        return fs_, (path_in_fs if path_in_fs is not None else p0)
+    fs_, style = entry
+    if path_in_fs is not None:
+        return fs_, path_in_fs
+    parts = urlsplit(encoded)
+    if style == "host":
+        return fs_, unquote(parts.path)
+    if style == "bucket":
+        return fs_, unquote(parts.netloc + parts.path)
+    return pafs.FileSystem.from_uri(encoded)
+
+
+def _npy_header_nbytes(head: bytes) -> int:
+    """Total prefix bytes (magic + version + HEADER_LEN + header) DECLARED
+    by the first 12 bytes of an npy file — lets the ranged header read
+    grow past its 4 KiB first guess when a large structured dtype pushes
+    the header over it; without this numpy's parser fails opaquely on the
+    truncated buffer."""
+    if len(head) < 12 or head[:6] != b"\x93NUMPY":
+        return len(head)  # not npy / truncated — let the parser raise its own error
+    if head[6] == 1:  # v1: 2-byte little-endian HEADER_LEN at offset 8
+        return 10 + int.from_bytes(head[8:10], "little")
+    return 12 + int.from_bytes(head[8:12], "little")  # v2/v3: 4-byte
 
 
 def read_npy_shard_counts(spark: SparkSession, path: str) -> DataFrame:
@@ -95,7 +153,9 @@ def read_npy_shard_counts(spark: SparkSession, path: str) -> DataFrame:
     column (the source builds rows from the required schema, so the file
     bytes are never read or shipped), and each task then issues one ranged
     read of the first 4 KiB per shard via ``pyarrow.fs`` — enough for any
-    npy v1/v2 header.  At 100 TB this is the difference between a metadata
+    ordinary npy v1/v2 header, and the read grows to the DECLARED
+    HEADER_LEN when a large structured dtype exceeds it.  At 100 TB this
+    is the difference between a metadata
     pass (one small ranged GET per shard) and a second full I/O pass over
     the corpus."""
     files = (
@@ -116,16 +176,23 @@ def read_npy_shard_counts(spark: SparkSession, path: str) -> DataFrame:
         def read_header(fpath: str) -> bytes:
             resolved = _resolve_shard_path(fpath)
             if resolved[0] == "local":
-                with open(resolved[1], "rb") as fh:
-                    return fh.read(4096)
-            _, encoded, cache_key, path_in_fs = resolved
-            if cache_key not in fs_cache:
-                fs_cache[cache_key] = pafs.FileSystem.from_uri(encoded)
-            fs_, default_path = fs_cache[cache_key]
-            with fs_.open_input_file(
-                path_in_fs if path_in_fs is not None else default_path
-            ) as fh:
-                return fh.read_at(4096, 0)
+
+                def ranged(n: int) -> bytes:
+                    with open(resolved[1], "rb") as fh:
+                        return fh.read(n)
+
+            else:
+                fs_, path_in_fs = _fs_and_path(resolved, fs_cache, pafs)
+
+                def ranged(n: int) -> bytes:
+                    with fs_.open_input_file(path_in_fs) as fh:
+                        return fh.read_at(n, 0)
+
+            head = ranged(4096)
+            need = _npy_header_nbytes(head)
+            if need > len(head):  # >4 KiB header (huge structured dtype)
+                head = ranged(need)
+            return head
 
         for pdf in batches:
             names, cnts = [], []

@@ -23,6 +23,7 @@ Recall@10 vs ground truth (PERFORMANCE_OPTIMIZATION_GUIDE.md:88).
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -378,20 +379,24 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> transform(sequence(i + 1, size(ds) - 1), "
         "j -> struct(least(ds[i], ds[j]) AS doc1, greatest(ds[i], ds[j]) AS doc2))))"
     )
-    cand = track_scratch(
+    cand_plan = (
         buckets.select(F.explode(F.expr(combos)).alias("p"))
         .select("p.doc1", "p.doc2")
         .distinct()
-        .persist()
     )
     # cand is collision-bounded but grows with corpus dup-density (~248k
-    # pairs already at sf0.1), so the broadcast is SIZE-GATED on its
-    # materialized count (the strategy.py pattern): under the cap it skips
-    # shuffling the corpus-sized inverted index through the verify joins;
-    # over it, the equi-join shuffles — scale-safe either way.  The count
-    # doubles as the persist materialization, so banding runs once.
-    n_cand = cand.count()
-    cand_side = F.broadcast(cand) if n_cand <= CAND_BROADCAST_MAX else cand
+    # pairs already at sf0.1).  Two scale-safe shapes for the verify join:
+    # the explicit count gate (persist + count, then broadcast iff under
+    # CAND_BROADCAST_MAX — the strategy.py pattern) vs letting AQE's
+    # runtime shuffle statistics convert the post-shuffle join to
+    # broadcast-hash with no extra count job.  VERDICT r7 asked for a
+    # measured comparison; the env knob keeps both runnable.
+    if os.environ.get("SPARK_GRAFT_MINHASH_COUNT_GATE", "1") != "0":
+        cand = track_scratch(cand_plan.persist())
+        n_cand = cand.count()  # doubles as materialization: banding runs once
+        cand_side = F.broadcast(cand) if n_cand <= CAND_BROADCAST_MAX else cand
+    else:
+        cand_side = cand_plan  # AQE decides broadcast-vs-shuffle at runtime
     # verify: intersection size by counting shared shingles (equi-joins
     # against the exploded, frequency-capped shingle index — stop-shingles
     # would contribute |posting|² join rows and no signal; the stop-set is

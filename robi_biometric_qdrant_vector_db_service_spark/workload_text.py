@@ -572,7 +572,8 @@ _BM25_IN = "('" + "', '".join(BM25_TERMS) + "')"
 @register(
     "bm25_top_docs",
     f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+              WHERE text IS NOT NULL),
 dl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM toks),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
@@ -615,7 +616,13 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — AQE picks the side; the final cut is a distributed
     TakeOrdered(10), never a global sort."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    # NULL text would diverge between engines: Spark's legacy
+    # size(split(NULL)) is -1 and would pollute sum(dl)/avgdl, while
+    # DuckDB's len(NULL) drops out of the SUM — filter it on both sides
+    # (doc_chunks does the same).
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
     dl = toks.select("doc_id", F.size("tokens").cast("bigint").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("bigint").alias("n"),

@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from robi_biometric_qdrant_vector_db_service_spark.operators.search import knn_search
@@ -484,6 +485,27 @@ def test_bm25_topk_is_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_dbsf_fusion_adds_only_bounded_aggregation_shuffles(spark):
+    """dbsf_fusion_topk: beyond the k-NN ranking shuffle (≤ k rows per
+    probe per partition), the only additional exchanges are over the
+    ≤ probes·k hit set — the per-ranking moment aggregate and the fusion
+    group-by; the per-ranking stats come back via BroadcastExchange, and
+    the corpus itself is never repartitioned."""
+    import re
+
+    import robi_biometric_qdrant_vector_db_service_spark.workload  # noqa: F401 — registry init
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    plan = _plan(REGISTRY["dbsf_fusion_topk"].run(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    non_broadcast_exchanges = re.findall(r"^\(\d+\) Exchange$", plan, re.M)
+    # ranking shuffle + moment agg + fusion group-by (the latter two over
+    # the bounded hit set); AQE may coalesce but never add to these
+    assert len(non_broadcast_exchanges) <= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_ordered_scroll_literal_cursor_pushes_and_paginates(spark):
     """scroll_page_order_by with a LITERAL client-echoed cursor: the
     composite (field, id) OR-of-ANDs must reach the parquet scan as
@@ -508,6 +530,32 @@ def test_ordered_scroll_literal_cursor_pushes_and_paginates(spark):
         seen.extend(keys)
         cursor = keys[-1]
     assert len(seen) == total and len(set(seen)) == total, "disjoint + exhaustive"
-    # the literal-cursor predicate reaches the scan
+    # the literal-cursor predicate reaches the scan, alongside the
+    # skip-NULL-field conjunct (Qdrant order_by semantics)
     plan = _plan(scroll_page_order_by(emb, "label", after=(3, 100), page_size=10))
-    assert "PushedFilters: [Or(GreaterThan(label,3)" in plan, plan
+    assert "PushedFilters: [IsNotNull(label), Or(GreaterThan(label,3)" in plan, plan
+
+
+def test_ordered_scroll_skips_null_field_rows(spark):
+    """Qdrant's scroll(order_by=…) skips points missing the field; without
+    that, Spark's NULLS FIRST sort would seat NULL rows on page 1 while the
+    keyset predicate (NULL > x → NULL) drops them from every later page —
+    inconsistent pagination (ADVICE r7, medium)."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import (
+        scroll_page_order_by,
+    )
+
+    rows = [(1, None), (2, 10), (3, 20), (4, None), (5, 10), (6, 30)]
+    df = spark.createDataFrame(rows, "vec_id long, grp int")
+    seen, cursor = [], None
+    while True:
+        page = scroll_page_order_by(
+            df, "grp", after=cursor, page_size=2, id_col="vec_id"
+        ).collect()
+        if not page:
+            break
+        seen.extend((r["grp"], r["vec_id"]) for r in page)
+        cursor = seen[-1]
+    assert seen == [(10, 2), (10, 5), (20, 3), (30, 6)]  # NULL-grp skipped
+    with pytest.raises(ValueError):
+        scroll_page_order_by(df, "grp", after=(None, 1), page_size=2)

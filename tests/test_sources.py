@@ -869,3 +869,82 @@ def test_resolve_shard_path_handles_hadoop_path_strings():
     )
     assert kind == "remote" and path_in_fs is None
     assert encoded == "hdfs://nn:8020/warehouse/x.npy"
+    # non-S3 remotes key the client cache on scheme+authority (ADVICE r7):
+    # keying on the full URI would miss for every shard
+    assert cache_key == "hdfs://nn:8020"
+    assert _resolve_shard_path("hdfs://nn:8020/other/y.npy")[2] == cache_key
+
+
+def test_fs_and_path_one_client_per_authority():
+    """_fs_and_path must create ONE pyarrow FileSystem per (scheme,
+    authority) and replay the learned URI→in-FS-path mapping for later
+    shards — both host-style (hdfs) and bucket-style (gs) layouts."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        _fs_and_path,
+        _resolve_shard_path,
+    )
+
+    class FakePafs:
+        calls: list = []
+
+        class FileSystem:
+            @staticmethod
+            def from_uri(uri):
+                FakePafs.calls.append(uri)
+                from urllib.parse import unquote, urlsplit
+
+                p = urlsplit(uri)
+                if p.scheme in ("gs", "s3"):  # bucket-style mapping
+                    return (f"fs:{p.scheme}://{p.netloc}", unquote(p.netloc + p.path))
+                return (f"fs:{p.scheme}://{p.netloc}", unquote(p.path))  # host-style
+
+    cache: dict = {}
+    fs1, p1 = _fs_and_path(
+        _resolve_shard_path("hdfs://nn:8020/wh/a b.npy"), cache, FakePafs
+    )
+    fs2, p2 = _fs_and_path(
+        _resolve_shard_path("hdfs://nn:8020/wh/second.npy"), cache, FakePafs
+    )
+    assert fs1 == fs2 == "fs:hdfs://nn:8020"
+    assert (p1, p2) == ("/wh/a b.npy", "/wh/second.npy")
+    assert len(FakePafs.calls) == 1  # one client for both shards
+
+    FakePafs.calls.clear()
+    cache.clear()
+    fs3, p3 = _fs_and_path(_resolve_shard_path("gs://bkt/k1.npy"), cache, FakePafs)
+    fs4, p4 = _fs_and_path(_resolve_shard_path("gs://bkt/k2.npy"), cache, FakePafs)
+    assert fs3 == fs4 == "fs:gs://bkt"
+    assert (p3, p4) == ("bkt/k1.npy", "bkt/k2.npy")
+    assert len(FakePafs.calls) == 1
+
+
+def test_npy_header_over_4k_still_counts(spark):
+    """An npy v1 header larger than the 4 KiB first ranged read (legal —
+    HEADER_LEN is 16-bit) must still header-count correctly: the read
+    grows to the declared length instead of failing on a truncated
+    buffer (ADVICE r7)."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        _npy_header_nbytes,
+        read_npy_shard_counts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="npy_bighdr_")
+    mat = np.arange(12, dtype=np.float32).reshape(3, 4)
+    header = (
+        "{'descr': '<f4', 'fortran_order': False, 'shape': (3, 4), }"
+        + " " * 6000
+        + "\n"
+    ).encode("latin1")
+    blob = b"\x93NUMPY" + bytes([1, 0]) + len(header).to_bytes(2, "little")
+    blob += header + mat.tobytes()
+    with open(os.path.join(tmp, "big.npy"), "wb") as f:
+        f.write(blob)
+    np.save(os.path.join(tmp, "small.npy"), mat)
+
+    assert _npy_header_nbytes(blob[:4096]) == 10 + len(header)
+    assert np.array_equal(np.load(os.path.join(tmp, "big.npy")), mat)  # legal npy
+    got = {
+        os.path.basename(r["src_file"]): r["cnt"]
+        for r in read_npy_shard_counts(spark, tmp).collect()
+    }
+    assert got == {"big.npy": 3, "small.npy": 3}
