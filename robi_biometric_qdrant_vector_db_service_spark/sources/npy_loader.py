@@ -272,10 +272,11 @@ def _parse_flat_at(buf: bytes, off: int):
     fourcc = bytes(buf[off : off + 4])
     if fourcc not in _FAISS_FLAT_FOURCC:
         raise NotImplementedError(
-            f"unsupported FAISS index fourcc {fourcc!r}: only IndexFlat*, "
-            "IndexIVFFlat, IndexHNSWFlat, and IDMap-wrapped flat files can "
-            "be decoded without faiss; re-export as .npy or IndexFlat (the "
-            "reference's own fallback, migrate_from_faiss.py:57-77)"
+            f"unsupported FAISS index fourcc {fourcc!r}: IndexFlat*, "
+            "IVFFlat, HNSWFlat, IDMap, PQ/IVFPQ, ScalarQuantizer, and "
+            "OPQ/PCA PreTransform wrappers decode without faiss; re-export "
+            "as .npy or IndexFlat (the reference's own fallback, "
+            "migrate_from_faiss.py:57-77)"
         )
     off += 4
     d, ntotal, _metric, off = _parse_index_header(buf, off)
@@ -789,6 +790,156 @@ def parse_faiss_idmap_index(buf: bytes):
     return ids.astype(np.int64), arr
 
 
+def _parse_vector_transform(buf: bytes, off: int):
+    """Parse one serialized ``VectorTransform`` (public byte layout,
+    faiss/impl/index_read.cpp ``read_VectorTransform``): a subtype fourcc,
+    subtype-specific fields, then the common trailer d_in (int32), d_out
+    (int32), is_trained (1 byte).
+
+    Subtypes decoded:
+      * linear family — ``LTra`` (generic LinearTransform, which is how
+        faiss serializes **OPQMatrix**: write_VectorTransform has no OPQ
+        case, so OPQ hits the generic branch), ``rrot``
+        (RandomRotationMatrix), and the PCAMatrix spellings ``PCAm``
+        (legacy: eigen_power f32 + random_rotation u8 before the moment
+        vectors) / ``Pcam``/``PcAm`` (current: + epsilon f32 +
+        balanced_bins u8).  All share the trailer have_bias (u8) +
+        A (float vector, d_out×d_in row-major) + b (float vector).
+      * ``RmDT`` RemapDimensionsTransform — int32 ``map`` vector.
+      * ``VNrm`` NormalizationTransform — norm (f32); reverse = identity.
+      * ``VCnt`` CenteringTransform — float ``mean`` vector.
+    Anything else (ITQ etc.) raises NotImplementedError with the
+    re-export remediation.  Returns (transform dict, next_off)."""
+    import struct
+
+    import numpy as np
+
+    def _vec(dtype, o):
+        (cnt,) = struct.unpack_from("<Q", buf, o)
+        o += 8
+        v = np.frombuffer(buf, dtype=dtype, count=cnt, offset=o)
+        return v, o + cnt * v.itemsize
+
+    fourcc = bytes(buf[off : off + 4])
+    off += 4
+    t: dict = {"fourcc": fourcc}
+    if fourcc in (b"LTra", b"rrot", b"PCAm", b"Pcam", b"PcAm"):
+        if fourcc != b"LTra" and fourcc != b"rrot":  # PCAMatrix variants
+            off += 4  # eigen_power (f32)
+            if fourcc != b"PCAm":
+                off += 4  # epsilon (f32, current writer only)
+            off += 1  # random_rotation (u8)
+            if fourcc != b"PCAm":
+                off += 1  # balanced_bins (u8)
+            _, off = _vec("<f4", off)  # mean (training artifact)
+            _, off = _vec("<f4", off)  # eigenvalues
+            _, off = _vec("<f4", off)  # PCAMat (pre-rotation basis)
+        t["kind"] = "linear"
+        t["have_bias"] = buf[off] != 0
+        off += 1
+        t["A"], off = _vec("<f4", off)
+        t["b"], off = _vec("<f4", off)
+    elif fourcc == b"RmDT":
+        t["kind"] = "remap"
+        t["map"], off = _vec("<i4", off)
+    elif fourcc == b"VNrm":
+        t["kind"] = "norm"  # reverse_transform is identity in faiss
+        off += 4  # norm (f32)
+    elif fourcc == b"VCnt":
+        t["kind"] = "center"
+        t["mean"], off = _vec("<f4", off)
+    else:
+        raise NotImplementedError(
+            f"unsupported VectorTransform fourcc {fourcc!r} inside an "
+            "IndexPreTransform file: linear (OPQ/LTra/rrot/PCA), remap, "
+            "normalization, and centering transforms decode natively; "
+            "re-export as .npy or IndexFlat for anything else"
+        )
+    (t["d_in"],) = struct.unpack_from("<i", buf, off)
+    (t["d_out"],) = struct.unpack_from("<i", buf, off + 4)
+    off += 9  # d_in, d_out, is_trained
+    return t, off
+
+
+def _reverse_transform(t: dict, Y):
+    """Apply one transform's ``reverse_transform`` to the (n, d_out)
+    matrix ``Y``, mirroring faiss semantics: linear requires an
+    orthonormal A (faiss's LinearTransform::reverse_transform throws
+    otherwise — checked here the same way, A·Aᵀ ≈ I) and computes
+    x = Aᵀ(y − b); remap scatters back to mapped input slots;
+    normalization is irreversible so faiss reverses it as identity;
+    centering adds the mean back."""
+    import numpy as np
+
+    if t["kind"] == "linear":
+        d_in, d_out = t["d_in"], t["d_out"]
+        A = t["A"].reshape(d_out, d_in).astype(np.float64)
+        if not np.allclose(A @ A.T, np.eye(d_out), atol=1e-3):
+            raise NotImplementedError(
+                "IndexPreTransform linear transform is not orthonormal: "
+                "reverse_transform is undefined (faiss throws too); "
+                "re-export as .npy or IndexFlat"
+            )
+        Y = Y.astype(np.float64)
+        if t["have_bias"] and t["b"].size:
+            Y = Y - t["b"].astype(np.float64)
+        return (Y @ A).astype(np.float32)
+    if t["kind"] == "remap":
+        n = Y.shape[0]
+        X = np.zeros((n, t["d_in"]), dtype=np.float32)
+        m = t["map"]
+        keep = m >= 0
+        X[:, m[keep]] = Y[:, np.nonzero(keep)[0]]
+        return X
+    if t["kind"] == "center":
+        return (Y + t["mean"]).astype(np.float32)
+    return Y  # norm: identity reverse
+
+
+def parse_faiss_pretransform_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexPreTransform`` files (OPQ- or
+    PCA-wrapped indexes, e.g. ``index_factory(d, "OPQ16,IVF64,PQ16")``) —
+    no faiss dependency.  Layout (faiss/impl/index_write.cpp): fourcc
+    "IxPT", index_header (d = ORIGINAL input dim), int32 chain length,
+    that many ``write_VectorTransform`` records, then the wrapped index
+    serialized recursively.  Reconstruction matches the reference's
+    ``faiss.read_index`` + ``reconstruct_n``
+    (scripts/migrate_from_faiss.py:68-77): decode the inner index's
+    vectors (transformed space), then apply each chain transform's
+    reverse in reverse chain order, yielding original-space vectors.
+    Returns (row_idx, vectors) — ids pass through from id-carrying inner
+    indexes (IVF*, IDMap)."""
+    import struct
+
+    import numpy as np
+
+    if bytes(buf[0:4]) != b"IxPT":
+        raise NotImplementedError(
+            f"not an IndexPreTransform file (fourcc {bytes(buf[0:4])!r})"
+        )
+    d_in, ntotal, _metric, off = _parse_index_header(buf, 4)
+    (nt,) = struct.unpack_from("<i", buf, off)
+    off += 4
+    chain = []
+    for _ in range(nt):
+        t, off = _parse_vector_transform(buf, off)
+        chain.append(t)
+    idx, arr = _decode_faiss_bytes(buf[off:])
+    if arr.shape[0] != ntotal:
+        raise ValueError(
+            f"IndexPreTransform corrupt: header ntotal {ntotal}, inner "
+            f"index holds {arr.shape[0]}"
+        )
+    for t in reversed(chain):
+        arr = _reverse_transform(t, np.asarray(arr))
+    if arr.shape[1] != d_in:
+        raise ValueError(
+            f"IndexPreTransform chain reversed to dim {arr.shape[1]}, "
+            f"header says d={d_in}"
+        )
+    return idx, arr
+
+
 def read_faiss_vectors(spark: SparkSession, path: str) -> DataFrame:
     """FAISS-index branch of S4 (migrate_from_faiss.py:68-77:
     ``faiss.read_index`` + ``reconstruct_n``) — same distributed shape as
@@ -862,6 +1013,15 @@ def _decode_faiss_bytes(buf: bytes):
             arr = parse_faiss_sq_index(buf)
         except NotImplementedError:
             arr = _reconstruct_with_faiss(buf)
+    elif fourcc == b"IxPT":
+        try:
+            return parse_faiss_pretransform_index(buf)
+        except NotImplementedError:
+            # top-level reconstruct_n applies the chain's reverse transform
+            # (the IVF id-recovery path would yield TRANSFORMED-space
+            # vectors); ids are positional, exactly the reference's
+            # reconstruct_n semantics (migrate_from_faiss.py:68-77)
+            arr = _reconstruct_with_faiss(buf)
     else:
         try:
             arr = parse_faiss_flat_index(buf)
@@ -883,9 +1043,11 @@ def _reconstruct_with_faiss(buf: bytes, want_ids: bool = False):  # pragma: no c
     except ImportError as e:
         raise NotImplementedError(
             "FAISS index type not decodable without faiss (flat, IVFFlat, "
-            "HNSWFlat, IDMap-flat, PQ/IVFPQ at every code width, and every "
-            "serialized ScalarQuantizer type decode natively); re-export "
-            "as .npy or IndexFlat — the reference's own fallback"
+            "HNSWFlat, IDMap-flat, PQ/IVFPQ at every code width, every "
+            "serialized ScalarQuantizer type, and orthonormal-linear/"
+            "remap/centering PreTransform wrappers — incl. OPQ — decode "
+            "natively); re-export as .npy or IndexFlat — the reference's "
+            "own fallback"
         ) from e
     import os
     import tempfile

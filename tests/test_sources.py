@@ -948,3 +948,194 @@ def test_npy_header_over_4k_still_counts(spark):
         for r in read_npy_shard_counts(spark, tmp).collect()
     }
     assert got == {"big.npy": 3, "small.npy": 3}
+
+
+def _vt_linear_bytes(
+    A: np.ndarray, b: np.ndarray | None = None, fourcc: bytes = b"LTra"
+) -> bytes:
+    """Mirror of write_VectorTransform's linear branch (public layout,
+    faiss/impl/index_write.cpp): subtype fourcc (+ PCAMatrix subtype
+    fields for the Pcam/PCAm spellings), have_bias, A, b, then the common
+    d_in/d_out/is_trained trailer.  OPQMatrix serializes through the
+    generic LTra branch, so LTra bytes ARE the OPQ wire format."""
+    import struct
+
+    d_out, d_in = A.shape
+
+    def vec(v: np.ndarray, dt: str) -> bytes:
+        return struct.pack("<Q", v.size) + v.astype(dt).tobytes()
+
+    out = fourcc
+    if fourcc in (b"Pcam", b"PcAm", b"PCAm"):  # PCAMatrix subtype fields
+        out += struct.pack("<f", 0.0)  # eigen_power
+        if fourcc != b"PCAm":
+            out += struct.pack("<f", 0.0)  # epsilon (current writer)
+        out += struct.pack("<B", 0)  # random_rotation
+        if fourcc != b"PCAm":
+            out += struct.pack("<B", 0)  # balanced_bins
+        out += vec(np.zeros(d_in), "<f4")  # mean
+        out += vec(np.zeros(d_in), "<f4")  # eigenvalues
+        out += vec(np.zeros((d_in, d_in)), "<f4")  # PCAMat
+    out += struct.pack("<B", 1 if b is not None else 0)
+    out += vec(A, "<f4")
+    out += vec(b if b is not None else np.empty(0), "<f4")
+    out += struct.pack("<iiB", d_in, d_out, 1)
+    return out
+
+
+def _pretransform_bytes(transforms: list[bytes], inner: bytes, d_in: int, n: int) -> bytes:
+    """Mirror of the IndexPreTransform serialization: IxPT fourcc, index
+    header at the ORIGINAL dim, chain length, transform records, inner
+    index bytes."""
+    import struct
+
+    return (
+        b"IxPT"
+        + struct.pack("<i", d_in)
+        + struct.pack("<q", n)
+        + struct.pack("<qq", 1 << 20, 1 << 20)
+        + struct.pack("<B", 1)
+        + struct.pack("<i", 0)
+        + struct.pack("<i", len(transforms))
+        + b"".join(transforms)
+        + inner
+    )
+
+
+def _random_orthogonal(d: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    return q.astype(np.float32)
+
+
+def test_faiss_pretransform_opq_rotation_roundtrip(spark):
+    """An OPQ-style orthonormal rotation (serialized via the generic LTra
+    branch, exactly how faiss writes OPQMatrix) wrapping IndexFlat must
+    reconstruct the ORIGINAL-space vectors, matching faiss.read_index +
+    reconstruct_n (the reference's migrate_from_faiss.py:68-77)."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_pretransform_index,
+        read_faiss_vectors,
+    )
+
+    d, n = 8, 20
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    A = _random_orthogonal(d)
+    Y = (X @ A.T).astype(np.float32)  # forward transform y = A x
+    blob = _pretransform_bytes([_vt_linear_bytes(A)], _flat_index_bytes(Y), d, n)
+
+    idx, arr = parse_faiss_pretransform_index(blob)
+    assert np.array_equal(idx, np.arange(n))
+    np.testing.assert_allclose(arr, X, atol=1e-5)
+
+    tmp = tempfile.mkdtemp(prefix="faiss_pt_")
+    with open(os.path.join(tmp, "opq.index"), "wb") as f:
+        f.write(blob)
+    rows = read_faiss_vectors(spark, tmp).orderBy("row_idx").collect()
+    got = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    np.testing.assert_allclose(got, X, atol=1e-5)
+
+
+def test_faiss_pretransform_pca_bias_and_dim_reduction():
+    """Dimension-reducing PCA with a bias (Pcam spelling, current-writer
+    subtype fields) reverses to the d_in-space projection Aᵀ(y − b); the
+    legacy PCAm spelling (no epsilon/balanced_bins) parses too."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_pretransform_index,
+    )
+
+    d_in, d_out, n = 10, 4, 12
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((n, d_in)).astype(np.float32)
+    A = _random_orthogonal(d_in)[:d_out, :]  # orthonormal rows
+    b = rng.standard_normal(d_out).astype(np.float32)
+    Y = (X @ A.T + b).astype(np.float32)
+    for fourcc in (b"Pcam", b"PCAm"):
+        blob = _pretransform_bytes(
+            [_vt_linear_bytes(A, b=b, fourcc=fourcc)],
+            _flat_index_bytes(Y),
+            d_in,
+            n,
+        )
+        _, arr = parse_faiss_pretransform_index(blob)
+        np.testing.assert_allclose(arr, (Y - b) @ A, atol=1e-5)
+
+
+def test_faiss_pretransform_chain_center_remap():
+    """A CenteringTransform → RemapDimensionsTransform chain reverses in
+    reverse order: remap scatters kept dims back, centering adds the mean."""
+    import struct
+
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_pretransform_index,
+    )
+
+    d_in, n = 6, 9
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((n, d_in)).astype(np.float32)
+    mean = X.mean(axis=0).astype(np.float32)
+    keep = np.array([4, 0, 2], dtype=np.int32)  # d_out=3, permuted
+    Y = (X - mean)[:, keep]
+
+    def vec(v, dt):
+        return struct.pack("<Q", v.size) + v.astype(dt).tobytes()
+
+    t_center = b"VCnt" + vec(mean, "<f4") + struct.pack("<iiB", d_in, d_in, 1)
+    t_remap = b"RmDT" + vec(keep, "<i4") + struct.pack("<iiB", d_in, 3, 1)
+    blob = _pretransform_bytes(
+        [t_center, t_remap], _flat_index_bytes(Y.astype(np.float32)), d_in, n
+    )
+    _, arr = parse_faiss_pretransform_index(blob)
+    expect = np.zeros_like(X)
+    expect[:, keep] = Y
+    expect += mean
+    np.testing.assert_allclose(arr, expect, atol=1e-6)
+
+
+def test_faiss_pretransform_gates_cleanly():
+    """Non-orthonormal linear transforms (reverse undefined — faiss throws
+    too) and unknown transform fourccs must gate with NotImplementedError
+    naming the remediation, never decode wrong vectors."""
+    import struct
+
+    import pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_pretransform_index,
+    )
+
+    d, n = 4, 3
+    Y = np.ones((n, d), dtype=np.float32)
+    bad_A = np.eye(d, dtype=np.float32) * 2.0  # not orthonormal
+    blob = _pretransform_bytes([_vt_linear_bytes(bad_A)], _flat_index_bytes(Y), d, n)
+    with pytest.raises(NotImplementedError, match="orthonormal"):
+        parse_faiss_pretransform_index(blob)
+
+    itq = b"Viqm" + struct.pack("<ii", 50, 123)  # ITQMatrix subtype fields
+    blob = _pretransform_bytes([itq], _flat_index_bytes(Y), d, n)
+    with pytest.raises(NotImplementedError, match="VectorTransform"):
+        parse_faiss_pretransform_index(blob)
+
+
+def test_faiss_pretransform_preserves_inner_ids(spark):
+    """PreTransform wrapping an id-carrying inner index (IVFFlat with
+    add_with_ids ids) must pass the STORED ids through while reversing the
+    transform — reconstruct order stays inverted-list order."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_pretransform_index,
+    )
+
+    d, n = 8, 10
+    rng = np.random.default_rng(17)
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    A = _random_orthogonal(d, seed=23)
+    Y = (X @ A.T).astype(np.float32)
+    ids = [100 + i for i in range(n)]
+    list_of = [i % 3 for i in range(n)]
+    inner = _ivfflat_index_bytes(Y, list_of, ids=ids, nlist=3)
+    blob = _pretransform_bytes([_vt_linear_bytes(A)], inner, d, n)
+    got_ids, arr = parse_faiss_pretransform_index(blob)
+    order = np.argsort(np.array(list_of), kind="stable")
+    assert list(got_ids) == [ids[i] for i in order]
+    np.testing.assert_allclose(arr, X[order], atol=1e-5)
