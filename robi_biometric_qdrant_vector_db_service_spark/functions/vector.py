@@ -55,6 +55,32 @@ def l2_normalize_sql(a: str) -> str:
     return f"transform({_c(a)}, x -> CAST(x AS DOUBLE) / greatest({norm_sql(a)}, 1e-12))"
 
 
+def l1_distance_sql(a: str, b: str) -> str:
+    """Manhattan (L1) distance as a deterministic left-fold in DOUBLE.
+
+    Qdrant's ``Distance.MANHATTAN`` (public metric enum; the reference
+    pins COSINE, qdrant_client.py:105 — this is surface generality).
+    The seeded fold ``((0+d1)+d2)+…`` is bit-equal to DuckDB's unseeded
+    ``list_reduce`` left fold because ``0.0 + x == x`` exactly in
+    IEEE-754, so oracle hashes line up without fuzz."""
+    return (
+        f"aggregate(zip_with({_c(a)}, {_c(b)}, "
+        f"(x, y) -> abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def l2_distance_sql(a: str, b: str) -> str:
+    """Euclidean (L2) distance — Qdrant's ``Distance.EUCLID``; same
+    deterministic-fold discipline as ``l1_distance_sql``."""
+    return (
+        f"sqrt(aggregate(zip_with({_c(a)}, {_c(b)}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
 def dot(a: str, b: str) -> Column:
     return F.expr(dot_sql(a, b))
 

@@ -30,10 +30,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_sql
+from ..functions.vector import cosine_sql, dot_sql, l1_distance_sql, l2_distance_sql
 
 DEFAULT_SCORE_THRESHOLD = 0.65  # settings.similarity_threshold (settings.py:22)
 MAX_K = 100  # SearchRequest bound (src/api/schemas.py:64)
+
+# Qdrant's public Distance enum (the reference pins COSINE,
+# qdrant_client.py:105; the other three are Qdrant surface generality).
+# Value: (score expression builder, True when lower-is-better — distances
+# rank ascending, similarities descending, matching Qdrant's per-metric
+# result order).
+METRICS = {
+    "cosine": (cosine_sql, False),
+    "dot": (dot_sql, False),
+    "euclid": (l2_distance_sql, True),
+    "manhattan": (l1_distance_sql, True),
+}
 
 
 def validate_search_args(k: int, score_threshold: float | None) -> None:
@@ -52,13 +64,16 @@ def score_pairs(
     *,
     corpus_vec: str = "embedding",
     query_vec: str = "q_emb",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Cross-score every (corpus row × query row) with cosine similarity.
+    """Cross-score every (corpus row × query row) under ``metric``
+    (any of ``METRICS``; default cosine, the reference's pinned choice).
 
     Query side is broadcast (small); scoring stays in whole-stage codegen.
     """
+    expr_builder, _ = METRICS[metric]
     return corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "score", F.expr(cosine_sql(corpus_vec, query_vec))
+        "score", F.expr(expr_builder(corpus_vec, query_vec))
     )
 
 
@@ -73,24 +88,39 @@ def knn_search(
     corpus_vec: str = "embedding",
     query_id: str = "q_id",
     query_vec: str = "q_emb",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Q1: per-query top-k by cosine, optional keyword filter + threshold.
+    """Q1: per-query top-k under ``metric`` (default cosine, the
+    reference's pinned choice; Qdrant's other public metrics — dot,
+    euclid, manhattan — rank with the metric's own polarity: distances
+    ascending, similarities descending), optional keyword filter +
+    threshold.
 
     Mirrors qdrant_client.py:311-405: (1) predicate pushdown of the keyword
     filter (P1/P2 — reaches the parquet scan), (2) similarity projection
-    (F2), (3) ``score >= threshold`` (P5, qdrant_client.py:372), (4) top-k
+    (F2), (3) ``score >= threshold`` (P5, qdrant_client.py:372; similarity
+    metrics only — a floor on a distance would be a ceiling), (4) top-k
     per query (T1) via row_number window, deterministic vec_id tiebreak.
 
     Returns: (q_id, vec_id, rank, score) — score rounded to 6dp for stable
     cross-engine comparison; ranking uses the unrounded value.
     """
     validate_search_args(k, score_threshold)
+    _, lower_is_better = METRICS[metric]
+    if score_threshold is not None and lower_is_better:
+        raise ValueError(
+            "score_threshold is a similarity floor; not meaningful for "
+            f"distance metric {metric!r}"
+        )
     if label_filter is not None:
         corpus = corpus.filter(F.col("label").isin(label_filter))
-    scored = score_pairs(corpus, queries, corpus_vec=corpus_vec, query_vec=query_vec)
+    scored = score_pairs(
+        corpus, queries, corpus_vec=corpus_vec, query_vec=query_vec, metric=metric
+    )
     if score_threshold is not None:
         scored = scored.filter(F.col("score") >= float(score_threshold))
-    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(corpus_id))
+    order = F.asc("score") if lower_is_better else F.desc("score")
+    w = Window.partitionBy(query_id).orderBy(order, F.col(corpus_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -241,7 +271,9 @@ def search_groups(
     """Q6: grouped search — Qdrant's ``search_groups`` API over the payload
     field the reference filters on (``user_id``/``label``,
     qdrant_client.py:354-366): top ``n_groups`` groups per query ranked by
-    their best hit, at most ``group_size`` hits per group.
+    their best hit, at most ``group_size`` hits per group.  For Qdrant's
+    ``with_lookup`` option compose with ``attach_group_lookup`` (persist
+    the bounded grouped result first so the ranking evaluates once).
 
     One shuffle on q_id serves all three windows: hash(q_id) satisfies the
     (q_id, group) clustering (subset rule), so the hit ranking, group_best
@@ -271,6 +303,147 @@ def search_groups(
         "hit_rank",
         F.round("score", 6).alias("score"),
     )
+
+
+def attach_group_lookup(
+    groups: DataFrame,
+    lookup: DataFrame,
+    *,
+    group_col: str = "label",
+    lookup_id: str = "doc_id",
+    lookup_cols: list[str] | None = None,
+) -> DataFrame:
+    """Qdrant's public ``with_lookup`` option on grouped search: attach,
+    per group, the record of the point in ANOTHER collection whose id
+    equals the group value.  ``groups`` is a (bounded) ``search_groups``
+    result — persist it when composing, so the ranking isn't re-evaluated
+    for the key derivation.
+
+    Two broadcast joins, zero shuffles of the lookup collection:
+    (1) the bounded group-key set broadcasts into ONE streaming pass over
+    the lookup collection (inner — reduces it to ≤ |keys| rows);
+    (2) that bounded match set broadcasts back as the build side of the
+    left join (the preserved side of an outer join can't be the broadcast
+    side, so the reduction step is what keeps the big side un-shuffled).
+    Missing lookup ids keep the group and attach NULLs, matching Qdrant
+    (absent lookup → no record).  Asserted in test_query_surface."""
+    cols = lookup_cols or [c for c in lookup.columns if c != lookup_id]
+    looked = lookup.select(
+        F.col(lookup_id).alias("__lk"),
+        *[F.col(c).alias(f"lookup_{c}") for c in cols],
+    )
+    keys = groups.select(F.col(group_col).alias("__lk")).distinct()
+    matched = looked.join(F.broadcast(keys), "__lk")
+    return groups.join(
+        F.broadcast(matched), groups[group_col] == matched["__lk"], "left"
+    ).drop("__lk")
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    candidates: int = 15,
+    diversity: float = 0.5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity reranking — Qdrant's public
+    ``mmr`` query option (``query_points`` with ``mmr: {diversity,
+    candidates_limit}``; also the canonical diverse-sample selector for
+    training-data curation): take the top ``candidates`` by similarity to
+    the probe, then greedily select ``k``, each step maximizing
+
+        λ·sim(q, c) − (1 − λ)·max_{s ∈ selected} sim(c, s)
+
+    (λ = ``diversity``; ties broken by smaller id; the first pick is the
+    plain argmax).
+
+    Plan shape: ONE corpus scan scores the probes (broadcast crossJoin,
+    WindowGroupLimit top-``candidates`` keeps the vectors); each probe's
+    bounded candidate set packs into a single ``collect_list(struct)``
+    row, and the greedy loop runs per-probe in one ``applyInPandas`` —
+    never on the driver, never a second pass over the corpus, no
+    candidate self-join.
+
+    Cross-engine determinism: probe similarities are the Catalyst DOUBLE
+    fold the oracles use; the pairwise candidate sims are recomputed in
+    NumPy with dimension-at-a-time accumulation — bit-equal to the same
+    sequential fold (the ``cosine_pudf`` discipline,
+    tests/test_kernels.py) — and the greedy comparisons apply the same
+    ``λ·rel − (1−λ)·maxsim`` IEEE-754 expression, so the selection
+    matches a DuckDB recursive-CTE restatement bit-for-bit.
+
+    Returns: (q_id, mmr_rank, vec_id, score) — score is the ORIGINAL
+    probe similarity of the selected point (Qdrant returns the underlying
+    scores, not the MMR objective), rounded to 6dp.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lam = float(diversity)
+    scored = score_pairs(corpus, queries, corpus_vec=corpus_vec)
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(corpus_id))
+    packed = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= candidates)
+        .groupBy("q_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(corpus_id).alias("v"),
+                    F.col(corpus_vec).alias("emb"),
+                    F.col("score").alias("rel"),
+                )
+            ).alias("cands")
+        )
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        items = list(pdf["cands"].iloc[0])
+        ids = [int(it["v"]) for it in items]
+        rel = {int(it["v"]): float(it["rel"]) for it in items}
+        M = np.stack([np.asarray(it["emb"], dtype=np.float64) for it in items])
+        n_c = len(ids)
+        # pairwise cosine, dimension-at-a-time (bit-equal to the fold)
+        dot = np.zeros((n_c, n_c))
+        for d in range(M.shape[1]):
+            col = M[:, d]
+            dot += np.outer(col, col)
+        denom = np.maximum(np.sqrt(np.diag(dot)), 1e-12)
+        cosm = dot / np.outer(denom, denom)
+        pos = {v: i for i, v in enumerate(ids)}
+        order = sorted(ids)
+        n = min(k, n_c)
+        best, bm = None, None
+        for v in order:  # argmax rel, ties → smaller id (strict > keeps first)
+            if bm is None or rel[v] > bm:
+                bm, best = rel[v], v
+        sel = [best]
+        while len(sel) < n:
+            best, bm = None, None
+            for v in order:
+                if v in sel:
+                    continue
+                mx = max(float(cosm[pos[v], pos[s]]) for s in sel)
+                m = lam * rel[v] - (1.0 - lam) * mx
+                if bm is None or m > bm:
+                    bm, best = m, v
+            sel.append(best)
+        return pd.DataFrame(
+            {
+                "q_id": [int(pdf["q_id"].iloc[0])] * len(sel),
+                "mmr_rank": range(1, len(sel) + 1),
+                "vec_id": sel,
+                "score": [rel[v] for v in sel],
+            }
+        )
+
+    out = packed.groupBy("q_id").applyInPandas(
+        _greedy, "q_id long, mmr_rank int, vec_id long, score double"
+    )
+    return out.withColumn("score", F.round("score", 6))
 
 
 def discover(

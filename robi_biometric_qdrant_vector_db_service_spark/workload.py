@@ -175,6 +175,46 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Manhattan-metric top-k — Qdrant's public Distance.MANHATTAN (the
+# reference pins COSINE, qdrant_client.py:105; the metric enum is the
+# other public axis of the same search surface).  Distances rank
+# ASCENDING.  Bit-parity: both engines evaluate the same seeded left-fold
+# (0.0 + d1 == d1 exactly, so Spark's seeded aggregate == DuckDB's
+# unseeded list_reduce).
+_DL1 = (
+    "list_reduce(list_transform(list_zip(CAST({a} AS DOUBLE[]), "
+    "CAST({b} AS DOUBLE[])), p -> abs(p[1] - p[2])), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "knn_manhattan_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {_DL1.format(a='e.embedding', b='q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def knn_manhattan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 under Qdrant's Manhattan metric: per-query 10 nearest by L1
+    distance, ascending (lower = closer; rank 1 is the probe itself at
+    distance 0).  Same broadcast-probes plan as `knn_topk` — the metric
+    only changes the scoring projection and the window's sort polarity."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return S.knn_search(corpus, _probes(spark, sf_dir), k=10, metric="manhattan")
+
+
 # ---------------------------------------------------------------------------
 # F1 — L2 normalize (gpu_optimizer.py:81-124); norm audit of the corpus
 # ---------------------------------------------------------------------------
@@ -397,6 +437,63 @@ def dbsf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("dbsf_score"), F.desc("votes"), F.col("vec_id"))
         .limit(10)
+    )
+
+
+# MMR diversity reranking — Qdrant's public `mmr` query option.  The oracle
+# restates the greedy selection as a DuckDB recursive CTE: candidates and
+# pairwise sims from the shared fold expressions, then one LATERAL argmax
+# per step carrying the selected set as a list.  The Spark side computes
+# the SAME sims JVM-side and runs the greedy loop per-probe in
+# applyInPandas on those exact doubles — bit-equal selections.
+@register(
+    "mmr_diversity_topk",
+    f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3
+),
+cand AS (
+  SELECT q_id, vec_id, embedding, score FROM (
+    SELECT q.q_id, e.vec_id, e.embedding, {_dcos('e.embedding', 'q.q_emb')} AS score,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_dcos('e.embedding', 'q.q_emb')} DESC, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q) WHERE rn <= 15
+),
+sims AS (
+  SELECT a.q_id, a.vec_id AS v1, b.vec_id AS v2, {_dcos('a.embedding', 'b.embedding')} AS sim
+  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+),
+t(q_id, step, sel, vec_id, score) AS (
+  SELECT q_id, 1, [vec_id], vec_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+    FROM cand) WHERE rn = 1
+  UNION ALL
+  SELECT t.q_id, t.step + 1, list_append(t.sel, pick.v), pick.v, pick.s
+  FROM t, LATERAL (
+    SELECT c.vec_id AS v, c.score AS s
+    FROM cand c
+    WHERE c.q_id = t.q_id AND NOT list_contains(t.sel, c.vec_id)
+    ORDER BY 0.5 * c.score - 0.5 * (SELECT max(s2.sim) FROM sims s2
+        WHERE s2.q_id = c.q_id AND s2.v1 = c.vec_id
+          AND list_contains(t.sel, s2.v2)) DESC,
+      c.vec_id
+    LIMIT 1
+  ) pick
+  WHERE t.step < 5
+)
+SELECT q_id, CAST(step AS INT) AS mmr_rank, vec_id, round(score, 6) AS score
+FROM t
+""",
+)
+def mmr_diversity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``mmr`` diversity rerank: top-15 candidates per probe,
+    greedy λ=0.5 maximal-marginal-relevance selection of 5 — each pick
+    maximizes λ·probe-sim − (1−λ)·max-sim-to-already-selected.  The
+    curation counterpart: a diverse exemplar sample instead of 5
+    near-duplicates of the best hit."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(
+        corpus, _probes(spark, sf_dir, 3), k=5, candidates=15, diversity=0.5
     )
 
 
@@ -1084,6 +1181,87 @@ def search_groups_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_groups_lookup",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+),
+hits AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id, label ORDER BY score DESC, vec_id) AS hit_rank
+  FROM scored
+),
+kept AS (SELECT * FROM hits WHERE hit_rank <= 2),
+gb AS (
+  SELECT *, max(score) OVER (PARTITION BY q_id, label) AS group_best FROM kept
+),
+gr AS (
+  SELECT *, dense_rank() OVER (PARTITION BY q_id ORDER BY group_best DESC, label) AS group_rank
+  FROM gb
+)
+SELECT gr.q_id, gr.label, CAST(gr.group_rank AS INT) AS group_rank, gr.vec_id,
+       CAST(gr.hit_rank AS INT) AS hit_rank, round(gr.score, 6) AS score,
+       d.lang AS lookup_lang, d.source AS lookup_source
+FROM gr LEFT JOIN documents d ON d.doc_id = gr.label
+WHERE gr.group_rank <= 3
+""",
+)
+def search_groups_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 + Qdrant's public ``with_lookup`` option: top-3 labels per probe
+    (≤2 hits each), each group carrying the record of the point in the
+    ``documents`` collection whose id equals the group value — Qdrant's
+    group-id lookup contract.  The bounded grouped result is persisted so
+    the ranking evaluates once; the lookup collection is reduced by a
+    broadcast of the bounded group-key set (one streaming pass, no
+    shuffle) before the left join attaches it."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    groups = track_scratch(
+        S.search_groups(
+            corpus, _probes(spark, sf_dir, 3), n_groups=3, group_size=2
+        ).persist()
+    )
+    return S.attach_group_lookup(
+        groups, docs, group_col="label", lookup_id="doc_id",
+        lookup_cols=["lang", "source"],
+    )
+
+
+@register(
+    "random_sample_points",
+    """
+SELECT vec_id, label
+FROM embeddings
+WHERE label IN (1, 4, 7)
+ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+LIMIT 25
+""",
+)
+def random_sample_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant's public random-sampling query (``query_points`` with
+    ``Sample.RANDOM``), with a payload filter — restated as a
+    DETERMINISTIC pseudo-random draw: order by md5(id) and take N.  Same
+    draw on any engine, any partitioning, any cluster size (the property
+    Qdrant's server-side RNG lacks and reproducible pipelines need; the
+    md5-draw discipline of workload_pipeline.py's samplers).  Plan: the
+    label filter pushes to the scan; the draw is a distributed
+    TakeOrderedAndProject — no global sort, no shuffle of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("label").isin(1, 4, 7))
+        .select(
+            "vec_id", "label", F.md5(F.col("vec_id").cast("string")).alias("__draw")
+        )
+        .orderBy("__draw", "vec_id")
+        .limit(25)
+        .select("vec_id", "label")
+    )
+
+
+@register(
     "scroll_keyset",
     """
 WITH f AS (SELECT vec_id, label FROM embeddings WHERE label IN (1, 3)),
@@ -1305,16 +1483,18 @@ from . import workload_graph  # noqa: E402,F401
 # row in r6 OR r7 lead (cube_orders, qty_pivot_by_status,
 # approx_distinct_parts, distinct_part_counts, rollup_returns,
 # running_ops_stats — green in every local replica, never driver-recorded);
-# (b) the five queries changed this round (dbsf_fusion_topk is NEW;
-# scroll_order_by + the ordered-scroll operator gained NULL-field skip;
-# bm25_top_docs gained the NULL-text filter; minhash_lsh_dups gained the
-# gate/AQE switch; npy_migration's header read + fs cache changed); (c) the
-# remaining 39 slots are the stalest cohort — everything green in
-# CORRECTNESS_LOCAL_r07 but absent from the r7 driver window — cut
-# alphabetically at the cap; the 7 left over (stream_ops_stats,
-# stream_search_serving, time_range_scan, time_travel_read,
-# train_test_split, upsert_merge, verify_1to1) stay local-replica-only
-# and rotate in next round.
+# (b) the nine queries new or changed this round (dbsf_fusion_topk,
+# knn_manhattan_topk, search_groups_lookup, random_sample_points,
+# mmr_diversity_topk are NEW; scroll_order_by + the ordered-scroll operator
+# gained NULL-field skip; bm25_top_docs gained the NULL-text filter;
+# minhash_lsh_dups gained the gate/AQE switch; npy_migration's header read
+# + fs cache changed); (c) the remaining 35 slots are the stalest cohort —
+# everything green in CORRECTNESS_LOCAL_r07 but absent from the r7 driver
+# window — cut alphabetically at the cap; the 11 left over
+# (sql_surface_knn, stateful_running_stats, store_compaction,
+# store_search_api, stream_ops_stats, stream_search_serving,
+# time_range_scan, time_travel_read, train_test_split, upsert_merge,
+# verify_1to1) stay local-replica-only and rotate in next round.
 FRONT_QUERIES = [
     "cube_orders",
     "qty_pivot_by_status",
@@ -1323,6 +1503,10 @@ FRONT_QUERIES = [
     "rollup_returns",
     "running_ops_stats",
     "dbsf_fusion_topk",
+    "knn_manhattan_topk",
+    "mmr_diversity_topk",
+    "search_groups_lookup",
+    "random_sample_points",
     "scroll_order_by",
     "bm25_top_docs",
     "minhash_lsh_dups",
@@ -1362,8 +1546,4 @@ FRONT_QUERIES = [
     "sessionization",
     "simhash_hamming_pairs",
     "similarity_matrix_topk",
-    "sql_surface_knn",
-    "stateful_running_stats",
-    "store_compaction",
-    "store_search_api",
 ]

@@ -9,6 +9,7 @@ import re
 from pyspark.sql import functions as F
 
 from robi_biometric_qdrant_vector_db_service_spark.operators.search import (
+    attach_group_lookup,
     knn_search,
     recommend,
     scroll_page,
@@ -220,3 +221,142 @@ def test_front_queries_rotation_is_well_formed():
     assert not unknown, f"FRONT_QUERIES names not in REGISTRY: {unknown}"
     assert len(set(FRONT_QUERIES)) == len(FRONT_QUERIES), "duplicate rotation entries"
     assert len(FRONT_QUERIES) == 50, "window should exactly fill the driver's 50-row cap"
+
+
+def test_knn_manhattan_ranks_ascending_self_first(spark):
+    """Qdrant Distance.MANHATTAN semantics: lower distance = closer, so
+    each probe's rank 1 is itself at distance 0 and per-query scores are
+    non-decreasing in rank; threshold floors are rejected for distances."""
+    import pytest
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    out = knn_search(corpus, _probes(spark, 3), k=5, metric="manhattan").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q_id, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert rows[0].vec_id == q_id and rows[0].score == 0.0
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores)
+    with pytest.raises(ValueError, match="distance metric"):
+        knn_search(corpus, _probes(spark, 3), k=5, metric="euclid", score_threshold=0.5)
+
+
+def test_knn_euclid_agrees_with_cosine_on_unit_vectors(spark):
+    """On the L2-normalized fixture, euclid distance is monotone in cosine
+    (d² = 2 − 2cos), so the two metrics must produce the same ranking —
+    a cross-metric consistency oracle for the fold expressions."""
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    cos = knn_search(corpus, _probes(spark, 3), k=5, metric="cosine").collect()
+    euc = knn_search(corpus, _probes(spark, 3), k=5, metric="euclid").collect()
+    key = lambda rows: sorted((r.q_id, r.rank, r.vec_id) for r in rows)  # noqa: E731
+    assert key(cos) == key(euc)
+
+
+def test_search_groups_lookup_attaches_group_record(spark):
+    """with_lookup: every returned group carries the lang/source of the
+    documents row whose doc_id equals the group value; group values with
+    no lookup record keep the group and attach NULLs (Qdrant: lookup is
+    optional per group)."""
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    expect = {r.doc_id: (r.lang, r.source) for r in docs.filter(F.col("doc_id") < 10).collect()}
+    groups = search_groups(corpus, _probes(spark, 3), n_groups=3, group_size=2)
+    out = attach_group_lookup(groups, docs, lookup_cols=["lang", "source"]).collect()
+    assert out
+    for r in out:
+        assert (r.lookup_lang, r.lookup_source) == expect[r.label]
+    # missing lookup ids → NULL columns, groups preserved
+    gap = attach_group_lookup(
+        groups, docs.filter(F.col("doc_id") >= 9999), lookup_cols=["lang"]
+    ).collect()
+    assert len(gap) == len(out)
+    assert all(r.lookup_lang is None for r in gap)
+
+
+def test_search_groups_lookup_never_shuffles_lookup_side(spark):
+    """The lookup collection is corpus-sized at scale: it must stream
+    through broadcast joins (bounded group keys reduce it in one pass,
+    the bounded match set broadcasts back as the left-join build side),
+    and the persisted grouped result must serve BOTH consumers — the
+    ranking is evaluated once (InMemoryTableScan on each branch), never
+    recomputed for the key derivation."""
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    groups = search_groups(corpus, _probes(spark, 3), n_groups=3, group_size=2).persist()
+    try:
+        plan = _plan(attach_group_lookup(groups, docs, lookup_cols=["lang", "source"]))
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "InMemoryTableScan" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        # the registry query wires the same persist via track_scratch
+        from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+        qplan = _plan(REGISTRY["search_groups_lookup"].run(spark, SF_SMOKE))
+        assert "InMemoryTableScan" in qplan, qplan
+        assert "CartesianProduct" not in qplan, qplan
+    finally:
+        groups.unpersist()
+
+
+def test_random_sample_is_deterministic_filtered_take_ordered(spark):
+    """Sample.RANDOM analogue: the draw is a pure function of the id —
+    identical across runs; the filter reaches the scan and the draw is a
+    distributed TakeOrdered, never a global sort."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    run = lambda: REGISTRY["random_sample_points"].run(spark, SF_SMOKE)  # noqa: E731
+    a = sorted((r.vec_id, r.label) for r in run().collect())
+    b = sorted((r.vec_id, r.label) for r in run().collect())
+    assert a == b and len(a) == 25
+    assert {lab for _, lab in a} <= {1, 4, 7}
+    plan = _plan(run())
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "In(label" in plan, plan
+
+
+def test_mmr_selects_diverse_set_deterministically(spark):
+    """MMR: rank 1 is the plain argmax (the probe itself on the
+    self-retrieval fixture); the remaining picks trade relevance for
+    diversity, so the selected set's max pairwise cosine must not exceed
+    the plain top-5's (and the sets differ when near-dups lead the
+    ranking); two runs select identically."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import mmr_rerank
+    from robi_biometric_qdrant_vector_db_service_spark.functions.vector import cosine_sql
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    out = mmr_rerank(corpus, _probes(spark, 3), k=5, candidates=15).collect()
+    out2 = mmr_rerank(corpus, _probes(spark, 3), k=5, candidates=15).collect()
+    key = lambda rows: sorted((r.q_id, r.mmr_rank, r.vec_id) for r in rows)  # noqa: E731
+    assert key(out) == key(out2) and len(out) == 15
+    top = knn_search(corpus, _probes(spark, 3), k=5).collect()
+
+    def max_pair_cos(ids):
+        sub = corpus.filter(F.col("vec_id").isin(list(ids)))
+        a = sub.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+        b = sub.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+        pairs = a.crossJoin(b).filter(F.col("v1") < F.col("v2"))
+        return pairs.agg(
+            F.max(F.expr(cosine_sql("e1", "e2"))).alias("m")
+        ).collect()[0].m
+
+    for q in (0, 1, 2):
+        sel = {r.vec_id for r in out if r.q_id == q}
+        plain = {r.vec_id for r in top if r.q_id == q}
+        assert q in sel  # rank-1 = self on the self-retrieval fixture
+        assert [r.vec_id for r in out if r.q_id == q and r.mmr_rank == 1] == [q]
+        assert max_pair_cos(sel) <= max_pair_cos(plain) + 1e-12
+
+
+def test_mmr_packs_candidates_single_corpus_pass(spark):
+    """The greedy loop must run over the packed bounded candidate set —
+    one corpus scoring pass (2 parquet scans total: corpus + probes), no
+    candidate self-join re-evaluation, selection in FlatMapGroupsInPandas."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    plan = _plan(REGISTRY["mmr_diversity_topk"].run(spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("embeddings.parquet") == 2, plan
+    assert "CartesianProduct" not in plan, plan
