@@ -88,3 +88,145 @@ def advanced_filter(
     for c in conds:
         out = out.filter(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Qdrant public ``Filter`` combinators (should / must_not / min_should)
+# ---------------------------------------------------------------------------
+# The reference only ever builds must-only conjunctions
+# (advanced_indexing.py:147-208, qdrant_client.py:355-363), but Qdrant's
+# public Filter model composes three clause lists plus min_should:
+#
+#   must:     every condition TRUE              (AND)
+#   should:   at least one condition TRUE       (OR; AND-combined with must)
+#   must_not: no condition TRUE                 (NOT-ANY; a point with the
+#             field ABSENT passes — Qdrant's negation is over matches, not
+#             SQL 3VL, so must_not(c) compiles to ``c IS NOT TRUE``)
+#   min_should: at least ``min_count`` of the conditions TRUE
+#
+# Conditions are the wire-format dicts: {"key", "match"|"range"},
+# {"is_null": {"key"}}, {"is_empty": {"key"}}, {"has_id": [...]}, or a
+# nested Filter dict (combinators recurse).  Every leaf lands on a typed
+# (promoted) column, so the whole boolean tree stays a Catalyst predicate:
+# disjunctions and IS-NOT-TRUE negations push to the parquet scan
+# (Or/Not/IsNull all translate to data-source filters; the optimizer's
+# NullPropagation rewrites IsNull(col op lit) to IsNull(col)).
+
+_CLAUSES = ("must", "should", "must_not", "min_should")
+
+
+def _condition(cond: dict, id_col: str) -> Column:
+    """One Qdrant condition dict → a Catalyst predicate Column."""
+    if not isinstance(cond, dict):
+        raise ValueError(f"condition must be a dict, got {type(cond).__name__}")
+    if any(k in cond for k in _CLAUSES):  # nested Filter
+        return build_filter(cond, id_col=id_col)
+    if "has_id" in cond:
+        ids = list(cond["has_id"])
+        return F.col(id_col) == ids[0] if len(ids) == 1 else F.col(id_col).isin(ids)
+    if "is_null" in cond:
+        return F.col(cond["is_null"]["key"]).isNull()
+    if "is_empty" in cond:
+        # Qdrant IsEmpty: field absent OR an empty array.
+        c = F.col(cond["is_empty"]["key"])
+        return c.isNull() | (F.size(c) == 0)
+    key = cond.get("key")
+    if key is None:
+        raise ValueError(f"condition needs 'key' (or has_id/is_null/is_empty): {cond}")
+    col = F.col(key)
+    if "match" in cond:
+        m = cond["match"]
+        if "value" in m:
+            return col == m["value"]
+        if "any" in m:
+            vals = list(m["any"])
+            return col == vals[0] if len(vals) == 1 else col.isin(vals)
+        if "except" in m:
+            # MatchExcept: everything except these values — absent passes.
+            return ~col.isin(list(m["except"])) | col.isNull()
+        raise ValueError(f"match needs value/any/except: {m}")
+    if "range" in cond:
+        r = cond["range"]
+        bounds = []
+        if "gt" in r:
+            bounds.append(col > r["gt"])
+        if "gte" in r:
+            bounds.append(col >= r["gte"])
+        if "lt" in r:
+            bounds.append(col < r["lt"])
+        if "lte" in r:
+            bounds.append(col <= r["lte"])
+        if not bounds:
+            raise ValueError(f"range needs at least one of gt/gte/lt/lte: {r}")
+        out = bounds[0]
+        for b in bounds[1:]:
+            out = out & b
+        return out
+    raise ValueError(f"unsupported condition: {cond}")
+
+
+def _negate(cond: dict, id_col: str) -> Column:
+    """Qdrant ``must_not``: passes when the condition is FALSE **or the
+    field is NULL** (absent) — ``IS NOT TRUE``, not SQL NOT.  Spelled
+    per condition type so the null guard lands on the COLUMN
+    (``Or(Not(...), IsNull(col))`` translates to a data-source filter;
+    ``IsNull(col = lit)`` does not)."""
+    if any(k in cond for k in _CLAUSES):  # nested Filter — generic IS NOT TRUE
+        c = build_filter(cond, id_col=id_col)
+        return ~c | c.isNull()
+    if "has_id" in cond:  # point ids are never NULL
+        return ~_condition(cond, id_col)
+    if "is_null" in cond:
+        return F.col(cond["is_null"]["key"]).isNotNull()
+    if "is_empty" in cond:
+        c = F.col(cond["is_empty"]["key"])
+        return c.isNotNull() & (F.size(c) > 0)
+    if "match" in cond and "except" in cond["match"]:
+        # NOT(everything-except-these) = value IS one of these
+        return F.col(cond["key"]).isin(list(cond["match"]["except"]))
+    return ~_condition(cond, id_col) | F.col(cond["key"]).isNull()
+
+
+def build_filter(spec: dict, *, id_col: str = "point_id") -> Column:
+    """Compile a Qdrant ``Filter`` dict (must/should/must_not/min_should,
+    conditions in wire format, nesting allowed) to one Catalyst predicate.
+
+    3VL contract, pinned against the DuckDB oracle: must/should keep a row
+    only when the clause is definitively TRUE (a NULL field never
+    satisfies a match/range — same as Qdrant's absent-field behavior);
+    must_not keeps rows where no condition is TRUE, **including** rows
+    where the field is NULL (``IS NOT TRUE``, not SQL NOT)."""
+    unknown = [k for k in spec if k not in _CLAUSES]
+    if unknown:
+        raise ValueError(f"unknown Filter clauses {unknown}; valid: {list(_CLAUSES)}")
+    parts: list[Column] = []
+    for cond in spec.get("must", []):
+        parts.append(_condition(cond, id_col))
+    should = [(_condition(c, id_col)) for c in spec.get("should", [])]
+    if should:
+        acc = should[0]
+        for c in should[1:]:
+            acc = acc | c
+        parts.append(acc)
+    for cond in spec.get("must_not", []):
+        parts.append(_negate(cond, id_col))
+    if "min_should" in spec:
+        ms = spec["min_should"]
+        conds = [(_condition(c, id_col)) for c in ms["conditions"]]
+        n = ms["min_count"]
+        tally = None
+        for c in conds:
+            term = F.when(c, 1).otherwise(0)
+            tally = term if tally is None else tally + term
+        parts.append(tally >= int(n))
+    if not parts:
+        raise ValueError("empty Filter: provide at least one clause")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out & p
+    return out
+
+
+def qdrant_filter(df: DataFrame, spec: dict, *, id_col: str = "point_id") -> DataFrame:
+    """Apply a Qdrant ``Filter`` dict to a DataFrame of promoted points."""
+    return df.filter(build_filter(spec, id_col=id_col))

@@ -58,6 +58,18 @@ def validate_search_args(k: int, score_threshold: float | None) -> None:
         raise ValueError(f"score_threshold must be in [0, 1], got {score_threshold}")
 
 
+def resolve_metric(metric: str):
+    """Fail-loud metric lookup: a typo like ``metric='l2'`` gets the valid
+    options, not a bare KeyError (same analyzer-stage style as
+    ``validate_search_args``)."""
+    try:
+        return METRICS[metric]
+    except KeyError:
+        raise ValueError(
+            f"unknown metric {metric!r}; valid metrics: {sorted(METRICS)}"
+        ) from None
+
+
 def score_pairs(
     corpus: DataFrame,
     queries: DataFrame,
@@ -71,7 +83,7 @@ def score_pairs(
 
     Query side is broadcast (small); scoring stays in whole-stage codegen.
     """
-    expr_builder, _ = METRICS[metric]
+    expr_builder, _ = resolve_metric(metric)
     return corpus.crossJoin(F.broadcast(queries)).withColumn(
         "score", F.expr(expr_builder(corpus_vec, query_vec))
     )
@@ -98,27 +110,36 @@ def knn_search(
 
     Mirrors qdrant_client.py:311-405: (1) predicate pushdown of the keyword
     filter (P1/P2 — reaches the parquet scan), (2) similarity projection
-    (F2), (3) ``score >= threshold`` (P5, qdrant_client.py:372; similarity
-    metrics only — a floor on a distance would be a ceiling), (4) top-k
-    per query (T1) via row_number window, deterministic vec_id tiebreak.
+    (F2), (3) per-metric-polarity threshold (P5, qdrant_client.py:372 —
+    Qdrant's ``score_threshold`` means "exclude results worse than", so a
+    similarity floor ``score >= t`` for cosine/dot and a distance ceiling
+    ``score <= t`` for euclid/manhattan), (4) top-k per query (T1) via
+    row_number window, deterministic vec_id tiebreak.
 
     Returns: (q_id, vec_id, rank, score) — score rounded to 6dp for stable
     cross-engine comparison; ranking uses the unrounded value.
     """
-    validate_search_args(k, score_threshold)
-    _, lower_is_better = METRICS[metric]
-    if score_threshold is not None and lower_is_better:
-        raise ValueError(
-            "score_threshold is a similarity floor; not meaningful for "
-            f"distance metric {metric!r}"
-        )
+    _, lower_is_better = resolve_metric(metric)
+    if lower_is_better:
+        # distances are unbounded above — only the similarity bound from
+        # the reference's schema (0..1) doesn't apply
+        validate_search_args(k, None)
+        if score_threshold is not None and score_threshold < 0.0:
+            raise ValueError(
+                f"score_threshold must be >= 0 for {metric!r}, got {score_threshold}"
+            )
+    else:
+        validate_search_args(k, score_threshold)
     if label_filter is not None:
         corpus = corpus.filter(F.col("label").isin(label_filter))
     scored = score_pairs(
         corpus, queries, corpus_vec=corpus_vec, query_vec=query_vec, metric=metric
     )
     if score_threshold is not None:
-        scored = scored.filter(F.col("score") >= float(score_threshold))
+        if lower_is_better:
+            scored = scored.filter(F.col("score") <= float(score_threshold))
+        else:
+            scored = scored.filter(F.col("score") >= float(score_threshold))
     order = F.asc("score") if lower_is_better else F.desc("score")
     w = Window.partitionBy(query_id).orderBy(order, F.col(corpus_id))
     return (
@@ -357,8 +378,10 @@ def mmr_rerank(
 
         λ·sim(q, c) − (1 − λ)·max_{s ∈ selected} sim(c, s)
 
-    (λ = ``diversity``; ties broken by smaller id; the first pick is the
-    plain argmax).
+    (λ = 1 − ``diversity``, matching Qdrant's public parameter polarity:
+    ``diversity`` → 1 means most diverse, → 0 means pure relevance — i.e.
+    ``diversity`` weights the anti-similarity term, λ the relevance term;
+    ties broken by smaller id; the first pick is the plain argmax).
 
     Plan shape: ONE corpus scan scores the probes (broadcast crossJoin,
     WindowGroupLimit top-``candidates`` keeps the vectors); each probe's
@@ -382,7 +405,9 @@ def mmr_rerank(
     import numpy as np
     import pandas as pd
 
-    lam = float(diversity)
+    if not 0.0 <= float(diversity) <= 1.0:
+        raise ValueError(f"diversity must be in [0, 1], got {diversity}")
+    lam = 1.0 - float(diversity)  # Qdrant polarity: diversity=0 → pure relevance
     scored = score_pairs(corpus, queries, corpus_vec=corpus_vec)
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(corpus_id))
     packed = (
@@ -576,11 +601,14 @@ def scroll_page_order_by(
     after: tuple | None = None,
     page_size: int = 100,
     id_col: str = "vec_id",
+    direction: str = "asc",
 ) -> DataFrame:
     """S9 extension: Qdrant's ``scroll(order_by=…)`` (public API since
     1.8) — keyset pagination over an arbitrary payload field with the
-    point id as tiebreaker.  The cursor is the composite
-    ``(order_value, id) > (after_value, after_id)`` predicate; with a
+    point id as tiebreaker, in either ``direction`` (Qdrant's
+    ``order_by: {key, direction: asc|desc}``).  The cursor is the
+    composite ``(order_value, id) > (after_value, after_id)`` predicate
+    (``<`` throughout for desc — the keyset mirrors exactly); with a
     LITERAL cursor (the serving path: the client echoes the previous
     page's last row) both comparisons are column/literal ops and the
     whole OR-of-ANDs pushes into the parquet scan — asserted in
@@ -595,6 +623,9 @@ def scroll_page_order_by(
     NULL cursor value would make the filter all-NULL and terminate the
     scroll early.  The IS NOT NULL conjunct pushes to the scan alongside
     the cursor predicate."""
+    if direction not in ("asc", "desc"):
+        raise ValueError(f"direction must be 'asc' or 'desc', got {direction!r}")
+    desc = direction == "desc"
     corpus = corpus.filter(F.col(order_col).isNotNull())
     if after is not None:
         av, aid = after
@@ -603,11 +634,16 @@ def scroll_page_order_by(
                 "scroll_page_order_by: cursor order-value must not be None "
                 "(NULL-field points are skipped, so no valid cursor has one)"
             )
-        corpus = corpus.filter(
-            (F.col(order_col) > F.lit(av))
-            | ((F.col(order_col) == F.lit(av)) & (F.col(id_col) > F.lit(aid)))
-        )
-    return corpus.orderBy(order_col, id_col).limit(page_size)
+        oc, ic = F.col(order_col), F.col(id_col)
+        if desc:
+            cursor = (oc < F.lit(av)) | ((oc == F.lit(av)) & (ic < F.lit(aid)))
+        else:
+            cursor = (oc > F.lit(av)) | ((oc == F.lit(av)) & (ic > F.lit(aid)))
+        corpus = corpus.filter(cursor)
+    order = (
+        [F.desc(order_col), F.desc(id_col)] if desc else [F.asc(order_col), F.asc(id_col)]
+    )
+    return corpus.orderBy(*order).limit(page_size)
 
 
 def detect(

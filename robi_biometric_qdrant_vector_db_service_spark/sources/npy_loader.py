@@ -790,6 +790,200 @@ def parse_faiss_idmap_index(buf: bytes):
     return ids.astype(np.int64), arr
 
 
+# FAISS *binary* index families (``write_index_binary``, public format,
+# faiss/impl/index_write.cpp): IndexBinaryFlat "IBxF", IndexBinaryIVF
+# "IBwF", IndexBinaryIDMap/IDMap2 "IBMp"/"IBM2" decode natively below;
+# IndexBinaryHNSW "IBHf", IndexBinaryFromFloat "IBFf", IndexBinaryHash
+# "IBHh" and IndexBinaryMultiHash "IBMh" gate with remediation (their
+# payloads are graph/accelerator structures around the same codes — a
+# re-export as IndexBinaryFlat is lossless for the vectors).
+_FAISS_BINARY_FOURCC = (
+    b"IBxF", b"IBwF", b"IBMp", b"IBM2", b"IBHf", b"IBFf", b"IBHh", b"IBMh",
+)
+
+
+def _parse_binary_index_header(buf: bytes, off: int) -> tuple[int, int, int, int]:
+    """``write_index_binary_header``: d (int32), code_size (int32), ntotal
+    (int64), 2×idx_t placeholders, is_trained (1 byte), metric_type
+    (int32; Hamming family — no metric_arg).  Returns (d, code_size,
+    ntotal, next_off)."""
+    import struct
+
+    d, code_size = struct.unpack_from("<ii", buf, off)
+    off += 8
+    (ntotal,) = struct.unpack_from("<q", buf, off)
+    off += 8
+    off += 16  # two idx_t compat placeholders
+    off += 1  # is_trained
+    off += 4  # metric_type
+    if code_size != (d + 7) // 8:
+        raise ValueError(
+            f"binary index corrupt: d={d} implies code_size {(d + 7) // 8}, "
+            f"file says {code_size}"
+        )
+    return d, code_size, ntotal, off
+
+
+def _unpack_binary_codes(codes, d: int):
+    """Bit-packed binary codes → (n, d) float32 of 0.0/1.0.  FAISS stores
+    dimension j at bit ``code[j >> 3] >> (j & 7)`` — LSB-first within each
+    byte (faiss/utils/hamming.h), i.e. ``bitorder='little'``.  On the
+    unpacked representation Hamming distance IS Manhattan/L1 distance, so
+    migrated binary vectors search exactly via
+    ``knn_search(metric='manhattan')``."""
+    import numpy as np
+
+    bits = np.unpackbits(np.ascontiguousarray(codes), axis=1, bitorder="little")
+    return bits[:, :d].astype(np.float32)
+
+
+def _parse_binary_flat_at(buf: bytes, off: int):
+    """Parse one IndexBinaryFlat segment at ``off`` (top-level file or the
+    nested IVF coarse quantizer): fourcc "IBxF", binary header, then
+    WRITEVECTOR xb (uint64 byte count + the packed codes).  Returns
+    ((ntotal, d) float32 0/1 matrix, next_off)."""
+    import struct
+
+    import numpy as np
+
+    fourcc = bytes(buf[off : off + 4])
+    if fourcc != b"IBxF":
+        raise NotImplementedError(
+            f"unsupported FAISS binary index fourcc {fourcc!r}: "
+            "IndexBinaryFlat, IndexBinaryIVF, and IndexBinaryIDMap decode "
+            "without faiss; re-export IBHf/IBFf/IBHh/IBMh as "
+            "IndexBinaryFlat (lossless for the stored codes) or as .npy"
+        )
+    off += 4
+    d, code_size, ntotal, off = _parse_binary_index_header(buf, off)
+    (count,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    if count != ntotal * code_size:
+        raise ValueError(
+            f"IndexBinaryFlat corrupt: header says {ntotal}×{code_size} "
+            f"code bytes but payload holds {count}"
+        )
+    codes = np.frombuffer(buf, dtype=np.uint8, count=count, offset=off).reshape(
+        ntotal, code_size
+    )
+    return _unpack_binary_codes(codes, d), off + count
+
+
+def parse_faiss_binary_flat_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexBinaryFlat`` files ("IBxF") — no
+    faiss dependency.  Byte layout (public format,
+    faiss/impl/index_write.cpp ``write_index_binary``):
+
+      uint32  fourcc "IBxF"
+      int32   d                       (bits per vector)
+      int32   code_size               (= ceil(d/8) bytes per vector)
+      int64   ntotal
+      int64   dummy ×2                (1<<20 compat placeholders)
+      uint8   is_trained
+      int32   metric_type             (Hamming family; no metric_arg)
+      uint64  count                   number of code BYTES = ntotal·code_size
+      uint8   xb[count]               packed codes, LSB-first per byte
+
+    Returns the (ntotal, d) float32 matrix of unpacked 0.0/1.0 bits —
+    Hamming distance on the codes equals Manhattan distance on the
+    unpacked vectors, so downstream search uses the existing L1 kernel."""
+    arr, _ = _parse_binary_flat_at(buf, 0)
+    return arr
+
+
+def parse_faiss_binary_ivf_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexBinaryIVF`` files ("IBwF") — no
+    faiss dependency.  Layout (faiss/impl/index_write.cpp
+    ``write_index_binary``): fourcc, binary header, uint64 nlist, uint64
+    nprobe, nested write_index_binary(quantizer) (an IndexBinaryFlat
+    segment: the nlist centroid codes), write_direct_map, then the same
+    ``write_InvertedLists`` payload as float IVF (code_size is the packed
+    BINARY code width; codes precede ids per list).  Returns (ids,
+    vectors) — int64 stored ids (``add_with_ids`` survives migration) and
+    the (ntotal, d) float32 0/1 matrix in inverted-list order."""
+    import struct
+
+    import numpy as np
+
+    if bytes(buf[0:4]) != b"IBwF":
+        raise NotImplementedError(
+            f"not an IndexBinaryIVF file (fourcc {bytes(buf[0:4])!r})"
+        )
+    d, code_size, ntotal, off = _parse_binary_index_header(buf, 4)
+    (nlist,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    off += 8  # nprobe (serving knob, not needed to reconstruct)
+    _centroids, off = _parse_binary_flat_at(buf, off)  # coarse quantizer
+    off = _parse_direct_map(buf, off)
+    entries, _ = _parse_inverted_lists(buf, off, nlist, code_size)
+    ids = (
+        np.concatenate([e[1] for e in entries])
+        if entries
+        else np.empty(0, dtype=np.int64)
+    )
+    codes = (
+        np.concatenate([e[2] for e in entries])
+        if entries
+        else np.empty((0, code_size), dtype=np.uint8)
+    )
+    if codes.shape[0] != ntotal:
+        raise ValueError(
+            f"IndexBinaryIVF corrupt: header ntotal {ntotal} != list "
+            f"payload {codes.shape[0]}"
+        )
+    return ids.astype(np.int64), _unpack_binary_codes(codes, d)
+
+
+def parse_faiss_binary_idmap_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexBinaryIDMap`` files ("IBMp", or
+    "IBM2" for IDMap2) wrapping IndexBinaryFlat.  Layout
+    (faiss/impl/index_write.cpp): fourcc, binary header, nested
+    write_index_binary(sub-index), vector<int64> id_map.  Returns (ids,
+    vectors) with the unpacked 0/1 representation."""
+    import struct
+
+    import numpy as np
+
+    if bytes(buf[0:4]) not in (b"IBMp", b"IBM2"):
+        raise NotImplementedError(
+            f"not an IndexBinaryIDMap file (fourcc {bytes(buf[0:4])!r})"
+        )
+    _d, _cs, ntotal, off = _parse_binary_index_header(buf, 4)
+    arr, off = _parse_binary_flat_at(buf, off)
+    (count,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    if count != ntotal or arr.shape[0] != ntotal:
+        raise ValueError(
+            f"IndexBinaryIDMap corrupt: header ntotal {ntotal}, id_map "
+            f"{count}, storage {arr.shape[0]}"
+        )
+    ids = np.frombuffer(buf, dtype="<i8", count=count, offset=off)
+    return ids.astype(np.int64), arr
+
+
+def _decode_faiss_binary_bytes(buf: bytes):
+    """Dispatch a binary-index file (fourcc "IB…") by family.  Decoded
+    families return (ids, unpacked 0/1 float32 vectors); graph/hash
+    wrappers gate with remediation (re-export as IndexBinaryFlat is
+    lossless for the stored codes)."""
+    import numpy as np
+
+    fourcc = bytes(buf[0:4])
+    if fourcc == b"IBxF":
+        arr = parse_faiss_binary_flat_index(buf)
+        return np.arange(arr.shape[0], dtype=np.int64), arr
+    if fourcc == b"IBwF":
+        return parse_faiss_binary_ivf_index(buf)
+    if fourcc in (b"IBMp", b"IBM2"):
+        return parse_faiss_binary_idmap_index(buf)
+    raise NotImplementedError(
+        f"FAISS binary index fourcc {fourcc!r} not decodable without faiss "
+        "(IndexBinaryFlat/IVF/IDMap decode natively); re-export as "
+        "IndexBinaryFlat — ``faiss.IndexBinaryFlat(d)`` + add of the "
+        "reconstructed codes is lossless — or as .npy"
+    )
+
+
 def _parse_vector_transform(buf: bytes, off: int):
     """Parse one serialized ``VectorTransform`` (public byte layout,
     faiss/impl/index_read.cpp ``read_VectorTransform``): a subtype fourcc,
@@ -980,6 +1174,9 @@ def _decode_faiss_bytes(buf: bytes):
     import numpy as np
 
     fourcc = bytes(buf[0:4])
+    if fourcc in _FAISS_BINARY_FOURCC:
+        # binary families: unpacked 0/1 float vectors, Hamming ≡ L1
+        return _decode_faiss_binary_bytes(buf)
     # id-carrying formats (IVF*, IDMap) must yield STORED ids from the
     # library fallback too — a positional arange would silently remap
     # add_with_ids ids depending on which decode path ran

@@ -944,6 +944,75 @@ def payload_index_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "advanced_filter_should_not",
+    """
+SELECT CAST(vec_id AS VARCHAR) AS point_id,
+       concat('u', CAST(label AS VARCHAR)) AS user_id,
+       CAST(1000.0 + vec_id AS DOUBLE) AS ts,
+       CAST((vec_id % 4) * 0.25 AS DOUBLE) AS confidence_score,
+       CAST(vec_id % 5 AS INT) AS face_quality,
+       CASE WHEN vec_id % 7 = 0 THEN NULL
+            ELSE concat('g', CAST(vec_id % 3 AS VARCHAR)) END AS enrollment_group
+FROM embeddings
+WHERE (1000.0 + vec_id >= 1050.0 AND 1000.0 + vec_id < 1950.0)
+  AND (vec_id % 5 >= 4 OR (vec_id % 4) * 0.25 = 0.75)
+  AND ((CASE WHEN vec_id % 7 = 0 THEN NULL
+             ELSE concat('g', CAST(vec_id % 3 AS VARCHAR)) END = 'g1') IS NOT TRUE)
+  AND ((concat('u', CAST(label AS VARCHAR)) = 'u3') IS NOT TRUE)
+""",
+)
+def advanced_filter_should_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant's full public ``Filter`` combinator surface — the clause
+    types the reference never composes (it builds must-only conjunctions,
+    advanced_indexing.py:147-208): ``must`` (ts range) AND ``should``
+    (quality >= 4 OR confidence == 0.75) AND ``must_not`` (group g1,
+    user u3).  The 3VL pin: enrollment_group is NULL for every 7th point,
+    and Qdrant's must_not passes points with the field ABSENT — so the
+    predicate compiles to ``(cond) IS NOT TRUE`` (a pushable
+    ``NOT ... OR IS NULL`` disjunction), not SQL ``NOT``, and the NULL-group
+    rows that satisfy the other clauses MUST appear in the result.  The
+    DuckDB oracle states the same IS NOT TRUE predicate."""
+    from .operators.payload_index import promote_payload_fields, qdrant_filter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
+        (F.lit(1000.0) + F.col("vec_id")).alias("ts"),
+        F.create_map(
+            F.lit("confidence_score"),
+            ((F.col("vec_id") % 4) * 0.25).cast("string"),
+            F.lit("face_quality"),
+            (F.col("vec_id") % 5).cast("string"),
+            F.lit("enrollment_group"),
+            F.when(
+                F.col("vec_id") % 7 == 0, F.lit(None).cast("string")
+            ).otherwise(F.concat(F.lit("g"), (F.col("vec_id") % 3).cast("string"))),
+        ).alias("metadata"),
+    )
+    idx = promote_payload_fields(
+        pts,
+        {"confidence_score": "float", "face_quality": "integer", "enrollment_group": "keyword"},
+    )
+    return qdrant_filter(
+        idx,
+        {
+            "must": [{"key": "ts", "range": {"gte": 1050.0, "lt": 1950.0}}],
+            "should": [
+                {"key": "face_quality", "range": {"gte": 4}},
+                {"key": "confidence_score", "match": {"value": 0.75}},
+            ],
+            "must_not": [
+                {"key": "enrollment_group", "match": {"any": ["g1"]}},
+                {"key": "user_id", "match": {"value": "u3"}},
+            ],
+        },
+    ).select(
+        "point_id", "user_id", "ts", "confidence_score", "face_quality", "enrollment_group"
+    )
+
+
+@register(
     "payload_projection",
     """
 SELECT CAST(vec_id AS VARCHAR) AS point_id, 'test_id' AS key, CAST(vec_id AS VARCHAR) AS value
@@ -1354,6 +1423,58 @@ def scroll_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p1.unionByName(p2).select("page", "vec_id", "label")
 
 
+@register(
+    "scroll_order_by_desc",
+    """
+WITH f AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL),
+p1 AS (SELECT * FROM f ORDER BY label DESC, vec_id DESC LIMIT 40),
+b AS (SELECT label AS bl, vec_id AS bv FROM p1 ORDER BY label, vec_id LIMIT 1),
+p2 AS (
+  SELECT f.* FROM f, b
+  WHERE f.label < b.bl OR (f.label = b.bl AND f.vec_id < b.bv)
+  ORDER BY f.label DESC, f.vec_id DESC LIMIT 40
+)
+SELECT CAST(1 AS INT) AS page, vec_id, label FROM p1
+UNION ALL
+SELECT CAST(2 AS INT) AS page, vec_id, label FROM p2
+""",
+)
+def scroll_order_by_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 extension — Qdrant's ``scroll(order_by={key, direction: desc})``
+    (VERDICT r8 item 3): the descending composite keyset.  The cursor
+    predicate mirrors the ascending one with every comparison flipped
+    (``<``, tie ``<``) and the sort reversed; same NULL-field skip, same
+    TakeOrderedAndProject page shape, same literal-cursor pushdown on the
+    serving path (plan test in tests/test_plans.py).  Page 2's cursor
+    here is derived relationally from page 1's MIN boundary (broadcast),
+    matching `scroll_order_by`'s one-job two-page structure."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .filter(F.col("label").isNotNull())
+    )
+    p1 = S.scroll_page_order_by(
+        emb, "label", page_size=40, direction="desc"
+    ).withColumn("page", F.lit(1))
+    boundary = (
+        p1.orderBy("label", "vec_id")
+        .limit(1)
+        .select(F.col("label").alias("_bl"), F.col("vec_id").alias("_bv"))
+    )
+    p2 = (
+        emb.crossJoin(F.broadcast(boundary))
+        .filter(
+            (F.col("label") < F.col("_bl"))
+            | ((F.col("label") == F.col("_bl")) & (F.col("vec_id") < F.col("_bv")))
+        )
+        .drop("_bl", "_bv")
+        .orderBy(F.desc("label"), F.desc("vec_id"))
+        .limit(40)
+        .withColumn("page", F.lit(2))
+    )
+    return p1.unionByName(p2).select("page", "vec_id", "label")
+
+
 # 2 discovery requests, each 2 (positive, negative) context example pairs.
 DISCOVER_CONTEXT = [(0, 10, 20), (0, 12, 22), (1, 11, 21), (1, 13, 23)]
 
@@ -1479,71 +1600,77 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r8 (VERDICT r7 item 1): (a) the six queries with NO driver-window
-# row in r6 OR r7 lead (cube_orders, qty_pivot_by_status,
-# approx_distinct_parts, distinct_part_counts, rollup_returns,
-# running_ops_stats — green in every local replica, never driver-recorded);
-# (b) the nine queries new or changed this round (dbsf_fusion_topk,
-# knn_manhattan_topk, search_groups_lookup, random_sample_points,
-# mmr_diversity_topk are NEW; scroll_order_by + the ordered-scroll operator
-# gained NULL-field skip; bm25_top_docs gained the NULL-text filter;
-# minhash_lsh_dups gained the gate/AQE switch; npy_migration's header read
-# + fs cache changed); (c) the remaining 35 slots are the stalest cohort —
-# everything green in CORRECTNESS_LOCAL_r07 but absent from the r7 driver
-# window — cut alphabetically at the cap; the 11 left over
-# (sql_surface_knn, stateful_running_stats, store_compaction,
-# store_search_api, stream_ops_stats, stream_search_serving,
-# time_range_scan, time_travel_read, train_test_split, upsert_merge,
-# verify_1to1) stay local-replica-only and rotate in next round.
+# Rotation r9 (VERDICT r8 item 1): (a) the eleven queries with NO
+# driver-window row in ANY round yet (sql_surface_knn,
+# stateful_running_stats, store_compaction, store_search_api,
+# stream_ops_stats, stream_search_serving, time_range_scan,
+# time_travel_read, train_test_split, upsert_merge, verify_1to1 — green in
+# every local replica, never driver-recorded; the leftover cohort the r8
+# rotation comment promised); (b) the eight queries new or changed this
+# round (advanced_filter_should_not + scroll_order_by_desc are NEW;
+# mmr_diversity_topk's lambda now follows Qdrant's diversity polarity,
+# ADVICE r8; knn_topk / knn_filtered / knn_manhattan_topk share the
+# knn_search threshold-polarity + metric-validation change;
+# scroll_order_by shares the refactored direction-general keyset;
+# payload_index_filter shares the extended payload_index module); (c) the
+# remaining 31 slots are the stalest cohort — green in
+# CORRECTNESS_LOCAL_r08 but absent from the r8 driver window — cut
+# alphabetically at the cap; the 15 left over (repetition_profile,
+# rolling_hash_fp, rrf_fusion_topk, running_supplier_qty,
+# session_window_rollup, shingle_novelty, stream_attribution_join,
+# stream_dedup_events, stream_hourly_counts, stream_store_ingest,
+# text_stats, tfidf_top_terms, top_part_per_supplier,
+# top_revenue_customers, vector_norms) stay local-replica-only and rotate
+# in next round.
 FRONT_QUERIES = [
-    "cube_orders",
-    "qty_pivot_by_status",
-    "approx_distinct_parts",
-    "distinct_part_counts",
-    "rollup_returns",
-    "running_ops_stats",
-    "dbsf_fusion_topk",
-    "knn_manhattan_topk",
+    "sql_surface_knn",
+    "stateful_running_stats",
+    "store_compaction",
+    "store_search_api",
+    "stream_ops_stats",
+    "stream_search_serving",
+    "time_range_scan",
+    "time_travel_read",
+    "train_test_split",
+    "upsert_merge",
+    "verify_1to1",
+    "advanced_filter_should_not",
+    "scroll_order_by_desc",
     "mmr_diversity_topk",
-    "search_groups_lookup",
-    "random_sample_points",
-    "scroll_order_by",
-    "bm25_top_docs",
-    "minhash_lsh_dups",
-    "npy_migration",
-    "adaptive_search",
-    "add_batch_append",
-    "ann_ivfpq_topk",
-    "ann_signlsh_topk",
-    "benchmark_decontamination",
-    "collection_stats",
-    "dedup_keep_newest",
-    "delete_by_id",
-    "delete_by_predicate",
-    "delete_by_user",
-    "detect_1toN",
-    "discover_context",
-    "domain_balanced_sample",
-    "embedding_near_dups",
-    "facet_counts",
-    "ingest_bulk_100k",
-    "int8_rescore_topk",
-    "knn_batch_throughput",
-    "knn_filtered",
+    "knn_manhattan_topk",
     "knn_topk",
-    "knn_topk_gemm",
-    "label_centroids",
-    "latency_distribution",
-    "multi_vector_fusion",
+    "knn_filtered",
+    "scroll_order_by",
     "payload_index_filter",
-    "payload_projection",
-    "quality_weighted_sample",
-    "recommend_by_examples",
-    "salted_user_rollup",
-    "scroll_keyset",
-    "search_groups_topk",
-    "sequence_packing",
-    "sessionization",
-    "simhash_hamming_pairs",
-    "similarity_matrix_topk",
+    "active_customer_balance",
+    "ann_ivf_pruned_topk",
+    "ann_ivf_topk",
+    "ann_kmeans_ivf_topk",
+    "charlm_quality",
+    "customers_without_orders",
+    "dedup_group_components",
+    "dedup_survivors",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_quality_filter",
+    "embedding_near_dups_lsh",
+    "embedding_near_dups_lsh_hi",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_retention_24h",
+    "exact_dedup_groups",
+    "funnel_stages",
+    "lang_id_heuristic",
+    "lang_token_summary",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "ngram_jaccard_dups",
+    "order_status_except",
+    "order_status_intersect",
+    "pq_adc_topk",
+    "pricing_summary",
+    "purchase_attribution_asof",
+    "regex_token_profile",
+    "regional_revenue",
 ]

@@ -536,6 +536,83 @@ def test_ordered_scroll_literal_cursor_pushes_and_paginates(spark):
     assert "PushedFilters: [IsNotNull(label), Or(GreaterThan(label,3)" in plan, plan
 
 
+def test_ordered_scroll_desc_literal_cursor_pushes_and_paginates(spark):
+    """Qdrant ``scroll(order_by={key, direction: desc})`` (VERDICT r8
+    item 3): the descending composite keyset — every comparison flipped —
+    must walk pages disjoint + exhaustive in strictly DECREASING (field,
+    id) order, and the literal cursor must reach the parquet scan as an
+    Or(LessThan…) pushed filter alongside the NULL-skip conjunct."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import (
+        scroll_page_order_by,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "label")
+    total = emb.count()
+    seen: list[tuple] = []
+    cursor = None
+    while True:
+        page = scroll_page_order_by(
+            emb, "label", after=cursor, page_size=37, direction="desc"
+        )
+        rows = page.collect()
+        if not rows:
+            break
+        keys = [(r["label"], r["vec_id"]) for r in rows]
+        assert keys == sorted(keys, reverse=True), "page must be (field, id)-desc"
+        if seen:
+            assert keys[0] < seen[-1], "pages must be strictly decreasing"
+        seen.extend(keys)
+        cursor = keys[-1]
+    assert len(seen) == total and len(set(seen)) == total, "disjoint + exhaustive"
+    plan = _plan(
+        scroll_page_order_by(emb, "label", after=(3, 100), page_size=10, direction="desc")
+    )
+    assert "PushedFilters: [IsNotNull(label), Or(LessThan(label,3)" in plan, plan
+    with pytest.raises(ValueError, match="direction"):
+        scroll_page_order_by(emb, "label", direction="down")
+
+
+def test_qdrant_filter_combinators_push_to_scan(spark, tmp_path):
+    """The Qdrant Filter combinator surface (VERDICT r8 item 2) must stay
+    a scan-level predicate: the should-disjunction pushes as Or(...), and
+    the must_not IS-NOT-TRUE negation pushes as Or(Not(...), IsNull(col))
+    — the null guard lands on the COLUMN, never on the comparison (an
+    IsNull(col = lit) shape would stay post-scan)."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.payload_index import (
+        qdrant_filter,
+    )
+
+    rows = [
+        (str(i), f"u{i % 5}", float(i), None if i % 7 == 0 else f"g{i % 3}", i % 5)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "point_id string, user_id string, ts double, enrollment_group string, face_quality int"
+    )
+    path = str(tmp_path / "pts")
+    df.write.parquet(path)
+    pts = spark.read.parquet(path)
+    out = qdrant_filter(
+        pts,
+        {
+            "must": [{"key": "ts", "range": {"gte": 10.0, "lt": 90.0}}],
+            "should": [
+                {"key": "face_quality", "range": {"gte": 4}},
+                {"key": "user_id", "match": {"value": "u2"}},
+            ],
+            "must_not": [{"key": "enrollment_group", "match": {"any": ["g1"]}}],
+        },
+    )
+    plan = _plan(out)
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "Or(GreaterThanOrEqual(face_quality,4),EqualTo(user_id,u2))" in pushed, plan
+    assert "Or(Not(EqualTo(enrollment_group,g1)),IsNull(enrollment_group))" in pushed, plan
+    # 3VL pin: NULL-group rows satisfying the other clauses are KEPT
+    got = out.collect()
+    assert any(r["enrollment_group"] is None for r in got)
+    assert all(r["enrollment_group"] != "g1" for r in got)
+
+
 def test_ordered_scroll_skips_null_field_rows(spark):
     """Qdrant's scroll(order_by=…) skips points missing the field; without
     that, Spark's NULLS FIRST sort would seat NULL rows on page 1 while the

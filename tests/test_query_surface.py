@@ -226,7 +226,10 @@ def test_front_queries_rotation_is_well_formed():
 def test_knn_manhattan_ranks_ascending_self_first(spark):
     """Qdrant Distance.MANHATTAN semantics: lower distance = closer, so
     each probe's rank 1 is itself at distance 0 and per-query scores are
-    non-decreasing in rank; threshold floors are rejected for distances."""
+    non-decreasing in rank; ``score_threshold`` on a distance metric is
+    Qdrant's "exclude results worse than" — an upper bound (ADVICE r8),
+    so every surviving distance is <= the threshold and a negative
+    threshold is rejected."""
     import pytest
 
     corpus = load_table(spark, SF_SMOKE, "embeddings")
@@ -240,8 +243,22 @@ def test_knn_manhattan_ranks_ascending_self_first(spark):
         assert rows[0].vec_id == q_id and rows[0].score == 0.0
         scores = [r.score for r in rows]
         assert scores == sorted(scores)
-    with pytest.raises(ValueError, match="distance metric"):
-        knn_search(corpus, _probes(spark, 3), k=5, metric="euclid", score_threshold=0.5)
+    # distance ceiling: a midpoint between two distinct observed scores, so
+    # no row's 6dp-rounded display can straddle the cut
+    distinct = sorted({r.score for r in out})
+    mid = len(distinct) // 2
+    cut = (distinct[mid] + distinct[mid + 1]) / 2.0
+    capped = knn_search(
+        corpus, _probes(spark, 3), k=5, metric="manhattan", score_threshold=cut
+    ).collect()
+    assert capped and all(r.score <= cut for r in capped)
+    assert {(r.q_id, r.vec_id) for r in capped} == {
+        (r.q_id, r.vec_id) for r in out if r.score <= cut
+    }
+    with pytest.raises(ValueError, match=">= 0"):
+        knn_search(corpus, _probes(spark, 3), k=5, metric="euclid", score_threshold=-1.0)
+    with pytest.raises(ValueError, match="valid metrics"):
+        knn_search(corpus, _probes(spark, 3), k=5, metric="l2")
 
 
 def test_knn_euclid_agrees_with_cosine_on_unit_vectors(spark):
@@ -348,6 +365,128 @@ def test_mmr_selects_diverse_set_deterministically(spark):
         assert q in sel  # rank-1 = self on the self-retrieval fixture
         assert [r.vec_id for r in out if r.q_id == q and r.mmr_rank == 1] == [q]
         assert max_pair_cos(sel) <= max_pair_cos(plain) + 1e-12
+
+
+def test_qdrant_filter_combinator_semantics(spark):
+    """Qdrant Filter clause semantics over a fixture with absent fields:
+    should = at-least-one-TRUE (a row whose only candidate clause is NULL
+    is dropped); must_not = none-TRUE with absent-field rows KEPT;
+    min_should counts definitive TRUEs; match.except passes absent;
+    has_id/is_null conditions and nested filters compose; malformed specs
+    fail loud."""
+    import pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.payload_index import (
+        build_filter,
+        qdrant_filter,
+    )
+
+    rows = [
+        # point_id, city, color, population
+        ("1", "London", "red", 100),
+        ("2", "Paris", None, 300),
+        ("3", None, "red", 500),
+        ("4", "Berlin", "green", None),
+        ("5", "London", "blue", 900),
+    ]
+    df = spark.createDataFrame(rows, "point_id string, city string, color string, population int")
+
+    def ids(spec):
+        return sorted(r.point_id for r in qdrant_filter(df, spec).collect())
+
+    # should: at least one TRUE; row 3 (city NULL, color red) matches via color
+    assert ids(
+        {"should": [{"key": "city", "match": {"value": "London"}},
+                    {"key": "color", "match": {"value": "red"}}]}
+    ) == ["1", "3", "5"]
+    # must_not: no condition TRUE; absent-field rows pass (rows 2 and 3)
+    assert ids({"must_not": [{"key": "color", "match": {"value": "red"}}]}) == [
+        "2", "4", "5"
+    ]
+    assert ids({"must_not": [{"key": "city", "match": {"any": ["London", "Berlin"]}}]}) == [
+        "2", "3"
+    ]
+    # must + should + must_not AND-combine across clause types
+    assert ids(
+        {
+            "must": [{"key": "population", "range": {"gte": 200}}],
+            "should": [{"key": "city", "match": {"value": "Paris"}},
+                       {"key": "color", "match": {"value": "blue"}}],
+            "must_not": [{"key": "color", "match": {"value": "red"}}],
+        }
+    ) == ["2", "5"]
+    # min_should: at least 2 of 3 definitively TRUE
+    assert ids(
+        {
+            "min_should": {
+                "conditions": [
+                    {"key": "city", "match": {"value": "London"}},
+                    {"key": "color", "match": {"any": ["red", "blue"]}},
+                    {"key": "population", "range": {"gt": 50, "lt": 200}},
+                ],
+                "min_count": 2,
+            }
+        }
+    ) == ["1", "5"]
+    # match.except: not one of these — absent passes (row 2)
+    assert ids({"must": [{"key": "color", "match": {"except": ["red", "green"]}}]}) == [
+        "2", "5"
+    ]
+    # must_not(except) = value IS in the list
+    assert ids({"must_not": [{"key": "color", "match": {"except": ["red", "green"]}}]}) == [
+        "1", "3", "4"
+    ]
+    # is_null / has_id, and a nested filter under must_not
+    assert ids({"must": [{"is_null": {"key": "city"}}]}) == ["3"]
+    assert ids({"must": [{"has_id": ["2", "4"]}]}) == ["2", "4"]
+    assert ids(
+        {"must_not": [{"must": [{"key": "city", "match": {"value": "London"}},
+                                {"key": "color", "match": {"value": "blue"}}]}]}
+    ) == ["1", "2", "3", "4"]
+    # fail-loud validation
+    with pytest.raises(ValueError, match="unknown Filter clauses"):
+        build_filter({"must_never": []})
+    with pytest.raises(ValueError, match="empty Filter"):
+        build_filter({})
+    with pytest.raises(ValueError, match="match needs"):
+        build_filter({"must": [{"key": "city", "match": {"eq": "x"}}]})
+    with pytest.raises(ValueError, match="range needs"):
+        build_filter({"must": [{"key": "population", "range": {}}]})
+
+
+def test_mmr_diversity_polarity_matches_qdrant(spark):
+    """Qdrant's ``diversity`` weights the anti-similarity term (λ = 1 −
+    diversity for relevance): diversity=0 must reduce to the plain top-k
+    ranking, and diversity=1 must diversify at least as hard as 0.5
+    (ADVICE r8 — the 0.5 default coincides under either polarity, so this
+    pins the ends)."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import mmr_rerank
+    from robi_biometric_qdrant_vector_db_service_spark.functions.vector import cosine_sql
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    pure_rel = mmr_rerank(
+        corpus, _probes(spark, 3), k=5, candidates=15, diversity=0.0
+    ).collect()
+    top = knn_search(corpus, _probes(spark, 3), k=5).collect()
+    for q in (0, 1, 2):
+        got = [r.vec_id for r in sorted(pure_rel, key=lambda r: r.mmr_rank) if r.q_id == q]
+        want = [r.vec_id for r in sorted(top, key=lambda r: r.rank) if r.q_id == q]
+        assert got == want, (q, got, want)
+
+    def max_pair_cos(ids):
+        sub = corpus.filter(F.col("vec_id").isin(list(ids)))
+        a = sub.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+        b = sub.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+        pairs = a.crossJoin(b).filter(F.col("v1") < F.col("v2"))
+        return pairs.agg(
+            F.max(F.expr(cosine_sql("e1", "e2"))).alias("m")
+        ).collect()[0].m
+
+    half = mmr_rerank(corpus, _probes(spark, 1), k=5, candidates=15, diversity=0.5)
+    full = mmr_rerank(corpus, _probes(spark, 1), k=5, candidates=15, diversity=1.0)
+    assert max_pair_cos([r.vec_id for r in full.collect()]) <= (
+        max_pair_cos([r.vec_id for r in half.collect()]) + 1e-12
+    )
 
 
 def test_mmr_packs_candidates_single_corpus_pass(spark):

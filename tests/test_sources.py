@@ -697,6 +697,157 @@ def test_faiss_non_flat_index_still_gated():
         parse_faiss_flat_index(bytes(bad))
 
 
+def _binary_header_bytes(d: int, ntotal: int) -> bytes:
+    """``write_index_binary_header`` (faiss/impl/index_write.cpp): d,
+    code_size (int32 each), ntotal, 2×dummy (int64), is_trained (uint8),
+    metric_type (int32; no metric_arg for the binary family)."""
+    import struct
+
+    return (
+        struct.pack("<ii", d, (d + 7) // 8)
+        + struct.pack("<q", ntotal)
+        + struct.pack("<qq", 1 << 20, 1 << 20)
+        + struct.pack("<B", 1)
+        + struct.pack("<i", 1)
+    )
+
+
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """(n, d) 0/1 → packed uint8 codes, LSB-first per byte (the FAISS
+    binary code layout, faiss/utils/hamming.h)."""
+    return np.packbits(bits.astype(np.uint8), axis=1, bitorder="little")
+
+
+def _binary_flat_index_bytes(bits: np.ndarray) -> bytes:
+    """Mirror of the public FAISS IndexBinaryFlat serialization ("IBxF"):
+    fourcc + binary header + WRITEVECTOR xb (uint64 byte count + codes)."""
+    import struct
+
+    n, d = bits.shape
+    codes = _pack_bits(bits)
+    return (
+        b"IBxF"
+        + _binary_header_bytes(d, n)
+        + struct.pack("<Q", codes.size)
+        + codes.tobytes()
+    )
+
+
+def _binary_ivf_index_bytes(
+    bits: np.ndarray, list_of: list[int], ids: list[int], nlist: int = 3
+) -> bytes:
+    """Mirror of the public FAISS IndexBinaryIVF serialization ("IBwF"):
+    fourcc + binary header + nlist/nprobe + nested IndexBinaryFlat
+    quantizer + NoMap direct map + ArrayInvertedLists over the packed
+    binary codes (codes precede ids per list)."""
+    import struct
+
+    n, d = bits.shape
+    code_size = (d + 7) // 8
+    codes = _pack_bits(bits)
+    centroids = np.zeros((nlist, d), dtype=np.uint8)
+    out = (
+        b"IBwF"
+        + _binary_header_bytes(d, n)
+        + struct.pack("<QQ", nlist, 1)
+        + _binary_flat_index_bytes(centroids)
+        + struct.pack("<B", 0)  # DirectMap::NoMap
+        + struct.pack("<Q", 0)
+        + b"ilar"
+        + struct.pack("<QQ", nlist, code_size)
+    )
+    per_list: list[list[int]] = [[] for _ in range(nlist)]
+    for row, lst in enumerate(list_of):
+        per_list[lst].append(row)
+    out += b"full" + struct.pack("<Q", nlist)
+    for rows in per_list:
+        out += struct.pack("<Q", len(rows))
+    for rows in per_list:
+        if not rows:
+            continue
+        out += codes[rows].tobytes()  # codes precede ids on disk
+        out += np.array([ids[r] for r in rows], dtype="<i8").tobytes()
+    return out
+
+
+def test_faiss_binary_flat_roundtrip(spark):
+    """IndexBinaryFlat bytes decode without faiss to the unpacked 0/1
+    float matrix (Hamming ≡ Manhattan on the unpacked form), including a
+    non-byte-aligned dimension whose pad bits must be dropped."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_binary_flat_index,
+        read_faiss_vectors,
+    )
+
+    rng = np.random.default_rng(11)
+    bits = (rng.random((7, 16)) < 0.5).astype(np.float32)
+    got = parse_faiss_binary_flat_index(_binary_flat_index_bytes(bits))
+    assert np.array_equal(got, bits)
+    # d=13: code_size 2, three pad bits per vector must not leak
+    bits13 = (rng.random((5, 13)) < 0.5).astype(np.float32)
+    got13 = parse_faiss_binary_flat_index(_binary_flat_index_bytes(bits13))
+    assert got13.shape == (5, 13) and np.array_equal(got13, bits13)
+    # the Spark read path dispatches by fourcc like any other index file
+    tmp = tempfile.mkdtemp(prefix="faiss_bin_")
+    with open(os.path.join(tmp, "codes.index"), "wb") as f:
+        f.write(_binary_flat_index_bytes(bits))
+    rows = read_faiss_vectors(spark, tmp).orderBy("row_idx").collect()
+    assert np.array_equal(
+        np.array([r["embedding"] for r in rows], dtype=np.float32), bits
+    )
+
+
+def test_faiss_binary_ivf_and_idmap_keep_stored_ids():
+    """IndexBinaryIVF and IndexBinaryIDMap carry add_with_ids ids — the
+    decode must return the STORED ids aligned with the unpacked vectors,
+    in inverted-list order for IVF."""
+    import struct
+
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_binary_idmap_index,
+        parse_faiss_binary_ivf_index,
+    )
+
+    rng = np.random.default_rng(12)
+    bits = (rng.random((6, 24)) < 0.5).astype(np.float32)
+    ids = [100, 201, 302, 403, 504, 605]
+    list_of = [0, 2, 0, 1, 2, 2]
+    got_ids, got = parse_faiss_binary_ivf_index(
+        _binary_ivf_index_bytes(bits, list_of, ids)
+    )
+    # inverted-list order: list 0 rows (0, 2), list 1 row (3), list 2 rows (1, 4, 5)
+    order = [0, 2, 3, 1, 4, 5]
+    assert got_ids.tolist() == [ids[r] for r in order]
+    assert np.array_equal(got, bits[order])
+    # IDMap wrapper: nested IBxF + id_map vector
+    idmap = (
+        b"IBMp"
+        + _binary_header_bytes(24, 6)
+        + _binary_flat_index_bytes(bits)
+        + struct.pack("<Q", 6)
+        + np.array(ids, dtype="<i8").tobytes()
+    )
+    got_ids2, got2 = parse_faiss_binary_idmap_index(idmap)
+    assert got_ids2.tolist() == ids and np.array_equal(got2, bits)
+
+
+def test_faiss_binary_graph_families_gated():
+    """IBHf/IBHh/IBMh/IBFf refuse loudly with re-export remediation; a
+    corrupt code_size must not decode garbage."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        _decode_faiss_bytes,
+        parse_faiss_binary_flat_index,
+    )
+
+    with pytest.raises(NotImplementedError, match="IndexBinaryFlat"):
+        _decode_faiss_bytes(b"IBHf" + b"\x00" * 64)
+    bits = np.ones((3, 16), dtype=np.float32)
+    bad = bytearray(_binary_flat_index_bytes(bits))
+    bad[8:12] = (7).to_bytes(4, "little")  # code_size disagrees with d
+    with pytest.raises(ValueError, match="code_size"):
+        parse_faiss_binary_flat_index(bytes(bad))
+
+
 def test_multimodal_decode_matches_python(spark):
     """The mapInPandas decode must agree with a direct Python computation
     on the same bytes (the Spark plumbing under test; the codec is fake)."""
