@@ -96,6 +96,7 @@ def knn_search(
     *,
     score_threshold: float | None = None,
     label_filter: list | None = None,
+    query_filter: dict | None = None,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "q_id",
@@ -116,6 +117,13 @@ def knn_search(
     ``score <= t`` for euclid/manhattan), (4) top-k per query (T1) via
     row_number window, deterministic vec_id tiebreak.
 
+    ``query_filter`` takes Qdrant's full public ``Filter`` dict
+    (must/should/must_not/min_should, ``operators.payload_index.
+    build_filter``) — like Qdrant's ``search(query_filter=…)``, the
+    whole combinator tree prunes the corpus BEFORE scoring and pushes to
+    the scan (the reference only ever passes must-conjunctions,
+    qdrant_client.py:355-363).
+
     Returns: (q_id, vec_id, rank, score) — score rounded to 6dp for stable
     cross-engine comparison; ranking uses the unrounded value.
     """
@@ -132,6 +140,10 @@ def knn_search(
         validate_search_args(k, score_threshold)
     if label_filter is not None:
         corpus = corpus.filter(F.col("label").isin(label_filter))
+    if query_filter is not None:
+        from .payload_index import build_filter
+
+        corpus = corpus.filter(build_filter(query_filter, id_col=corpus_id))
     scored = score_pairs(
         corpus, queries, corpus_vec=corpus_vec, query_vec=query_vec, metric=metric
     )

@@ -215,6 +215,50 @@ def knn_manhattan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_search(corpus, _probes(spark, sf_dir), k=10, metric="manhattan")
 
 
+@register(
+    "knn_combinator_filtered",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE (e.label IN (2, 5) OR e.label >= 8)
+    AND ((e.vec_id > 400 AND e.vec_id <= 450) IS NOT TRUE)
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def knn_combinator_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 + Qdrant's full ``Filter`` model as the search pre-filter —
+    ``search(query_filter={{should, must_not}})``, the composition the
+    reference never builds (must-only conjunctions,
+    qdrant_client.py:355-363).  The whole combinator tree (disjunction +
+    IS-NOT-TRUE negation) prunes the corpus BEFORE scoring and pushes to
+    the parquet scan; same broadcast-probes top-k plan as `knn_filtered`
+    beyond the predicate."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return S.knn_search(
+        corpus,
+        _probes(spark, sf_dir),
+        k=5,
+        query_filter={
+            "should": [
+                {"key": "label", "match": {"any": [2, 5]}},
+                {"key": "label", "range": {"gte": 8}},
+            ],
+            "must_not": [{"key": "vec_id", "range": {"gt": 400, "lte": 450}}],
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # F1 — L2 normalize (gpu_optimizer.py:81-124); norm audit of the corpus
 # ---------------------------------------------------------------------------
@@ -1607,7 +1651,8 @@ from . import workload_graph  # noqa: E402,F401
 # time_travel_read, train_test_split, upsert_merge, verify_1to1 — green in
 # every local replica, never driver-recorded; the leftover cohort the r8
 # rotation comment promised); (b) the eight queries new or changed this
-# round (advanced_filter_should_not + scroll_order_by_desc are NEW;
+# round (advanced_filter_should_not, scroll_order_by_desc, and
+# knn_combinator_filtered are NEW;
 # mmr_diversity_topk's lambda now follows Qdrant's diversity polarity,
 # ADVICE r8; knn_topk / knn_filtered / knn_manhattan_topk share the
 # knn_search threshold-polarity + metric-validation change;
@@ -1615,7 +1660,9 @@ from . import workload_graph  # noqa: E402,F401
 # payload_index_filter shares the extended payload_index module); (c) the
 # remaining 31 slots are the stalest cohort — green in
 # CORRECTNESS_LOCAL_r08 but absent from the r8 driver window — cut
-# alphabetically at the cap; the 15 left over (repetition_profile,
+# alphabetically at the cap (regional_revenue displaced by the third new
+# query to hold the 50-row width); the 16 left over (regional_revenue,
+# repetition_profile,
 # rolling_hash_fp, rrf_fusion_topk, running_supplier_qty,
 # session_window_rollup, shingle_novelty, stream_attribution_join,
 # stream_dedup_events, stream_hourly_counts, stream_store_ingest,
@@ -1640,6 +1687,7 @@ FRONT_QUERIES = [
     "knn_manhattan_topk",
     "knn_topk",
     "knn_filtered",
+    "knn_combinator_filtered",
     "scroll_order_by",
     "payload_index_filter",
     "active_customer_balance",
@@ -1672,5 +1720,4 @@ FRONT_QUERIES = [
     "pricing_summary",
     "purchase_attribution_asof",
     "regex_token_profile",
-    "regional_revenue",
 ]

@@ -572,6 +572,36 @@ def test_ordered_scroll_desc_literal_cursor_pushes_and_paginates(spark):
         scroll_page_order_by(emb, "label", direction="down")
 
 
+def test_knn_query_filter_combinators_push_to_scan(spark):
+    """`knn_search(query_filter=…)` — Qdrant's search with a full Filter —
+    must prune the corpus at the scan, BEFORE the broadcast scoring join:
+    the should-disjunction and the must_not negation both land in
+    PushedFilters of the corpus scan."""
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    df = knn_search(
+        corpus,
+        _probes(spark),
+        k=5,
+        query_filter={
+            "should": [
+                {"key": "label", "match": {"any": [2, 5]}},
+                {"key": "label", "range": {"gte": 8}},
+            ],
+            "must_not": [{"key": "vec_id", "range": {"gt": 400, "lte": 450}}],
+        },
+    )
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters: [")[1].split("\n")[0]
+    # should-disjunction pushed whole; must_not range pushed with the
+    # negation simplified (Not(>) → <=) and the null guard on the column
+    assert "Or(In(label, [2,5]),GreaterThanOrEqual(label,8))" in pushed, plan
+    assert (
+        "Or(Or(LessThanOrEqual(vec_id,400),GreaterThan(vec_id,450)),IsNull(vec_id))"
+        in pushed
+    ), plan
+    assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan, plan
+
+
 def test_qdrant_filter_combinators_push_to_scan(spark, tmp_path):
     """The Qdrant Filter combinator surface (VERDICT r8 item 2) must stay
     a scan-level predicate: the should-disjunction pushes as Or(...), and
