@@ -230,3 +230,18 @@ def build_filter(spec: dict, *, id_col: str = "point_id") -> Column:
 def qdrant_filter(df: DataFrame, spec: dict, *, id_col: str = "point_id") -> DataFrame:
     """Apply a Qdrant ``Filter`` dict to a DataFrame of promoted points."""
     return df.filter(build_filter(spec, id_col=id_col))
+
+
+def count_points(
+    df: DataFrame, spec: dict | None = None, *, id_col: str = "point_id"
+) -> DataFrame:
+    """Qdrant's ``count`` API (``client.count(collection, count_filter=…,
+    exact=True)``): the number of points matching a Filter.  The engine is
+    always ``exact=True`` — Qdrant's ``exact=False`` trades accuracy for
+    its index internals; a columnar count under a pushed predicate IS the
+    fast path here (map-side partial count, one exchange of partial
+    counts, no row materialization).  Returns a one-row (n BIGINT)
+    DataFrame rather than a driver-side int so it composes and the driver
+    contract can hash it."""
+    out = qdrant_filter(df, spec, id_col=id_col) if spec else df
+    return out.agg(F.count("*").cast("bigint").alias("n"))

@@ -591,6 +591,7 @@ def scroll_page(
     after_id=None,
     page_size: int = 100,
     id_col: str = "vec_id",
+    scroll_filter: dict | None = None,
 ) -> DataFrame:
     """S9: keyset-paginated scroll — Qdrant's ``scroll`` API (list points
     with filter + ``next_page_offset``).  The cursor is ``id > after_id``,
@@ -598,9 +599,17 @@ def scroll_page(
     a TakeOrderedAndProject (per-partition top-p, merge p rows on the
     driver) — no global sort, no skip-scan, at any corpus size.
 
-    Callers apply payload filters before calling (they push down the same
-    way).  Returns the page ordered by ``id_col``.
+    ``scroll_filter`` takes Qdrant's ``Filter`` dict (must/should/
+    must_not/min_should — ``scroll(scroll_filter=…)``) and prunes the
+    scan alongside the cursor; because the filter is stable across pages,
+    keyset pagination under it stays disjoint + exhaustive over the
+    matching subset.  Callers can equivalently pre-filter the DataFrame.
+    Returns the page ordered by ``id_col``.
     """
+    if scroll_filter is not None:
+        from .payload_index import build_filter
+
+        corpus = corpus.filter(build_filter(scroll_filter, id_col=id_col))
     if after_id is not None:
         corpus = corpus.filter(F.col(id_col) > F.lit(after_id))
     return corpus.orderBy(id_col).limit(page_size)
@@ -614,11 +623,14 @@ def scroll_page_order_by(
     page_size: int = 100,
     id_col: str = "vec_id",
     direction: str = "asc",
+    scroll_filter: dict | None = None,
 ) -> DataFrame:
     """S9 extension: Qdrant's ``scroll(order_by=…)`` (public API since
     1.8) — keyset pagination over an arbitrary payload field with the
     point id as tiebreaker, in either ``direction`` (Qdrant's
-    ``order_by: {key, direction: asc|desc}``).  The cursor is the
+    ``order_by: {key, direction: asc|desc}``), optionally under a
+    ``scroll_filter`` combinator Filter dict (pruned at the scan, stable
+    across pages).  The cursor is the
     composite ``(order_value, id) > (after_value, after_id)`` predicate
     (``<`` throughout for desc — the keyset mirrors exactly); with a
     LITERAL cursor (the serving path: the client echoes the previous
@@ -638,6 +650,10 @@ def scroll_page_order_by(
     if direction not in ("asc", "desc"):
         raise ValueError(f"direction must be 'asc' or 'desc', got {direction!r}")
     desc = direction == "desc"
+    if scroll_filter is not None:
+        from .payload_index import build_filter
+
+        corpus = corpus.filter(build_filter(scroll_filter, id_col=id_col))
     corpus = corpus.filter(F.col(order_col).isNotNull())
     if after is not None:
         av, aid = after

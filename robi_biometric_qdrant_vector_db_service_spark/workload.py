@@ -1057,6 +1057,41 @@ def advanced_filter_should_not(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "count_filtered",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n
+FROM embeddings
+WHERE (vec_id >= 100 AND vec_id < 4000)
+  AND (label IN (1, 3) OR label >= 9)
+  AND ((label = 3) IS NOT TRUE)
+""",
+)
+def count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant's ``count`` API (``client.count(collection, count_filter=…,
+    exact=True)``) over the full Filter model: must range + should
+    disjunction + IS-NOT-TRUE must_not, counted exactly.  The whole
+    predicate pushes to the scan and the count is map-side partial —
+    exactness is free in a columnar engine (the reference's client
+    exposes the same call; Qdrant's exact=False approximation exists for
+    its segment internals, not needed here)."""
+    from .operators.payload_index import count_points
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return count_points(
+        emb,
+        {
+            "must": [{"key": "vec_id", "range": {"gte": 100, "lt": 4000}}],
+            "should": [
+                {"key": "label", "match": {"any": [1, 3]}},
+                {"key": "label", "range": {"gte": 9}},
+            ],
+            "must_not": [{"key": "label", "match": {"value": 3}}],
+        },
+        id_col="vec_id",
+    )
+
+
+@register(
     "payload_projection",
     """
 SELECT CAST(vec_id AS VARCHAR) AS point_id, 'test_id' AS key, CAST(vec_id AS VARCHAR) AS value
@@ -1412,6 +1447,59 @@ def scroll_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scroll_filtered",
+    """
+WITH f AS (
+  SELECT vec_id, label FROM embeddings
+  WHERE (label IN (1, 3) OR label >= 8) AND ((vec_id % 10 = 0) IS NOT TRUE)
+),
+p1 AS (SELECT * FROM f ORDER BY vec_id LIMIT 30),
+b AS (SELECT max(vec_id) AS bv FROM p1),
+p2 AS (SELECT f.* FROM f, b WHERE f.vec_id > b.bv ORDER BY f.vec_id LIMIT 30)
+SELECT CAST(1 AS INT) AS page, vec_id, label FROM p1
+UNION ALL
+SELECT CAST(2 AS INT) AS page, vec_id, label FROM p2
+""",
+)
+def scroll_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 + the Filter model: Qdrant's ``scroll(scroll_filter=…)`` — two
+    consecutive keyset pages over the subset a combinator filter carves
+    out (should-disjunction + an IS-NOT-TRUE must_not on a derived key).
+    The filter is stable across pages, so the id cursor stays disjoint +
+    exhaustive over the matching subset; filter and cursor push to the
+    scan together on the serving path (the page-2 cursor here is the
+    relational broadcast form, like `scroll_keyset`)."""
+    spec = {
+        "should": [
+            {"key": "label", "match": {"any": [1, 3]}},
+            {"key": "label", "range": {"gte": 8}},
+        ],
+        "must_not": [{"key": "decile", "match": {"value": 0}}],
+    }
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .withColumn("decile", F.col("vec_id") % 10)
+    )
+    p1 = S.scroll_page(emb, page_size=30, scroll_filter=spec).withColumn(
+        "page", F.lit(1)
+    )
+    boundary = p1.agg(F.max("vec_id").alias("_b"))
+    from .operators.payload_index import build_filter
+
+    p2 = (
+        emb.filter(build_filter(spec, id_col="vec_id"))
+        .crossJoin(F.broadcast(boundary))
+        .filter(F.col("vec_id") > F.col("_b"))
+        .drop("_b")
+        .orderBy("vec_id")
+        .limit(30)
+        .withColumn("page", F.lit(2))
+    )
+    return p1.unionByName(p2).select("page", "vec_id", "label")
+
+
+@register(
     "scroll_order_by",
     """
 WITH f AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL),
@@ -1651,8 +1739,8 @@ from . import workload_graph  # noqa: E402,F401
 # time_travel_read, train_test_split, upsert_merge, verify_1to1 — green in
 # every local replica, never driver-recorded; the leftover cohort the r8
 # rotation comment promised); (b) the eight queries new or changed this
-# round (advanced_filter_should_not, scroll_order_by_desc, and
-# knn_combinator_filtered are NEW;
+# round (advanced_filter_should_not, scroll_order_by_desc,
+# knn_combinator_filtered, count_filtered, and scroll_filtered are NEW;
 # mmr_diversity_topk's lambda now follows Qdrant's diversity polarity,
 # ADVICE r8; knn_topk / knn_filtered / knn_manhattan_topk share the
 # knn_search threshold-polarity + metric-validation change;
@@ -1660,9 +1748,10 @@ from . import workload_graph  # noqa: E402,F401
 # payload_index_filter shares the extended payload_index module); (c) the
 # remaining 31 slots are the stalest cohort — green in
 # CORRECTNESS_LOCAL_r08 but absent from the r8 driver window — cut
-# alphabetically at the cap (regional_revenue displaced by the third new
-# query to hold the 50-row width); the 16 left over (regional_revenue,
-# repetition_profile,
+# alphabetically at the cap (purchase_attribution_asof, regex_token_profile,
+# and regional_revenue displaced by the three extra new queries to hold the
+# 50-row width); the 18 left over (purchase_attribution_asof,
+# regex_token_profile, regional_revenue, repetition_profile,
 # rolling_hash_fp, rrf_fusion_topk, running_supplier_qty,
 # session_window_rollup, shingle_novelty, stream_attribution_join,
 # stream_dedup_events, stream_hourly_counts, stream_store_ingest,
@@ -1688,6 +1777,8 @@ FRONT_QUERIES = [
     "knn_topk",
     "knn_filtered",
     "knn_combinator_filtered",
+    "count_filtered",
+    "scroll_filtered",
     "scroll_order_by",
     "payload_index_filter",
     "active_customer_balance",
@@ -1718,6 +1809,4 @@ FRONT_QUERIES = [
     "order_status_intersect",
     "pq_adc_topk",
     "pricing_summary",
-    "purchase_attribution_asof",
-    "regex_token_profile",
 ]

@@ -602,6 +602,40 @@ def test_knn_query_filter_combinators_push_to_scan(spark):
     assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan, plan
 
 
+def test_filtered_scroll_pages_filtered_subset_with_pushdown(spark):
+    """Qdrant ``scroll(scroll_filter=…)``: keyset pages under a combinator
+    Filter must be disjoint + exhaustive over EXACTLY the matching subset,
+    and on the literal-cursor serving path the filter's disjunction pushes
+    to the scan alongside the cursor."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import scroll_page
+
+    spec = {
+        "should": [
+            {"key": "label", "match": {"any": [1, 3]}},
+            {"key": "label", "range": {"gte": 8}},
+        ],
+    }
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "label")
+    want = sorted(
+        r["vec_id"]
+        for r in emb.filter((F.col("label").isin(1, 3)) | (F.col("label") >= 8)).collect()
+    )
+    seen, cursor = [], None
+    while True:
+        page = scroll_page(
+            emb, after_id=cursor, page_size=23, scroll_filter=spec
+        ).collect()
+        if not page:
+            break
+        seen.extend(r["vec_id"] for r in page)
+        cursor = seen[-1]
+    assert seen == want, (len(seen), len(want))
+    plan = _plan(scroll_page(emb, after_id=100, page_size=10, scroll_filter=spec))
+    pushed = plan.split("PushedFilters: [")[1].split("\n")[0]
+    assert "Or(In(label, [1,3]),GreaterThanOrEqual(label,8))" in pushed, plan
+    assert "GreaterThan(vec_id,100)" in pushed, plan
+
+
 def test_qdrant_filter_combinators_push_to_scan(spark, tmp_path):
     """The Qdrant Filter combinator surface (VERDICT r8 item 2) must stay
     a scan-level predicate: the should-disjunction pushes as Or(...), and
