@@ -393,6 +393,81 @@ class VectorStore:
         self._publish_manifest(manifest, new_stats)
         return n
 
+    # -- payload mutation (Qdrant points API: set_payload / delete_payload /
+    #    clear_payload) ----------------------------------------------------
+
+    def _mutate_matched(self, point_ids: list[str], new_metadata) -> int:
+        """Shared tail of the payload-mutation APIs: locate the buckets
+        holding the matched ids with one pruned semi-join scan (the
+        delete_by_id discipline), then rewrite ONLY those buckets, with
+        matched rows taking ``new_metadata`` (a Column over the current
+        row) and every other row carried through byte-identical.  Returns
+        the exact matched count."""
+        manifest = self._read_manifest()
+        current = self._read_files([f for fs in manifest.values() for f in fs])
+        ids = self.spark.createDataFrame([(i,) for i in point_ids], "point_id string")
+        touched_counts = {
+            r["ubucket"]: r["n"]
+            for r in current.join(F.broadcast(ids), "point_id", "left_semi")
+            .groupBy("ubucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        flagged = ids.withColumn("__set", F.lit(True))
+
+        def _transform(df: DataFrame) -> DataFrame:
+            return (
+                df.join(F.broadcast(flagged), "point_id", "left")
+                .withColumn(
+                    "metadata",
+                    F.when(F.col("__set"), new_metadata).otherwise(F.col("metadata")),
+                )
+                .drop("__set")
+            )
+
+        return self._delete_rewrite(manifest, touched_counts, _transform)
+
+    @staticmethod
+    def _sql_str(s: str) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+
+    def set_payload(self, point_ids: list[str], payload: dict) -> int:
+        """Qdrant ``set_payload`` (points API ``POST /points/payload``):
+        merge ``payload`` into the metadata map of the matched points —
+        given keys overwritten, other keys kept (Qdrant merges at the
+        top-level key).  Values coerce to string (the store's schemaless
+        ``map<string,string>`` payload, the reference's metadata shape,
+        qdrant_client.py:209-213).  Bucket-selective rewrite; exact count."""
+        if not payload:
+            raise ValueError("set_payload requires at least one key")
+        keys_sql = ", ".join(self._sql_str(k) for k in payload)
+        pairs_sql = ", ".join(
+            f"{self._sql_str(k)}, {self._sql_str(v)}" for k, v in payload.items()
+        )
+        new_map = F.expr(
+            "map_concat(map_filter(coalesce(metadata, map()), "
+            f"(k, v) -> NOT array_contains(array({keys_sql}), k)), map({pairs_sql}))"
+        )
+        return self._mutate_matched(point_ids, new_map)
+
+    def delete_payload(self, point_ids: list[str], keys: list[str]) -> int:
+        """Qdrant ``delete_payload``: drop the given keys from the matched
+        points' metadata; absent keys are a no-op (Qdrant ignores them)."""
+        if not keys:
+            raise ValueError("delete_payload requires at least one key")
+        keys_sql = ", ".join(self._sql_str(k) for k in keys)
+        new_map = F.expr(
+            "map_filter(coalesce(metadata, map()), "
+            f"(k, v) -> NOT array_contains(array({keys_sql}), k))"
+        )
+        return self._mutate_matched(point_ids, new_map)
+
+    def clear_payload(self, point_ids: list[str]) -> int:
+        """Qdrant ``clear_payload``: empty the matched points' metadata."""
+        return self._mutate_matched(
+            point_ids, F.expr("cast(map() as map<string,string>)")
+        )
+
     # -- S6/S7 deletes ------------------------------------------------------
 
     def _delete_rewrite(self, manifest, touched_counts: dict[int, int], keep_filter) -> int:

@@ -711,6 +711,58 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_payload_points",
+    """
+SELECT CAST(vec_id AS VARCHAR) AS point_id,
+       CASE WHEN vec_id < 10 THEN 'gold'
+            WHEN vec_id < 25 THEN NULL
+            ELSE 'bronze' END AS tier,
+       CASE WHEN vec_id < 10 THEN '1' ELSE NULL END AS reviewed,
+       CASE WHEN vec_id >= 20 AND vec_id < 25 THEN NULL
+            ELSE CAST(vec_id AS VARCHAR) END AS seq,
+       CAST(CASE WHEN vec_id < 10 THEN 3
+                 WHEN vec_id < 20 THEN 1
+                 WHEN vec_id < 25 THEN 0
+                 ELSE 2 END AS INT) AS n_keys
+FROM embeddings WHERE vec_id < 60
+""",
+)
+def set_payload_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant's payload-mutation points API through the store's real
+    bucket-selective rewrite path: ``set_payload`` (merge-with-override on
+    ids 0–9: tier→gold + new reviewed key), ``delete_payload`` (drop tier
+    on ids 10–19; seq survives), ``clear_payload`` (ids 20–24 → empty
+    map), everything else byte-identical carry-through.  The oracle states
+    the expected post-mutation payload per point — read back as projected
+    map entries + key count."""
+    store = _fresh_store(spark, sf_dir, "setpl")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.filter(F.col("vec_id") < 60).select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
+        F.create_map(
+            F.lit("tier"), F.lit("bronze"),
+            F.lit("seq"), F.col("vec_id").cast("string"),
+        ).alias("metadata"),
+    )
+    store.add_batch(pts, normalize=False)
+    n_set = store.set_payload(
+        [str(i) for i in range(10)], {"tier": "gold", "reviewed": "1"}
+    )
+    n_del = store.delete_payload([str(i) for i in range(10, 20)], ["tier"])
+    n_clr = store.clear_payload([str(i) for i in range(20, 25)])
+    assert (n_set, n_del, n_clr) == (10, 10, 5), (n_set, n_del, n_clr)
+    return store.read().select(
+        "point_id",
+        F.element_at("metadata", "tier").alias("tier"),
+        F.element_at("metadata", "reviewed").alias("reviewed"),
+        F.element_at("metadata", "seq").alias("seq"),
+        F.size("metadata").cast("int").alias("n_keys"),
+    )
+
+
+@register(
     "add_batch_append",
     """
 WITH base AS (
