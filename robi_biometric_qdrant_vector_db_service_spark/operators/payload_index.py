@@ -213,6 +213,8 @@ def build_filter(spec: dict, *, id_col: str = "point_id") -> Column:
     if "min_should" in spec:
         ms = spec["min_should"]
         conds = [(_condition(c, id_col)) for c in ms["conditions"]]
+        if not conds:
+            raise ValueError("min_should requires at least one condition")
         n = ms["min_count"]
         tally = None
         for c in conds:
@@ -240,8 +242,10 @@ def count_points(
     always ``exact=True`` — Qdrant's ``exact=False`` trades accuracy for
     its index internals; a columnar count under a pushed predicate IS the
     fast path here (map-side partial count, one exchange of partial
-    counts, no row materialization).  Returns a one-row (n BIGINT)
-    DataFrame rather than a driver-side int so it composes and the driver
-    contract can hash it."""
-    out = qdrant_filter(df, spec, id_col=id_col) if spec else df
+    counts, no row materialization).  ``spec=None`` counts the whole
+    collection; ``spec={}`` raises (same as ``build_filter``) rather than
+    silently counting all.  Returns a one-row (n BIGINT) DataFrame rather
+    than a driver-side int so it composes and the driver contract can
+    hash it."""
+    out = qdrant_filter(df, spec, id_col=id_col) if spec is not None else df
     return out.agg(F.count("*").cast("bigint").alias("n"))

@@ -70,6 +70,13 @@ POINT_SCHEMA = (
 _FULL_SCHEMA = POINT_SCHEMA + ", ubucket int"
 
 
+def _empty_meta():
+    """Typed empty payload map — the neutral element of every payload
+    mutation.  A function (not a module constant) because Column
+    construction needs a live SparkContext."""
+    return F.create_map().cast("map<string,string>")
+
+
 def _py_bucket(user_id: str, n_buckets: int) -> int:
     return zlib.crc32(user_id.encode("utf-8")) % n_buckets
 
@@ -402,10 +409,18 @@ class VectorStore:
         delete_by_id discipline), then rewrite ONLY those buckets, with
         matched rows taking ``new_metadata`` (a Column over the current
         row) and every other row carried through byte-identical.  Returns
-        the exact matched count."""
+        the exact matched count.
+
+        Duplicate ids in ``point_ids`` are deduped up front — the rewrite
+        joins the current rows against the id set, and a duplicated id
+        would otherwise emit the matched point twice into the rewritten
+        bucket (silent store corruption; the count, from a semi-join,
+        would not even flag it)."""
         manifest = self._read_manifest()
         current = self._read_files([f for fs in manifest.values() for f in fs])
-        ids = self.spark.createDataFrame([(i,) for i in point_ids], "point_id string")
+        ids = self.spark.createDataFrame(
+            [(i,) for i in sorted(set(point_ids))], "point_id string"
+        )
         touched_counts = {
             r["ubucket"]: r["n"]
             for r in current.join(F.broadcast(ids), "point_id", "left_semi")
@@ -428,8 +443,17 @@ class VectorStore:
         return self._delete_rewrite(manifest, touched_counts, _transform)
 
     @staticmethod
-    def _sql_str(s: str) -> str:
-        return "'" + str(s).replace("'", "''") + "'"
+    def _without_keys(keys: list[str]):
+        """``metadata`` minus the given top-level keys, as a Column.  Built
+        from native Column functions (lambda over Columns, literal key
+        array) — no SQL-string interpolation, so keys containing quotes or
+        backslashes round-trip exactly and caller strings never reach the
+        SQL parser."""
+        key_arr = F.array(*[F.lit(str(k)) for k in keys])
+        return F.map_filter(
+            F.coalesce(F.col("metadata"), _empty_meta()),
+            lambda k, _v: ~F.array_contains(key_arr, k),
+        )
 
     def set_payload(self, point_ids: list[str], payload: dict) -> int:
         """Qdrant ``set_payload`` (points API ``POST /points/payload``):
@@ -440,14 +464,10 @@ class VectorStore:
         qdrant_client.py:209-213).  Bucket-selective rewrite; exact count."""
         if not payload:
             raise ValueError("set_payload requires at least one key")
-        keys_sql = ", ".join(self._sql_str(k) for k in payload)
-        pairs_sql = ", ".join(
-            f"{self._sql_str(k)}, {self._sql_str(v)}" for k, v in payload.items()
+        new_pairs = F.create_map(
+            *[F.lit(str(x)) for k, v in payload.items() for x in (k, v)]
         )
-        new_map = F.expr(
-            "map_concat(map_filter(coalesce(metadata, map()), "
-            f"(k, v) -> NOT array_contains(array({keys_sql}), k)), map({pairs_sql}))"
-        )
+        new_map = F.map_concat(self._without_keys(list(payload)), new_pairs)
         return self._mutate_matched(point_ids, new_map)
 
     def delete_payload(self, point_ids: list[str], keys: list[str]) -> int:
@@ -455,18 +475,11 @@ class VectorStore:
         points' metadata; absent keys are a no-op (Qdrant ignores them)."""
         if not keys:
             raise ValueError("delete_payload requires at least one key")
-        keys_sql = ", ".join(self._sql_str(k) for k in keys)
-        new_map = F.expr(
-            "map_filter(coalesce(metadata, map()), "
-            f"(k, v) -> NOT array_contains(array({keys_sql}), k))"
-        )
-        return self._mutate_matched(point_ids, new_map)
+        return self._mutate_matched(point_ids, self._without_keys(keys))
 
     def clear_payload(self, point_ids: list[str]) -> int:
         """Qdrant ``clear_payload``: empty the matched points' metadata."""
-        return self._mutate_matched(
-            point_ids, F.expr("cast(map() as map<string,string>)")
-        )
+        return self._mutate_matched(point_ids, _empty_meta())
 
     # -- S6/S7 deletes ------------------------------------------------------
 

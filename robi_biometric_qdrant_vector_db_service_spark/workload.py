@@ -734,19 +734,29 @@ def set_payload_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ids 10–19; seq survives), ``clear_payload`` (ids 20–24 → empty
     map), everything else byte-identical carry-through.  The oracle states
     the expected post-mutation payload per point — read back as projected
-    map entries + key count."""
-    store = _fresh_store(spark, sf_dir, "setpl")
+    map entries + key count.
+
+    The store starts EMPTY (``VectorStore.create`` with the 60 points as
+    the initial segment) — NOT the corpus-seeded ``_fresh_store`` clone:
+    the oracle describes exactly these 60 rows, and ids 0..59 already
+    exist in the corpus clone (an ``add_batch`` there would double them
+    and every mutation count — the round-9 regression)."""
+    import tempfile
+
+    from .operators.store import VectorStore
+
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.filter(F.col("vec_id") < 60).select(
         F.col("vec_id").cast("string").alias("point_id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
         F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
+        (F.lit(1000.0) + F.col("vec_id")).alias("ts"),
         F.create_map(
             F.lit("tier"), F.lit("bronze"),
             F.lit("seq"), F.col("vec_id").cast("string"),
         ).alias("metadata"),
     )
-    store.add_batch(pts, normalize=False)
+    store = VectorStore.create(spark, tempfile.mkdtemp(prefix="vstore_setpl_"), pts)
     n_set = store.set_payload(
         [str(i) for i in range(10)], {"tier": "gold", "reviewed": "1"}
     )

@@ -220,3 +220,78 @@ def test_metadata_keys_need_not_be_identifiers(spark):
     )
     out = _normalize_meta(df, idx_col=F.col("row_idx")).collect()[0]
     assert out["metadata"] == {"created-at": "x", "a'b": "y"}, out["metadata"]
+
+
+def _payload_store(spark, tmp_path, rows):
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import VectorStore
+
+    pts = spark.createDataFrame(
+        rows,
+        "point_id string, embedding array<double>, user_id string, ts double, metadata map<string,string>",
+    )
+    return VectorStore.create(spark, str(tmp_path / "s"), pts)
+
+
+def test_payload_mutation_semantics(spark, tmp_path):
+    """set_payload merges at the top-level key (given keys overwritten,
+    others kept), delete_payload drops only the named keys (absent keys a
+    no-op), clear_payload empties the map, unmatched points carry through
+    untouched — Qdrant's points-payload API contract."""
+    store = _payload_store(
+        spark,
+        tmp_path,
+        [
+            ("a", [1.0] * 4, "u1", 1.0, {"tier": "bronze", "seq": "1"}),
+            ("b", [1.0] * 4, "u1", 2.0, {"tier": "bronze"}),
+            ("c", [1.0] * 4, "u2", 3.0, None),
+            ("d", [1.0] * 4, "u2", 4.0, {"keep": "me"}),
+        ],
+    )
+    assert store.set_payload(["a", "c"], {"tier": "gold", "new": "k"}) == 2
+    assert store.delete_payload(["b"], ["tier", "absent"]) == 1
+    assert store.clear_payload(["missing-id"]) == 0
+    out = {r["point_id"]: r["metadata"] for r in store.read().collect()}
+    assert out["a"] == {"tier": "gold", "new": "k", "seq": "1"}, out["a"]
+    assert out["b"] == {}, out["b"]
+    assert out["c"] == {"tier": "gold", "new": "k"}, out["c"]
+    assert out["d"] == {"keep": "me"}, out["d"]
+
+
+def test_payload_values_with_backslashes_and_quotes(spark, tmp_path):
+    """Payload keys/values are arbitrary strings — backslashes, quotes,
+    tabs, and a trailing backslash must round-trip byte-exact (the r9
+    F.expr interpolation corrupted 'back\\slash' -> 'backslash' and raised
+    on a trailing backslash; the native-Column build must not)."""
+    nasty = {
+        "back\\slash": "a\\b",
+        "quote'key": "it's",
+        'dq"key': 'say "hi"',
+        "tab": "x\ty",
+        "trailing": "ends\\",
+    }
+    store = _payload_store(
+        spark, tmp_path, [("a", [1.0] * 4, "u1", 1.0, {"back\\slash": "old"})]
+    )
+    assert store.set_payload(["a"], nasty) == 1
+    out = store.read().collect()[0]["metadata"]
+    assert out == nasty, out
+    assert store.delete_payload(["a"], ["back\\slash", "quote'key"]) == 1
+    out = store.read().collect()[0]["metadata"]
+    assert set(out) == {'dq"key', "tab", "trailing"}, out
+
+
+def test_payload_mutation_duplicate_ids_no_row_duplication(spark, tmp_path):
+    """Duplicate ids in point_ids must not duplicate stored points: the
+    rewrite joins rows against the id set, and without dedupe a repeated id
+    would write the matched point twice while the semi-join count stayed
+    correct (silent corruption, ADVICE r9)."""
+    store = _payload_store(
+        spark,
+        tmp_path,
+        [("a", [1.0] * 4, "u1", 1.0, {}), ("b", [1.0] * 4, "u1", 2.0, {})],
+    )
+    assert store.set_payload(["a", "a", "a"], {"k": "v"}) == 1
+    rows = store.read().collect()
+    assert sorted(r["point_id"] for r in rows) == ["a", "b"], rows
+    assert store.clear_payload(["b", "b"]) == 1
+    assert store.read().count() == 2

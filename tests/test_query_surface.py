@@ -452,6 +452,23 @@ def test_qdrant_filter_combinator_semantics(spark):
         build_filter({"must": [{"key": "city", "match": {"eq": "x"}}]})
     with pytest.raises(ValueError, match="range needs"):
         build_filter({"must": [{"key": "population", "range": {}}]})
+    with pytest.raises(ValueError, match="min_should requires"):
+        build_filter({"min_should": {"conditions": [], "min_count": 1}})
+
+
+def test_count_points_empty_spec_consistency(spark):
+    """count_points(None) counts the whole collection; count_points({})
+    raises like build_filter({}) — an accidentally-empty Filter must not
+    silently become count-all (ADVICE r9)."""
+    import pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.payload_index import count_points
+
+    df = spark.createDataFrame([("1",), ("2",), ("3",)], "point_id string")
+    assert count_points(df, None).collect()[0]["n"] == 3
+    assert count_points(df).collect()[0]["n"] == 3
+    with pytest.raises(ValueError, match="empty Filter"):
+        count_points(df, {}).collect()
 
 
 def test_mmr_diversity_polarity_matches_qdrant(spark):
