@@ -620,6 +620,7 @@ def scroll_page_order_by(
     order_col: str,
     *,
     after: tuple | None = None,
+    start_from=None,
     page_size: int = 100,
     id_col: str = "vec_id",
     direction: str = "asc",
@@ -646,7 +647,15 @@ def scroll_page_order_by(
     predicate evaluates to NULL for them on every later page — and a
     NULL cursor value would make the filter all-NULL and terminate the
     scroll early.  The IS NOT NULL conjunct pushes to the scan alongside
-    the cursor predicate."""
+    the cursor predicate.
+
+    ``start_from`` is Qdrant's ``order_by: {key, start_from: value}`` —
+    begin the scroll AT a given order value (inclusive: ``>= value`` asc,
+    ``<= value`` desc) instead of the field's minimum/maximum.  It is a
+    plain column/literal bound, so it pushes to the scan like the cursor;
+    being stable across pages it composes with ``after`` (the cursor
+    subsumes it from page 2 on, but keeping both conjuncts costs nothing
+    and keeps the page set a pure function of the request)."""
     if direction not in ("asc", "desc"):
         raise ValueError(f"direction must be 'asc' or 'desc', got {direction!r}")
     desc = direction == "desc"
@@ -655,6 +664,13 @@ def scroll_page_order_by(
 
         corpus = corpus.filter(build_filter(scroll_filter, id_col=id_col))
     corpus = corpus.filter(F.col(order_col).isNotNull())
+    if start_from is not None:
+        bound = (
+            F.col(order_col) <= F.lit(start_from)
+            if desc
+            else F.col(order_col) >= F.lit(start_from)
+        )
+        corpus = corpus.filter(bound)
     if after is not None:
         av, aid = after
         if av is None:

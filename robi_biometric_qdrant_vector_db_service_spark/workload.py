@@ -1669,6 +1669,40 @@ def scroll_order_by_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p1.unionByName(p2).select("page", "vec_id", "label")
 
 
+@register(
+    "scroll_start_from",
+    """
+WITH f AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL)
+SELECT CAST(1 AS INT) AS page, vec_id, label FROM
+  (SELECT * FROM f WHERE label >= 3 ORDER BY label, vec_id LIMIT 40)
+UNION ALL
+SELECT CAST(2 AS INT) AS page, vec_id, label FROM
+  (SELECT * FROM f WHERE label <= 6 ORDER BY label DESC, vec_id DESC LIMIT 40)
+""",
+)
+def scroll_start_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 extension — Qdrant's ``scroll(order_by={key, start_from:
+    value})`` (VERDICT r9 missing item 3): begin the ordered scroll AT a
+    given order value instead of the field's edge — inclusive ``>=`` for
+    asc (page 1, start_from=3) and ``<=`` for desc (page 2, start_from=6).
+    Both bounds are column/literal predicates, so they push into the
+    parquet scan alongside the NULL-skip conjunct (plan test); each page
+    stays a TakeOrderedAndProject — the serving path's first-page
+    analogue of the literal-cursor pushdown."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .filter(F.col("label").isNotNull())
+    )
+    p1 = S.scroll_page_order_by(emb, "label", start_from=3, page_size=40).withColumn(
+        "page", F.lit(1)
+    )
+    p2 = S.scroll_page_order_by(
+        emb, "label", start_from=6, page_size=40, direction="desc"
+    ).withColumn("page", F.lit(2))
+    return p1.unionByName(p2).select("page", "vec_id", "label")
+
+
 # 2 discovery requests, each 2 (positive, negative) context example pairs.
 DISCOVER_CONTEXT = [(0, 10, 20), (0, 12, 22), (1, 11, 21), (1, 13, 23)]
 

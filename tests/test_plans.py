@@ -572,6 +572,36 @@ def test_ordered_scroll_desc_literal_cursor_pushes_and_paginates(spark):
         scroll_page_order_by(emb, "label", direction="down")
 
 
+def test_ordered_scroll_start_from_inclusive_and_pushed(spark):
+    """Qdrant ``scroll(order_by={key, start_from: value})``: the scroll
+    begins AT the given order value — inclusive ``>=`` asc / ``<=`` desc —
+    and the bound is a plain column/literal predicate that reaches the
+    parquet scan alongside the NULL-skip conjunct.  With a cursor too,
+    both conjuncts stay pushed (page set = pure function of the request)."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import (
+        scroll_page_order_by,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "label")
+    rows = scroll_page_order_by(emb, "label", start_from=3, page_size=10**6).collect()
+    expect = emb.filter("label IS NOT NULL AND label >= 3").count()
+    assert len(rows) == expect and min(r["label"] for r in rows) == 3, len(rows)
+    rows = scroll_page_order_by(
+        emb, "label", start_from=6, page_size=10**6, direction="desc"
+    ).collect()
+    expect = emb.filter("label IS NOT NULL AND label <= 6").count()
+    assert len(rows) == expect and max(r["label"] for r in rows) == 6, len(rows)
+    plan = _plan(scroll_page_order_by(emb, "label", start_from=3, page_size=10))
+    assert "GreaterThanOrEqual(label,3)" in plan, plan
+    plan = _plan(
+        scroll_page_order_by(
+            emb, "label", start_from=6, after=(3, 100), page_size=10, direction="desc"
+        )
+    )
+    assert "LessThanOrEqual(label,6)" in plan, plan
+    assert "Or(LessThan(label,3)" in plan, plan
+
+
 def test_knn_query_filter_combinators_push_to_scan(spark):
     """`knn_search(query_filter=…)` — Qdrant's search with a full Filter —
     must prune the corpus at the scan, BEFORE the broadcast scoring join:
