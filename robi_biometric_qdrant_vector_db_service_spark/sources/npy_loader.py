@@ -791,12 +791,14 @@ def parse_faiss_idmap_index(buf: bytes):
 
 
 # FAISS *binary* index families (``write_index_binary``, public format,
-# faiss/impl/index_write.cpp): IndexBinaryFlat "IBxF", IndexBinaryIVF
-# "IBwF", IndexBinaryIDMap/IDMap2 "IBMp"/"IBM2" decode natively below;
-# IndexBinaryHNSW "IBHf", IndexBinaryFromFloat "IBFf", IndexBinaryHash
-# "IBHh" and IndexBinaryMultiHash "IBMh" gate with remediation (their
-# payloads are graph/accelerator structures around the same codes — a
-# re-export as IndexBinaryFlat is lossless for the vectors).
+# faiss/impl/index_write.cpp): every family decodes natively below —
+# IndexBinaryFlat "IBxF", IndexBinaryIVF "IBwF", IndexBinaryIDMap/IDMap2
+# "IBMp"/"IBM2", IndexBinaryHNSW "IBHf" (graph skipped, flat storage
+# read), IndexBinaryFromFloat "IBFf" (nested float index thresholded back
+# to bits), IndexBinaryHash "IBHh" (codes concatenated out of the hash
+# inverted lists) and IndexBinaryMultiHash "IBMh" (flat storage read; the
+# per-hash maps are accelerator-only).  Unknown "IB…" fourccs gate with
+# the IndexBinaryFlat re-export remediation.
 _FAISS_BINARY_FOURCC = (
     b"IBxF", b"IBwF", b"IBMp", b"IBM2", b"IBHf", b"IBFf", b"IBHh", b"IBMh",
 )
@@ -849,10 +851,7 @@ def _parse_binary_flat_at(buf: bytes, off: int):
     fourcc = bytes(buf[off : off + 4])
     if fourcc != b"IBxF":
         raise NotImplementedError(
-            f"unsupported FAISS binary index fourcc {fourcc!r}: "
-            "IndexBinaryFlat, IndexBinaryIVF, and IndexBinaryIDMap decode "
-            "without faiss; re-export IBHf/IBFf/IBHh/IBMh as "
-            "IndexBinaryFlat (lossless for the stored codes) or as .npy"
+            f"expected an IndexBinaryFlat segment, found fourcc {fourcc!r}"
         )
     off += 4
     d, code_size, ntotal, off = _parse_binary_index_header(buf, off)
@@ -961,11 +960,165 @@ def parse_faiss_binary_idmap_index(buf: bytes):
     return ids.astype(np.int64), arr
 
 
+def parse_faiss_binary_hnsw_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexBinaryHNSW`` files ("IBHf").
+    Layout (faiss/impl/index_write.cpp): fourcc, binary header,
+    ``write_HNSW`` graph (the same five vectors as the float HNSW:
+    assign_probas f64, cum_nneighbor_per_level i32, levels i32, offsets
+    u64, neighbors i32, then a version-drifting scalar block), nested
+    ``write_index_binary(storage)`` — an IndexBinaryFlat segment holding
+    every code in insertion order.  The graph is a search accelerator
+    only: decoding skips it and reads the flat storage, using the same
+    bounded forward-scan over the scalar block as the float HNSW parser
+    (a false positive is impossible — the nested fourcc, dimension, and
+    count must all agree with the outer header).  Returns the (ntotal, d)
+    float32 0/1 matrix."""
+    import struct
+
+    if bytes(buf[0:4]) != b"IBHf":
+        raise NotImplementedError(
+            f"not an IndexBinaryHNSW file (fourcc {bytes(buf[0:4])!r})"
+        )
+    d, _cs, ntotal, off = _parse_binary_index_header(buf, 4)
+    try:
+        for elem_size in (8, 4, 4, 8, 4):  # the five write_HNSW vectors
+            (count,) = struct.unpack_from("<Q", buf, off)
+            off += 8 + elem_size * count
+    except struct.error as e:
+        raise ValueError(f"IndexBinaryHNSW truncated graph section: {e}") from e
+    for skip in range(0, 65, 1):  # version-drifting scalar block
+        try:
+            arr, _ = _parse_binary_flat_at(buf, off + skip)
+        except (NotImplementedError, ValueError, struct.error):
+            continue
+        if arr.shape == (ntotal, d):
+            return arr
+    raise NotImplementedError(
+        "IndexBinaryHNSW storage segment not found — unrecognized faiss "
+        "serialization revision; re-export as IndexBinaryFlat or .npy"
+    )
+
+
+def parse_faiss_binary_fromfloat_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexBinaryFromFloat`` files
+    ("IBFf"): fourcc, binary header, then a nested ``write_index`` of the
+    wrapped FLOAT index.  The wrapper stores each binary vector in the
+    float index in ±1 form (``binary_to_real``: bit → 2·bit − 1,
+    faiss/utils/utils.cpp), so the bits come back by thresholding the
+    decoded floats at 0 (``real_to_binary``'s rule — also exact for a
+    lossy float sub-index, since that is precisely how faiss itself
+    reconstructs through this wrapper).  Any float family the float
+    dispatcher handles works as the sub-index; ids pass through (an IVF
+    sub-index keeps its stored ids).  Returns (ids, (ntotal, d) float32
+    0/1 matrix)."""
+    import numpy as np
+
+    if bytes(buf[0:4]) != b"IBFf":
+        raise NotImplementedError(
+            f"not an IndexBinaryFromFloat file (fourcc {bytes(buf[0:4])!r})"
+        )
+    d, _cs, ntotal, off = _parse_binary_index_header(buf, 4)
+    ids, floats = _decode_faiss_bytes(bytes(buf[off:]))
+    if floats.shape != (ntotal, d):
+        raise ValueError(
+            f"IndexBinaryFromFloat corrupt: header says {ntotal}×{d} but "
+            f"the wrapped float index holds {floats.shape}"
+        )
+    return ids, (floats > 0).astype(np.float32)
+
+
+def parse_faiss_binary_hash_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexBinaryHash`` files ("IBHh").
+    Layout (faiss/impl/index_write.cpp ``write_binary_hash_invlists``):
+    fourcc, binary header, b (int32, hash prefix bits), nflip (int32),
+    then the inverted lists: sz (uint64 list count), il_nbit (int32),
+    WRITEVECTOR bitstring (per list: key in ``b`` bits + size in
+    ``il_nbit`` bits, LSB-first — sizes are a cross-check only; the
+    authoritative counts are the per-list vectors), then per list
+    WRITEVECTOR ids (int64) + WRITEVECTOR vecs (packed codes).  The codes
+    live IN the lists (no separate storage), so decoding concatenates
+    every list.  Returns (ids, vectors) in list order — ``add`` ids are
+    sequential, so order is recoverable by sorting on id downstream."""
+    import struct
+
+    import numpy as np
+
+    if bytes(buf[0:4]) != b"IBHh":
+        raise NotImplementedError(
+            f"not an IndexBinaryHash file (fourcc {bytes(buf[0:4])!r})"
+        )
+    _d, code_size, ntotal, off = _parse_binary_index_header(buf, 4)
+    off += 8  # b (int32) + nflip (int32)
+    sz, = struct.unpack_from("<Q", buf, off)
+    off += 8
+    off += 4  # il_nbit
+    (bitstring_bytes,) = struct.unpack_from("<Q", buf, off)
+    off += 8 + bitstring_bytes  # keys/sizes bitstring: accelerator-only
+    all_ids, all_codes = [], []
+    for _ in range(sz):
+        (n_ids,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+        all_ids.append(np.frombuffer(buf, dtype="<i8", count=n_ids, offset=off))
+        off += 8 * n_ids
+        (n_code_bytes,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+        if n_code_bytes != n_ids * code_size:
+            raise ValueError(
+                f"IndexBinaryHash corrupt: list holds {n_ids} ids but "
+                f"{n_code_bytes} code bytes (code_size {code_size})"
+            )
+        all_codes.append(
+            np.frombuffer(buf, dtype=np.uint8, count=n_code_bytes, offset=off).reshape(
+                n_ids, code_size
+            )
+        )
+        off += n_code_bytes
+    ids = (
+        np.concatenate(all_ids) if all_ids else np.empty(0, dtype=np.int64)
+    )
+    codes = (
+        np.concatenate(all_codes)
+        if all_codes
+        else np.empty((0, code_size), dtype=np.uint8)
+    )
+    if codes.shape[0] != ntotal:
+        raise ValueError(
+            f"IndexBinaryHash corrupt: header ntotal {ntotal} != list "
+            f"payload {codes.shape[0]}"
+        )
+    return ids.astype(np.int64), _unpack_binary_codes(codes, _d)
+
+
+def parse_faiss_binary_multihash_index(buf: bytes):
+    """Pure-NumPy reader for FAISS ``IndexBinaryMultiHash`` files
+    ("IBMh").  Layout (faiss/impl/index_write.cpp): fourcc, binary
+    header, nested ``write_index_binary(storage)`` — an IndexBinaryFlat
+    segment holding every code in id order — then b (int32), nhash
+    (int32), nflip (int32) and ``nhash`` hash maps (each: id_bits int32,
+    sz uint64, WRITEVECTOR bitstring of key/size/id entries).  Unlike
+    IndexBinaryHash, the codes live in the flat storage and the maps hold
+    only row references, so the storage alone reconstructs the collection
+    exactly.  Returns the (ntotal, d) float32 0/1 matrix (ids are
+    positional — this family has no add_with_ids)."""
+    if bytes(buf[0:4]) != b"IBMh":
+        raise NotImplementedError(
+            f"not an IndexBinaryMultiHash file (fourcc {bytes(buf[0:4])!r})"
+        )
+    d, _cs, ntotal, off = _parse_binary_index_header(buf, 4)
+    arr, off = _parse_binary_flat_at(buf, off)
+    if arr.shape != (ntotal, d):
+        raise ValueError(
+            f"IndexBinaryMultiHash corrupt: header says {ntotal}×{d} but "
+            f"storage holds {arr.shape}"
+        )
+    return arr
+
+
 def _decode_faiss_binary_bytes(buf: bytes):
-    """Dispatch a binary-index file (fourcc "IB…") by family.  Decoded
-    families return (ids, unpacked 0/1 float32 vectors); graph/hash
-    wrappers gate with remediation (re-export as IndexBinaryFlat is
-    lossless for the stored codes)."""
+    """Dispatch a binary-index file (fourcc "IB…") by family — every
+    public ``write_index_binary`` family decodes natively; unknown "IB…"
+    fourccs gate with the re-export remediation.  Returns (ids, unpacked
+    0/1 float32 vectors); Hamming on the codes ≡ L1 on the vectors."""
     import numpy as np
 
     fourcc = bytes(buf[0:4])
@@ -976,11 +1129,22 @@ def _decode_faiss_binary_bytes(buf: bytes):
         return parse_faiss_binary_ivf_index(buf)
     if fourcc in (b"IBMp", b"IBM2"):
         return parse_faiss_binary_idmap_index(buf)
+    if fourcc == b"IBHf":
+        arr = parse_faiss_binary_hnsw_index(buf)
+        return np.arange(arr.shape[0], dtype=np.int64), arr
+    if fourcc == b"IBFf":
+        return parse_faiss_binary_fromfloat_index(buf)
+    if fourcc == b"IBHh":
+        return parse_faiss_binary_hash_index(buf)
+    if fourcc == b"IBMh":
+        arr = parse_faiss_binary_multihash_index(buf)
+        return np.arange(arr.shape[0], dtype=np.int64), arr
     raise NotImplementedError(
         f"FAISS binary index fourcc {fourcc!r} not decodable without faiss "
-        "(IndexBinaryFlat/IVF/IDMap decode natively); re-export as "
-        "IndexBinaryFlat — ``faiss.IndexBinaryFlat(d)`` + add of the "
-        "reconstructed codes is lossless — or as .npy"
+        "(IndexBinaryFlat/IVF/IDMap/HNSW/FromFloat/Hash/MultiHash decode "
+        "natively); re-export as IndexBinaryFlat — "
+        "``faiss.IndexBinaryFlat(d)`` + add of the reconstructed codes is "
+        "lossless — or as .npy"
     )
 
 

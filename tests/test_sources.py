@@ -831,21 +831,206 @@ def test_faiss_binary_ivf_and_idmap_keep_stored_ids():
     assert got_ids2.tolist() == ids and np.array_equal(got2, bits)
 
 
-def test_faiss_binary_graph_families_gated():
-    """IBHf/IBHh/IBMh/IBFf refuse loudly with re-export remediation; a
-    corrupt code_size must not decode garbage."""
+def test_faiss_binary_unknown_fourcc_gated():
+    """A binary-family fourcc outside the public write_index_binary set
+    refuses loudly with re-export remediation; a corrupt code_size must
+    not decode garbage."""
     from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
-        _decode_faiss_bytes,
+        _decode_faiss_binary_bytes,
         parse_faiss_binary_flat_index,
     )
 
     with pytest.raises(NotImplementedError, match="IndexBinaryFlat"):
-        _decode_faiss_bytes(b"IBHf" + b"\x00" * 64)
+        _decode_faiss_binary_bytes(b"IBzz" + b"\x00" * 64)
     bits = np.ones((3, 16), dtype=np.float32)
     bad = bytearray(_binary_flat_index_bytes(bits))
     bad[8:12] = (7).to_bytes(4, "little")  # code_size disagrees with d
     with pytest.raises(ValueError, match="code_size"):
         parse_faiss_binary_flat_index(bytes(bad))
+
+
+class _BitWriter:
+    """LSB-first bitstring writer — the faiss BitstringWriter layout
+    (faiss/utils/hamming.h): bit i of the stream lands at byte i>>3, bit
+    position i&7."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, x: int, nbit: int) -> None:
+        for i in range(nbit):
+            self.bits.append((x >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        return np.packbits(
+            np.array(self.bits or [0], dtype=np.uint8), bitorder="little"
+        ).tobytes()
+
+
+def _binary_hnsw_index_bytes(bits: np.ndarray, scalar_block: int = 20) -> bytes:
+    """Mirror of the public FAISS IndexBinaryHNSW serialization ("IBHf"):
+    fourcc + binary header + the five write_HNSW graph vectors + a
+    version-drifting scalar block + nested IndexBinaryFlat storage."""
+    import struct
+
+    n, d = bits.shape
+
+    def vec(count, elem):
+        return struct.pack("<Q", count) + b"\x00" * (count * elem)
+
+    return (
+        b"IBHf"
+        + _binary_header_bytes(d, n)
+        + vec(1, 8)  # assign_probas (f64)
+        + vec(2, 4)  # cum_nneighbor_per_level (i32)
+        + vec(n, 4)  # levels (i32)
+        + vec(n + 1, 8)  # offsets (u64)
+        + vec(n * 8, 4)  # neighbors (i32)
+        + b"\x00" * scalar_block  # entry_point/max_level/ef*/upper_beam
+        + _binary_flat_index_bytes(bits)
+    )
+
+
+def _binary_hash_index_bytes(
+    bits: np.ndarray, list_of: list[int], ids: list[int], b: int = 4
+) -> bytes:
+    """Mirror of the public FAISS IndexBinaryHash serialization ("IBHh"):
+    fourcc + binary header + b/nflip + sz/il_nbit + the key/size
+    bitstring + per list WRITEVECTOR ids (i64) and WRITEVECTOR packed
+    codes."""
+    import struct
+
+    n, d = bits.shape
+    codes = _pack_bits(bits)
+    per_list: dict[int, list[int]] = {}
+    for row, lst in enumerate(list_of):
+        per_list.setdefault(lst, []).append(row)
+    maxil = max(len(rows) for rows in per_list.values())
+    il_nbit = 0
+    while maxil > (1 << il_nbit):
+        il_nbit += 1
+    wr = _BitWriter()
+    for key, rows in per_list.items():
+        wr.write(key, b)
+        wr.write(len(rows), il_nbit)
+    buf = wr.tobytes()
+    out = (
+        b"IBHh"
+        + _binary_header_bytes(d, n)
+        + struct.pack("<ii", b, 2)  # b, nflip
+        + struct.pack("<Q", len(per_list))
+        + struct.pack("<i", il_nbit)
+        + struct.pack("<Q", len(buf))
+        + buf
+    )
+    for rows in per_list.values():
+        out += struct.pack("<Q", len(rows))
+        out += np.array([ids[r] for r in rows], dtype="<i8").tobytes()
+        out += struct.pack("<Q", len(rows) * codes.shape[1])
+        out += codes[rows].tobytes()
+    return out
+
+
+def _binary_multihash_index_bytes(bits: np.ndarray, nhash: int = 2, b: int = 4) -> bytes:
+    """Mirror of the public FAISS IndexBinaryMultiHash serialization
+    ("IBMh"): fourcc + binary header + nested IndexBinaryFlat storage +
+    b/nhash/nflip + nhash maps (id_bits, sz, key/size/id bitstring)."""
+    import struct
+
+    n, d = bits.shape
+    id_bits = 0
+    while n > (1 << id_bits):
+        id_bits += 1
+    out = (
+        b"IBMh"
+        + _binary_header_bytes(d, n)
+        + _binary_flat_index_bytes(bits)
+        + struct.pack("<iii", b, nhash, 2)
+    )
+    for h in range(nhash):
+        wr = _BitWriter()
+        wr.write(h, b)  # one bucket holding every id
+        wr.write(n, id_bits)
+        for i in range(n):
+            wr.write(i, id_bits)
+        buf = wr.tobytes()
+        out += (
+            struct.pack("<i", id_bits)
+            + struct.pack("<Q", 1)
+            + struct.pack("<Q", len(buf))
+            + buf
+        )
+    return out
+
+
+def test_faiss_binary_hnsw_and_multihash_decode_storage():
+    """IndexBinaryHNSW and IndexBinaryMultiHash both carry a flat code
+    storage behind graph/hash accelerator payloads — the decode must skip
+    the accelerator and return the exact codes in id order, across
+    several scalar-block widths for the HNSW revision drift."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        _decode_faiss_bytes,
+        parse_faiss_binary_hnsw_index,
+        parse_faiss_binary_multihash_index,
+    )
+
+    rng = np.random.default_rng(13)
+    bits = (rng.random((9, 19)) < 0.5).astype(np.float32)
+    for scalar_block in (12, 20, 24):
+        got = parse_faiss_binary_hnsw_index(
+            _binary_hnsw_index_bytes(bits, scalar_block=scalar_block)
+        )
+        assert np.array_equal(got, bits), scalar_block
+    got = parse_faiss_binary_multihash_index(_binary_multihash_index_bytes(bits))
+    assert np.array_equal(got, bits)
+    ids, arr = _decode_faiss_bytes(_binary_hnsw_index_bytes(bits))
+    assert ids.tolist() == list(range(9)) and np.array_equal(arr, bits)
+
+
+def test_faiss_binary_hash_keeps_stored_ids():
+    """IndexBinaryHash keeps its codes IN the hash inverted lists — the
+    decode must concatenate every list, return the stored ids aligned
+    with the unpacked codes, and reject a list whose code bytes disagree
+    with its id count."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_binary_hash_index,
+    )
+
+    rng = np.random.default_rng(14)
+    bits = (rng.random((6, 24)) < 0.5).astype(np.float32)
+    ids = [10, 21, 32, 43, 54, 65]
+    list_of = [3, 0, 3, 1, 0, 3]
+    got_ids, got = parse_faiss_binary_hash_index(
+        _binary_hash_index_bytes(bits, list_of, ids)
+    )
+    order = np.argsort(got_ids)
+    assert sorted(got_ids.tolist()) == ids
+    assert np.array_equal(got[order], bits[np.argsort(ids)])
+    bad = bytearray(_binary_hash_index_bytes(bits, list_of, ids))
+    bad[12:20] = (5).to_bytes(8, "little")  # header ntotal != payload
+    with pytest.raises(ValueError, match="ntotal"):
+        parse_faiss_binary_hash_index(bytes(bad))
+
+
+def test_faiss_binary_fromfloat_thresholds_nested_float_index():
+    """IndexBinaryFromFloat stores ±1 floats in a wrapped float index —
+    the decode must threshold them back to exact bits, for a plain flat
+    sub-index and for an IDMap sub-index whose stored ids must survive."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.npy_loader import (
+        parse_faiss_binary_fromfloat_index,
+    )
+
+    rng = np.random.default_rng(15)
+    bits = (rng.random((5, 16)) < 0.5).astype(np.float32)
+    pm1 = (2.0 * bits - 1.0).astype(np.float32)
+    n, d = bits.shape
+    buf = b"IBFf" + _binary_header_bytes(d, n) + _flat_index_bytes(pm1)
+    got_ids, got = parse_faiss_binary_fromfloat_index(buf)
+    assert got_ids.tolist() == list(range(n)) and np.array_equal(got, bits)
+    ids = [7, 13, 29, 31, 57]
+    buf = b"IBFf" + _binary_header_bytes(d, n) + _idmap_index_bytes(pm1, ids)
+    got_ids, got = parse_faiss_binary_fromfloat_index(buf)
+    assert got_ids.tolist() == ids and np.array_equal(got, bits)
 
 
 def test_multimodal_decode_matches_python(spark):
