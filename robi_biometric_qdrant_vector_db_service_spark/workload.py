@@ -1828,81 +1828,79 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r9 (VERDICT r8 item 1): (a) the eleven queries with NO
-# driver-window row in ANY round yet (sql_surface_knn,
-# stateful_running_stats, store_compaction, store_search_api,
-# stream_ops_stats, stream_search_serving, time_range_scan,
-# time_travel_read, train_test_split, upsert_merge, verify_1to1 — green in
-# every local replica, never driver-recorded; the leftover cohort the r8
-# rotation comment promised); (b) the eight queries new or changed this
-# round (advanced_filter_should_not, scroll_order_by_desc,
-# knn_combinator_filtered, count_filtered, and scroll_filtered are NEW;
-# mmr_diversity_topk's lambda now follows Qdrant's diversity polarity,
-# ADVICE r8; knn_topk / knn_filtered / knn_manhattan_topk share the
-# knn_search threshold-polarity + metric-validation change;
-# scroll_order_by shares the refactored direction-general keyset;
-# payload_index_filter shares the extended payload_index module); (c) the
-# remaining 31 slots are the stalest cohort — green in
-# CORRECTNESS_LOCAL_r08 but absent from the r8 driver window — cut
-# alphabetically at the cap (purchase_attribution_asof, regex_token_profile,
-# and regional_revenue displaced by the three extra new queries to hold the
-# 50-row width); the 18 left over (purchase_attribution_asof,
-# regex_token_profile, regional_revenue, repetition_profile,
-# rolling_hash_fp, rrf_fusion_topk, running_supplier_qty,
-# session_window_rollup, shingle_novelty, stream_attribution_join,
-# stream_dedup_events, stream_hourly_counts, stream_store_ingest,
-# text_stats, tfidf_top_terms, top_part_per_supplier,
-# top_revenue_customers, vector_norms) stay local-replica-only and rotate
-# in next round.
+# Rotation r10: (a) the two queries with NO driver-window row in ANY
+# round (set_payload_points — fixed this round after the r9 regression;
+# scroll_start_from — new this round); (b) the eight queries whose code
+# changed this round and must re-certify (count_filtered shares the
+# count_points empty-spec change; advanced_filter_should_not /
+# knn_combinator_filtered / payload_index_filter / scroll_filtered share
+# the payload_index min_should validation; scroll_order_by /
+# scroll_order_by_desc share the start_from-extended keyset;
+# npy_migration shares the npy_loader binary-family decoders); (c) the
+# full 18-query r7-stale cohort promised by the r9 rotation comment
+# (purchase_attribution_asof … vector_norms), then the r8-stale cohort
+# cut alphabetically at the 50-row cap (adaptive_search …
+# int8_rescore_topk, 22 entries).  The 21 left over (knn_batch_throughput,
+# knn_topk_gemm, label_centroids, latency_distribution, minhash_lsh_dups,
+# multi_vector_fusion, payload_projection, qty_pivot_by_status,
+# quality_weighted_sample, random_sample_points, recommend_by_examples,
+# rollup_returns, running_ops_stats, salted_user_rollup, scroll_keyset,
+# search_groups_lookup, search_groups_topk, sequence_packing,
+# sessionization, simhash_hamming_pairs, similarity_matrix_topk) stay
+# local-replica-only and rotate in next round.
 FRONT_QUERIES = [
-    "sql_surface_knn",
-    "stateful_running_stats",
-    "store_compaction",
-    "store_search_api",
-    "stream_ops_stats",
-    "stream_search_serving",
-    "time_range_scan",
-    "time_travel_read",
-    "train_test_split",
-    "upsert_merge",
-    "verify_1to1",
-    "advanced_filter_should_not",
-    "scroll_order_by_desc",
-    "mmr_diversity_topk",
-    "knn_manhattan_topk",
-    "knn_topk",
-    "knn_filtered",
-    "knn_combinator_filtered",
+    # (a) never driver-windowed
+    "set_payload_points",
+    "scroll_start_from",
+    # (b) changed this round
     "count_filtered",
+    "advanced_filter_should_not",
+    "knn_combinator_filtered",
+    "payload_index_filter",
     "scroll_filtered",
     "scroll_order_by",
-    "payload_index_filter",
-    "active_customer_balance",
-    "ann_ivf_pruned_topk",
-    "ann_ivf_topk",
-    "ann_kmeans_ivf_topk",
-    "charlm_quality",
-    "customers_without_orders",
-    "dedup_group_components",
-    "dedup_survivors",
-    "doc_chunks",
-    "doc_fingerprints",
-    "doc_quality_filter",
-    "embedding_near_dups_lsh",
-    "embedding_near_dups_lsh_hi",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_retention_24h",
-    "exact_dedup_groups",
-    "funnel_stages",
-    "lang_id_heuristic",
-    "lang_token_summary",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "ngram_jaccard_dups",
-    "order_status_except",
-    "order_status_intersect",
-    "pq_adc_topk",
-    "pricing_summary",
+    "scroll_order_by_desc",
+    "npy_migration",
+    # (c) r7-stale cohort (complete)
+    "purchase_attribution_asof",
+    "regex_token_profile",
+    "regional_revenue",
+    "repetition_profile",
+    "rolling_hash_fp",
+    "rrf_fusion_topk",
+    "running_supplier_qty",
+    "session_window_rollup",
+    "shingle_novelty",
+    "stream_attribution_join",
+    "stream_dedup_events",
+    "stream_hourly_counts",
+    "stream_store_ingest",
+    "text_stats",
+    "tfidf_top_terms",
+    "top_part_per_supplier",
+    "top_revenue_customers",
+    "vector_norms",
+    # (c) r8-stale cohort, alphabetical to the cap
+    "adaptive_search",
+    "add_batch_append",
+    "ann_ivfpq_topk",
+    "ann_signlsh_topk",
+    "approx_distinct_parts",
+    "benchmark_decontamination",
+    "bm25_top_docs",
+    "collection_stats",
+    "cube_orders",
+    "dbsf_fusion_topk",
+    "dedup_keep_newest",
+    "delete_by_id",
+    "delete_by_predicate",
+    "delete_by_user",
+    "detect_1toN",
+    "discover_context",
+    "distinct_part_counts",
+    "domain_balanced_sample",
+    "embedding_near_dups",
+    "facet_counts",
+    "ingest_bulk_100k",
+    "int8_rescore_topk",
 ]
