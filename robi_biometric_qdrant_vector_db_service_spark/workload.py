@@ -484,6 +484,137 @@ def dbsf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sparse vectors — Qdrant's second vector modality (SparseVectorParams;
+# points carry {indices, values}; search = dot product over shared
+# indices).  The engine represents a sparse corpus as long-form postings
+# (id, term, tf) and searches via the inverted-index join
+# (operators/sparse.py).  Sparse tf vectors derive from the documents
+# table with the same whitespace tokenization the text workload pins.
+_SPARSE_TF_SQL = """
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2)
+"""
+
+
+@register(
+    "sparse_knn_topk",
+    f"""
+WITH {_SPARSE_TF_SQL},
+q AS (SELECT doc_id AS q_id, term, tf AS qtf FROM tf WHERE doc_id < 5),
+scored AS (
+  SELECT q.q_id, tf.doc_id AS id, CAST(sum(tf.tf * q.qtf) AS BIGINT) AS score
+  FROM tf JOIN q USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS rank
+  FROM scored
+)
+SELECT q_id, id, CAST(rank AS INT) AS rank, score
+FROM ranked WHERE rank <= 10
+""",
+)
+def sparse_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector top-k search — Qdrant's sparse modality: each probe's
+    sparse tf vector (documents 0–4) dot-producted against every corpus
+    sparse vector over the inverted-index join, top-10 per probe.  The
+    score is the exact BIGINT dot product (order-independent sum — no
+    float accumulation to pin); zero-overlap candidates never materialize
+    (Qdrant's sparse contract).
+
+    Scale: the probe postings broadcast (request-bounded); the corpus
+    postings never shuffle for the join; the dot-product aggregate is
+    map-side combined on (probe, point); the per-probe top-10 is a
+    WindowGroupLimit-prunable ranking."""
+    from .operators.sparse import build_postings, sparse_knn
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = build_postings(docs)
+    q = postings.filter(F.col("id") < 5).select(
+        F.col("id").alias("q_id"), "term", F.col("tf").alias("qtf")
+    )
+    return sparse_knn(postings, q, k=10)
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+WITH {_SPARSE_TF_SQL},
+qd AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
+dense_scored AS (
+  SELECT qd.q_id, e.vec_id AS pid, {{dcos}} AS s
+  FROM embeddings e CROSS JOIN qd
+),
+dense AS (
+  SELECT q_id, pid,
+         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, pid) AS rank
+  FROM dense_scored
+),
+qs AS (SELECT doc_id AS q_id, term, tf AS qtf FROM tf WHERE doc_id < 3),
+sp_scored AS (
+  SELECT qs.q_id, tf.doc_id AS pid, sum(tf.tf * qs.qtf) AS s
+  FROM tf JOIN qs USING (term)
+  GROUP BY 1, 2
+),
+sparse AS (
+  SELECT q_id, pid,
+         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, pid) AS rank
+  FROM sp_scored
+),
+hits AS (
+  SELECT q_id, pid, rank FROM dense WHERE rank <= 20
+  UNION ALL
+  SELECT q_id, pid, rank FROM sparse WHERE rank <= 20
+)
+SELECT pid AS point_id,
+       CAST(sum(CAST(1e0 / ({RRF_K} + rank) AS DECIMAL(18,12))) AS DOUBLE) AS rrf_score,
+       CAST(count(*) AS BIGINT) AS votes
+FROM hits
+GROUP BY pid
+ORDER BY rrf_score DESC, votes DESC, point_id
+LIMIT 10
+""".format(dcos=_dcos("e.embedding", "qd.q_emb")),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense + sparse search — Qdrant's flagship `query_points`
+    composition: a dense prefetch (cosine top-20 per probe) and a sparse
+    prefetch (tf dot-product top-20 per probe) fused with ``Fusion.RRF``.
+    Probes 0–2 query both modalities (the synthetic corpus aligns
+    ``vec_id`` and ``doc_id`` as one point-id space); each of the 6
+    rankings contributes 1/(60 + rank) per hit, summed through exact
+    DECIMAL(18,12) (the order-independent RRF discipline).
+
+    Scale: both prefetch legs keep the corpus un-shuffled (broadcast
+    probes for dense, broadcast query postings for sparse); fusion
+    touches ≤ rankings·k rows."""
+    from .operators.sparse import build_postings, sparse_knn
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    dense = S.knn_search(corpus, _probes(spark, sf_dir, 3), k=20).select(
+        "q_id", F.col("vec_id").alias("pid"), "rank"
+    )
+    postings = build_postings(load_table(spark, sf_dir, "documents"))
+    q = postings.filter(F.col("id") < 3).select(
+        F.col("id").alias("q_id"), "term", F.col("tf").alias("qtf")
+    )
+    sparse = sparse_knn(postings, q, k=20).select(
+        "q_id", F.col("id").alias("pid"), "rank"
+    )
+    contrib = F.expr(f"CAST(1e0 / ({RRF_K} + rank) AS DECIMAL(18,12))")
+    return (
+        dense.unionByName(sparse)
+        .groupBy("pid")
+        .agg(
+            F.sum(contrib).cast("double").alias("rrf_score"),
+            F.count("*").cast("bigint").alias("votes"),
+        )
+        .orderBy(F.desc("rrf_score"), F.desc("votes"), F.col("pid"))
+        .limit(10)
+        .select(F.col("pid").alias("point_id"), "rrf_score", "votes")
+    )
+
+
 # MMR diversity reranking — Qdrant's public `mmr` query option.  The oracle
 # restates the greedy selection as a DuckDB recursive CTE: candidates and
 # pairwise sims from the shared fold expressions, then one LATERAL argmax
@@ -1828,9 +1959,10 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r10: (a) the two queries with NO driver-window row in ANY
+# Rotation r10: (a) the four queries with NO driver-window row in ANY
 # round (set_payload_points — fixed this round after the r9 regression;
-# scroll_start_from — new this round); (b) the eight queries whose code
+# scroll_start_from, sparse_knn_topk, and hybrid_search_rrf — new this
+# round); (b) the eight queries whose code
 # changed this round and must re-certify (count_filtered shares the
 # count_points empty-spec change; advanced_filter_should_not /
 # knn_combinator_filtered / payload_index_filter / scroll_filtered share
@@ -1840,7 +1972,8 @@ from . import workload_graph  # noqa: E402,F401
 # full 18-query r7-stale cohort promised by the r9 rotation comment
 # (purchase_attribution_asof … vector_norms), then the r8-stale cohort
 # cut alphabetically at the 50-row cap (adaptive_search …
-# int8_rescore_topk, 22 entries).  The 21 left over (knn_batch_throughput,
+# facet_counts, 20 entries).  The 23 left over (ingest_bulk_100k,
+# int8_rescore_topk, knn_batch_throughput,
 # knn_topk_gemm, label_centroids, latency_distribution, minhash_lsh_dups,
 # multi_vector_fusion, payload_projection, qty_pivot_by_status,
 # quality_weighted_sample, random_sample_points, recommend_by_examples,
@@ -1852,6 +1985,8 @@ FRONT_QUERIES = [
     # (a) never driver-windowed
     "set_payload_points",
     "scroll_start_from",
+    "sparse_knn_topk",
+    "hybrid_search_rrf",
     # (b) changed this round
     "count_filtered",
     "advanced_filter_should_not",
@@ -1901,6 +2036,4 @@ FRONT_QUERIES = [
     "domain_balanced_sample",
     "embedding_near_dups",
     "facet_counts",
-    "ingest_bulk_100k",
-    "int8_rescore_topk",
 ]

@@ -516,3 +516,36 @@ def test_mmr_packs_candidates_single_corpus_pass(spark):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert plan.count("embeddings.parquet") == 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sparse_knn_df_cap_and_broadcast_shape(spark):
+    """Sparse search: exact integer dot product over the inverted-index
+    join, query side broadcast (corpus postings never shuffle for the
+    join), zero-overlap candidates absent, and df_cap drops stop-terms
+    from the QUERY (the skew guard)."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.sparse import sparse_knn
+
+    postings = spark.createDataFrame(
+        [
+            (1, "the", 5), (1, "cat", 2),
+            (2, "the", 9), (2, "dog", 1),
+            (3, "the", 1), (3, "cat", 4), (3, "dog", 2),
+            (4, "fish", 7),
+        ],
+        "id bigint, term string, tf bigint",
+    )
+    q = spark.createDataFrame(
+        [(0, "the", 1), (0, "cat", 3)], "q_id bigint, term string, qtf bigint"
+    )
+    rows = {r["id"]: r for r in sparse_knn(postings, q, k=10).collect()}
+    assert set(rows) == {1, 2, 3}, rows  # 4 shares no term -> absent
+    assert rows[1]["score"] == 5 * 1 + 2 * 3
+    assert rows[3]["score"] == 1 * 1 + 4 * 3
+    assert [r["id"] for r in sorted(rows.values(), key=lambda r: r["rank"])] == [3, 1, 2]
+    # df_cap=2 drops 'the' (df 3) from the query: scores become cat-only
+    capped = {r["id"]: r["score"] for r in
+              sparse_knn(postings, q, k=10, df_cap=2).collect()}
+    assert capped == {1: 6, 3: 12}, capped
+    plan = sparse_knn(postings, q, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
