@@ -292,6 +292,135 @@ def recommend(
     )
 
 
+def recommend_best_score(
+    corpus: DataFrame,
+    examples: DataFrame,
+    k: int = 10,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Q5 variant: Qdrant's ``RecommendStrategy.BEST_SCORE`` — instead of
+    collapsing the examples into one synthetic probe (``average_vector``),
+    every candidate is scored against ALL examples::
+
+        best_pos = max over positives of cos(candidate, pos)
+        best_neg = max over negatives of cos(candidate, neg)
+        score    = best_pos                if best_pos > best_neg
+                   −(best_neg · best_neg)  otherwise   (negative-dominated
+                                                        candidates sink)
+
+    the public formula of Qdrant's best-score reco scorer; with no
+    negatives the score is plainly the best positive similarity.
+
+    Plan shape: example vectors resolve request-side and collapse to ONE
+    (pos[], neg[]) array row per query (broadcast); the corpus is scanned
+    once and both maxima are map-side ``aggregate`` folds over the array —
+    ``greatest`` of exact doubles is order-independent, so the fold equals
+    the oracle's MAX bit-for-bit.  Only the ranking shuffles, exactly like
+    ``knn_search``.  Example points are excluded (API contract).
+
+    Returns: (q_id, vec_id, rank, score).
+    """
+    validate_search_args(k, None)
+    ex_vecs = examples.join(
+        corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_emb")),
+        "vec_id",
+    )
+    arrs = ex_vecs.groupBy("q_id").agg(
+        F.collect_list(F.when(F.col("polarity") == "pos", F.col("_emb"))).alias("_pos"),
+        F.collect_list(F.when(F.col("polarity") == "neg", F.col("_emb"))).alias("_neg"),
+    )
+
+    def best(arr: str) -> str:
+        return (
+            f"aggregate({arr}, CAST(-2.0 AS DOUBLE), "
+            f"(acc, p) -> greatest(acc, {cosine_sql(corpus_vec, 'p')}))"
+        )
+
+    score = (
+        f"CASE WHEN {best('_pos')} > {best('_neg')} THEN {best('_pos')} "
+        f"ELSE -({best('_neg')} * {best('_neg')}) END"
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(arrs))
+        .withColumn("score", F.expr(score))
+        .join(
+            F.broadcast(examples.select("q_id", F.col("vec_id").alias(corpus_id))),
+            ["q_id", corpus_id],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", corpus_id, "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def context_search(
+    corpus: DataFrame,
+    context: DataFrame,
+    k: int = 10,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Q7 variant: Qdrant's context-ONLY search (``query_points`` with a
+    bare ``ContextQuery`` — no target): each (positive, negative) pair
+    contributes ``min(0, cos(c, pos) − cos(c, neg))`` and candidates rank
+    by the summed loss — 0 means inside every pair's positive half-space;
+    the less negative, the better.  This is ``discover`` with the hard
+    forall-filter relaxed into a soft penalty (and no target tiebreaker).
+
+    Determinism: each pair's contribution is cast to exact DECIMAL(18,12)
+    and folded through a DECIMAL accumulator — order-independent (the RRF
+    discipline), so collect_list's nondeterministic array order cannot
+    perturb the sum.  Plan: pair vectors collapse to one broadcast array
+    row per query; the fold is map-side; only the ranking shuffles.
+
+    Returns: (q_id, vec_id, rank, score) — score the summed loss as
+    DOUBLE.
+    """
+    validate_search_args(k, None)
+    vecs = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cemb")
+    )
+    pairs = (
+        context.join(
+            vecs.select(F.col("_cid").alias("pos_id"), F.col("_cemb").alias("pos_emb")),
+            "pos_id",
+        )
+        .join(
+            vecs.select(F.col("_cid").alias("neg_id"), F.col("_cemb").alias("neg_emb")),
+            "neg_id",
+        )
+        .groupBy("q_id")
+        .agg(F.collect_list(F.struct("pos_emb", "neg_emb")).alias("ctx"))
+    )
+    # accumulator DECIMAL(27,12): each |contribution| ≤ 2, so a 15-digit
+    # integer part never overflows; the merge casts back to the
+    # accumulator type (Spark's decimal + widens precision, and
+    # ``aggregate`` requires the merge to return the accumulator type
+    # exactly) — scale 12 is preserved, so the sum stays exact.
+    loss = (
+        "CAST(aggregate(transform(ctx, p -> CAST(least(0e0, "
+        + cosine_sql(corpus_vec, "p.pos_emb")
+        + " - "
+        + cosine_sql(corpus_vec, "p.neg_emb")
+        + ") AS DECIMAL(18,12))), CAST(0 AS DECIMAL(27,12)), "
+        "(acc, x) -> CAST(acc + x AS DECIMAL(27,12))) AS DOUBLE)"
+    )
+    scored = corpus.crossJoin(F.broadcast(pairs)).withColumn("score", F.expr(loss))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", corpus_id, "rank", "score")
+    )
+
+
 def search_groups(
     corpus: DataFrame,
     queries: DataFrame,

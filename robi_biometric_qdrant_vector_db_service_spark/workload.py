@@ -1485,6 +1485,104 @@ def recommend_by_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.recommend(corpus, examples, k=10)
 
 
+# 2 discovery requests, each 2 (positive, negative) context example pairs.
+DISCOVER_CONTEXT = [(0, 10, 20), (0, 12, 22), (1, 11, 21), (1, 13, 23)]
+
+_CTX_VALUES = ", ".join(f"({q}, {p}, {n})" for q, p, n in DISCOVER_CONTEXT)
+
+
+@register(
+    "recommend_best_score",
+    f"""
+WITH ex(q_id, vec_id, polarity) AS (VALUES {{ex_values}}),
+exv AS (
+  SELECT ex.q_id, ex.polarity, e.embedding AS emb
+  FROM ex JOIN embeddings e USING (vec_id)
+),
+maxima AS (
+  SELECT x.q_id, c.vec_id,
+         max(CASE WHEN x.polarity = 'pos'
+                  THEN {_dcos('c.embedding', 'x.emb')} END) AS bp,
+         max(CASE WHEN x.polarity = 'neg'
+                  THEN {_dcos('c.embedding', 'x.emb')} END) AS bn
+  FROM embeddings c CROSS JOIN exv x
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT m.q_id, m.vec_id,
+         CASE WHEN m.bp > coalesce(m.bn, CAST(-2.0 AS DOUBLE)) THEN m.bp
+              ELSE -(m.bn * m.bn) END AS score
+  FROM maxima m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ex WHERE ex.q_id = m.q_id AND ex.vec_id = m.vec_id
+  )
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""".format(ex_values=_EX_VALUES),
+)
+def recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 recommend, Qdrant's second public strategy
+    (``RecommendStrategy.BEST_SCORE``): candidates score by their best
+    positive-example similarity unless a negative example is closer, in
+    which case the squared-negative penalty sinks them.  Per-example maxima
+    are exact (greatest of identical doubles ≡ the oracle's MAX), so the
+    whole ranking pins bit-for-bit against the SQL restatement."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    examples = spark.createDataFrame(
+        RECOMMEND_EXAMPLES, "q_id int, vec_id bigint, polarity string"
+    )
+    return S.recommend_best_score(corpus, examples, k=10)
+
+
+@register(
+    "context_pairs_search",
+    f"""
+WITH ctx(q_id, pos_id, neg_id) AS (VALUES {{ctx_values}}),
+pairs AS (
+  SELECT ctx.q_id, p.embedding AS pos_emb, n.embedding AS neg_emb
+  FROM ctx JOIN embeddings p ON p.vec_id = ctx.pos_id
+           JOIN embeddings n ON n.vec_id = ctx.neg_id
+),
+contrib AS (
+  SELECT pr.q_id, e.vec_id,
+         CAST(least(0e0, {_dcos('e.embedding', 'pr.pos_emb')}
+                       - {_dcos('e.embedding', 'pr.neg_emb')})
+              AS DECIMAL(18,12)) AS c
+  FROM embeddings e CROSS JOIN pairs pr
+),
+scored AS (
+  SELECT q_id, vec_id, CAST(sum(c) AS DOUBLE) AS score
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, score
+FROM ranked WHERE rank <= 10
+""".format(ctx_values=_CTX_VALUES),
+)
+def context_pairs_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 variant — Qdrant's context-ONLY query (``ContextQuery`` without a
+    target): candidates rank by the summed pair loss
+    ``Σ min(0, cos(c,pos) − cos(c,neg))`` — `discover`'s hard forall filter
+    relaxed into a soft penalty.  Contributions sum through exact
+    DECIMAL(18,12) (order-independent), so the score hashes identically
+    under any partitioning."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    context = spark.createDataFrame(
+        DISCOVER_CONTEXT, "q_id bigint, pos_id bigint, neg_id bigint"
+    )
+    return S.context_search(corpus, context, k=10)
+
+
 @register(
     "search_groups_topk",
     f"""
@@ -1834,11 +1932,6 @@ def scroll_start_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p1.unionByName(p2).select("page", "vec_id", "label")
 
 
-# 2 discovery requests, each 2 (positive, negative) context example pairs.
-DISCOVER_CONTEXT = [(0, 10, 20), (0, 12, 22), (1, 11, 21), (1, 13, 23)]
-
-_CTX_VALUES = ", ".join(f"({q}, {p}, {n})" for q, p, n in DISCOVER_CONTEXT)
-
 
 @register(
     "discover_context",
@@ -1961,8 +2054,8 @@ from . import workload_graph  # noqa: E402,F401
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
 # Rotation r10: (a) the four queries with NO driver-window row in ANY
 # round (set_payload_points — fixed this round after the r9 regression;
-# scroll_start_from, sparse_knn_topk, and hybrid_search_rrf — new this
-# round); (b) the eight queries whose code
+# scroll_start_from, sparse_knn_topk, hybrid_search_rrf,
+# recommend_best_score, and context_pairs_search — new this round); (b) the eight queries whose code
 # changed this round and must re-certify (count_filtered shares the
 # count_points empty-spec change; advanced_filter_should_not /
 # knn_combinator_filtered / payload_index_filter / scroll_filtered share
@@ -1972,7 +2065,8 @@ from . import workload_graph  # noqa: E402,F401
 # full 18-query r7-stale cohort promised by the r9 rotation comment
 # (purchase_attribution_asof … vector_norms), then the r8-stale cohort
 # cut alphabetically at the 50-row cap (adaptive_search …
-# facet_counts, 20 entries).  The 23 left over (ingest_bulk_100k,
+# domain_balanced_sample, 18 entries).  The 25 left over
+# (embedding_near_dups, facet_counts, ingest_bulk_100k,
 # int8_rescore_topk, knn_batch_throughput,
 # knn_topk_gemm, label_centroids, latency_distribution, minhash_lsh_dups,
 # multi_vector_fusion, payload_projection, qty_pivot_by_status,
@@ -1987,6 +2081,8 @@ FRONT_QUERIES = [
     "scroll_start_from",
     "sparse_knn_topk",
     "hybrid_search_rrf",
+    "recommend_best_score",
+    "context_pairs_search",
     # (b) changed this round
     "count_filtered",
     "advanced_filter_should_not",
@@ -2034,6 +2130,4 @@ FRONT_QUERIES = [
     "discover_context",
     "distinct_part_counts",
     "domain_balanced_sample",
-    "embedding_near_dups",
-    "facet_counts",
 ]

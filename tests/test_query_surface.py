@@ -549,3 +549,76 @@ def test_sparse_knn_df_cap_and_broadcast_shape(spark):
     plan = sparse_knn(postings, q, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_recommend_best_score_polarity_semantics(spark):
+    """BEST_SCORE: with no negatives the score is the best positive
+    similarity; a candidate whose best negative beats its best positive
+    gets the −(best_neg²) penalty (always < any positive-dominated
+    score); example points are excluded."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import recommend_best_score
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    pos_only = spark.createDataFrame(
+        [(0, 3, "pos"), (0, 4, "pos")], "q_id int, vec_id bigint, polarity string"
+    )
+    got = recommend_best_score(corpus, pos_only, k=5).collect()
+    assert len(got) == 5 and all(r.vec_id not in (3, 4) for r in got)
+    assert all(-1.0 <= r.score <= 1.0 for r in got)  # max-positive branch
+    ranks = [r.score for r in sorted(got, key=lambda r: r.rank)]
+    assert ranks == sorted(ranks, reverse=True)
+    # negatives present: a candidate colinear with the negative example
+    # takes the −(best_neg²) penalty and sinks below every
+    # positive-dominated candidate — pinned on a constructed corpus
+    tiny = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # the positive example
+            (2, [0.0, 1.0, 0.0]),   # the negative example
+            (3, [0.9, 0.1, 0.0]),   # positive-dominated candidate
+            (4, [0.0, 0.9, 0.1]),   # negative-dominated candidate
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    mixed = spark.createDataFrame(
+        [(1, 1, "pos"), (1, 2, "neg")], "q_id int, vec_id bigint, polarity string"
+    )
+    rows = {r.vec_id: r for r in recommend_best_score(tiny, mixed, k=10).collect()}
+    assert set(rows) == {3, 4}  # examples excluded
+    assert rows[3].score > 0 and rows[3].rank == 1
+    assert rows[4].score < 0 and rows[4].rank == 2  # −(best_neg²) branch
+
+
+def test_context_search_zero_loss_ranks_first(spark):
+    """Context-only search: the positive examples themselves sit inside
+    every pair's positive half-space (zero loss) and must surface at the
+    top; scores are ≤ 0 and rank monotonically."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import context_search
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    context = spark.createDataFrame(
+        [(0, 5, 9), (0, 7, 11)], "q_id bigint, pos_id bigint, neg_id bigint"
+    )
+    rows = sorted(context_search(corpus, context, k=50).collect(), key=lambda r: r.rank)
+    assert all(r.score <= 0 for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # pinned loss semantics on a constructed corpus: candidate inside both
+    # half-spaces scores exactly 0; one outside accumulates each pair's
+    # (cos_pos − cos_neg) deficit
+    import math
+
+    tiny = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),          # pos of the pair
+            (2, [0.0, 1.0]),          # neg of the pair
+            (3, [0.9, 0.1]),          # inside: closer to pos -> 0 loss
+            (4, [0.1, 0.9]),          # outside: cos-to-neg wins
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ctx = spark.createDataFrame([(0, 1, 2)], "q_id bigint, pos_id bigint, neg_id bigint")
+    got = {r.vec_id: r for r in context_search(tiny, ctx, k=10).collect()}
+    assert got[3].score == 0.0 and got[3].rank < got[4].rank
+    n = math.sqrt(0.9 ** 2 + 0.1 ** 2)
+    expect = round(0.1 / n - 0.9 / n, 12)  # DECIMAL(18,12) contribution
+    assert abs(got[4].score - expect) < 1e-12, (got[4].score, expect)
