@@ -481,6 +481,43 @@ class VectorStore:
         """Qdrant ``clear_payload``: empty the matched points' metadata."""
         return self._mutate_matched(point_ids, _empty_meta())
 
+    def apply_batch(self, ops: list[tuple]) -> list[int]:
+        """Qdrant's points batch-update API (``batch_update_points`` /
+        ``POST /collections/{c}/points/batch``): an ORDERED sequence of
+        write operations applied with Qdrant's sequential-consistency
+        guarantee — op N observes every effect of ops < N.  Each element
+        is a tuple tagged by operation::
+
+            ("upsert",         DataFrame)            MERGE ON point_id
+            ("delete",         [point_id, ...])      delete by id
+            ("delete_where",   "SQL predicate")      predicate delete
+            ("set_payload",    [ids], {payload})     merge payload keys
+            ("delete_payload", [ids], [keys])        drop payload keys
+            ("clear_payload",  [ids])                empty payload
+
+        Returns the per-op affected counts, positionally.  Each op
+        publishes its own manifest version — the manifest log IS the
+        operation log, so the batch leaves one inspectable version per
+        step (time travel across the batch) exactly as Qdrant reports one
+        ``UpdateResult`` per op; there is no cross-op atomicity in the
+        public API either.  Unknown tags fail before ANY op runs — a
+        malformed batch must not half-apply."""
+        dispatch = {
+            "upsert": self.upsert,
+            "delete": self.delete_by_id,
+            "delete_where": self.delete_where,
+            "set_payload": self.set_payload,
+            "delete_payload": self.delete_payload,
+            "clear_payload": self.clear_payload,
+        }
+        bad = [op[0] for op in ops if op[0] not in dispatch]
+        if bad:
+            raise ValueError(
+                f"apply_batch: unknown operation tags {bad}; "
+                f"valid: {sorted(dispatch)}"
+            )
+        return [dispatch[op[0]](*op[1:]) for op in ops]
+
     # -- S6/S7 deletes ------------------------------------------------------
 
     def _delete_rewrite(self, manifest, touched_counts: dict[int, int], keep_filter) -> int:

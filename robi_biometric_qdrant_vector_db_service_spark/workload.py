@@ -904,6 +904,71 @@ def set_payload_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "points_update_batch",
+    """
+SELECT CAST(vec_id AS VARCHAR) AS point_id,
+       CASE WHEN vec_id < 5 THEN 'moved'
+            ELSE concat('u', CAST(label AS VARCHAR)) END AS user_id,
+       CASE WHEN vec_id < 8 THEN 'gold'
+            WHEN vec_id BETWEEN 13 AND 15 THEN NULL
+            ELSE 'bronze' END AS tier,
+       CASE WHEN vec_id < 5 OR vec_id BETWEEN 13 AND 15 THEN NULL
+            ELSE CAST(vec_id AS VARCHAR) END AS seq,
+       CAST(CASE WHEN vec_id < 5 THEN 1
+                 WHEN vec_id BETWEEN 13 AND 15 THEN 0
+                 ELSE 2 END AS INT) AS n_keys
+FROM embeddings WHERE vec_id < 40 AND NOT vec_id BETWEEN 8 AND 12
+""",
+)
+def points_update_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant's points batch-update API (``batch_update_points``): an
+    ORDERED op sequence through ``VectorStore.apply_batch`` whose ranges
+    deliberately overlap so the oracle proves sequential consistency —
+    the upsert wipes ids 0–4's payloads (and moves them to user 'moved'),
+    THEN set_payload puts ``tier=gold`` on ids 0–9 (so the wiped rows end
+    with exactly one key), THEN the delete removes ids 8–12 (two freshly
+    gilded rows among them), THEN clear_payload empties ids 13–15.  Any
+    reordering changes the final state the oracle pins."""
+    import tempfile
+
+    from .operators.store import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
+        (F.lit(1000.0) + F.col("vec_id")).alias("ts"),
+        F.create_map(
+            F.lit("tier"), F.lit("bronze"),
+            F.lit("seq"), F.col("vec_id").cast("string"),
+        ).alias("metadata"),
+    )
+    store = VectorStore.create(spark, tempfile.mkdtemp(prefix="vstore_batch_"), pts)
+    moved = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.lit("moved").alias("user_id"),
+    )
+    counts = store.apply_batch(
+        [
+            ("upsert", moved),
+            ("set_payload", [str(i) for i in range(10)], {"tier": "gold"}),
+            ("delete", [str(i) for i in range(8, 13)]),
+            ("clear_payload", [str(i) for i in range(13, 16)]),
+        ]
+    )
+    assert counts == [5, 10, 5, 3], counts
+    return store.read().select(
+        "point_id",
+        "user_id",
+        F.element_at("metadata", "tier").alias("tier"),
+        F.element_at("metadata", "seq").alias("seq"),
+        F.size("metadata").cast("int").alias("n_keys"),
+    )
+
+
+@register(
     "add_batch_append",
     """
 WITH base AS (
@@ -2055,7 +2120,8 @@ from . import workload_graph  # noqa: E402,F401
 # Rotation r10: (a) the four queries with NO driver-window row in ANY
 # round (set_payload_points — fixed this round after the r9 regression;
 # scroll_start_from, sparse_knn_topk, hybrid_search_rrf,
-# recommend_best_score, and context_pairs_search — new this round); (b) the eight queries whose code
+# recommend_best_score, context_pairs_search, and points_update_batch —
+# new this round); (b) the eight queries whose code
 # changed this round and must re-certify (count_filtered shares the
 # count_points empty-spec change; advanced_filter_should_not /
 # knn_combinator_filtered / payload_index_filter / scroll_filtered share
@@ -2065,8 +2131,9 @@ from . import workload_graph  # noqa: E402,F401
 # full 18-query r7-stale cohort promised by the r9 rotation comment
 # (purchase_attribution_asof … vector_norms), then the r8-stale cohort
 # cut alphabetically at the 50-row cap (adaptive_search …
-# domain_balanced_sample, 18 entries).  The 25 left over
-# (embedding_near_dups, facet_counts, ingest_bulk_100k,
+# distinct_part_counts, 17 entries).  The 26 left over
+# (domain_balanced_sample, embedding_near_dups, facet_counts,
+# ingest_bulk_100k,
 # int8_rescore_topk, knn_batch_throughput,
 # knn_topk_gemm, label_centroids, latency_distribution, minhash_lsh_dups,
 # multi_vector_fusion, payload_projection, qty_pivot_by_status,
@@ -2083,6 +2150,7 @@ FRONT_QUERIES = [
     "hybrid_search_rrf",
     "recommend_best_score",
     "context_pairs_search",
+    "points_update_batch",
     # (b) changed this round
     "count_filtered",
     "advanced_filter_should_not",
@@ -2129,5 +2197,4 @@ FRONT_QUERIES = [
     "detect_1toN",
     "discover_context",
     "distinct_part_counts",
-    "domain_balanced_sample",
 ]

@@ -295,3 +295,16 @@ def test_payload_mutation_duplicate_ids_no_row_duplication(spark, tmp_path):
     assert sorted(r["point_id"] for r in rows) == ["a", "b"], rows
     assert store.clear_payload(["b", "b"]) == 1
     assert store.read().count() == 2
+
+
+def test_apply_batch_rejects_unknown_op_before_running_any(spark, tmp_path):
+    """A malformed batch must fail up front — no half-applied sequence."""
+    import pytest
+
+    store = _payload_store(spark, tmp_path, [("a", [1.0] * 4, "u1", 1.0, {})])
+    v0 = store._current_version()
+    with pytest.raises(ValueError, match="unknown operation tags"):
+        store.apply_batch([("clear_payload", ["a"]), ("truncate",)])
+    assert store._current_version() == v0  # nothing ran
+    assert store.apply_batch([("clear_payload", ["a"]), ("delete", ["a"])]) == [1, 1]
+    assert store.read().count() == 0
