@@ -1,0 +1,263 @@
+"""Qdrant ``FormulaQuery`` — score boosting as a compiled Catalyst projection.
+
+Qdrant's ``query_points(query=FormulaQuery(...))`` (public API, 1.14+)
+rescores prefetch results with an arithmetic formula over the prefetch
+score, payload fields, constants and filter conditions.  The reference
+pins plain cosine search (qdrant_client.py:311-405) but serves the same
+client surface; the formula model is the public one.
+
+Spark-first design: the formula AST is compiled ONCE to a single Catalyst
+``Column`` expression — the rescore is a map-side projection fused into
+whole-stage codegen, never a UDF and never an extra shuffle.  The only
+shuffles in a formula query are the two ranking windows (prefetch top-N,
+final top-k), identical to the plain knn plan.
+
+Wire-format AST accepted (Qdrant's public ``Expression`` union):
+
+- number literal                       → constant
+- ``"$score"``                         → the prefetch score ("$score[0]"
+                                          likewise; deeper prefetch ranks
+                                          are gated — one prefetch leg here)
+- any other string                     → payload field reference (typed,
+                                          promoted column; ``defaults``
+                                          supplies the missing-field value)
+- a Filter condition dict              → 1.0 / 0.0 indicator
+- ``{"mult": [e, ...]}``               → product
+- ``{"sum": [e, ...]}``                → sum
+- ``{"div": {"left", "right", "by_zero_default"?}}``
+- ``{"neg": e}`` ``{"abs": e}`` ``{"sqrt": e}`` ``{"exp": e}``
+  ``{"ln": e}`` ``{"log10": e}``
+- ``{"pow": {"base": e, "exponent": e}}``
+- ``{"lin_decay"|"exp_decay"|"gauss_decay":
+      {"x": e, "target"?: e, "scale"?: e, "midpoint"?: e}}``
+  with Qdrant's documented shapes (target defaults 0, scale 1 — must be
+  positive, midpoint 0.5 — in (0, 1)):
+
+    lin_decay:    max(0, 1 - |x - target| * (1 - midpoint) / scale)
+    exp_decay:    exp(ln(midpoint) / scale * |x - target|)
+    gauss_decay:  exp(ln(midpoint) / scale^2 * (x - target)^2)
+
+- ``{"geo_distance": ...}`` / ``{"datetime": ...}`` / ``{"datetime_key":
+  ...}`` are gated with ``NotImplementedError`` — the engine's point
+  schema (SURVEY §1) has no geo or calendar-typed payload columns to
+  serve them; promote such fields first (operators/payload_index.py).
+
+Float-parity note (SURVEY §7 risk 1): +, *, /, abs, max compose
+bit-identically across engines; ``exp``/``ln``/``pow`` are libm calls
+whose last ulp may differ between the JVM and DuckDB — queries that need
+hash-exact oracles should prefer ``lin_decay`` (pure arithmetic); the
+transcendental decays are pinned against Python ``math`` in pytest
+instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .payload_index import _CLAUSES, _condition
+
+_OPS = (
+    "mult",
+    "sum",
+    "div",
+    "neg",
+    "abs",
+    "sqrt",
+    "exp",
+    "ln",
+    "log10",
+    "pow",
+    "lin_decay",
+    "exp_decay",
+    "gauss_decay",
+)
+_GATED = ("geo_distance", "datetime", "datetime_key")
+_CONDITION_KEYS = ("key", "has_id", "is_null", "is_empty") + _CLAUSES
+
+
+def _decay_params(spec: dict, *, op: str):
+    """Validate and fetch the decay parameter dict (Qdrant's DecayParamsExpression)."""
+    if "x" not in spec:
+        raise ValueError(f"{op} requires 'x'")
+    target = spec.get("target", 0.0)
+    scale = spec.get("scale", 1.0)
+    midpoint = spec.get("midpoint", 0.5)
+    if isinstance(scale, (int, float)) and not scale > 0:
+        raise ValueError(f"{op}.scale must be > 0, got {scale}")
+    if isinstance(midpoint, (int, float)) and not (0.0 < midpoint < 1.0):
+        raise ValueError(f"{op}.midpoint must be in (0, 1), got {midpoint}")
+    return spec["x"], target, scale, midpoint
+
+
+def compile_formula(
+    expr,
+    *,
+    score: Column | None = None,
+    id_col: str = "point_id",
+    defaults: dict | None = None,
+) -> Column:
+    """Compile one Qdrant ``Expression`` AST node to a Catalyst ``Column``.
+
+    ``score`` binds ``"$score"``; ``defaults`` is the formula's
+    missing-payload-value map (Qdrant ``FormulaQuery.defaults``)."""
+
+    def rec(e) -> Column:
+        if isinstance(e, bool):
+            raise ValueError("bare booleans are not formula expressions")
+        if isinstance(e, (int, float)):
+            return F.lit(float(e))
+        if isinstance(e, str):
+            if e in ("$score", "$score[0]"):
+                if score is None:
+                    raise ValueError("formula references $score but no score is bound")
+                return score
+            if e.startswith("$score["):
+                raise NotImplementedError(
+                    f"{e!r}: only one prefetch leg is bound here — fuse multi-leg "
+                    "prefetches first (workload.hybrid_search_rrf shows the pattern)"
+                )
+            col = F.col(e).cast("double")
+            if defaults and e in defaults:
+                return F.coalesce(col, F.lit(float(defaults[e])))
+            return col
+        if not isinstance(e, dict):
+            raise ValueError(f"unsupported formula node: {type(e).__name__}")
+        gated = [k for k in e if k in _GATED]
+        if gated:
+            raise NotImplementedError(
+                f"{gated[0]} formula expressions need a geo/calendar-typed payload "
+                "column — promote the field first (operators/payload_index.py)"
+            )
+        ops = [k for k in e if k in _OPS]
+        if len(ops) > 1:
+            raise ValueError(f"ambiguous formula node with ops {ops}: {e}")
+        if not ops:
+            # not an operator → must be a Filter condition: 1.0 / 0.0 term
+            if any(k in e for k in _CONDITION_KEYS):
+                cond = _condition(e, id_col)
+                return F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+            raise ValueError(f"unsupported formula node: {e}")
+        op = ops[0]
+        spec = e[op]
+        if op == "sum":
+            parts = [rec(p) for p in spec]
+            if not parts:
+                raise ValueError("sum requires at least one operand")
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = acc + p
+            return acc
+        if op == "mult":
+            parts = [rec(p) for p in spec]
+            if not parts:
+                raise ValueError("mult requires at least one operand")
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = acc * p
+            return acc
+        if op == "div":
+            left, right = rec(spec["left"]), rec(spec["right"])
+            q = F.try_divide(left, right)  # ANSI-safe: NULL on /0
+            if "by_zero_default" in spec:
+                return F.when(right == 0.0, F.lit(float(spec["by_zero_default"]))).otherwise(q)
+            return q  # NULL on /0, like Qdrant's unset default dropping the point
+        if op == "neg":
+            return -rec(spec)
+        if op == "abs":
+            return F.abs(rec(spec))
+        if op == "sqrt":
+            return F.sqrt(rec(spec))
+        if op == "exp":
+            return F.exp(rec(spec))
+        if op == "ln":
+            return F.log(rec(spec))
+        if op == "log10":
+            return F.log10(rec(spec))
+        if op == "pow":
+            return F.pow(rec(spec["base"]), rec(spec["exponent"]))
+        # decay trio
+        x, target, scale, midpoint = _decay_params(spec, op=op)
+        xc, tc = rec(x), rec(target)
+        if op == "lin_decay":
+            # pure arithmetic — bit-parity safe for hash-exact oracles
+            lam = (F.lit(1.0) - rec(midpoint)) / rec(scale)
+            return F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(xc - tc) * lam)
+        if op == "exp_decay":
+            lam = F.log(rec(midpoint)) / rec(scale)
+            return F.exp(lam * F.abs(xc - tc))
+        lam = F.log(rec(midpoint)) / (rec(scale) * rec(scale))
+        return F.exp(lam * (xc - tc) * (xc - tc))
+
+    return rec(expr)
+
+
+def decay_py(op: str, x: float, *, target: float = 0.0, scale: float = 1.0,
+             midpoint: float = 0.5) -> float:
+    """Reference Python evaluation of the decay trio (pytest pin for the
+    transcendental paths — same formulas, ``math`` instead of Catalyst)."""
+    if op == "lin_decay":
+        return max(0.0, 1.0 - abs(x - target) * (1.0 - midpoint) / scale)
+    if op == "exp_decay":
+        return math.exp(math.log(midpoint) / scale * abs(x - target))
+    if op == "gauss_decay":
+        return math.exp(math.log(midpoint) / (scale * scale) * (x - target) ** 2)
+    raise ValueError(op)
+
+
+def formula_query(
+    corpus: DataFrame,
+    queries: DataFrame,
+    formula,
+    *,
+    prefetch_k: int = 50,
+    k: int = 10,
+    defaults: dict | None = None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_emb",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Qdrant ``query_points(prefetch=..., query=FormulaQuery(...))``:
+    dense prefetch of ``prefetch_k`` per query, rescored by ``formula``,
+    final top-``k`` by the new score (desc, id tiebreak).
+
+    Plan shape: corpus never shuffles for scoring (broadcast probes);
+    the formula is ONE fused projection over the prefetch survivors; two
+    ranking windows total — identical shuffle count to plain knn + rerank.
+    ``$score`` binds to the UNROUNDED prefetch score (ranking fidelity);
+    the returned score is the formula value rounded 6dp at the boundary.
+    """
+    from pyspark.sql import Window
+
+    from .search import resolve_metric, score_pairs
+
+    _, lower_is_better = resolve_metric(metric)
+    scored = score_pairs(
+        corpus, queries, corpus_vec=corpus_vec, query_vec=query_vec, metric=metric
+    ).drop(corpus_vec, query_vec)  # vectors don't cross the ranking shuffle
+    order = F.asc("score") if lower_is_better else F.desc("score")
+    wpre = Window.partitionBy(query_id).orderBy(order, F.col(corpus_id))
+    prefetched = (
+        scored.withColumn("prerank", F.row_number().over(wpre))
+        .filter(F.col("prerank") <= int(prefetch_k))
+        .drop("prerank")
+    )
+    new_score = compile_formula(
+        formula, score=F.col("score"), id_col=corpus_id, defaults=defaults
+    )
+    rescored = prefetched.withColumn("new_score", new_score)
+    wfin = Window.partitionBy(query_id).orderBy(F.desc("new_score"), F.col(corpus_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wfin))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.col("rank"),
+            F.round("new_score", 6).alias("score"),
+        )
+    )

@@ -2095,6 +2095,59 @@ def facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Qdrant FormulaQuery (query_points score boosting) — prefetch 50 dense
+# hits per probe, rescore with a formula over the prefetch score, a
+# condition indicator and a lin_decay over the point id (the pure-
+# arithmetic decay — bit-parity safe; the transcendental exp/gauss decays
+# are pinned against Python math in tests/test_formula.py).  The whole
+# formula compiles to ONE fused projection (operators/formula.py); plan
+# shape = plain knn + rerank (two ranking windows, corpus un-shuffled).
+_FORMULA_AST = {
+    "sum": [
+        {"mult": [0.6, "$score"]},
+        {"mult": [0.25, {"key": "label", "match": {"any": [2, 5]}}]},
+        {"mult": [0.15, {"lin_decay": {"x": "vec_id", "target": 0.0,
+                                       "scale": 250.0, "midpoint": 0.1}}]},
+    ]
+}
+
+
+@register(
+    "formula_rescore_topk",
+    _ORACLE_SCORED
+    + """
+, pre AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS prerank
+  FROM scored
+),
+resc AS (
+  SELECT p.q_id, p.vec_id,
+         0.6 * p.score
+         + 0.25 * (CASE WHEN e.label IN (2, 5) THEN 1.0 ELSE 0.0 END)
+         + 0.15 * greatest(0.0, 1.0 - abs(CAST(p.vec_id AS DOUBLE) - 0.0)
+                                  * ((1.0 - 0.1) / 250.0)) AS new_score
+  FROM pre p JOIN embeddings e USING (vec_id)
+  WHERE p.prerank <= 50
+),
+ranked AS (
+  SELECT q_id, vec_id, new_score,
+         row_number() OVER (PARTITION BY q_id ORDER BY new_score DESC, vec_id) AS rank
+  FROM resc
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(new_score, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def formula_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.formula import formula_query
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return formula_query(
+        corpus, _probes(spark, sf_dir), _FORMULA_AST, prefetch_k=50, k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extended surfaces register themselves into this registry on import.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,157 @@
+"""FormulaQuery compiler (operators/formula.py): node semantics, decay
+pins against Python math, wire-format validation, and the plan shape that
+makes formula rescoring free at scale (one fused projection, no UDF, no
+extra shuffle beyond the two ranking windows)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from robi_biometric_qdrant_vector_db_service_spark.operators.formula import (
+    compile_formula,
+    decay_py,
+    formula_query,
+)
+from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _eval(spark, expr, rows=None, **kw):
+    """Evaluate one formula AST over a tiny DataFrame, return column 'v'."""
+    rows = rows if rows is not None else [(1,)]
+    cols = ["x"] if rows and len(rows[0]) == 1 else ["x", "y"]
+    df = spark.createDataFrame(rows, cols)
+    return [
+        r.v
+        for r in df.select(
+            compile_formula(expr, id_col="x", **kw).alias("v")
+        ).orderBy("x").collect()
+    ]
+
+
+def test_arith_nodes(spark):
+    ast = {"sum": [{"mult": [2.0, "x"]}, {"neg": 1.5}, {"abs": -2.0}]}
+    assert _eval(spark, ast, rows=[(3,)]) == [2.0 * 3 - 1.5 + 2.0]
+    assert _eval(spark, {"sqrt": "x"}, rows=[(9,)]) == [3.0]
+    assert _eval(spark, {"pow": {"base": "x", "exponent": 3.0}}, rows=[(2,)]) == [8.0]
+    assert _eval(spark, {"ln": {"exp": "x"}}, rows=[(2,)])[0] == pytest.approx(2.0)
+    assert _eval(spark, {"log10": 1000.0})[0] == pytest.approx(3.0)
+
+
+def test_div_by_zero_default(spark):
+    ast = {"div": {"left": 1.0, "right": "x", "by_zero_default": 7.0}}
+    assert _eval(spark, ast, rows=[(0,), (2,)]) == [7.0, 0.5]
+    # unset default → NULL on /0 (Qdrant drops the point)
+    ast = {"div": {"left": 1.0, "right": "x"}}
+    assert _eval(spark, ast, rows=[(0,)]) == [None]
+
+
+def test_condition_indicator_and_defaults(spark):
+    df = spark.createDataFrame([(1, 5), (2, None)], "x int, y int")
+    vals = [
+        r.v
+        for r in df.select(
+            compile_formula(
+                {"sum": [{"key": "y", "range": {"gte": 4}}, "y"]},
+                id_col="x",
+                defaults={"y": 100.0},
+            ).alias("v")
+        ).orderBy("x").collect()
+    ]
+    # row1: indicator 1 + y 5; row2: absent y → indicator 0 + default 100
+    assert vals == [6.0, 100.0]
+
+
+@pytest.mark.parametrize("op", ["lin_decay", "exp_decay", "gauss_decay"])
+def test_decay_pins_match_python_math(spark, op):
+    params = {"target": 10.0, "scale": 5.0, "midpoint": 0.25}
+    xs = [0.0, 7.5, 10.0, 12.0, 40.0]
+    got = _eval(
+        spark, {op: {"x": "x", **params}}, rows=[(x,) for x in xs]
+    )
+    want = [decay_py(op, x, **params) for x in xs]
+    assert got == pytest.approx(want, rel=1e-12)
+    # decay is 1 at the target and = midpoint at distance scale (the
+    # defining property of Qdrant's parameterization)
+    assert decay_py(op, 10.0, **params) == pytest.approx(1.0)
+    assert decay_py(op, 15.0, **params) == pytest.approx(0.25)
+    assert decay_py(op, 5.0, **params) == pytest.approx(0.25)
+
+
+def test_score_binding_and_errors(spark):
+    df = spark.createDataFrame([(1, 0.5)], "x int, s double")
+    v = df.select(
+        compile_formula("$score", score=F.col("s"), id_col="x").alias("v")
+    ).collect()[0].v
+    assert v == 0.5
+    with pytest.raises(ValueError, match=r"\$score"):
+        compile_formula("$score")  # no score bound
+    with pytest.raises(NotImplementedError, match="prefetch leg"):
+        compile_formula("$score[1]", score=F.col("s"))
+    with pytest.raises(NotImplementedError, match="geo_distance"):
+        compile_formula({"geo_distance": {"origin": {}, "to": "f"}})
+    with pytest.raises(ValueError, match="midpoint"):
+        compile_formula({"gauss_decay": {"x": "x", "midpoint": 1.5}})
+    with pytest.raises(ValueError, match="scale"):
+        compile_formula({"lin_decay": {"x": "x", "scale": 0}})
+    with pytest.raises(ValueError, match="ambiguous"):
+        compile_formula({"sum": [1.0], "mult": [1.0]})
+    with pytest.raises(ValueError, match="unsupported"):
+        compile_formula({"frobnicate": 1.0})
+    with pytest.raises(ValueError, match="at least one"):
+        compile_formula({"sum": []})
+
+
+def _probes(spark, n=4):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def test_formula_query_plan_shape(spark):
+    """The rescore is a fused projection: exactly the knn+rerank plan —
+    one broadcast (probes), ≤2 non-broadcast exchanges (the two ranking
+    windows share the q_id partitioning, so Spark reuses one), no
+    Python eval nodes, vectors absent from the shuffle."""
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    ast = {
+        "sum": [
+            {"mult": [0.6, "$score"]},
+            {"mult": [0.4, {"lin_decay": {"x": "vec_id", "scale": 100.0}}]},
+        ]
+    }
+    df = formula_query(corpus, _probes(spark), ast, prefetch_k=20, k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastExchange" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # identical-order rescore sanity: formula = 1.0 * $score reproduces knn
+    ident = formula_query(corpus, _probes(spark), "$score", prefetch_k=20, k=5)
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import knn_search
+
+    base = knn_search(corpus, _probes(spark), k=5)
+    got = {(r.q_id, r.vec_id, r.rank) for r in ident.collect()}
+    want = {(r.q_id, r.vec_id, r.rank) for r in base.collect()}
+    assert got == want
+
+
+def test_formula_query_boost_reorders(spark):
+    """A condition boost actually changes the ranking: boosted labels
+    outrank un-boosted ones with equal base scores."""
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    ast = {"sum": ["$score", {"mult": [10.0, {"key": "label", "match": {"value": 3}}]}]}
+    out = formula_query(corpus, _probes(spark, 2), ast, prefetch_k=50, k=50)
+    labels = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "label")
+    joined = out.join(labels, "vec_id")
+    rows = joined.filter(F.col("q_id") == 0).orderBy("rank").collect()
+    n3 = sum(1 for r in rows if r.label == 3)
+    assert n3 > 0
+    # every label-3 point (score+10) ranks above every other point
+    assert all(r.label == 3 for r in rows[:n3]), [(r.rank, r.label) for r in rows]
