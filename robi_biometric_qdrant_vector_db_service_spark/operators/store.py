@@ -285,6 +285,7 @@ class VectorStore:
         self,
         *,
         user_id: str | None = None,
+        user_ids: list[str] | None = None,
         version: int | None = None,
         ts_range: tuple[float, float] | None = None,
     ) -> DataFrame:
@@ -298,10 +299,25 @@ class VectorStore:
         (O1).  With ``ts_range=(lo, hi)``, the manifest's per-file ts
         min/max drops every non-overlapping file the same way (the DATETIME
         payload index, advanced_indexing.py:61-69, as data skipping), then
-        the exact BETWEEN predicate pushes into the surviving files."""
-        manifest = self._read_manifest(version)
+        the exact BETWEEN predicate pushes into the surviving files.
+
+        ``user_ids`` is the multi-tenant form — Qdrant's custom-sharding
+        ``shard_key_selector`` (a list of shard keys routes the request to
+        just those shards; the reference's collection derives its sharding
+        from user identity the same way this store's buckets do): the
+        manifest resolves the key SET to the union of its buckets' files,
+        every other bucket never enumerated, then the exact IN predicate
+        pushes inside the surviving buckets."""
+        if user_id is not None and user_ids is not None:
+            raise ValueError("pass user_id or user_ids, not both")
         if user_id is not None:
-            files = manifest.get(_py_bucket(user_id, self.n_buckets), [])
+            user_ids = [user_id]
+        manifest = self._read_manifest(version)
+        if user_ids is not None:
+            if not user_ids:
+                raise ValueError("user_ids selector must name at least one key")
+            buckets = sorted({_py_bucket(u, self.n_buckets) for u in user_ids})
+            files = [f for b in buckets for f in manifest.get(b, [])]
         else:
             files = [f for fs in manifest.values() for f in fs]
         if ts_range is not None:
@@ -313,17 +329,27 @@ class VectorStore:
                 if f not in stats or (stats[f][1] >= lo and stats[f][0] <= hi)
             ]
         df = self._read_files(files)
-        if user_id is not None:
-            df = df.filter(F.col("user_id") == user_id)
+        if user_ids is not None:
+            ids = sorted(set(user_ids))
+            df = df.filter(
+                F.col("user_id") == ids[0]
+                if len(ids) == 1
+                else F.col("user_id").isin(ids)
+            )
         if ts_range is not None:
             df = df.filter(F.col("ts").between(ts_range[0], ts_range[1]))
         return df.select("point_id", "embedding", "user_id", "ts", "metadata")
 
-    def input_files(self, *, user_id: str | None = None) -> list[str]:
+    def input_files(
+        self, *, user_id: str | None = None, user_ids: list[str] | None = None
+    ) -> list[str]:
         """The exact files a read would scan (test/ops introspection)."""
         manifest = self._read_manifest()
         if user_id is not None:
-            return sorted(manifest.get(_py_bucket(user_id, self.n_buckets), []))
+            user_ids = [user_id]
+        if user_ids is not None:
+            buckets = sorted({_py_bucket(u, self.n_buckets) for u in user_ids})
+            return sorted(f for b in buckets for f in manifest.get(b, []))
         return sorted(f for fs in manifest.values() for f in fs)
 
     # -- S2/S3 add / upsert -------------------------------------------------
@@ -659,14 +685,23 @@ class VectorStore:
         *,
         score_threshold: float | None = None,
         user_filter: str | None = None,
+        shard_selector: list[str] | None = None,
     ) -> DataFrame:
         """The reference's ``POST /vectors/search`` end-to-end over the
         store (qdrant_client.py:311-405): optional user filter (resolved to
         one bucket's files by the manifest, O1), cosine top-k with
-        threshold, result keyed by ``point_id``.  ``queries``: (q_id, q_emb)."""
+        threshold, result keyed by ``point_id``.  ``queries``: (q_id, q_emb).
+
+        ``shard_selector`` is Qdrant's multitenant ``shard_key_selector``:
+        the search fans out to ONLY the named tenants' shards (here: the
+        manifest buckets their keys hash to — other buckets' files never
+        reach the scan), the 100 TB posture where a tenant query costs the
+        tenant's data, not the corpus."""
         from .search import knn_search
 
-        corpus = self.read(user_id=user_filter)
+        if user_filter is not None and shard_selector is not None:
+            raise ValueError("pass user_filter or shard_selector, not both")
+        corpus = self.read(user_id=user_filter, user_ids=shard_selector)
         return knn_search(
             corpus,
             queries,

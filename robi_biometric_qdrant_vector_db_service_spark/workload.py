@@ -1026,6 +1026,39 @@ def store_search_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tenant_routed_search",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, CAST(e.vec_id AS VARCHAR) AS point_id,
+         {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE concat('u', CAST(e.label AS VARCHAR)) IN ('u2', 'u5')
+),
+ranked AS (
+  SELECT q_id, point_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, point_id) AS rank
+  FROM scored
+)
+SELECT q_id, point_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def tenant_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant multitenant ``shard_key_selector``: the search fans out to
+    only the selected tenants' shards.  Here the manifest routes the key
+    set {u2, u5} to its buckets' files — every other tenant's files are
+    never even enumerated (stronger than partition pruning), then the
+    exact ``user_id IN`` predicate pushes inside the surviving buckets.
+    At 100 TB a two-tenant query costs two tenants' data, not the corpus
+    (tests/test_plans.py pins the file-list pruning)."""
+    store = _fresh_store(spark, sf_dir, "tenant")
+    return store.search(_probes(spark, sf_dir), k=5, shard_selector=["u2", "u5"])
+
+
+@register(
     "dedup_keep_newest",
     """
 SELECT user_id, point_id, ts

@@ -95,6 +95,48 @@ def test_store_user_read_prunes_to_one_bucket(spark, tmp_path):
     assert rows and all(r["user_id"] == "u3" for r in rows)
 
 
+def test_store_shard_selector_prunes_to_selected_buckets(spark, tmp_path):
+    """Qdrant multitenant ``shard_key_selector``: a multi-key routed read
+    must scan exactly the union of the selected keys' buckets — every
+    other tenant's files never enumerated — and push the IN predicate
+    inside the surviving buckets; results must equal the full-scan filter."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import VectorStore
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(80)
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label")).alias("user_id"),
+        F.lit(1.0).alias("ts"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    store = VectorStore.create(spark, str(tmp_path / "s"), pts)
+    df = store.read(user_ids=["u2", "u5"])
+    scanned = {f.removeprefix("file://") for f in df.inputFiles()}
+    assert scanned == set(store.input_files(user_ids=["u2", "u5"])), scanned
+    assert scanned < set(store.input_files()), "routed read must scan a strict subset"
+    assert "In(user_id, [u2,u5])" in _plan(df), _plan(df)
+    got = {(r.point_id, r.user_id) for r in df.collect()}
+    want = {
+        (r.point_id, r.user_id)
+        for r in store.read().filter(F.col("user_id").isin(["u2", "u5"])).collect()
+    }
+    assert got == want and got
+    # search() routes through the same selector; single-key selector
+    # degenerates to the one-bucket read
+    one = store.read(user_ids=["u2"])
+    assert set(f.removeprefix("file://") for f in one.inputFiles()) == set(
+        store.input_files(user_id="u2")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        store.search(emb.limit(1).selectExpr("vec_id as q_id", "embedding as q_emb"),
+                     user_filter="u2", shard_selector=["u5"])
+    with _pytest.raises(ValueError, match="at least one"):
+        store.read(user_ids=[])
+
+
 def test_store_mutations_rewrite_only_touched_buckets(spark, tmp_path):
     """VERDICT r1 item 2: a delete/upsert must re-link untouched buckets'
     files BY REFERENCE into the new manifest — byte-identical paths — and
