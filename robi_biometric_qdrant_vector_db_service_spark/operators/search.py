@@ -714,6 +714,50 @@ def similarity_matrix_topk(
     )
 
 
+def matrix_offsets(
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Q8, offsets form — Qdrant's ``search_matrix_offsets`` response
+    shape: the same sampled pairwise top-``k`` as ``search_matrix_pairs``
+    (``similarity_matrix_topk``), but every point is addressed by its
+    OFFSET into the sorted sample id list (the COO sparse-matrix encoding
+    clients feed to numpy/scipy).  Flattened relationally: one row per
+    non-zero, ``(row_offset, col_offset, score)`` plus the id mapping the
+    response's ``ids`` array would carry.
+
+    The offsets dimension is the sample id list itself — request-bounded
+    by the API contract (Qdrant samples, default 10), so the global
+    ordering window and both offset joins are broadcast-sized."""
+    pairs = similarity_matrix_topk(
+        corpus, k, corpus_id=corpus_id, corpus_vec=corpus_vec
+    )
+    w = Window.orderBy(corpus_id)
+    offs = corpus.select(corpus_id).withColumn(
+        "off", (F.row_number().over(w) - 1).cast("bigint")
+    )
+    row_o = offs.select(
+        F.col(corpus_id).alias("__rid"), F.col("off").alias("row_offset")
+    )
+    col_o = offs.select(
+        F.col(corpus_id).alias("__cid"), F.col("off").alias("col_offset")
+    )
+    return (
+        pairs.join(F.broadcast(row_o), F.col(corpus_id) == F.col("__rid"))
+        .join(F.broadcast(col_o), F.col("other_id") == F.col("__cid"))
+        .select(
+            "row_offset",
+            "col_offset",
+            F.col(corpus_id).alias("row_id"),
+            F.col("other_id").alias("col_id"),
+            "score",
+        )
+    )
+
+
 def scroll_page(
     corpus: DataFrame,
     *,

@@ -2104,6 +2104,43 @@ def similarity_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "matrix_offsets_coo",
+    f"""
+WITH f AS (SELECT vec_id, embedding FROM embeddings WHERE label IN (4, 7)),
+offs AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS off
+  FROM f
+),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS other_id, {_dcos('a.embedding', 'b.embedding')} AS score
+  FROM f a JOIN f b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, other_id, score,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, other_id) AS rank
+  FROM scored
+)
+SELECT o1.off AS row_offset, o2.off AS col_offset,
+       r.vec_id AS row_id, r.other_id AS col_id, round(r.score, 6) AS score
+FROM ranked r
+JOIN offs o1 ON r.vec_id = o1.vec_id
+JOIN offs o2 ON r.other_id = o2.vec_id
+WHERE r.rank <= 5
+""",
+)
+def matrix_offsets_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 distance matrix, offsets response shape (public Qdrant
+    ``search_matrix_offsets``): the same sampled pairwise top-5, addressed
+    by offsets into the sorted sample id list — the COO encoding clients
+    hand to numpy/scipy.  The offsets dimension is the request-bounded
+    sample itself, so both offset joins broadcast."""
+    corpus = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isin(4, 7)
+    )
+    return S.matrix_offsets(corpus, k=5)
+
+
+@register(
     "facet_counts",
     """
 SELECT source, CAST(count(*) AS BIGINT) AS n

@@ -316,3 +316,90 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub step every distributable training corpus runs
+# ---------------------------------------------------------------------------
+
+# Regexes restricted to the Java-regex ∩ RE2 common dialect (no
+# lookaround/backrefs), so Spark (Java) and DuckDB (RE2) match identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-\d{3}-\d{3}-\d{4}"
+
+
+@register(
+    "pii_redaction",
+    f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+            ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\\+1-\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(t, '\\+1-\\d{{3}}-\\d{{3}}-\\d{{4}}', '[PHONE]', 'g'),
+                     '{PII_EMAIL_RE}', '[EMAIL]', 'g')) AS redacted_fp
+FROM aug
+WHERE len(regexp_extract_all(t, '{PII_EMAIL_RE}'))
+      + len(regexp_extract_all(t, '\\+1-\\d{{3}}-\\d{{3}}-\\d{{4}}')) > 0
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: detect + redact emails and NANP phone numbers, emit
+    per-document match counts and the md5 fingerprint of the redacted
+    text (the release artifact a compliance pipeline records).
+
+    The synthetic corpus contains no PII by construction, so the fixture
+    PLANTS it deterministically (doc_id-keyed appends, identical
+    construction in the oracle) — the machinery under test is the
+    regex detection/redaction itself, which at 100 TB is a pure
+    per-document codegen projection: no shuffle, no UDF, regexes from
+    the Java∩RE2 common dialect so every engine in the lake agrees on
+    what was scrubbed."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call +1-202-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    n_emails = F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_PHONE_RE, "[PHONE]"),
+        PII_EMAIL_RE,
+        "[EMAIL]",
+    )
+    return (
+        aug.select(
+            "doc_id",
+            n_emails.cast("bigint").alias("n_emails"),
+            n_phones.cast("bigint").alias("n_phones"),
+            F.md5(redacted).alias("redacted_fp"),
+        )
+        .filter(F.col("n_emails") + F.col("n_phones") > 0)
+    )
