@@ -102,6 +102,7 @@ def knn_search(
     query_id: str = "q_id",
     query_vec: str = "q_emb",
     metric: str = "cosine",
+    offset: int = 0,
 ) -> DataFrame:
     """Q1: per-query top-k under ``metric`` (default cosine, the
     reference's pinned choice; Qdrant's other public metrics — dot,
@@ -124,9 +125,18 @@ def knn_search(
     the scan (the reference only ever passes must-conjunctions,
     qdrant_client.py:355-363).
 
+    ``offset`` is Qdrant's search-pagination parameter: skip the first
+    ``offset`` hits, return the next ``k``; ``rank`` stays the ABSOLUTE
+    position (offset+1 … offset+k), so pages concatenate into the full
+    ranking.  Unlike the scroll family's keyset cursors this is positional
+    — Qdrant documents the same caveat (each page re-ranks offset+k
+    candidates), so deep pagination belongs to scroll, not offset.
+
     Returns: (q_id, vec_id, rank, score) — score rounded to 6dp for stable
     cross-engine comparison; ranking uses the unrounded value.
     """
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
     _, lower_is_better = resolve_metric(metric)
     if lower_is_better:
         # distances are unbounded above — only the similarity bound from
@@ -156,7 +166,7 @@ def knn_search(
     w = Window.partitionBy(query_id).orderBy(order, F.col(corpus_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") <= k + offset) & (F.col("rank") > offset))
         .select(
             F.col(query_id),
             F.col(corpus_id),

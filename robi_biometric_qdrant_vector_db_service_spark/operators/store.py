@@ -737,3 +737,88 @@ class VectorStore:
             "avg_norm": row["avg_norm"],
             "version": self._current_version(),
         }
+
+
+class AliasRegistry:
+    """Qdrant collection aliases (``update_collection_aliases`` /
+    ``get_collection_aliases``): stable names that resolve to collections
+    at request time, with the whole alias-op list applied ATOMICALLY —
+    the public blue/green pattern (reindex into a fresh collection, then
+    swap the serving alias in one step, readers never see a gap).
+
+    The registry is one JSON file updated via write-temp + ``os.replace``
+    (the manifest pointer's atomicity discipline): readers see either the
+    old alias table or the new one, never a partial application.  Ops
+    validate against the CURRENT table before anything is written — a bad
+    op list changes nothing (the ``apply_batch`` fail-before-any-op
+    discipline).
+
+    The alias maps to a store ROOT (collection identity), not a manifest
+    version — reads through an alias always see the target collection's
+    current version, matching Qdrant (aliases name collections; snapshots
+    handle point-in-time)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self) -> str:
+        return os.path.join(self.root, "aliases.json")
+
+    def aliases(self) -> dict[str, str]:
+        """Current alias → collection-root table (``get_collection_aliases``)."""
+        if not os.path.exists(self._path()):
+            return {}
+        with open(self._path()) as f:
+            return json.load(f)
+
+    def update_aliases(self, ops: list[tuple]) -> dict[str, str]:
+        """Apply ``[(op, ...), ...]`` atomically and return the new table.
+
+        Ops (Qdrant's three public alias operations):
+        - ``("create", alias, store_root)`` — point ``alias`` at a
+          collection; re-pointing an EXISTING alias is allowed (that IS
+          the swap — Qdrant's create_alias upserts).
+        - ``("delete", alias)`` — alias must exist.
+        - ``("rename", old, new)`` — old must exist; new must not
+          (collides with neither a surviving alias nor one created
+          earlier in this batch); ops see the effect of earlier ops in
+          the same batch (sequential application, like apply_batch).
+        """
+        table = dict(self.aliases())
+        for op in ops:
+            if not op or op[0] not in ("create", "delete", "rename"):
+                raise ValueError(f"unknown alias op: {op!r}")
+            kind = op[0]
+            if kind == "create":
+                _, alias, store_root = op
+                if not os.path.exists(os.path.join(store_root, "_LATEST")):
+                    raise ValueError(
+                        f"create {alias!r}: {store_root!r} is not a store root"
+                    )
+                table[str(alias)] = str(store_root)
+            elif kind == "delete":
+                _, alias = op
+                if alias not in table:
+                    raise ValueError(f"delete {alias!r}: no such alias")
+                del table[alias]
+            else:
+                _, old, new = op
+                if old not in table:
+                    raise ValueError(f"rename {old!r}: no such alias")
+                if new in table:
+                    raise ValueError(f"rename to {new!r}: alias exists")
+                table[str(new)] = table.pop(old)
+        tmp = self._path() + f".tmp_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(table, f)
+        os.replace(tmp, self._path())  # atomic on POSIX
+        return table
+
+    def resolve(self, alias: str) -> "VectorStore":
+        """Open the collection an alias currently names."""
+        table = self.aliases()
+        if alias not in table:
+            raise KeyError(f"no such alias: {alias!r}")
+        return VectorStore(self.spark, table[alias])

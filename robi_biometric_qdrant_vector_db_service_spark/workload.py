@@ -175,6 +175,30 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_offset_page",
+    _ORACLE_SCORED
+    + """
+, ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank > 10 AND rank <= 20
+""",
+)
+def knn_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant search ``offset`` pagination: the SECOND page of 10
+    (ranks 11–20) per probe.  Still one WindowGroupLimit plan — the
+    upper bound offset+k prunes below the ranking shuffle; rank stays
+    the absolute position so pages concatenate into the full ranking.
+    (Deep pagination belongs to the scroll family's keyset cursors —
+    the same caveat Qdrant documents for its offset parameter.)"""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return S.knn_search(corpus, _probes(spark, sf_dir), k=10, offset=10)
+
+
 # Manhattan-metric top-k — Qdrant's public Distance.MANHATTAN (the
 # reference pins COSINE, qdrant_client.py:105; the metric enum is the
 # other public axis of the same search surface).  Distances rank
@@ -900,6 +924,47 @@ def set_payload_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("metadata", "reviewed").alias("reviewed"),
         F.element_at("metadata", "seq").alias("seq"),
         F.size("metadata").cast("int").alias("n_keys"),
+    )
+
+
+@register(
+    "alias_blue_green_read",
+    """
+SELECT CAST(vec_id AS VARCHAR) AS point_id, 'green' AS gen
+FROM embeddings WHERE vec_id < 60
+""",
+)
+def alias_blue_green_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant collection aliases (``update_collection_aliases``): the
+    blue/green reindex pattern — serve through a stable alias, reindex
+    into a fresh collection, swap the alias ATOMICALLY (one alias-table
+    publish; readers see old or new, never a gap or a mix).  The read
+    goes through ``resolve()`` AFTER the swap, so the oracle describes
+    exactly the green collection: all 60 points, gen=green — any blue
+    row (10 points, gen=blue) surviving the swap fails the hash."""
+    import tempfile
+
+    from .operators.store import AliasRegistry, VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pts(n: int, gen: str):
+        return emb.filter(F.col("vec_id") < n).select(
+            F.col("vec_id").cast("string").alias("point_id"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+            F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
+            (F.lit(1000.0) + F.col("vec_id")).alias("ts"),
+            F.create_map(F.lit("gen"), F.lit(gen)).alias("metadata"),
+        )
+
+    blue = VectorStore.create(spark, tempfile.mkdtemp(prefix="vstore_blue_"), pts(10, "blue"))
+    green = VectorStore.create(spark, tempfile.mkdtemp(prefix="vstore_green_"), pts(60, "green"))
+    reg = AliasRegistry(spark, tempfile.mkdtemp(prefix="aliases_"))
+    reg.update_aliases([("create", "prod", blue.root)])
+    assert reg.aliases() == {"prod": blue.root}
+    reg.update_aliases([("create", "prod", green.root)])  # re-point IS the swap
+    return reg.resolve("prod").read().select(
+        "point_id", F.element_at("metadata", "gen").alias("gen")
     )
 
 

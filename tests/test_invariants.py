@@ -308,3 +308,48 @@ def test_apply_batch_rejects_unknown_op_before_running_any(spark, tmp_path):
     assert store._current_version() == v0  # nothing ran
     assert store.apply_batch([("clear_payload", ["a"]), ("delete", ["a"])]) == [1, 1]
     assert store.read().count() == 0
+
+
+def test_alias_registry_atomic_update_and_resolve(spark, tmp_path):
+    """Qdrant update_collection_aliases: ops apply sequentially within a
+    batch, the table publishes atomically, a bad op list changes NOTHING
+    (fail-before-any-write), re-pointing an existing alias is the swap,
+    and resolve() reads the target collection's current state."""
+    import pytest as _pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import AliasRegistry
+
+    blue = _payload_store(spark, tmp_path / "b", [("a", [1.0] * 4, "u1", 1.0, {})])
+    green = _payload_store(
+        spark, tmp_path / "g",
+        [("x", [1.0] * 4, "u1", 1.0, {}), ("y", [1.0] * 4, "u2", 2.0, {})],
+    )
+    reg = AliasRegistry(spark, str(tmp_path / "reg"))
+    assert reg.aliases() == {}
+    # batch: create + rename, sequential within the batch
+    reg.update_aliases([("create", "prod", blue.root), ("rename", "prod", "serving")])
+    assert reg.aliases() == {"serving": blue.root}
+    assert {r["point_id"] for r in reg.resolve("serving").read().collect()} == {"a"}
+    # the swap: re-point the existing alias in one op
+    reg.update_aliases([("create", "serving", green.root)])
+    assert {r["point_id"] for r in reg.resolve("serving").read().collect()} == {"x", "y"}
+    # resolve sees the target's CURRENT version (alias names a collection,
+    # not a snapshot)
+    green.delete_by_id(["y"])
+    assert {r["point_id"] for r in reg.resolve("serving").read().collect()} == {"x"}
+    # bad batches change nothing — validated against the current table
+    before = reg.aliases()
+    for ops in (
+        [("delete", "missing")],
+        [("rename", "missing", "z")],
+        [("rename", "serving", "serving")],
+        [("create", "p2", str(tmp_path / "not_a_store"))],
+        [("frob", "x")],
+        # later op invalid → earlier op must NOT be applied either
+        [("create", "p3", blue.root), ("delete", "missing")],
+    ):
+        with _pytest.raises((ValueError, KeyError)):
+            reg.update_aliases(ops)
+        assert reg.aliases() == before, ops
+    with _pytest.raises(KeyError):
+        reg.resolve("missing")
