@@ -768,6 +768,50 @@ def matrix_offsets(
     )
 
 
+def apply_payload_selector(
+    df: DataFrame, with_payload, *, payload_col: str = "metadata"
+) -> DataFrame:
+    """Qdrant's ``with_payload`` result selector (search/scroll/retrieve
+    all take it): shape how much payload a response carries —
+
+    - ``True``                      full payload (unchanged)
+    - ``False``                     no payload (column dropped)
+    - ``["k", ...]``                include only these keys
+    - ``{"include": ["k", ...]}``   same, explicit form
+    - ``{"exclude": ["k", ...]}``   everything but these keys
+
+    Over the schemaless ``map<string,string>`` payload this is a
+    ``map_filter`` projection — map-side, codegen, no shuffle.  For
+    PROMOTED payload fields (operators/payload_index.py) the include
+    selector is just ``select(...)`` — there it prunes the parquet
+    ReadSchema, which is the 100 TB reason to promote hot fields: an
+    include-list on promoted columns never reads the bytes it excludes,
+    while a map payload always reads the whole map column."""
+    if with_payload is True:
+        return df
+    if with_payload is False:
+        return df.drop(payload_col)
+    if isinstance(with_payload, (list, tuple)):
+        spec = {"include": list(with_payload)}
+    elif isinstance(with_payload, dict):
+        spec = with_payload
+    else:
+        raise ValueError(f"with_payload: bool, list, or dict, got {with_payload!r}")
+    if set(spec) == {"include"}:
+        keys, keep = list(spec["include"]), True
+    elif set(spec) == {"exclude"}:
+        keys, keep = list(spec["exclude"]), False
+    else:
+        raise ValueError(f"payload selector needs exactly include OR exclude: {spec}")
+    key_arr = F.array(*[F.lit(str(k)) for k in keys])
+    pred = (
+        (lambda k, _v: F.array_contains(key_arr, k))
+        if keep
+        else (lambda k, _v: ~F.array_contains(key_arr, k))
+    )
+    return df.withColumn(payload_col, F.map_filter(F.col(payload_col), pred))
+
+
 def scroll_page(
     corpus: DataFrame,
     *,

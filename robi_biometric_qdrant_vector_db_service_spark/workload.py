@@ -1864,6 +1864,56 @@ def random_sample_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scroll_payload_selector",
+    """
+WITH p AS (SELECT vec_id, label FROM embeddings ORDER BY vec_id LIMIT 80)
+SELECT vec_id,
+  CASE CAST(label % 3 AS INT) WHEN 0 THEN 'gold' WHEN 1 THEN 'silver' ELSE 'bronze' END AS tier,
+  CAST(1 AS INT) AS n_keys_incl,
+  CAST(2 AS INT) AS n_keys_excl
+FROM p
+""",
+)
+def scroll_payload_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``with_payload`` selectors on a scroll page: the include
+    list keeps only the named keys (absent keys a no-op), the exclude
+    list drops the named keys — both map-side ``map_filter`` projections
+    (operators/search.py:apply_payload_selector), no shuffle beyond the
+    page itself.  The oracle pins the per-selector key counts and the
+    surviving key's value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tier = (
+        F.when(F.col("label") % 3 == 0, "gold")
+        .when(F.col("label") % 3 == 1, "silver")
+        .otherwise("bronze")
+    )
+    pts = emb.select(
+        "vec_id",
+        F.create_map(
+            F.lit("tier"), tier,
+            F.lit("seq"), F.col("vec_id").cast("string"),
+            F.lit("src"), F.lit("emb"),
+        ).alias("metadata"),
+    )
+    page = S.scroll_page(pts, page_size=80)
+    inc = S.apply_payload_selector(page, ["tier", "absent"])
+    exc = S.apply_payload_selector(page, {"exclude": ["seq"]})
+    return (
+        inc.select(
+            "vec_id",
+            F.element_at("metadata", "tier").alias("tier"),
+            F.size("metadata").cast("int").alias("n_keys_incl"),
+        )
+        .join(
+            F.broadcast(
+                exc.select("vec_id", F.size("metadata").cast("int").alias("n_keys_excl"))
+            ),
+            "vec_id",
+        )
+    )
+
+
+@register(
     "scroll_keyset",
     """
 WITH f AS (SELECT vec_id, label FROM embeddings WHERE label IN (1, 3)),

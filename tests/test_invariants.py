@@ -353,3 +353,28 @@ def test_alias_registry_atomic_update_and_resolve(spark, tmp_path):
         assert reg.aliases() == before, ops
     with _pytest.raises(KeyError):
         reg.resolve("missing")
+
+
+def test_payload_selector_modes(spark):
+    """with_payload result selector: True passthrough, False drops the
+    column, include keeps only named keys (absent keys no-op), exclude
+    drops named keys; malformed selectors rejected."""
+    import pytest as _pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import apply_payload_selector
+
+    df = spark.createDataFrame(
+        [("a", {"k1": "1", "k2": "2"}), ("b", {})],
+        "point_id string, metadata map<string,string>",
+    )
+    assert apply_payload_selector(df, True) is df
+    assert "metadata" not in apply_payload_selector(df, False).columns
+    inc = {r["point_id"]: r["metadata"]
+           for r in apply_payload_selector(df, ["k1", "nope"]).collect()}
+    assert inc == {"a": {"k1": "1"}, "b": {}}, inc
+    exc = {r["point_id"]: r["metadata"]
+           for r in apply_payload_selector(df, {"exclude": ["k1"]}).collect()}
+    assert exc == {"a": {"k2": "2"}, "b": {}}, exc
+    for bad in (1.5, {"include": ["a"], "exclude": ["b"]}, {"frob": []}):
+        with _pytest.raises(ValueError):
+            apply_payload_selector(df, bad)
