@@ -234,6 +234,50 @@ def verify(
     )
 
 
+def recommend_probes(
+    corpus: DataFrame,
+    examples: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """The ``average_vector`` probe synthesis shared by every recommend
+    variant (``recommend``, ``recommend_groups``): resolve the example
+    point ids against the corpus, then per query::
+
+        q = avg(positives)                        if no negatives
+        q = avg(positives) + (avg(positives) - avg(negatives))
+
+    ``examples``: (q_id, vec_id, polarity∈{'pos','neg'}).  Request-sized
+    throughout — posexplode → per-dimension avg → array re-assembly all
+    run on the bounded example set.  Returns (q_id, q_emb)."""
+    ex_vecs = examples.join(
+        corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_emb")),
+        "vec_id",
+    )
+    dims = ex_vecs.select(
+        "q_id", "polarity", F.posexplode(F.col("_emb")).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    per_dim = dims.groupBy("q_id", "pos").agg(
+        F.avg(F.when(F.col("polarity") == "pos", F.col("v"))).alias("ap"),
+        F.avg(F.when(F.col("polarity") == "neg", F.col("v"))).alias("an"),
+    )
+    return (
+        per_dim.withColumn(
+            "qv",
+            F.when(F.col("an").isNull(), F.col("ap")).otherwise(
+                F.lit(2.0) * F.col("ap") - F.col("an")
+            ),
+        )
+        .groupBy("q_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "qv"))), lambda s: s["qv"]
+            ).alias("q_emb")
+        )
+    )
+
+
 def recommend(
     corpus: DataFrame,
     examples: DataFrame,
@@ -264,30 +308,8 @@ def recommend(
     Returns: (q_id, vec_id, rank, score).
     """
     validate_search_args(k, None)
-    ex_vecs = examples.join(
-        corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_emb")),
-        "vec_id",
-    )
-    dims = ex_vecs.select(
-        "q_id", "polarity", F.posexplode(F.col("_emb")).alias("pos", "v")
-    ).withColumn("v", F.col("v").cast("double"))
-    per_dim = dims.groupBy("q_id", "pos").agg(
-        F.avg(F.when(F.col("polarity") == "pos", F.col("v"))).alias("ap"),
-        F.avg(F.when(F.col("polarity") == "neg", F.col("v"))).alias("an"),
-    )
-    probes = (
-        per_dim.withColumn(
-            "qv",
-            F.when(F.col("an").isNull(), F.col("ap")).otherwise(
-                F.lit(2.0) * F.col("ap") - F.col("an")
-            ),
-        )
-        .groupBy("q_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "qv"))), lambda s: s["qv"]
-            ).alias("q_emb")
-        )
+    probes = recommend_probes(
+        corpus, examples, corpus_id=corpus_id, corpus_vec=corpus_vec
     )
     scored = score_pairs(corpus, probes, corpus_vec=corpus_vec).join(
         F.broadcast(examples.select("q_id", F.col("vec_id").alias(corpus_id))),
@@ -439,6 +461,7 @@ def search_groups(
     n_groups: int = 5,
     group_size: int = 3,
     corpus_id: str = "vec_id",
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Q6: grouped search — Qdrant's ``search_groups`` API over the payload
     field the reference filters on (``user_id``/``label``,
@@ -452,9 +475,20 @@ def search_groups(
     and dense_rank all plan as sorts over the same exchange — grouping adds
     no extra shuffle over plain top-k (asserted in test_plans).
 
+    ``exclude``: (q_id, <corpus_id>) pairs dropped from candidates BEFORE
+    any ranking (the recommend variants exclude their example points this
+    way) — request-sized, so the anti-join broadcasts.
+
     Returns: (q_id, <group_col>, group_rank, vec_id, hit_rank, score).
     """
-    scored = score_pairs(corpus, queries).repartition("q_id")
+    scored = score_pairs(corpus, queries)
+    if exclude is not None:
+        scored = scored.join(
+            F.broadcast(exclude.select("q_id", corpus_id)),
+            ["q_id", corpus_id],
+            "left_anti",
+        )
+    scored = scored.repartition("q_id")
     wg = Window.partitionBy("q_id", group_col).orderBy(F.desc("score"), F.col(corpus_id))
     hits = scored.withColumn("hit_rank", F.row_number().over(wg)).filter(
         F.col("hit_rank") <= group_size
@@ -474,6 +508,40 @@ def search_groups(
         corpus_id,
         "hit_rank",
         F.round("score", 6).alias("score"),
+    )
+
+
+def recommend_groups(
+    corpus: DataFrame,
+    examples: DataFrame,
+    *,
+    group_col: str = "label",
+    n_groups: int = 5,
+    group_size: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Qdrant ``recommend_groups``: the recommend-by-example probe
+    (``average_vector`` strategy, example points excluded) composed with
+    grouped ranking — top ``n_groups`` payload groups per query by best
+    hit, at most ``group_size`` hits each.
+
+    Pure composition: ``recommend_probes`` (request-sized synthesis) into
+    ``search_groups`` (one q_id shuffle serves all three windows), the
+    example exclusion as a broadcast anti-join before ranking — the
+    composed plan has exactly the grouped-search shape, no extra
+    shuffle."""
+    probes = recommend_probes(
+        corpus, examples, corpus_id=corpus_id, corpus_vec=corpus_vec
+    )
+    return search_groups(
+        corpus,
+        probes,
+        group_col=group_col,
+        n_groups=n_groups,
+        group_size=group_size,
+        corpus_id=corpus_id,
+        exclude=examples.select("q_id", F.col("vec_id").alias(corpus_id)),
     )
 
 

@@ -1648,6 +1648,68 @@ def recommend_by_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.recommend(corpus, examples, k=10)
 
 
+@register(
+    "recommend_groups_topk",
+    f"""
+WITH ex(q_id, vec_id, polarity) AS (VALUES {_EX_VALUES}),
+exv AS (
+  SELECT ex.q_id, ex.polarity, e.embedding FROM ex JOIN embeddings e USING (vec_id)
+),
+flat AS (
+  SELECT q_id, polarity, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM exv
+),
+per_dim AS (
+  SELECT q_id, pos,
+         avg(CASE WHEN polarity = 'pos' THEN v END) AS ap,
+         avg(CASE WHEN polarity = 'neg' THEN v END) AS an
+  FROM flat GROUP BY q_id, pos
+),
+probes AS (
+  SELECT q_id,
+         list(CASE WHEN an IS NULL THEN ap ELSE 2.0 * ap - an END ORDER BY pos) AS q_emb
+  FROM per_dim GROUP BY q_id
+),
+scored AS (
+  SELECT p.q_id, e.vec_id, e.label, {_dcos('e.embedding', 'p.q_emb')} AS score
+  FROM embeddings e CROSS JOIN probes p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ex WHERE ex.q_id = p.q_id AND ex.vec_id = e.vec_id
+  )
+),
+hits AS (
+  SELECT q_id, label, vec_id, score,
+         row_number() OVER (PARTITION BY q_id, label ORDER BY score DESC, vec_id) AS hit_rank
+  FROM scored
+),
+best AS (
+  SELECT q_id, label, vec_id, hit_rank, score,
+         max(score) OVER (PARTITION BY q_id, label) AS group_best
+  FROM hits WHERE hit_rank <= 2
+),
+gr AS (
+  SELECT q_id, label, vec_id, hit_rank, score,
+         dense_rank() OVER (PARTITION BY q_id ORDER BY group_best DESC, label) AS group_rank
+  FROM best
+)
+SELECT q_id, label, CAST(group_rank AS INT) AS group_rank, vec_id,
+       CAST(hit_rank AS INT) AS hit_rank, round(score, 6) AS score
+FROM gr WHERE group_rank <= 4
+""",
+)
+def recommend_groups_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``recommend_groups``: average_vector probes from example
+    point ids (examples excluded) feeding grouped ranking — top 4 label
+    groups per request by best hit, 2 hits each.  A pure composition of
+    ``recommend_probes`` and ``search_groups`` (one q_id shuffle)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    examples = spark.createDataFrame(
+        RECOMMEND_EXAMPLES, "q_id int, vec_id bigint, polarity string"
+    )
+    return S.recommend_groups(corpus, examples, n_groups=4, group_size=2)
+
+
 # 2 discovery requests, each 2 (positive, negative) context example pairs.
 DISCOVER_CONTEXT = [(0, 10, 20), (0, 12, 22), (1, 11, 21), (1, 13, 23)]
 
@@ -1910,6 +1972,52 @@ def scroll_payload_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "vec_id",
         )
+    )
+
+
+@register(
+    "retrieve_points",
+    """
+SELECT vec_id,
+  CASE CAST(label % 3 AS INT) WHEN 0 THEN 'gold' WHEN 1 THEN 'silver' ELSE 'bronze' END AS tier,
+  CAST(vec_id AS VARCHAR) AS seq
+FROM embeddings
+WHERE vec_id IN (3, 7, 15, 42, 99, 123)
+""",
+)
+def retrieve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``retrieve``: fetch points by id with ``with_payload`` /
+    ``with_vectors`` selectors.  The id list compiles to one pushed IN
+    predicate (``has_id`` via the Filter compiler), the include selector
+    is a map-side projection, ``with_vectors=False`` drops the embedding
+    before anything moves — a point lookup reads id + payload bytes only,
+    never the vectors."""
+    from .operators.payload_index import build_filter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tier = (
+        F.when(F.col("label") % 3 == 0, "gold")
+        .when(F.col("label") % 3 == 1, "silver")
+        .otherwise("bronze")
+    )
+    pts = emb.select(
+        "vec_id",
+        "embedding",
+        F.create_map(
+            F.lit("tier"), tier,
+            F.lit("seq"), F.col("vec_id").cast("string"),
+            F.lit("src"), F.lit("emb"),
+        ).alias("metadata"),
+    )
+    got = pts.filter(
+        build_filter({"must": [{"has_id": [3, 7, 15, 42, 99, 123]}]}, id_col="vec_id")
+    )
+    got = got.drop("embedding")  # with_vectors=False
+    got = S.apply_payload_selector(got, ["tier", "seq"])
+    return got.select(
+        "vec_id",
+        F.element_at("metadata", "tier").alias("tier"),
+        F.element_at("metadata", "seq").alias("seq"),
     )
 
 
