@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .sources.catalog import load_table
-from .workload import register
+from .workload import PREPARE, register
 from .workload_dedup import DUCK_SHINGLES, DUCK_TOKENS, SPARK_SHINGLES, SPARK_TOKENS
 
 PACK_BUDGET = 2048  # tokens per packed context window
@@ -328,6 +328,56 @@ PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\+1-\d{3}-\d{3}-\d{4}"
 
 
+def pii_scrub_frame(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """The PII scrub as a reusable frame transform (batch AND streaming —
+    it is a stateless projection, so the identical expression tree runs
+    under Structured Streaming unchanged): deterministic fixture
+    augmentation, regex detection, redaction fingerprint, filtered to
+    documents that matched.  ``carry`` names passthrough columns.
+
+    Returns (doc_id, *carry, n_emails, n_phones, redacted_fp)."""
+    aug = docs.select(
+        "doc_id",
+        *carry,
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call +1-202-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    n_emails = F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_PHONE_RE, "[PHONE]"),
+        PII_EMAIL_RE,
+        "[EMAIL]",
+    )
+    return (
+        aug.select(
+            "doc_id",
+            *carry,
+            n_emails.cast("bigint").alias("n_emails"),
+            n_phones.cast("bigint").alias("n_phones"),
+            F.md5(redacted).alias("redacted_fp"),
+        )
+        .filter(F.col("n_emails") + F.col("n_phones") > 0)
+    )
+
+
 @register(
     "pii_redaction",
     f"""
@@ -364,42 +414,54 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document codegen projection: no shuffle, no UDF, regexes from
     the Java∩RE2 common dialect so every engine in the lake agrees on
     what was scrubbed."""
-    docs = load_table(spark, sf_dir, "documents")
-    aug = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(
-                    F.lit(" contact user"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@example.com now"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 11 == 0,
-                F.concat(
-                    F.lit(" call +1-202-555-"),
-                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-                    F.lit(" today"),
-                ),
-            ).otherwise(F.lit("")),
-        ).alias("t"),
-    )
-    n_emails = F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_EMAIL_RE), F.lit(0)))
-    n_phones = F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_PHONE_RE), F.lit(0)))
-    redacted = F.regexp_replace(
-        F.regexp_replace(F.col("t"), PII_PHONE_RE, "[PHONE]"),
-        PII_EMAIL_RE,
-        "[EMAIL]",
-    )
-    return (
-        aug.select(
-            "doc_id",
-            n_emails.cast("bigint").alias("n_emails"),
-            n_phones.cast("bigint").alias("n_phones"),
-            F.md5(redacted).alias("redacted_fp"),
-        )
-        .filter(F.col("n_emails") + F.col("n_phones") > 0)
-    )
+    return pii_scrub_frame(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "stream_pii_scrub",
+    f"""
+WITH aug AS (
+  SELECT doc_id, source,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+            ELSE '' END AS t
+  FROM documents
+),
+f AS (
+  SELECT source,
+    len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS ne,
+    len(regexp_extract_all(t, '\\+1-\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS np
+  FROM aug
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ne) AS BIGINT) AS n_emails, CAST(sum(np) AS BIGINT) AS n_phones
+FROM f WHERE ne + np > 0
+GROUP BY source
+""",
+)
+def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII scrub as a continuous pipeline stage: documents arrive as
+    a file stream, the IDENTICAL stateless scrub projection
+    (``pii_scrub_frame`` — same expression tree as the batch
+    ``pii_redaction``) runs per micro-batch, flagged rows append to the
+    sink, and the drained per-source totals must equal the batch
+    aggregation — the all-data-is-streaming-data posture: one scrub
+    definition serves both the backfill and the live feed."""
+    from .streaming.scrub import pii_scrub_stream
+
+    return pii_scrub_stream(spark, sf_dir)
+
+
+def _prepare_docs_staging(spark: SparkSession, sf_dir: str) -> None:
+    """Stage the streaming documents source out-of-band (bench warmup) —
+    the scrub stream then pays only its own micro-batches."""
+    from .streaming.scrub import staged_documents_path
+
+    staged_documents_path(spark, sf_dir)
+
+
+PREPARE.append(_prepare_docs_staging)
