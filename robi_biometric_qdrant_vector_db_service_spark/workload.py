@@ -175,6 +175,137 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic-fold L1 distance (defined ahead of its first oracle use in
+# query_batch_points; knn_manhattan_topk shares it below).  Bit-parity:
+# both engines evaluate the same seeded left-fold (0.0 + d1 == d1 exactly,
+# so Spark's seeded aggregate == DuckDB's unseeded list_reduce).
+_DL1 = (
+    "list_reduce(list_transform(list_zip(CAST({a} AS DOUBLE[]), "
+    "CAST({b} AS DOUBLE[])), p -> abs(p[1] - p[2])), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "named_vector_search",
+    f"""
+WITH pts AS (
+  SELECT vec_id, embedding AS dense, list_reverse(embedding) AS rev
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, dense AS qd, rev AS qr FROM pts WHERE vec_id < {N_QUERIES}
+),
+sd AS (
+  SELECT 'dense' AS space, q.q_id, p.vec_id, {_dcos('p.dense', 'q.qd')} AS score
+  FROM pts p CROSS JOIN q
+),
+sr AS (
+  SELECT 'rev' AS space, q.q_id, p.vec_id, {_dcos('p.rev', 'q.qr')} AS score
+  FROM pts p CROSS JOIN q
+),
+ranked AS (
+  SELECT space, q_id, vec_id, score,
+         row_number() OVER (PARTITION BY space, q_id ORDER BY score DESC, vec_id) AS rank
+  FROM (SELECT * FROM sd UNION ALL SELECT * FROM sr)
+)
+SELECT space, q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def named_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant named vector spaces: a point carries several vectors
+    (``{{"dense": …, "rev": …}}``) and a request picks one with
+    ``using=``.  Columnar-natively, each named space IS a column — the
+    ``using`` selector is column choice, so per-space searches scan only
+    their space's bytes (parquet column pruning; unused spaces are never
+    read).  The fixture's second space is the reversed embedding
+    (deterministic, genuinely distinct fold order); both spaces are
+    searched here, tagged, and ranked independently."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding").alias("dense"),
+        F.reverse("embedding").alias("rev"),
+    )
+    probes = pts.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("dense").alias("qd"),
+        F.col("rev").alias("qr"),
+    )
+    out_d = S.knn_search(
+        pts,
+        probes.select("q_id", F.col("qd").alias("q_emb")),
+        k=5,
+        corpus_vec="dense",
+    ).withColumn("space", F.lit("dense"))
+    out_r = S.knn_search(
+        pts,
+        probes.select("q_id", F.col("qr").alias("q_emb")),
+        k=5,
+        corpus_vec="rev",
+    ).withColumn("space", F.lit("rev"))
+    return out_d.unionByName(out_r).select("space", "q_id", "vec_id", "rank", "score")
+
+
+@register(
+    "query_batch_points",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+s1 AS (
+  SELECT 1 AS req_id, q.q_id, e.vec_id, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+),
+s2 AS (
+  SELECT 2 AS req_id, q.q_id, e.vec_id, {_dcos('e.embedding', 'q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q WHERE e.label IN (2, 5)
+),
+s3 AS (
+  SELECT 3 AS req_id, q.q_id, e.vec_id,
+         {_DL1.format(a='e.embedding', b='q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT req_id, q_id, vec_id, score,
+         row_number() OVER (
+           PARTITION BY req_id, q_id
+           ORDER BY CASE WHEN req_id = 3 THEN score ELSE -score END, vec_id) AS rank
+  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+)
+SELECT CAST(req_id AS INT) AS req_id, q_id, vec_id, CAST(rank AS INT) AS rank,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def query_batch_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``query_batch_points``: several heterogeneous requests in
+    one call — here a plain cosine top-5, a combinator-filtered top-5,
+    and a manhattan-metric top-5 over the same probe batch, results
+    tagged by request.  Each sub-request keeps its own plan (filter
+    pushdown, metric polarity); the union is plan-level composition, not
+    a new operator — the batch API's promise is amortizing the round
+    trip, which the one-job union delivers."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    probes = _probes(spark, sf_dir)
+    r1 = S.knn_search(corpus, probes, k=5).withColumn("req_id", F.lit(1))
+    r2 = S.knn_search(
+        corpus,
+        probes,
+        k=5,
+        query_filter={"must": [{"key": "label", "match": {"any": [2, 5]}}]},
+        corpus_id="vec_id",
+    ).withColumn("req_id", F.lit(2))
+    r3 = S.knn_search(corpus, probes, k=5, metric="manhattan").withColumn(
+        "req_id", F.lit(3)
+    )
+    return (
+        r1.unionByName(r2)
+        .unionByName(r3)
+        .select(F.col("req_id").cast("int"), "q_id", "vec_id", "rank", "score")
+    )
+
+
 @register(
     "knn_offset_page",
     _ORACLE_SCORED
@@ -202,13 +333,8 @@ def knn_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Manhattan-metric top-k — Qdrant's public Distance.MANHATTAN (the
 # reference pins COSINE, qdrant_client.py:105; the metric enum is the
 # other public axis of the same search surface).  Distances rank
-# ASCENDING.  Bit-parity: both engines evaluate the same seeded left-fold
-# (0.0 + d1 == d1 exactly, so Spark's seeded aggregate == DuckDB's
-# unseeded list_reduce).
-_DL1 = (
-    "list_reduce(list_transform(list_zip(CAST({a} AS DOUBLE[]), "
-    "CAST({b} AS DOUBLE[])), p -> abs(p[1] - p[2])), (acc, x) -> acc + x)"
-)
+# ASCENDING.  The shared deterministic-fold L1 oracle fragment _DL1 is
+# defined above query_batch_points.
 
 
 @register(
