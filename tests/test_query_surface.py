@@ -454,6 +454,8 @@ def test_qdrant_filter_combinator_semantics(spark):
         build_filter({"must": [{"key": "population", "range": {}}]})
     with pytest.raises(ValueError, match="min_should requires"):
         build_filter({"min_should": {"conditions": [], "min_count": 1}})
+    with pytest.raises(NotImplementedError, match="array-of-objects"):
+        build_filter({"must": [{"nested": {"key": "items", "filter": {}}}]})
 
 
 def test_count_points_empty_spec_consistency(spark):
