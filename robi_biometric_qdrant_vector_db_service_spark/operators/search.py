@@ -240,6 +240,7 @@ def recommend_probes(
     *,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    lookup_from: DataFrame | None = None,
 ) -> DataFrame:
     """The ``average_vector`` probe synthesis shared by every recommend
     variant (``recommend``, ``recommend_groups``): resolve the example
@@ -250,9 +251,16 @@ def recommend_probes(
 
     ``examples``: (q_id, vec_id, polarity∈{'pos','neg'}).  Request-sized
     throughout — posexplode → per-dimension avg → array re-assembly all
-    run on the bounded example set.  Returns (q_id, q_emb)."""
+    run on the bounded example set.  Returns (q_id, q_emb).
+
+    ``lookup_from`` is Qdrant's ``recommend(lookup_from=…)``: resolve the
+    example ids against ANOTHER collection (same id/vector column names)
+    while still searching ``corpus`` — the cross-collection
+    recommend-by-example pattern.  The lookup side is touched only by the
+    request-sized example join, never scanned for scoring."""
+    source = corpus if lookup_from is None else lookup_from
     ex_vecs = examples.join(
-        corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_emb")),
+        source.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_emb")),
         "vec_id",
     )
     dims = ex_vecs.select(

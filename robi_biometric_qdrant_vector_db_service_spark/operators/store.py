@@ -279,6 +279,76 @@ class VectorStore:
             dst._publish_manifest(self._read_manifest(), self._read_file_stats())
         return dst
 
+    def snapshot(self, dest: str, *, version: int | None = None) -> str:
+        """Qdrant ``create_snapshot``: a SELF-CONTAINED, portable copy of
+        one collection version — every referenced data file plus a
+        manifest rewritten to relative paths — that ``restore`` can open
+        anywhere (another root, another machine).  Unlike ``clone`` (which
+        borrows the source's files and dies with a source-side vacuum),
+        a snapshot owns its bytes: the deep-copy cost is the price of the
+        portability and vacuum-immunity Qdrant's snapshot tarball has.
+
+        Pinned to the CURRENT version by default (or an explicit
+        ``version``) — mutations on the source after the snapshot never
+        leak in.  Returns ``dest``."""
+        manifest = self._read_manifest(version)
+        stats = self._read_file_stats(version)
+        os.makedirs(dest, exist_ok=True)
+        rel_buckets: dict[str, list[str]] = {}
+        rel_stats: dict[str, list[float]] = {}
+        n = 0
+        for b, files in manifest.items():
+            rels = []
+            for f in files:
+                rel = f"data/f{n:06d}.parquet"
+                n += 1
+                os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+                shutil.copyfile(f, os.path.join(dest, rel))
+                rels.append(rel)
+                if f in stats:
+                    rel_stats[rel] = stats[f]
+            rel_buckets[str(b)] = rels
+        with open(os.path.join(dest, "snapshot.json"), "w") as f:
+            json.dump(
+                {
+                    "n_buckets": self.n_buckets,
+                    "buckets": rel_buckets,
+                    "file_stats": rel_stats,
+                },
+                f,
+            )
+        return dest
+
+    @classmethod
+    def restore(cls, spark: SparkSession, snapshot_dir: str, root: str) -> "VectorStore":
+        """Qdrant ``recover_snapshot``: open a snapshot as a fresh
+        collection at ``root``.  Data files are copied under the new root
+        (the restored store owns its bytes) and the relative manifest is
+        re-anchored as version 0."""
+        meta_path = os.path.join(snapshot_dir, "snapshot.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(f"{snapshot_dir!r} is not a snapshot (no snapshot.json)")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        store = cls(spark, root, n_buckets=meta["n_buckets"])
+        if store._current_version() >= 0:
+            raise ValueError(f"refusing to restore into initialized store {root!r}")
+        seg = os.path.join(root, "seg_restored")
+        buckets: dict[int, list[str]] = {}
+        stats: dict[str, list[float]] = {}
+        for b, rels in meta["buckets"].items():
+            outs = []
+            for rel in rels:
+                dst = os.path.join(seg, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(os.path.join(snapshot_dir, rel), dst)
+                outs.append(dst)
+                if rel in meta.get("file_stats", {}):
+                    stats[dst] = meta["file_stats"][rel]
+            buckets[int(b)] = outs
+        store._publish_manifest(buckets, stats)
+        return store
+
     # -- reads --------------------------------------------------------------
 
     def read(

@@ -1243,6 +1243,33 @@ def store_search_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_restore_read",
+    """
+SELECT CAST(vec_id AS VARCHAR) AS point_id, 'green' AS gen
+FROM embeddings WHERE vec_id < 60
+""",
+)
+def snapshot_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``create_snapshot`` / ``recover_snapshot``: a self-contained
+    portable copy of one collection version, restored as a fresh
+    collection and read back.  Unlike the zero-copy ``clone`` (borrowed
+    files, dies with source-side vacuum), the snapshot owns its bytes —
+    the oracle describes the snapshotted version exactly; pinning against
+    post-snapshot source mutations is pytest-covered
+    (tests/test_invariants.py)."""
+    import tempfile
+
+    from .operators.store import VectorStore
+
+    _, green = _blue_green_stores(spark, sf_dir)
+    snap = green.snapshot(tempfile.mkdtemp(prefix="snap_"))
+    restored = VectorStore.restore(spark, snap, tempfile.mkdtemp(prefix="restored_"))
+    return restored.read().select(
+        "point_id", F.element_at("metadata", "gen").alias("gen")
+    )
+
+
+@register(
     "tenant_routed_search",
     f"""
 WITH q AS (
@@ -2619,11 +2646,12 @@ from . import workload_graph  # noqa: E402,F401
 # — the 7 from early r10 (set_payload_points, fixed after the r9
 # regression; scroll_start_from, sparse_knn_topk, hybrid_search_rrf,
 # recommend_best_score, context_pairs_search, points_update_batch) plus
-# the 12 new late-r10 surfaces (formula_rescore_topk,
+# the 15 new late-r10 surfaces (formula_rescore_topk,
 # tenant_routed_search, pii_redaction, matrix_offsets_coo,
 # knn_offset_page, alias_blue_green_read, scroll_payload_selector,
 # recommend_groups_topk, retrieve_points, stream_pii_scrub,
-# named_vector_search, query_batch_points); (b) queries whose operator
+# named_vector_search, query_batch_points, snapshot_restore_read,
+# chunk_dedup_groups, domain_blocklist_filter); (b) queries whose operator
 # code changed this round and must re-certify: count_filtered (count_points
 # empty-spec change) / advanced_filter_should_not / knn_combinator_filtered
 # / payload_index_filter / scroll_filtered (payload_index min_should
@@ -2633,10 +2661,11 @@ from . import workload_graph  # noqa: E402,F401
 # search_groups_lookup (exclude param) — knn_search's offset param is
 # plan-identical at offset=0 (PLANS_r10 byte-diff clean), so the knn_*
 # family re-certifies via the local replica, not window slots; (c) the
-# FULL 18-query r7-stale cohort promised by the r9 rotation
-# (purchase_attribution_asof … vector_norms), then the r8-stale cohort
-# cut alphabetically at the 50-row cap (adaptive_search,
-# add_batch_append).  The r8-stale remainder (ann_ivfpq_topk,
+# 18-query r7-stale cohort promised by the r9 rotation, cut at the
+# 50-row cap after its first 17 entries (purchase_attribution_asof …
+# top_revenue_customers).  The leftover — vector_norms (r7-stale) plus
+# the whole r8-stale cohort (adaptive_search, add_batch_append,
+# ann_ivfpq_topk,
 # ann_signlsh_topk, approx_distinct_parts, benchmark_decontamination,
 # bm25_top_docs, collection_stats, cube_orders, dbsf_fusion_topk,
 # dedup_keep_newest, delete_by_id, delete_by_predicate, delete_by_user,
@@ -2647,7 +2676,7 @@ from . import workload_graph  # noqa: E402,F401
 # multi_vector_fusion, payload_projection, qty_pivot_by_status,
 # quality_weighted_sample, random_sample_points, rollup_returns,
 # running_ops_stats, salted_user_rollup, scroll_keyset, sequence_packing,
-# sessionization, simhash_hamming_pairs, similarity_matrix_topk) stays
+# sessionization, simhash_hamming_pairs, similarity_matrix_topk) — stays
 # local-replica-only and leads the r11 rotation.
 FRONT_QUERIES = [
     # (a) never driver-windowed — early-r10 batch
@@ -2671,6 +2700,9 @@ FRONT_QUERIES = [
     "stream_pii_scrub",
     "named_vector_search",
     "query_batch_points",
+    "snapshot_restore_read",
+    "chunk_dedup_groups",
+    "domain_blocklist_filter",
     # (b) changed this round
     "count_filtered",
     "advanced_filter_should_not",
@@ -2701,8 +2733,4 @@ FRONT_QUERIES = [
     "tfidf_top_terms",
     "top_part_per_supplier",
     "top_revenue_customers",
-    "vector_norms",
-    # (c) r8-stale cohort, alphabetical to the cap
-    "adaptive_search",
-    "add_batch_append",
 ]

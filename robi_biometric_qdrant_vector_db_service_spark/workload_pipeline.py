@@ -465,3 +465,141 @@ def _prepare_docs_staging(spark: SparkSession, sf_dir: str) -> None:
 
 
 PREPARE.append(_prepare_docs_staging)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup + URL blocklist — two more curation gates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_dedup_groups",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE text IS NOT NULL),
+s AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS BIGINT) AS start
+  FROM t
+),
+c AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, start + 1, least(start + {CHUNK_SIZE}, len(toks))), ' ')) AS chunk_fp
+  FROM s
+  WHERE len(list_slice(toks, start + 1, least(start + {CHUNK_SIZE}, len(toks)))) = {CHUNK_SIZE}
+)
+SELECT chunk_fp,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(doc_id) AS first_doc
+FROM c
+GROUP BY chunk_fp
+HAVING count(DISTINCT doc_id) > 1
+""",
+)
+def chunk_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level (chunk-granular) exact dedup: the same 32-token
+    windows ``doc_chunks`` feeds the trainer, fingerprinted and grouped —
+    a window appearing in MORE THAN ONE document marks a shared span the
+    doc-level dedup family can miss (boilerplate headers, quoted
+    passages, license blocks).  Only full-size windows participate
+    (short tails would alias trivially).
+
+    Scale: fingerprint group-by over the exploded chunks — one shuffle
+    on md5(chunk); the explode is the same shuffle-free projection as
+    ``doc_chunks``, so the whole op is the exact-dedup plan at chunk
+    granularity."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = F.expr(f"sequence(0, greatest(size(toks) - 1, 0), {CHUNK_STRIDE})")
+    chunk = F.expr(f"slice(toks, start + 1, {CHUNK_SIZE})")
+    c = (
+        t.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select("doc_id", F.size(chunk).alias("clen"), F.md5(F.array_join(chunk, " ")).alias("chunk_fp"))
+        .filter(F.col("clen") == CHUNK_SIZE)
+    )
+    return (
+        c.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# Java∩RE2 common dialect, like the PII regexes.
+URL_RE = r"https://[A-Za-z0-9.-]+/[A-Za-z0-9/_-]*"
+DOMAIN_RE = r"https://([A-Za-z0-9.-]+)/"
+BLOCKED_DOMAINS = ["site3.example", "site7.example", "site11.example"]
+
+
+@register(
+    "domain_blocklist_filter",
+    f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' see https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR) || ' ok'
+            ELSE '' END
+    || CASE WHEN doc_id % 10 = 0
+            THEN ' and https://site3.example/extra'
+            ELSE '' END AS t
+  FROM documents
+),
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, '{URL_RE}')) AS url FROM aug
+),
+dom AS (
+  SELECT doc_id, regexp_extract(url, '{DOMAIN_RE}', 1) AS domain FROM urls
+)
+SELECT doc_id, domain, CAST(count(*) AS BIGINT) AS n_urls
+FROM dom
+WHERE domain IN ('site3.example', 'site7.example', 'site11.example')
+GROUP BY doc_id, domain
+""",
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain blocklist gate (the provenance filter next to the PII
+    scrub in a distributable-corpus pipeline): extract URLs, parse the
+    domain, flag documents citing a blocklisted domain.  Like the PII
+    fixture, URLs are PLANTED deterministically (the synthetic corpus
+    has none) — the machinery under test is extraction + blocklist
+    matching, which at 100 TB is a per-document projection + an
+    IN-literal filter (a real blocklist of millions of domains becomes a
+    broadcast join against the exploded URL table — same plan family as
+    ``benchmark_decontamination``'s bounded-side broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".example/p"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" ok"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 10 == 0, F.lit(" and https://site3.example/extra")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    urls = aug.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("t"), F.lit(URL_RE), F.lit(0))).alias("url"),
+    )
+    dom = urls.select(
+        "doc_id", F.regexp_extract("url", DOMAIN_RE, 1).alias("domain")
+    )
+    return (
+        dom.filter(F.col("domain").isin(BLOCKED_DOMAINS))
+        .groupBy("doc_id", "domain")
+        .agg(F.count("*").cast("bigint").alias("n_urls"))
+    )

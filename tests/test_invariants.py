@@ -378,3 +378,37 @@ def test_payload_selector_modes(spark):
     for bad in (1.5, {"include": ["a"], "exclude": ["b"]}, {"frob": []}):
         with _pytest.raises(ValueError):
             apply_payload_selector(df, bad)
+
+
+def test_snapshot_is_version_pinned_and_self_contained(spark, tmp_path):
+    """A snapshot owns its bytes and pins the version it was cut at:
+    mutating (or vacuuming) the SOURCE afterwards must not change what a
+    restore sees — the portability contract clone() explicitly lacks."""
+    import pytest as _pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import VectorStore
+
+    store = _payload_store(
+        spark,
+        tmp_path / "src",
+        [("a", [1.0] * 4, "u1", 1.0, {"k": "1"}),
+         ("b", [1.0] * 4, "u2", 2.0, {"k": "2"}),
+         ("c", [1.0] * 4, "u3", 3.0, {})],
+    )
+    snap = store.snapshot(str(tmp_path / "snap"))
+    # post-snapshot source mutations + vacuum (which would break a clone)
+    store.delete_by_id(["a"])
+    store.set_payload(["b"], {"k": "CHANGED"})
+    store.vacuum(keep_versions=1)
+    restored = VectorStore.restore(spark, snap, str(tmp_path / "rst"))
+    out = {r["point_id"]: r["metadata"] for r in restored.read().collect()}
+    assert out == {"a": {"k": "1"}, "b": {"k": "2"}, "c": {}}, out
+    # the restored collection is independently mutable
+    assert restored.delete_by_id(["c"]) == 1
+    assert restored.read().count() == 2
+    assert store.read().count() == 2  # source untouched by restored's ops
+    # guardrails
+    with _pytest.raises(ValueError, match="not a snapshot"):
+        VectorStore.restore(spark, str(tmp_path / "nowhere"), str(tmp_path / "r2"))
+    with _pytest.raises(ValueError, match="initialized"):
+        VectorStore.restore(spark, snap, store.root)

@@ -624,3 +624,34 @@ def test_context_search_zero_loss_ranks_first(spark):
     n = math.sqrt(0.9 ** 2 + 0.1 ** 2)
     expect = round(0.1 / n - 0.9 / n, 12)  # DECIMAL(18,12) contribution
     assert abs(got[4].score - expect) < 1e-12, (got[4].score, expect)
+
+
+def test_recommend_lookup_from_other_collection(spark):
+    """Qdrant recommend(lookup_from=…): example ids resolve against a
+    DIFFERENT collection while the search corpus stays the same — probes
+    built from the lookup collection's vectors must equal probes built
+    from the same vectors living in the corpus."""
+    from pyspark.sql import functions as F
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import recommend_probes
+    from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    # the "catalog" collection: same vectors under offset ids
+    lookup = corpus.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    ex_native = spark.createDataFrame(
+        [(0, 3, "pos"), (0, 5, "pos"), (0, 9, "neg")],
+        "q_id int, vec_id bigint, polarity string",
+    )
+    ex_lookup = ex_native.withColumn("vec_id", F.col("vec_id") + 100000)
+    p1 = recommend_probes(corpus, ex_native).collect()[0]["q_emb"]
+    p2 = recommend_probes(corpus, ex_lookup, lookup_from=lookup).collect()[0]["q_emb"]
+    assert p1 == p2
+    # unknown ids in the lookup collection resolve to nothing → no probe
+    ghost = spark.createDataFrame(
+        [(1, 999999, "pos")], "q_id int, vec_id bigint, polarity string"
+    )
+    assert recommend_probes(corpus, ghost, lookup_from=lookup).count() == 0
