@@ -412,3 +412,30 @@ def test_snapshot_is_version_pinned_and_self_contained(spark, tmp_path):
         VectorStore.restore(spark, str(tmp_path / "nowhere"), str(tmp_path / "r2"))
     with _pytest.raises(ValueError, match="initialized"):
         VectorStore.restore(spark, snap, store.root)
+
+
+def test_restored_snapshot_preserves_ts_skipping_stats(spark, tmp_path):
+    """The snapshot carries each file's ts min/max (relative-keyed) and
+    restore re-anchors them — so DATETIME-index data skipping works on a
+    restored collection exactly as on the source: a disjoint ts_range
+    reads zero files."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import VectorStore
+
+    store = _payload_store(
+        spark,
+        tmp_path / "src",
+        [("a", [1.0] * 4, "u1", 10.0, {}),
+         ("b", [1.0] * 4, "u2", 20.0, {}),
+         ("c", [1.0] * 4, "u3", 30.0, {})],
+    )
+    snap = store.snapshot(str(tmp_path / "snap"))
+    restored = VectorStore.restore(spark, snap, str(tmp_path / "rst"))
+    # stats present for every restored file
+    stats = restored._read_file_stats()
+    live = restored.input_files()
+    assert live and all(f in stats for f in live), (live, list(stats))
+    # in-range read sees the matching rows; disjoint range scans NO files
+    assert {r["point_id"] for r in restored.read(ts_range=(15.0, 25.0)).collect()} == {"b"}
+    pruned = restored.read(ts_range=(1000.0, 2000.0))
+    assert pruned.count() == 0
+    assert not pruned.inputFiles(), "disjoint ts_range must enumerate zero files"
