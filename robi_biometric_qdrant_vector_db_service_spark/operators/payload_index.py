@@ -104,15 +104,137 @@ def advanced_filter(
 #             SQL 3VL, so must_not(c) compiles to ``c IS NOT TRUE``)
 #   min_should: at least ``min_count`` of the conditions TRUE
 #
-# Conditions are the wire-format dicts: {"key", "match"|"range"},
-# {"is_null": {"key"}}, {"is_empty": {"key"}}, {"has_id": [...]}, or a
-# nested Filter dict (combinators recurse).  Every leaf lands on a typed
-# (promoted) column, so the whole boolean tree stays a Catalyst predicate:
-# disjunctions and IS-NOT-TRUE negations push to the parquet scan
-# (Or/Not/IsNull all translate to data-source filters; the optimizer's
-# NullPropagation rewrites IsNull(col op lit) to IsNull(col)).
+# Conditions are the wire-format dicts: {"key", "match"|"range"|
+# "datetime_range"|"values_count"|"geo_bounding_box"|"geo_radius"},
+# {"is_null": {"key"}}, {"is_empty": {"key"}}, {"has_id": [...]},
+# {"has_vector": "space"}, or a nested Filter dict (combinators recurse).
+# Every leaf lands on a typed (promoted) column, so the whole boolean tree
+# stays a Catalyst predicate: disjunctions and IS-NOT-TRUE negations push
+# to the parquet scan (Or/Not/IsNull all translate to data-source filters;
+# the optimizer's NullPropagation rewrites IsNull(col op lit) to
+# IsNull(col)).  Full-text / values-count / geo leaves compute over the
+# column (split / size / haversine) so they evaluate post-scan — still
+# codegen'd, shuffle-free filters, just not row-group-skippable; Qdrant
+# pays the same shape (those condition types hit its secondary indexes,
+# not the id-ordered store).
 
 _CLAUSES = ("must", "should", "must_not", "min_should")
+
+# Qdrant text-index defaults (TextIndexParams: tokenizer=word,
+# lowercase=true): split on any non-alphanumeric run, lowercase.  The
+# SAME normalization is applied to the query string (Python) and the
+# field (Catalyst split/regexp_replace), mirroring index-time vs
+# query-time analysis in Qdrant.
+_TOKEN_BREAK_RE = "[^a-z0-9]+"
+
+
+def _text_tokens(query: str) -> list[str]:
+    import re
+
+    toks = [t for t in re.split(_TOKEN_BREAK_RE, str(query).lower()) if t]
+    if not toks:
+        raise ValueError(f"text/phrase match needs at least one token: {query!r}")
+    return toks
+
+
+def _match_text(col: Column, query: str) -> Column:
+    """Qdrant ``MatchText`` (full-text index, word tokenizer): every query
+    token present in the field's token set, any order."""
+    toks = F.split(F.lower(col), _TOKEN_BREAK_RE)
+    out = None
+    for t in _text_tokens(query):
+        term = F.array_contains(toks, t)
+        out = term if out is None else out & term
+    return out
+
+
+def _match_phrase(col: Column, query: str) -> Column:
+    """Qdrant ``MatchPhrase``: the query tokens appear consecutively in
+    order.  Normalize the field to single-space-joined tokens and test
+    substring on token boundaries (space-padded Contains — codegen'd)."""
+    norm = F.regexp_replace(F.lower(col), _TOKEN_BREAK_RE, " ")
+    needle = " " + " ".join(_text_tokens(query)) + " "
+    return F.concat(F.lit(" "), norm, F.lit(" ")).contains(needle)
+
+
+def _range_predicate(col: Column, r: dict, *, bound=None) -> Column:
+    """Shared gt/gte/lt/lte conjunction for ``range`` / ``datetime_range``
+    / ``values_count``.  ``bound`` maps a wire bound value to a literal
+    Column (datetime parsing); default is a plain literal."""
+    bounds = []
+    lit = bound or (lambda v: F.lit(v))
+    if "gt" in r:
+        bounds.append(col > lit(r["gt"]))
+    if "gte" in r:
+        bounds.append(col >= lit(r["gte"]))
+    if "lt" in r:
+        bounds.append(col < lit(r["lt"]))
+    if "lte" in r:
+        bounds.append(col <= lit(r["lte"]))
+    if not bounds:
+        raise ValueError(f"range needs at least one of gt/gte/lt/lte: {r}")
+    out = bounds[0]
+    for b in bounds[1:]:
+        out = out & b
+    return out
+
+
+def _datetime_bound(v) -> Column:
+    """A ``datetime_range`` bound: RFC3339/ISO strings parse via
+    ``to_timestamp`` (constant-folded; '…Z' and offset forms included),
+    numbers are epoch seconds (the reference's own stamp,
+    qdrant_client.py:211)."""
+    if isinstance(v, str):
+        return F.to_timestamp(F.lit(v.replace("Z", "+00:00")))
+    return F.timestamp_seconds(F.lit(v))
+
+
+def _values_count(col: Column, r: dict) -> Column:
+    """Qdrant ``ValuesCount``: bounds on the NUMBER of values under the
+    key — an absent field counts 0, an array its size (targets
+    array-typed promoted columns; a scalar field is the trivial count 1).
+    The count expression is never NULL, so negation is plain NOT."""
+    n = F.when(col.isNull(), F.lit(0)).otherwise(F.size(col))
+    return _range_predicate(n, r)
+
+
+def _geo_struct(v: dict) -> tuple[float, float]:
+    return float(v["lat"]), float(v["lon"])
+
+
+def _geo_bounding_box(col: Column, box: dict) -> Column:
+    """Qdrant ``GeoBoundingBox``: field is a geo point (struct with
+    ``lat``/``lon`` DOUBLE).  Latitude band plus a longitude interval
+    that may wrap the antimeridian (top_left.lon > bottom_right.lon →
+    OR of the two half-intervals), matching Qdrant's wrap semantics."""
+    tl_lat, tl_lon = _geo_struct(box["top_left"])
+    br_lat, br_lon = _geo_struct(box["bottom_right"])
+    lat, lon = col["lat"], col["lon"]
+    out = (lat <= F.lit(tl_lat)) & (lat >= F.lit(br_lat))
+    if tl_lon <= br_lon:
+        out = out & (lon >= F.lit(tl_lon)) & (lon <= F.lit(br_lon))
+    else:  # antimeridian wrap
+        out = out & ((lon >= F.lit(tl_lon)) | (lon <= F.lit(br_lon)))
+    return out
+
+
+_EARTH_RADIUS_M = 6371000.0  # mean radius, Qdrant's haversine basis
+
+
+def _geo_radius(col: Column, spec: dict) -> Column:
+    """Qdrant ``GeoRadius``: haversine great-circle distance from
+    ``center`` <= ``radius`` meters, computed in fused codegen (radians/
+    sin/cos/asin/sqrt are all Catalyst builtins — no UDF)."""
+    c_lat, c_lon = _geo_struct(spec["center"])
+    radius = float(spec["radius"])
+    lat1, lon1 = F.radians(F.lit(c_lat)), F.radians(F.lit(c_lon))
+    lat2, lon2 = F.radians(col["lat"]), F.radians(col["lon"])
+    h = (
+        F.pow(F.sin((lat2 - lat1) / 2), 2)
+        + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin((lon2 - lon1) / 2), 2)
+    )
+    dist = 2 * F.lit(_EARTH_RADIUS_M) * F.asin(F.sqrt(h))
+    return dist <= F.lit(radius)
 
 
 def _condition(cond: dict, id_col: str) -> Column:
@@ -141,9 +263,16 @@ def _condition(cond: dict, id_col: str) -> Column:
         # Qdrant IsEmpty: field absent OR an empty array.
         c = F.col(cond["is_empty"]["key"])
         return c.isNull() | (F.size(c) == 0)
+    if "has_vector" in cond:
+        # Qdrant HasVector: the point carries a vector in the named
+        # space.  Column-per-space model (named_vector_search): the space
+        # IS a column, so presence is a plain IsNotNull — pushable.
+        return F.col(cond["has_vector"]).isNotNull()
     key = cond.get("key")
     if key is None:
-        raise ValueError(f"condition needs 'key' (or has_id/is_null/is_empty): {cond}")
+        raise ValueError(
+            f"condition needs 'key' (or has_id/is_null/is_empty/has_vector): {cond}"
+        )
     col = F.col(key)
     if "match" in cond:
         m = cond["match"]
@@ -155,24 +284,31 @@ def _condition(cond: dict, id_col: str) -> Column:
         if "except" in m:
             # MatchExcept: everything except these values — absent passes.
             return ~col.isin(list(m["except"])) | col.isNull()
-        raise ValueError(f"match needs value/any/except: {m}")
+        if "text" in m:
+            return _match_text(col, m["text"])
+        if "phrase" in m:
+            return _match_phrase(col, m["phrase"])
+        raise ValueError(f"match needs value/any/except/text/phrase: {m}")
     if "range" in cond:
-        r = cond["range"]
-        bounds = []
-        if "gt" in r:
-            bounds.append(col > r["gt"])
-        if "gte" in r:
-            bounds.append(col >= r["gte"])
-        if "lt" in r:
-            bounds.append(col < r["lt"])
-        if "lte" in r:
-            bounds.append(col <= r["lte"])
-        if not bounds:
-            raise ValueError(f"range needs at least one of gt/gte/lt/lte: {r}")
-        out = bounds[0]
-        for b in bounds[1:]:
-            out = out & b
-        return out
+        return _range_predicate(col, cond["range"])
+    if "datetime_range" in cond:
+        return _range_predicate(col, cond["datetime_range"], bound=_datetime_bound)
+    if "values_count" in cond:
+        return _values_count(col, cond["values_count"])
+    if "geo_bounding_box" in cond:
+        return _geo_bounding_box(col, cond["geo_bounding_box"])
+    if "geo_radius" in cond:
+        return _geo_radius(col, cond["geo_radius"])
+    if "geo_polygon" in cond:
+        # Point-in-polygon ray casting over an arbitrary-length ring is a
+        # loop, not a fixed predicate tree; model polygon regions as a
+        # promoted region column (the relational form) or cover with
+        # bounding-box + radius conditions.
+        raise NotImplementedError(
+            "geo_polygon is not compiled to a predicate; pre-assign a region "
+            "id at layout time (promoted column) and filter on it, or "
+            "approximate with geo_bounding_box/geo_radius"
+        )
     raise ValueError(f"unsupported condition: {cond}")
 
 
@@ -192,6 +328,13 @@ def _negate(cond: dict, id_col: str) -> Column:
     if "is_empty" in cond:
         c = F.col(cond["is_empty"]["key"])
         return c.isNotNull() & (F.size(c) > 0)
+    if "has_vector" in cond:  # no vector in the space — exact complement
+        return F.col(cond["has_vector"]).isNull()
+    if "values_count" in cond:
+        # the count expression is 0 for absent fields, never NULL — and
+        # Qdrant evaluates ValuesCount on the 0, so an absent field does
+        # NOT get the blanket absent-passes treatment: plain NOT.
+        return ~_condition(cond, id_col)
     if "match" in cond and "except" in cond["match"]:
         # NOT(everything-except-these) = value IS one of these
         return F.col(cond["key"]).isin(list(cond["match"]["except"]))

@@ -1662,6 +1662,280 @@ def payload_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shaped
 
 
+@register(
+    "match_text_filter",
+    """
+SELECT doc_id, lang, source
+FROM documents
+WHERE list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'spark')
+  AND list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'window')
+  AND list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'query')
+  AND (list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'vector')
+       IS NOT TRUE)
+""",
+)
+def match_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``MatchText`` (full-text payload index, ``match: {"text":
+    …}``): every query token present in the field under the text index's
+    word tokenizer + lowercasing — here as a ``must`` text match AND a
+    ``must_not`` text match (IS-NOT-TRUE negation).  The reference's
+    payload filters are exact-match only (advanced_indexing.py:147-208);
+    this is the text-index condition Qdrant adds on top.  Columnar shape:
+    one scan, the tokenization + containment runs fused in codegen —
+    Qdrant pays an inverted-index probe instead; at 100 TB the relational
+    analogue of that index is ``tfidf_top_terms``'s posting table, and
+    this predicate is the scan-side fallback that needs no index at all."""
+    from .operators.payload_index import qdrant_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return qdrant_filter(
+        docs,
+        {
+            "must": [{"key": "text", "match": {"text": "spark window query"}}],
+            "must_not": [{"key": "text", "match": {"text": "vector"}}],
+        },
+        id_col="doc_id",
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "match_phrase_filter",
+    """
+SELECT doc_id, n_chars
+FROM documents
+WHERE concat(' ', regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')
+      LIKE '% fast sort %'
+""",
+)
+def match_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``MatchPhrase`` (``match: {"phrase": …}``, phrase matching
+    on a text index): the query tokens appear CONSECUTIVELY in order.
+    Compiled to a token-boundary substring test over the word-normalized
+    field (space-padded Contains) — one scan, zero shuffles, fused
+    codegen; order sensitivity is what distinguishes it from MatchText's
+    bag-of-tokens conjunction."""
+    from .operators.payload_index import qdrant_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return qdrant_filter(
+        docs,
+        {"must": [{"key": "text", "match": {"phrase": "fast sort"}}]},
+        id_col="doc_id",
+    ).select("doc_id", "n_chars")
+
+
+@register(
+    "values_count_filter",
+    """
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' see https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR) || ' ok'
+            ELSE '' END
+    || CASE WHEN doc_id % 10 = 0
+            THEN ' and https://site3.example/extra'
+            ELSE '' END AS t
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, len(regexp_extract_all(t, 'https?://[^ ]+')) AS n_urls FROM aug
+)
+SELECT doc_id, CAST(n_urls AS INT) AS n_urls
+FROM cnt WHERE n_urls >= 1 AND NOT n_urls >= 2
+""",
+)
+def values_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``ValuesCount`` (``values_count: {gte/lt/…}``): bounds on
+    how many values a payload key holds — the array-cardinality condition
+    its secondary index serves.  Fixture: the URL lists planted by the
+    ``domain_blocklist_filter`` pipeline become an array-typed promoted
+    column; must(count>=1) AND must_not(count>=2) keeps the exactly-one-
+    URL documents.  ValuesCount negation is plain NOT (the count is 0 for
+    absent fields, never NULL — Qdrant evaluates the 0, so must_not does
+    NOT blanket-pass absent rows like match/range negation does)."""
+    from .operators.payload_index import qdrant_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".example/p"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" ok"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 10 == 0, F.lit(" and https://site3.example/extra")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    pts = aug.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("t"), F.lit("https?://[^ ]+"), F.lit(0)).alias("urls"),
+    )
+    return qdrant_filter(
+        pts,
+        {
+            "must": [{"key": "urls", "values_count": {"gte": 1}}],
+            "must_not": [{"key": "urls", "values_count": {"gte": 2}}],
+        },
+        id_col="doc_id",
+    ).select("doc_id", F.size("urls").cast("int").alias("n_urls"))
+
+
+@register(
+    "datetime_range_filter",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+  AND event_type IN ('click', 'purchase', 'view')
+GROUP BY event_type
+""",
+)
+def datetime_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``DatetimeRange`` (``datetime_range: {gte/lt: RFC3339}``,
+    the DATETIME payload-index condition of advanced_indexing.py:61-69
+    promoted to calendar semantics): ISO-string bounds parse to timestamp
+    literals at compile time (constant-folded; session tz pinned UTC on
+    both engines), so the predicate pushes to the parquet scan and prunes
+    row groups on ts min/max — the columnar form of Qdrant's datetime
+    index.  Composed with a keyword ``match any`` and rolled up per type
+    (DECIMAL-exact sum, order-independent)."""
+    from .operators.payload_index import qdrant_filter
+
+    ev = load_table(spark, sf_dir, "events")
+    hits = qdrant_filter(
+        ev,
+        {
+            "must": [
+                {
+                    "key": "ts",
+                    "datetime_range": {
+                        "gte": "2024-01-10T00:00:00",
+                        "lt": "2024-01-12T00:00:00",
+                    },
+                },
+                {"key": "event_type", "match": {"any": ["click", "purchase", "view"]}},
+            ]
+        },
+        id_col="event_id",
+    )
+    return hits.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "geo_filter_search",
+    """
+WITH g AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT c_custkey, lat, lon
+FROM g
+WHERE lat <= 55.0 AND lat >= 35.0 AND lon >= -10.0 AND lon <= 30.0
+  AND 2 * 6371000 * asin(sqrt(
+        pow(sin((radians(lat) - radians(45.0)) / 2), 2)
+        + cos(radians(45.0)) * cos(radians(lat))
+          * pow(sin((radians(lon) - radians(10.0)) / 2), 2))) <= 1500000.0
+""",
+)
+def geo_filter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant geo conditions (``geo_bounding_box`` + ``geo_radius``): the
+    point's geo payload is a struct<lat,lon> column; the box is four
+    pushable comparisons (antimeridian wrap handled as an OR of
+    half-intervals) and the radius is a fused-codegen haversine — no UDF,
+    no shuffle, one scan.  Coordinates derive deterministically from
+    c_custkey (integer arithmetic, identical in the oracle); the fixture's
+    radius boundary margin is ~7 km at sf0.01 (pinned by pytest), far
+    beyond any float divergence between the two engines' libm.  At 100 TB
+    the box predicate prunes row groups when the layout is geo-sorted
+    (Hilbert/Z-order on lat,lon) — the columnar analogue of Qdrant's geo
+    index."""
+    from .operators.payload_index import qdrant_filter
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    ).withColumn("geo", F.struct("lat", "lon"))
+    return qdrant_filter(
+        pts,
+        {
+            "must": [
+                {
+                    "key": "geo",
+                    "geo_bounding_box": {
+                        "top_left": {"lat": 55.0, "lon": -10.0},
+                        "bottom_right": {"lat": 35.0, "lon": 30.0},
+                    },
+                },
+                {
+                    "key": "geo",
+                    "geo_radius": {
+                        "center": {"lat": 45.0, "lon": 10.0},
+                        "radius": 1500000.0,
+                    },
+                },
+            ]
+        },
+        id_col="c_custkey",
+    ).select("c_custkey", "lat", "lon")
+
+
+@register(
+    "has_vector_filter",
+    """
+SELECT vec_id, label
+FROM embeddings
+WHERE label % 3 <> 0 AND NOT vec_id % 4 = 0
+""",
+)
+def has_vector_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``HasVector`` (``has_vector: "space"``): keep points that
+    carry a vector in a named space.  Column-per-space model
+    (``named_vector_search``): presence is IsNotNull on the space's
+    column — pushable, and parquet never reads the vector bytes for the
+    presence test (row-group null counts answer it).  Fixture: the
+    ``rev`` space exists for label%3≠0 points, the ``aux`` space for
+    vec_id%4=0 points; must(has_vector rev) AND must_not(has_vector aux)
+    — the must_not is an exact IsNull complement (a vector column is
+    never semantically three-valued)."""
+    from .operators.payload_index import qdrant_filter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("dense"),
+        F.when(F.col("label") % 3 != 0, F.reverse("embedding")).alias("rev"),
+        F.when(F.col("vec_id") % 4 == 0, F.col("embedding")).alias("aux"),
+    )
+    return qdrant_filter(
+        pts,
+        {
+            "must": [{"has_vector": "rev"}],
+            "must_not": [{"has_vector": "aux"}],
+        },
+        id_col="vec_id",
+    ).select("vec_id", "label")
+
+
 # ---------------------------------------------------------------------------
 # A1/A3/A4 — counts and statistics
 # ---------------------------------------------------------------------------
@@ -2660,11 +2934,17 @@ from . import workload_graph  # noqa: E402,F401
 # recommend_by_examples (recommend_probes extraction), search_groups_topk /
 # search_groups_lookup (exclude param) — knn_search's offset param is
 # plan-identical at offset=0 (PLANS_r10 byte-diff clean), so the knn_*
-# family re-certifies via the local replica, not window slots; (c) the
+# family re-certifies via the local replica, not window slots; then the
+# 6 filter-DSL queries added at the END of r10 (match_text_filter,
+# match_phrase_filter, values_count_filter, datetime_range_filter,
+# geo_filter_search, has_vector_filter — never driver-windowed, and the
+# payload_index compiler they exercise changed with them); (c) the
 # 18-query r7-stale cohort promised by the r9 rotation, cut at the
-# 50-row cap after its first 17 entries (purchase_attribution_asof …
-# top_revenue_customers).  The leftover — vector_norms (r7-stale) plus
-# the whole r8-stale cohort (adaptive_search, add_batch_append,
+# 50-row cap after its first 11 entries (purchase_attribution_asof …
+# stream_dedup_events).  The leftover — stream_hourly_counts,
+# stream_store_ingest, text_stats, tfidf_top_terms,
+# top_part_per_supplier, top_revenue_customers, vector_norms (r7-stale)
+# plus the whole r8-stale cohort (adaptive_search, add_batch_append,
 # ann_ivfpq_topk,
 # ann_signlsh_topk, approx_distinct_parts, benchmark_decontamination,
 # bm25_top_docs, collection_stats, cube_orders, dbsf_fusion_topk,
@@ -2703,6 +2983,13 @@ FRONT_QUERIES = [
     "snapshot_restore_read",
     "chunk_dedup_groups",
     "domain_blocklist_filter",
+    # (a) never driver-windowed — final-r10 filter-DSL batch
+    "match_text_filter",
+    "match_phrase_filter",
+    "values_count_filter",
+    "datetime_range_filter",
+    "geo_filter_search",
+    "has_vector_filter",
     # (b) changed this round
     "count_filtered",
     "advanced_filter_should_not",
@@ -2727,10 +3014,4 @@ FRONT_QUERIES = [
     "shingle_novelty",
     "stream_attribution_join",
     "stream_dedup_events",
-    "stream_hourly_counts",
-    "stream_store_ingest",
-    "text_stats",
-    "tfidf_top_terms",
-    "top_part_per_supplier",
-    "top_revenue_customers",
 ]

@@ -16,7 +16,7 @@ from robi_biometric_qdrant_vector_db_service_spark.operators.search import (
     search_groups,
 )
 from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def _plan(df) -> str:
@@ -456,6 +456,125 @@ def test_qdrant_filter_combinator_semantics(spark):
         build_filter({"min_should": {"conditions": [], "min_count": 1}})
     with pytest.raises(NotImplementedError, match="array-of-objects"):
         build_filter({"must": [{"nested": {"key": "items", "filter": {}}}]})
+
+
+def test_qdrant_filter_extended_condition_types(spark):
+    """The r10 condition types: MatchText (bag-of-tokens AND), MatchPhrase
+    (consecutive, token-boundary), ValuesCount (absent counts 0, negation
+    is plain NOT), DatetimeRange (ISO-string and epoch bounds),
+    GeoBoundingBox (incl. antimeridian wrap), GeoRadius (haversine),
+    HasVector (exact IsNull complement under must_not); geo_polygon and
+    empty token lists fail loud."""
+    import datetime as dt
+
+    import pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.payload_index import (
+        build_filter,
+        qdrant_filter,
+    )
+
+    rows = [
+        # id, text, tags, ts, lat, lon, rev-vector
+        ("1", "The quick brown fox.", ["a"], dt.datetime(2024, 1, 5), 0.0, 0.0, [1.0]),
+        ("2", "Quick, quick: BROWN row", [], dt.datetime(2024, 1, 15), 1.0, 0.0, None),
+        ("3", "brown then later quick", None, dt.datetime(2024, 2, 1), 0.0, 179.5, [2.0]),
+        ("4", None, ["a", "b", "c"], None, 0.0, -179.5, None),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "point_id string, text string, tags array<string>, ts timestamp, "
+            "lat double, lon double, rev array<double>",
+        )
+        .withColumn("geo", F.struct("lat", "lon"))
+    )
+
+    def ids(spec):
+        return sorted(r.point_id for r in qdrant_filter(df, spec).collect())
+
+    # MatchText: every token present, any order, punctuation/case ignored
+    assert ids({"must": [{"key": "text", "match": {"text": "quick brown"}}]}) == [
+        "1", "2", "3"
+    ]
+    assert ids({"must": [{"key": "text", "match": {"text": "Fox QUICK"}}]}) == ["1"]
+    # must_not text: absent-field row 4 passes
+    assert ids({"must_not": [{"key": "text", "match": {"text": "quick"}}]}) == ["4"]
+    # MatchPhrase: order + adjacency; 'row' must not match inside 'brown'
+    assert ids({"must": [{"key": "text", "match": {"phrase": "quick brown"}}]}) == [
+        "1", "2"
+    ]
+    assert ids({"must": [{"key": "text", "match": {"phrase": "brown quick"}}]}) == []
+    assert ids({"must": [{"key": "text", "match": {"phrase": "row"}}]}) == ["2"]
+    # ValuesCount: absent field counts 0 → lt:2 keeps rows 2 (0), 1 (1), 3/4 (0/3)
+    assert ids({"must": [{"key": "tags", "values_count": {"gte": 2}}]}) == ["4"]
+    assert ids({"must": [{"key": "tags", "values_count": {"lt": 1}}]}) == ["2", "3"]
+    # must_not(values_count lt 1): the count-0 rows are EXCLUDED — plain NOT,
+    # no blanket absent-passes (row 3's NULL array evaluates as 0)
+    assert ids({"must_not": [{"key": "tags", "values_count": {"lt": 1}}]}) == ["1", "4"]
+    # DatetimeRange: ISO-string bounds; NULL ts (row 4) never matches
+    assert ids(
+        {"must": [{"key": "ts", "datetime_range": {
+            "gte": "2024-01-01T00:00:00", "lt": "2024-01-20T00:00:00"}}]}
+    ) == ["1", "2"]
+    # epoch-seconds bound (2024-01-10 UTC = 1704844800)
+    assert ids(
+        {"must": [{"key": "ts", "datetime_range": {"gte": 1704844800}}]}
+    ) == ["2", "3"]
+    # GeoBoundingBox: plain box around (0..1.5 lat, -1..1 lon)
+    assert ids(
+        {"must": [{"key": "geo", "geo_bounding_box": {
+            "top_left": {"lat": 1.5, "lon": -1.0},
+            "bottom_right": {"lat": -0.5, "lon": 1.0}}}]}
+    ) == ["1", "2"]
+    # antimeridian wrap: tl.lon 170 > br.lon -170 keeps ±179.5, drops lon 0
+    assert ids(
+        {"must": [{"key": "geo", "geo_bounding_box": {
+            "top_left": {"lat": 10.0, "lon": 170.0},
+            "bottom_right": {"lat": -10.0, "lon": -170.0}}}]}
+    ) == ["3", "4"]
+    # GeoRadius: row 2 is 1° of latitude (~111.19 km) from (0,0)
+    assert ids(
+        {"must": [{"key": "geo", "geo_radius": {
+            "center": {"lat": 0.0, "lon": 0.0}, "radius": 120000.0}}]}
+    ) == ["1", "2"]
+    assert ids(
+        {"must": [{"key": "geo", "geo_radius": {
+            "center": {"lat": 0.0, "lon": 0.0}, "radius": 100000.0}}]}
+    ) == ["1"]
+    # HasVector: presence of the named space; must_not is the exact complement
+    assert ids({"must": [{"has_vector": "rev"}]}) == ["1", "3"]
+    assert ids({"must_not": [{"has_vector": "rev"}]}) == ["2", "4"]
+    # fail-loud
+    with pytest.raises(NotImplementedError, match="geo_polygon"):
+        build_filter({"must": [{"key": "geo", "geo_polygon": {"exterior": []}}]})
+    with pytest.raises(ValueError, match="at least one token"):
+        build_filter({"must": [{"key": "text", "match": {"text": " ... "}}]})
+    with pytest.raises(ValueError, match="range needs"):
+        build_filter({"must": [{"key": "tags", "values_count": {}}]})
+
+
+def test_geo_filter_search_boundary_margin(spark):
+    """The registered geo_filter_search fixture keeps a wide margin
+    between every point's haversine distance and the 1500 km radius, so
+    sub-ulp libm divergence between Spark and DuckDB can never flip a
+    row's membership (the float-parity pin for the hash gate)."""
+    from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+
+    cust = load_table(spark, SF_ORACLE, "customer")
+    pts = cust.select(
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    lat1, lon1 = F.radians(F.lit(45.0)), F.radians(F.lit(10.0))
+    lat2, lon2 = F.radians(F.col("lat")), F.radians(F.col("lon"))
+    h = (
+        F.pow(F.sin((lat2 - lat1) / 2), 2)
+        + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin((lon2 - lon1) / 2), 2)
+    )
+    dist = 2 * F.lit(6371000.0) * F.asin(F.sqrt(h))
+    margin = pts.agg(F.min(F.abs(dist - 1500000.0)).alias("m")).collect()[0]["m"]
+    assert margin > 1000.0  # >1 km vs ~1e-7 m worst-case libm divergence
 
 
 def test_count_points_empty_spec_consistency(spark):
