@@ -577,6 +577,70 @@ class VectorStore:
         """Qdrant ``clear_payload``: empty the matched points' metadata."""
         return self._mutate_matched(point_ids, _empty_meta())
 
+    # -- vector mutation (Qdrant points API: update_vectors /
+    #    delete_vectors) ----------------------------------------------------
+
+    def update_vectors(self, points: DataFrame, *, normalize: bool = True) -> int:
+        """Qdrant ``update_vectors`` (points API ``PUT /collections/{c}/
+        points/vectors``): overwrite ONLY the vector of the matched points
+        — payload, user_id and ts carry through untouched (``upsert``
+        replaces the whole point; this is the vector-column analogue of
+        ``set_payload``).  ``points`` carries (point_id, embedding); ids
+        not in the store are ignored and the returned count reports
+        matched points only.  Duplicate ids in the request fail loud —
+        unlike payload mutation (where duplicates are idempotent and
+        dedupe silently), duplicated vector updates would be
+        order-nondeterministic.  Vectors L2-normalize at write by default,
+        matching ingest (qdrant_client.py:269).  Bucket-selective rewrite
+        located by one pruned semi-join scan; exact count."""
+        new = points.select(
+            F.col("point_id").cast("string").alias("point_id"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("__new_emb"),
+        )
+        if normalize:
+            new = new.withColumn("__new_emb", F.expr(l2_normalize_sql("__new_emb")))
+        if new.groupBy("point_id").count().filter("count > 1").limit(1).count():
+            raise ValueError("update_vectors: duplicate point_id in request")
+        manifest = self._read_manifest()
+        current = self._read_files([f for fs in manifest.values() for f in fs])
+        touched_counts = {
+            r["ubucket"]: r["n"]
+            for r in current.join(
+                F.broadcast(new.select("point_id")), "point_id", "left_semi"
+            )
+            .groupBy("ubucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+        def _transform(df: DataFrame) -> DataFrame:
+            return (
+                df.join(F.broadcast(new), "point_id", "left")
+                .withColumn(
+                    "embedding", F.coalesce(F.col("__new_emb"), F.col("embedding"))
+                )
+                .drop("__new_emb")
+            )
+
+        return self._delete_rewrite(manifest, touched_counts, _transform)
+
+    def delete_vectors(self, point_ids: list[str], vector_names: list[str]) -> int:
+        """Qdrant ``delete_vectors`` (``POST /points/vectors/delete``)
+        removes NAMED vectors from points; Qdrant rejects deleting a
+        collection's unnamed default vector, and this store's single
+        default space mirrors that contract exactly — delete the point
+        (``delete_by_id``) or replace the vector (``update_vectors``)
+        instead.  Named spaces modeled as columns (the
+        ``named_vector_search`` layout) delete by nulling the space's
+        column in a view/rewrite."""
+        raise ValueError(
+            "delete_vectors: the default unnamed vector cannot be deleted "
+            f"(requested spaces {vector_names!r}); Qdrant rejects this on "
+            "single-unnamed-vector collections too — use delete_by_id or "
+            "update_vectors, or model named spaces as columns and null the "
+            "space column"
+        )
+
     def apply_batch(self, ops: list[tuple]) -> list[int]:
         """Qdrant's points batch-update API (``batch_update_points`` /
         ``POST /collections/{c}/points/batch``): an ORDERED sequence of
@@ -590,6 +654,7 @@ class VectorStore:
             ("set_payload",    [ids], {payload})     merge payload keys
             ("delete_payload", [ids], [keys])        drop payload keys
             ("clear_payload",  [ids])                empty payload
+            ("update_vectors", DataFrame)            overwrite vectors only
 
         Returns the per-op affected counts, positionally.  Each op
         publishes its own manifest version — the manifest log IS the
@@ -605,6 +670,7 @@ class VectorStore:
             "set_payload": self.set_payload,
             "delete_payload": self.delete_payload,
             "clear_payload": self.clear_payload,
+            "update_vectors": self.update_vectors,
         }
         bad = [op[0] for op in ops if op[0] not in dispatch]
         if bad:

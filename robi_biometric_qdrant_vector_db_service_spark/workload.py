@@ -1053,6 +1053,74 @@ def set_payload_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "update_vectors_points",
+    """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 60
+),
+upd AS (
+  SELECT vec_id,
+    CASE WHEN vec_id >= 10 AND vec_id < 20 THEN
+      list_transform(list_reverse(e),
+        x -> x / greatest(sqrt(list_dot_product(list_reverse(e), list_reverse(e))), 1e-12))
+    ELSE e END AS e2
+  FROM base
+)
+SELECT CAST(vec_id AS VARCHAR) AS point_id,
+       CAST(vec_id AS VARCHAR) AS seq,
+       round(e2[4], 6) AS e3,
+       round(sqrt(list_dot_product(e2, e2)), 6) AS nrm
+FROM upd
+""",
+)
+def update_vectors_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant's vector-mutation points API (``update_vectors``, ``PUT
+    /points/vectors``) through the store's bucket-selective rewrite:
+    overwrite ONLY the vector of ids 10–19 (reversed embedding,
+    L2-normalized at write like ingest) — the payload (``seq``), user_id
+    and ts carry through untouched, every other point byte-identical,
+    and a nonexistent id in the request is ignored (count = matched
+    only).  The oracle states the expected post-mutation vector per point
+    (normalized-reversed for the 10, raw seed for the rest) via one
+    element + the norm.  Empty-store seed discipline (the r9 lesson):
+    the oracle describes exactly these 60 rows."""
+    import tempfile
+
+    from .operators.store import VectorStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.filter(F.col("vec_id") < 60).select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label").cast("string")).alias("user_id"),
+        (F.lit(1000.0) + F.col("vec_id")).alias("ts"),
+        F.create_map(F.lit("seq"), F.col("vec_id").cast("string")).alias("metadata"),
+    )
+    store = VectorStore.create(spark, tempfile.mkdtemp(prefix="vstore_updvec_"), pts)
+    updates = (
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+        .select(
+            F.col("vec_id").cast("string").alias("point_id"),
+            F.reverse("embedding").alias("embedding"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("999999", [0.0] * 8)], "point_id string, embedding array<double>"
+            )
+        )
+    )
+    n = store.update_vectors(updates)
+    assert n == 10, n
+    return store.read().select(
+        "point_id",
+        F.element_at("metadata", "seq").alias("seq"),
+        F.round(F.element_at("embedding", 4), 6).alias("e3"),
+        F.round(F.expr(norm_sql("embedding")), 6).alias("nrm"),
+    )
+
+
 _blue_green_cache: dict[str, tuple] = {}
 
 
@@ -2938,10 +3006,13 @@ from . import workload_graph  # noqa: E402,F401
 # 6 filter-DSL queries added at the END of r10 (match_text_filter,
 # match_phrase_filter, values_count_filter, datetime_range_filter,
 # geo_filter_search, has_vector_filter — never driver-windowed, and the
-# payload_index compiler they exercise changed with them); (c) the
+# payload_index compiler they exercise changed with them) and
+# update_vectors_points (the vector-mutation points API, also new at the
+# end of r10); (c) the
 # 18-query r7-stale cohort promised by the r9 rotation, cut at the
-# 50-row cap after its first 11 entries (purchase_attribution_asof …
-# stream_dedup_events).  The leftover — stream_hourly_counts,
+# 50-row cap after its first 10 entries (purchase_attribution_asof …
+# stream_attribution_join).  The leftover — stream_dedup_events,
+# stream_hourly_counts,
 # stream_store_ingest, text_stats, tfidf_top_terms,
 # top_part_per_supplier, top_revenue_customers, vector_norms (r7-stale)
 # plus the whole r8-stale cohort (adaptive_search, add_batch_append,
@@ -2990,6 +3061,7 @@ FRONT_QUERIES = [
     "datetime_range_filter",
     "geo_filter_search",
     "has_vector_filter",
+    "update_vectors_points",
     # (b) changed this round
     "count_filtered",
     "advanced_filter_should_not",
@@ -3013,5 +3085,4 @@ FRONT_QUERIES = [
     "session_window_rollup",
     "shingle_novelty",
     "stream_attribution_join",
-    "stream_dedup_events",
 ]

@@ -297,6 +297,64 @@ def test_payload_mutation_duplicate_ids_no_row_duplication(spark, tmp_path):
     assert store.read().count() == 2
 
 
+def test_update_vectors_semantics(spark, tmp_path):
+    """update_vectors overwrites ONLY the vector of matched points —
+    payload/user_id/ts untouched, unmatched request ids ignored (count =
+    matched), duplicate request ids fail loud, normalize=False stores the
+    raw vector — Qdrant's PUT /points/vectors contract."""
+    import math
+
+    import pytest
+
+    store = _payload_store(
+        spark,
+        tmp_path,
+        [
+            ("a", [3.0, 4.0], "u1", 1.0, {"keep": "me"}),
+            ("b", [1.0, 0.0], "u1", 2.0, {"seq": "2"}),
+            ("c", [0.0, 1.0], "u2", 3.0, {}),
+        ],
+    )
+    upd = spark.createDataFrame(
+        [("a", [0.0, 2.0]), ("missing", [9.0, 9.0])],
+        "point_id string, embedding array<double>",
+    )
+    assert store.update_vectors(upd) == 1
+    out = {r["point_id"]: r for r in store.read().collect()}
+    assert out["a"]["embedding"] == [0.0, 1.0]  # normalized at write
+    assert out["a"]["metadata"] == {"keep": "me"} and out["a"]["ts"] == 1.0
+    assert out["b"]["embedding"] == [1.0, 0.0] and out["c"]["user_id"] == "u2"
+    assert "missing" not in out
+    # normalize=False keeps the raw vector
+    raw = spark.createDataFrame([("b", [2.0, 2.0])], "point_id string, embedding array<double>")
+    assert store.update_vectors(raw, normalize=False) == 1
+    got = {r["point_id"]: r["embedding"] for r in store.read().collect()}
+    assert got["b"] == [2.0, 2.0]
+    assert math.isclose(sum(x * x for x in got["a"]), 1.0)
+    # duplicate ids: order-nondeterministic overwrite — reject up front
+    dup = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [0.0, 1.0])], "point_id string, embedding array<double>"
+    )
+    v0 = store._current_version()
+    with pytest.raises(ValueError, match="duplicate point_id"):
+        store.update_vectors(dup)
+    assert store._current_version() == v0  # nothing published
+    # batch-API spelling applies in order
+    assert store.apply_batch([("update_vectors", raw), ("delete", ["c"])]) == [1, 1]
+
+
+def test_delete_vectors_default_space_rejected(spark, tmp_path):
+    """delete_vectors on the single unnamed default space is invalid —
+    Qdrant rejects removing a collection's unnamed vector too; the error
+    names the remediations (delete_by_id / update_vectors / null the
+    named-space column)."""
+    import pytest
+
+    store = _payload_store(spark, tmp_path, [("a", [1.0] * 4, "u1", 1.0, {})])
+    with pytest.raises(ValueError, match="default unnamed vector"):
+        store.delete_vectors(["a"], ["dense"])
+
+
 def test_apply_batch_rejects_unknown_op_before_running_any(spark, tmp_path):
     """A malformed batch must fail up front — no half-applied sequence."""
     import pytest
