@@ -75,14 +75,22 @@ def main() -> None:
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(REGISTRY):
         best = float("inf")
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            df = REGISTRY[name].run(spark, sf_dir)
-            df.collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        # a single broken query must cost one row, not the whole bench
+        # artifact (the r9 lesson: one unexecuted assert zeroed the round's
+        # driver bench) — record the error and keep timing the rest
+        try:
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                df = REGISTRY[name].run(spark, sf_dir)
+                df.collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as e:  # noqa: BLE001 — deliberate per-query fence
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     detail = {
@@ -98,6 +106,7 @@ def main() -> None:
         "hot_cache": hot_cache,
         "iters": iters,
         "per_query_stat": "min",
+        "errors": errors,
         # cross-round caveat: /root/testdata was regenerated before round 5
         # with a denser near-duplicate documents corpus (simhash emits ~248k
         # pairs at sf0.1 vs hundreds before) and different events session
@@ -143,6 +152,7 @@ def main() -> None:
                 "hot_cache": hot_cache,
                 "iters": iters,
                 "per_query_stat": "min",
+                "n_errors": len(errors),
                 "detail_file": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),
