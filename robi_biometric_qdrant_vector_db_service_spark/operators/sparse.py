@@ -95,3 +95,76 @@ def sparse_knn(
         .filter(F.col("rank") <= k)
         .select("q_id", "id", F.col("rank").cast("int").alias("rank"), "score")
     )
+
+
+def sparse_knn_idf(
+    postings: DataFrame,
+    query_postings: DataFrame,
+    n_docs: int,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Sparse top-k with Qdrant's ``Modifier.IDF`` — the sparse-space
+    option (``SparseVectorParams(modifier=Modifier.IDF)``) that rescales
+    each QUERY term weight by the BM25 inverse document frequency before
+    the dot product (Qdrant's documented formula):
+
+        idf(term) = ln( (N − n(term) + 0.5) / (n(term) + 0.5) + 1 )
+
+    where N = collection size and n(term) = number of points whose sparse
+    vector carries the term.  Corpus weights stay as stored; the score is
+    ``Σ_term tf · qtf · idf(term)``.
+
+    Determinism discipline: idf is rounded to 6 dp FIRST (collapses the
+    1-ulp ``ln`` divergence between libm implementations — verified
+    exhaustively over df ∈ 1..N for every fixture corpus size), each
+    term's contribution is a single IEEE multiply (bit-deterministic),
+    and the sum accumulates in DECIMAL(28,10) so partial-agg order can't
+    perturb the hash (the RRF discipline).
+
+    Scale posture (beyond ``sparse_knn``'s): n(term) is computed ONLY for
+    the query's terms — the df aggregate is left-semi-pruned by the
+    broadcast term list before it touches the corpus, so its cost follows
+    the request, not the vocabulary.  N is catalog state (one count).
+
+    Returns (q_id, id, rank, score) — score DOUBLE rounded 6 dp.
+    """
+    q_terms = query_postings.select("term").distinct()
+    dfreq = (
+        postings.join(F.broadcast(q_terms), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count_distinct("id").alias("_df"))
+    )
+    idf = dfreq.select(
+        "term",
+        F.round(
+            F.log(
+                (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        ).alias("_idf"),
+    )
+    # terms absent from every corpus vector drop here — they cannot match
+    q = query_postings.join(F.broadcast(idf), "term")
+    scored = (
+        postings.join(F.broadcast(q), "term")
+        .groupBy("q_id", "id")
+        .agg(
+            F.sum(
+                (F.col("tf") * F.col("qtf") * F.col("_idf")).cast("decimal(28,10)")
+            ).alias("_s")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_s"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("_s").cast("double"), 6).alias("score"),
+        )
+    )

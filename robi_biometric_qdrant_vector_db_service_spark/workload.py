@@ -765,6 +765,162 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sparse_idf_knn",
+    f"""
+WITH {_SPARSE_TF_SQL},
+n AS (SELECT count(*) AS n_docs FROM documents),
+q AS (SELECT doc_id AS q_id, term, tf AS qtf FROM tf WHERE doc_id < 5),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY term
+),
+idf AS (
+  SELECT term,
+         round(ln((CAST(n.n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+  FROM dfreq CROSS JOIN n
+),
+scored AS (
+  SELECT q.q_id, tf.doc_id AS id,
+         sum(CAST(tf.tf * q.qtf * idf.idf AS DECIMAL(28,10))) AS s
+  FROM tf JOIN q USING (term) JOIN idf USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, id, s,
+         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, id) AS rank
+  FROM scored
+)
+SELECT q_id, id, CAST(rank AS INT) AS rank, round(CAST(s AS DOUBLE), 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def sparse_idf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse search under Qdrant's ``Modifier.IDF`` — the BM25-style
+    sparse-space option: query term weights are rescaled by
+    ``ln((N − df + 0.5)/(df + 0.5) + 1)`` before the inverted-index dot
+    product (the reference pins dense-only, qdrant_client.py:60-151; this
+    is the public sparse-space knob).  Probes = documents 0–4's tf
+    vectors, top-10 per probe.
+
+    Float parity: idf rounds to 6 dp before use (collapses cross-libm
+    ``ln`` ulp drift — verified exhaustively for every fixture N); each
+    contribution is one IEEE multiply; the sum accumulates in
+    DECIMAL(28,10) (order-independent).
+
+    Scale: document frequency is computed only for the probes' terms
+    (left-semi prune via the broadcast term list), so the df pass costs
+    the request, not the vocabulary; everything else inherits
+    sparse_knn's posture (corpus postings never shuffle)."""
+    from .operators.sparse import build_postings, sparse_knn_idf
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    postings = build_postings(docs)
+    q = postings.filter(F.col("id") < 5).select(
+        F.col("id").alias("q_id"), "term", F.col("tf").alias("qtf")
+    )
+    return sparse_knn_idf(postings, q, n_docs, k=10)
+
+
+@register(
+    "prefetch_chain_rescore",
+    f"""
+WITH {_SPARSE_TF_SQL},
+qs AS (SELECT doc_id AS q_id, term, tf AS qtf FROM tf WHERE doc_id < 4),
+sp_scored AS (
+  SELECT qs.q_id, tf.doc_id AS pid, CAST(sum(tf.tf * qs.qtf) AS BIGINT) AS s
+  FROM tf JOIN qs USING (term)
+  GROUP BY 1, 2
+),
+sp AS (
+  SELECT q_id, pid FROM (
+    SELECT q_id, pid,
+           row_number() OVER (PARTITION BY q_id ORDER BY s DESC, pid) AS rank
+    FROM sp_scored
+  ) WHERE rank <= 40
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 4),
+mid AS (
+  SELECT q_id, vec_id, embedding, q_emb, cos FROM (
+    SELECT sp.q_id, e.vec_id, e.embedding, q.q_emb,
+           {{mcos}} AS cos,
+           row_number() OVER (PARTITION BY sp.q_id
+                              ORDER BY {{mcos}} DESC, e.vec_id) AS rank
+    FROM sp JOIN embeddings e ON sp.pid = e.vec_id
+            JOIN q ON sp.q_id = q.q_id
+  ) WHERE rank <= 15
+),
+fin AS (
+  SELECT q_id, vec_id, cos, {{mdot}} AS dot,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY {{mdot}} DESC, vec_id) AS rank
+  FROM mid
+)
+SELECT q_id, vec_id AS point_id, CAST(rank AS INT) AS rank,
+       round(dot, 6) AS score, round(cos, 6) AS prefetch_score
+FROM fin WHERE rank <= 5
+""".format(
+        mcos=_dcos("e.embedding", "q.q_emb"),
+        mdot=_DDOT.format(a="embedding", b="q_emb"),
+    ),
+)
+def prefetch_chain_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested prefetch chain — Qdrant's multi-stage ``query_points``
+    composition (``Prefetch`` objects nest arbitrarily):
+
+        prefetch { prefetch { sparse tf dot-product, limit 40 }
+                   dense cosine rescore,            limit 15 }
+        query: dense DOT-product rescore,           limit 5
+
+    i.e. a cheap inverted-index recall stage feeds an exact cosine
+    re-ranker, whose survivors are re-scored under a different metric
+    (dot — rank-divergent from cosine when norms vary).  This is the
+    published retrieve→rescore serving pattern the single-leg
+    FormulaQuery (operators/formula.py) can't express: stage N's
+    candidate set is stage N−1's result, not a fresh search.
+
+    Scale: every stage narrows — the corpus is touched once by the
+    sparse leg (postings never shuffle), then all later stages run on
+    request-bounded candidate sets (≤ probes × 40 rows) that broadcast;
+    rescores never rescan the corpus, they semi-join it by point id.
+
+    Returns (q_id, point_id, rank, score, prefetch_score)."""
+    from .functions.vector import dot_sql
+    from .operators.sparse import build_postings, sparse_knn
+    from pyspark.sql import Window
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    postings = build_postings(load_table(spark, sf_dir, "documents"))
+    qsp = postings.filter(F.col("id") < 4).select(
+        F.col("id").alias("q_id"), "term", F.col("tf").alias("qtf")
+    )
+    inner = sparse_knn(postings, qsp, k=40).select("q_id", F.col("id").alias("vec_id"))
+    cand = corpus.join(F.broadcast(inner), "vec_id")
+    probes = _probes(spark, sf_dir, 4)
+    mid = cand.join(F.broadcast(probes), "q_id").withColumn(
+        "cos", F.expr(cosine_sql("embedding", "q_emb"))
+    )
+    w_mid = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    kept = mid.withColumn("rank", F.row_number().over(w_mid)).filter(
+        F.col("rank") <= 15
+    )
+    fin = kept.withColumn("dot", F.expr(dot_sql("embedding", "q_emb")))
+    w_fin = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.col("vec_id"))
+    return (
+        fin.withColumn("frank", F.row_number().over(w_fin))
+        .filter(F.col("frank") <= 5)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("point_id"),
+            F.col("frank").cast("int").alias("rank"),
+            F.round("dot", 6).alias("score"),
+            F.round("cos", 6).alias("prefetch_score"),
+        )
+    )
+
+
 # MMR diversity reranking — Qdrant's public `mmr` query option.  The oracle
 # restates the greedy selection as a DuckDB recursive CTE: candidates and
 # pairwise sims from the shared fold expressions, then one LATERAL argmax
@@ -3006,12 +3162,15 @@ from . import workload_graph  # noqa: E402,F401
 # 6 filter-DSL queries added at the END of r10 (match_text_filter,
 # match_phrase_filter, values_count_filter, datetime_range_filter,
 # geo_filter_search, has_vector_filter — never driver-windowed, and the
-# payload_index compiler they exercise changed with them) and
+# payload_index compiler they exercise changed with them),
 # update_vectors_points (the vector-mutation points API, also new at the
-# end of r10); (c) the
+# end of r10), and the three closing-r10 additions sparse_idf_knn /
+# prefetch_chain_rescore / semdedup_pairs (sparse Modifier.IDF, nested
+# prefetch rescore chain, cluster-bounded embedding dedup); (c) the
 # 18-query r7-stale cohort promised by the r9 rotation, cut at the
-# 50-row cap after its first 10 entries (purchase_attribution_asof …
-# stream_attribution_join).  The leftover — stream_dedup_events,
+# 50-row cap after its first 7 entries (purchase_attribution_asof …
+# running_supplier_qty).  The leftover — session_window_rollup,
+# shingle_novelty, stream_attribution_join, stream_dedup_events,
 # stream_hourly_counts,
 # stream_store_ingest, text_stats, tfidf_top_terms,
 # top_part_per_supplier, top_revenue_customers, vector_norms (r7-stale)
@@ -3062,6 +3221,9 @@ FRONT_QUERIES = [
     "geo_filter_search",
     "has_vector_filter",
     "update_vectors_points",
+    "sparse_idf_knn",
+    "prefetch_chain_rescore",
+    "semdedup_pairs",
     # (b) changed this round
     "count_filtered",
     "advanced_filter_should_not",
@@ -3082,7 +3244,4 @@ FRONT_QUERIES = [
     "rolling_hash_fp",
     "rrf_fusion_topk",
     "running_supplier_qty",
-    "session_window_rollup",
-    "shingle_novelty",
-    "stream_attribution_join",
 ]

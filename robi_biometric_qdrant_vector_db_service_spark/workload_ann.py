@@ -293,21 +293,15 @@ def _prepare_codebooks(spark: SparkSession, sf_dir: str) -> None:
 PREPARE.append(_prepare_codebooks)
 
 
-def _duck_kmeans_ivf_sql(
-    k: int = 10, n_cells: int = 8, nprobe: int = 3, iters: int = 2
-) -> str:
-    """The ENTIRE deterministic Lloyd's build unrolled into SQL: seeded
-    init (first ``n_cells`` vectors by id, ann.kmeans_centroids), then
-    ``iters`` rounds of assign (cosine argmax, cell-id tiebreak) →
-    DECIMAL-exact per-cell means, then the serve-time assignment + probe +
-    exact rescore of ann.kmeans_ivf_topk.  Every ranking boundary (argmax
-    assignment, probe-cell top-nprobe, final top-k) is bit-parity with the
-    Spark plan, so the trained-index query carries a full hash oracle —
-    the fixed iteration count is what makes the 'iterative' build a
-    finite CTE chain."""
+def duck_kmeans_cents_cte(n_cells: int = 8, iters: int = 2) -> tuple[str, str]:
+    """The deterministic Lloyd's k-means BUILD as a DuckDB CTE fragment —
+    shared by the kmeans-IVF oracle below and the SemDeDup oracle
+    (workload_dedup.py): seeded init (first ``n_cells`` vectors by id,
+    exactly ann.kmeans_centroids), then ``iters`` rounds of assign (cosine
+    argmax, cell-id tiebreak) → DECIMAL-exact per-cell means.  Expects an
+    upstream ``nv(vec_id, emb)`` CTE; returns (fragment, final_cents_name)
+    where the fragment is comma-terminated CTE definitions."""
     cte = [
-        f"WITH q AS ({_DUCK_Q}),",
-        "nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),",
         f"cents0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS centroid FROM nv WHERE vec_id < {n_cells}),",
     ]
     prev = "cents0"
@@ -331,6 +325,25 @@ cents{it} AS (
   GROUP BY cell
 ),""")
         prev = f"cents{it}"
+    return "\n".join(cte), prev
+
+
+def _duck_kmeans_ivf_sql(
+    k: int = 10, n_cells: int = 8, nprobe: int = 3, iters: int = 2
+) -> str:
+    """The ENTIRE deterministic Lloyd's build unrolled into SQL: the
+    shared build fragment (duck_kmeans_cents_cte), then the serve-time
+    assignment + probe + exact rescore of ann.kmeans_ivf_topk.  Every
+    ranking boundary (argmax assignment, probe-cell top-nprobe, final
+    top-k) is bit-parity with the Spark plan, so the trained-index query
+    carries a full hash oracle — the fixed iteration count is what makes
+    the 'iterative' build a finite CTE chain."""
+    cents_cte, prev = duck_kmeans_cents_cte(n_cells, iters)
+    cte = [
+        f"WITH q AS ({_DUCK_Q}),",
+        "nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),",
+        cents_cte,
+    ]
     cte.append(f"""served AS (
   SELECT vec_id, emb, cell FROM (
     SELECT nv.vec_id, nv.emb, c.cell,

@@ -806,6 +806,84 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_semdedup_sql(n_cells: int = 8, iters: int = 2, tau: float = COSINE_T) -> str:
+    """SemDeDup oracle: the SAME deterministic Lloyd's build the kmeans-IVF
+    oracle unrolls (workload_ann.duck_kmeans_cents_cte), a final argmax
+    assignment, then the within-cluster pair scan."""
+    from .workload_ann import duck_kmeans_cents_cte
+
+    from .workload import _dcos
+
+    cents_cte, final = duck_kmeans_cents_cte(n_cells, iters)
+    return f"""
+WITH nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+{cents_cte}
+asg AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT nv.vec_id, nv.emb, c.cell,
+           row_number() OVER (PARTITION BY nv.vec_id
+                              ORDER BY {_dcos('nv.emb', 'c.centroid')} DESC, c.cell) AS rn
+    FROM nv CROSS JOIN {final} c
+  ) WHERE rn = 1
+)
+SELECT a.cell, a.vec_id AS v1, b.vec_id AS v2,
+       round({_dcos('a.emb', 'b.emb')}, 6) AS cos_sim
+FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {_dcos('a.emb', 'b.emb')} >= {tau}
+"""
+
+
+@register("semdedup_pairs", _duck_semdedup_sql())
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding near-dup
+    detection with the quadratic BOUNDED BY CLUSTERING — k-means the
+    corpus, then pair-scan only WITHIN each cluster (the paper's
+    observation: semantic duplicates land in the same cluster, so
+    cross-cluster pairs need never be scored).  Complements the sign-LSH
+    variants (random-hyperplane buckets) with the data-dependent
+    partitioner production SemDeDup pipelines use; the exact control
+    (embedding_near_dups) measures its recall in tests/test_dedup.py.
+
+    The codebook is the SAME deterministic Lloyd's index state the
+    kmeans-IVF query serves from (workload_ann._kmeans_cents — trained
+    once per corpus, collected as k×D catalog rows), so the oracle unrolls
+    the identical finite CTE chain and the whole cluster→pair pipeline is
+    hash-checked.
+
+    Scale: assignment is a broadcast-codebook map-side argmax (no
+    shuffle); the pair scan shuffles each point ONCE keyed by cell and
+    compares Σ|cell|² pairs instead of N²/2 — with production cell counts
+    (k ≈ N/⟨cluster⟩, thousands+) keys are plentiful and the per-cell
+    quadratic is bounded by the cluster-size cap upstream pipelines
+    enforce.  The 8-cell fixture keeps the build oracle-checkable."""
+    from .workload_ann import _kmeans_cents
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return semdedup_pair_scan(corpus, _kmeans_cents(spark, sf_dir), tau=COSINE_T)
+
+
+def semdedup_pair_scan(corpus: DataFrame, cents: DataFrame, *, tau: float) -> DataFrame:
+    """The SemDeDup kernel: broadcast-codebook nearest-centroid assignment,
+    then the within-cluster cosine pair scan at threshold ``tau``.
+    Returns (cell, v1, v2, cos_sim) with v1 < v2, cos_sim rounded 6 dp."""
+    from .operators.ann import _assign_cells
+
+    assigned = _assign_cells(corpus, cents)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("v1"), F.col("embedding").alias("e1")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("v2"), F.col("embedding").alias("e2")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("cos_raw", F.expr(cosine_sql("e1", "e2")))
+        .filter(F.col("cos_raw") >= tau)
+        .select("cell", "v1", "v2", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 @register(
     "shingle_novelty",
     f"""

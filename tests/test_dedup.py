@@ -241,3 +241,94 @@ def test_stop_shingle_posting_list_is_capped(spark):
     assert (0, 1) in pairs, pairs
     # unrelated docs share ONLY capped shingles → no pair emitted
     assert all(p == (0, 1) for p in pairs), pairs
+
+
+def test_semdedup_subset_and_exact_scores(spark):
+    """SemDeDup pairs are a SUBSET of the exhaustive detector's (cluster
+    bounding can only drop cross-cluster pairs, never invent one) and
+    every shared pair carries the identical exact cosine."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload_dedup import (
+        embedding_near_dups,
+        semdedup_pairs,
+    )
+    from tests.conftest import SF_ORACLE
+
+    exact = {
+        (r["v1"], r["v2"]): r["cos_sim"]
+        for r in embedding_near_dups(spark, SF_ORACLE).collect()
+    }
+    sem = {
+        (r["v1"], r["v2"]): r["cos_sim"]
+        for r in semdedup_pairs(spark, SF_ORACLE).collect()
+    }
+    assert sem, "fixture corpus must produce within-cluster pairs"
+    assert set(sem) <= set(exact)
+    for p, s in sem.items():
+        assert exact[p] == s, (p, s, exact[p])
+
+
+def test_semdedup_recall_at_production_threshold(spark):
+    """The paper's operating regime (arXiv:2303.09540): true duplicates are
+    HIGH-similarity (cos >= 0.85), where a copy lands in its source's
+    cluster, so the within-cluster scan catches nearly all planted pairs
+    while comparing only Σ|c|² pairs (~1/k of N²/2 for balanced cells)."""
+    import numpy as np
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.ann import (
+        _assign_cells,
+        kmeans_centroids,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+    from robi_biometric_qdrant_vector_db_service_spark.workload_dedup import (
+        HI_COSINE_T,
+        semdedup_pair_scan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    n, d = E.shape
+    rng = np.random.default_rng(11)
+    idx = rng.choice(n, 50, replace=False)
+    noise = (
+        rng.standard_normal((50, d))
+        * 0.33
+        * np.linalg.norm(E[idx], axis=1)[:, None]
+        / np.sqrt(d)
+    )
+    dup = E[idx] + noise
+    base = int(ids.max()) + 1
+    planted = spark.createDataFrame(
+        [(int(base + i), [float(x) for x in dup[i]]) for i in range(50)]
+        + [(int(ids[i]), [float(x) for x in E[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    U = E / np.maximum(np.linalg.norm(E, axis=1), 1e-12)[:, None]
+    Ud = dup / np.maximum(np.linalg.norm(dup, axis=1), 1e-12)[:, None]
+    true_pairs = {
+        (int(min(ids[idx[i]], base + i)), int(max(ids[idx[i]], base + i)))
+        for i in range(50)
+        if float((U[idx[i]] * Ud[i]).sum()) >= HI_COSINE_T
+    }
+    assert len(true_pairs) >= 45
+
+    cents = planted.sparkSession.createDataFrame(
+        kmeans_centroids(planted, k=8).collect(),
+        schema="cell int, centroid array<double>",
+    )
+    found = {
+        (r["v1"], r["v2"])
+        for r in semdedup_pair_scan(planted, cents, tau=HI_COSINE_T).collect()
+    }
+    recall = len(found & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, recall
+
+    # candidate work: Σ|c|² within-cluster pairs vs the exhaustive N²/2
+    sizes = [
+        r["count"] for r in _assign_cells(planted, cents).groupBy("cell").count().collect()
+    ]
+    m = sum(sizes)
+    frac = sum(s * (s - 1) // 2 for s in sizes) / (m * (m - 1) / 2)
+    assert frac <= 0.3, frac

@@ -672,6 +672,78 @@ def test_sparse_knn_df_cap_and_broadcast_shape(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_sparse_idf_modifier_semantics(spark):
+    """Modifier.IDF (Qdrant's BM25 idf formula, query-side reweighting):
+    a ubiquitous term is driven toward zero weight while a rare term
+    dominates — flipping the raw-tf ranking — and the idf values match
+    the published formula exactly (rounded 6 dp)."""
+    import math
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.sparse import (
+        sparse_knn,
+        sparse_knn_idf,
+    )
+
+    # 'the' in all 4 docs; 'cat' only in doc 3 (tf 1).  Raw tf ranks doc 2
+    # first for the query (9·1 > 1·1 + 1·3); IDF flips it: idf('the') at
+    # N=4, df=4 is ln(0.5/4.5 + 1) ≈ 0.105, idf('cat') = ln(4.5/1.5 + 1) = ln 4.
+    postings = spark.createDataFrame(
+        [
+            (1, "the", 5), (2, "the", 9), (3, "the", 1), (4, "the", 2),
+            (3, "cat", 1),
+        ],
+        "id bigint, term string, tf bigint",
+    )
+    q = spark.createDataFrame(
+        [(0, "the", 1), (0, "cat", 3)], "q_id bigint, term string, qtf bigint"
+    )
+    raw = [r["id"] for r in sorted(sparse_knn(postings, q, k=10).collect(),
+                                   key=lambda r: r["rank"])]
+    assert raw == [2, 1, 3, 4], raw
+    rows = {r["id"]: r for r in sparse_knn_idf(postings, q, 4, k=10).collect()}
+    idf_the = round(math.log((4 - 4 + 0.5) / (4 + 0.5) + 1.0), 6)
+    idf_cat = round(math.log((4 - 1 + 0.5) / (1 + 0.5) + 1.0), 6)
+    assert rows[2]["score"] == round(9 * 1 * idf_the, 6)
+    assert rows[3]["score"] == round(1 * 1 * idf_the + 1 * 3 * idf_cat, 6)
+    ranked = [r["id"] for r in sorted(rows.values(), key=lambda r: r["rank"])]
+    assert ranked == [3, 2, 1, 4], ranked  # rare term now dominates
+
+
+def test_prefetch_chain_stage_containment(spark):
+    """Nested prefetch: every final hit must come from the sparse stage's
+    top-40 for its probe (stage N draws only from stage N−1), at most 5
+    per probe, and the final order is the DOT ranking — divergent from
+    the middle cosine ranking when norms vary."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.sparse import (
+        build_postings,
+        sparse_knn,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+    from robi_biometric_qdrant_vector_db_service_spark.workload import (
+        REGISTRY,
+        _probes,
+    )
+
+    out = REGISTRY["prefetch_chain_rescore"].run(spark, SF_SMOKE).collect()
+    assert out
+    postings = build_postings(load_table(spark, SF_SMOKE, "documents"))
+    qsp = postings.filter(F.col("id") < 4).select(
+        F.col("id").alias("q_id"), "term", F.col("tf").alias("qtf")
+    )
+    stage1 = {
+        (r["q_id"], r["id"]) for r in sparse_knn(postings, qsp, k=40).collect()
+    }
+    per_probe: dict = {}
+    for r in out:
+        assert (r["q_id"], r["point_id"]) in stage1, r
+        per_probe.setdefault(r["q_id"], []).append(r)
+    for q_id, rows in per_probe.items():
+        assert len(rows) <= 5, (q_id, len(rows))
+        rows.sort(key=lambda r: r["rank"])
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True), (q_id, scores)
+
+
 def test_recommend_best_score_polarity_semantics(spark):
     """BEST_SCORE: with no negatives the score is the best positive
     similarity; a candidate whose best negative beats its best positive
