@@ -250,3 +250,73 @@ def int8_rescore_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", F.round("score", 6).alias("score"))
     )
+
+
+# --------------------------------------------------------------------------
+# Binary quantization (Qdrant BinaryQuantization, the 32×-compression tier
+# below INT8: one SIGN BIT per dimension, Hamming-distance prescreen,
+# exact oversampled rescore — qdrant_client.py:129-138 configures the
+# quantization/rescore pattern; BQ is its public 1-bit variant).
+# --------------------------------------------------------------------------
+
+BQ_WORD_BITS = 32  # bits packed per BIGINT word: shift stays < 32, every
+# word non-negative, and the layout generalizes past 64 dims (words array)
+
+
+def bq_words_expr(col: str, dims: int) -> str:
+    """Sign-bit pack ``col`` (array<float>, ``dims`` wide) into
+    ``ceil(dims/32)`` BIGINT words — bit i of word w is set when
+    ``col[w*32 + i] > 0``.  Pure fused codegen (slice/transform/aggregate
+    fold); at rest the packed copy is 1/32 the scan bytes of the float
+    vectors, which is the 100 TB point of BQ."""
+    words = []
+    for w in range(0, dims, BQ_WORD_BITS):
+        words.append(
+            f"aggregate(transform(slice({col}, {w + 1}, {BQ_WORD_BITS}), "
+            f"(x, i) -> IF(CAST(x AS DOUBLE) > 0.0D, "
+            f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (a, v) -> a | v)"
+        )
+    return f"array({', '.join(words)})"
+
+
+def bq_hamming_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    *,
+    oversample: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """O4 binary quantization + oversampled exact rescore: stage 1 ranks
+    candidates by the HAMMING distance between sign-bit codes (popcount
+    of XOR — integer-exact on both engines, so survivors are
+    deterministic with the (hamming, vec_id) tiebreak), stage 2 rescores
+    the surviving ``oversample × k`` with full-precision cosine.
+
+    Plan shape: probe codes broadcast; the corpus scan computes its code
+    map-side (at scale the code is a persisted column — 1 BIGINT word per
+    32 dims — and stage 1 never reads the float vectors); the two ranking
+    windows are the only shuffles, same as ``int8_rescore_topk``.
+
+    Returns (q_id, vec_id, rank, score) — final ranking by exact score.
+    """
+    c = corpus.withColumn("c_code", F.expr(bq_words_expr("embedding", dims)))
+    p = probes.withColumn("q_code", F.expr(bq_words_expr("q_emb", dims)))
+    pairs = c.crossJoin(F.broadcast(p))
+    hamming = (
+        "aggregate(zip_with(c_code, q_code, (a, b) -> bit_count(a ^ b)), "
+        "0, (acc, v) -> acc + v)"
+    )
+    stage1 = pairs.withColumn("hamming", F.expr(hamming))
+    w1 = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.col("vec_id"))
+    survivors = stage1.withColumn("hrank", F.row_number().over(w1)).filter(
+        F.col("hrank") <= oversample * k
+    )
+    rescored = survivors.withColumn("score", F.expr(cosine_sql("embedding", "q_emb")))
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+    )

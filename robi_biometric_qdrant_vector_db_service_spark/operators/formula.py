@@ -249,7 +249,12 @@ def formula_query(
     new_score = compile_formula(
         formula, score=F.col("score"), id_col=corpus_id, defaults=defaults
     )
-    rescored = prefetched.withColumn("new_score", new_score)
+    # Qdrant DROPS a point whose formula evaluates to no value (div by
+    # zero with no by_zero_default, ln of a non-positive, …) — a NULL
+    # new_score must not ride into the top-k as a trailing row.
+    rescored = prefetched.withColumn("new_score", new_score).filter(
+        F.col("new_score").isNotNull()
+    )
     wfin = Window.partitionBy(query_id).orderBy(F.desc("new_score"), F.col(corpus_id))
     return (
         rescored.withColumn("rank", F.row_number().over(wfin))

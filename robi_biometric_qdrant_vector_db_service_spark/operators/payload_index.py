@@ -121,17 +121,23 @@ def advanced_filter(
 _CLAUSES = ("must", "should", "must_not", "min_should")
 
 # Qdrant text-index defaults (TextIndexParams: tokenizer=word,
-# lowercase=true): split on any non-alphanumeric run, lowercase.  The
-# SAME normalization is applied to the query string (Python) and the
+# lowercase=true): split on any non-letter/non-digit run, lowercase —
+# unicode-aware, matching Qdrant's word tokenizer ('café' is one token).
+# The SAME normalization is applied to the query string (Python) and the
 # field (Catalyst split/regexp_replace), mirroring index-time vs
-# query-time analysis in Qdrant.
-_TOKEN_BREAK_RE = "[^a-z0-9]+"
+# query-time analysis in Qdrant.  Two spellings of one break class:
+# Java regex has no [\W_]; Python re has no \p{L}.  Both break on
+# underscore and keep unicode letters/digits (sole known divergence:
+# non-decimal Nd/No digit forms like '²' — \p{N} keeps, Python \w
+# breaks — irrelevant to word search).
+_TOKEN_BREAK_RE_JVM = r"[^\p{L}\p{N}]+"  # Catalyst split/regexp_replace
+_TOKEN_BREAK_RE_PY = r"[\W_]+"  # Python re (unicode by default)
 
 
 def _text_tokens(query: str) -> list[str]:
     import re
 
-    toks = [t for t in re.split(_TOKEN_BREAK_RE, str(query).lower()) if t]
+    toks = [t for t in re.split(_TOKEN_BREAK_RE_PY, str(query).lower()) if t]
     if not toks:
         raise ValueError(f"text/phrase match needs at least one token: {query!r}")
     return toks
@@ -140,7 +146,7 @@ def _text_tokens(query: str) -> list[str]:
 def _match_text(col: Column, query: str) -> Column:
     """Qdrant ``MatchText`` (full-text index, word tokenizer): every query
     token present in the field's token set, any order."""
-    toks = F.split(F.lower(col), _TOKEN_BREAK_RE)
+    toks = F.split(F.lower(col), _TOKEN_BREAK_RE_JVM)
     out = None
     for t in _text_tokens(query):
         term = F.array_contains(toks, t)
@@ -152,7 +158,7 @@ def _match_phrase(col: Column, query: str) -> Column:
     """Qdrant ``MatchPhrase``: the query tokens appear consecutively in
     order.  Normalize the field to single-space-joined tokens and test
     substring on token boundaries (space-padded Contains — codegen'd)."""
-    norm = F.regexp_replace(F.lower(col), _TOKEN_BREAK_RE, " ")
+    norm = F.regexp_replace(F.lower(col), _TOKEN_BREAK_RE_JVM, " ")
     needle = " " + " ".join(_text_tokens(query)) + " "
     return F.concat(F.lit(" "), norm, F.lit(" ")).contains(needle)
 
@@ -189,12 +195,21 @@ def _datetime_bound(v) -> Column:
     return F.timestamp_seconds(F.lit(v))
 
 
-def _values_count(col: Column, r: dict) -> Column:
+def _values_count(col: Column, r: dict, *, dtype=None) -> Column:
     """Qdrant ``ValuesCount``: bounds on the NUMBER of values under the
-    key — an absent field counts 0, an array its size (targets
-    array-typed promoted columns; a scalar field is the trivial count 1).
-    The count expression is never NULL, so negation is plain NOT."""
-    n = F.when(col.isNull(), F.lit(0)).otherwise(F.size(col))
+    key — an absent field counts 0, an array its size, a present scalar
+    the trivial count 1.  The scalar arm needs the column's type (``size``
+    on a non-array raises at analysis), so it only engages when the
+    caller could supply a schema (``qdrant_filter``/``count_points`` —
+    any entry point holding the DataFrame); a bare ``build_filter`` with
+    no schema keeps the array-column requirement.  The count expression
+    is never NULL, so negation is plain NOT."""
+    from pyspark.sql.types import ArrayType
+
+    if dtype is not None and not isinstance(dtype, ArrayType):
+        n = F.when(col.isNull(), F.lit(0)).otherwise(F.lit(1))
+    else:
+        n = F.when(col.isNull(), F.lit(0)).otherwise(F.size(col))
     return _range_predicate(n, r)
 
 
@@ -221,6 +236,55 @@ def _geo_bounding_box(col: Column, box: dict) -> Column:
 _EARTH_RADIUS_M = 6371000.0  # mean radius, Qdrant's haversine basis
 
 
+def _ring_points(ring) -> list[tuple[float, float]]:
+    """A GeoPolygon ring (``{"points": [{"lat","lon"}, …]}``) → (lat, lon)
+    tuples; Qdrant's wire format closes the ring (first == last) — the
+    duplicate closing point is dropped."""
+    pts = ring["points"] if isinstance(ring, dict) else ring
+    out = [(float(p["lat"]), float(p["lon"])) for p in pts]
+    if len(out) >= 2 and out[0] == out[-1]:
+        out = out[:-1]
+    if len(out) < 3:
+        raise ValueError(f"geo_polygon ring needs >= 3 distinct points: {ring}")
+    return out
+
+
+def _point_in_ring(lat: Column, lon: Column, pts: list[tuple[float, float]]) -> Column:
+    """Even-odd ray casting UNROLLED over the literal ring: one crossing
+    indicator per edge (the ring is request-side data, so the loop runs at
+    compile time), parity decides containment.  Every term is plain
+    arithmetic on literals + the two coordinate columns — fused codegen,
+    deterministic IEEE-754 on both engines (no libm), no UDF."""
+    n = len(pts)
+    tally = None
+    for i in range(n):
+        y1, x1 = pts[i]
+        y2, x2 = pts[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge: (y1 > lat) != (y2 > lat) is never true
+        crosses = ((F.lit(y1) > lat) != (F.lit(y2) > lat)) & (
+            lon
+            < (lat - F.lit(y1)) * F.lit((x2 - x1) / (y2 - y1)) + F.lit(x1)
+        )
+        term = F.when(crosses, 1).otherwise(0)
+        tally = term if tally is None else tally + term
+    if tally is None:
+        raise ValueError("geo_polygon ring is degenerate (all edges horizontal)")
+    return tally % 2 == 1
+
+
+def _geo_polygon(col: Column, spec: dict) -> Column:
+    """Qdrant ``GeoPolygon``: inside the exterior ring and outside every
+    interior ring (holes).  Compiled to per-edge crossing indicators over
+    the literal rings — the polygon is request-bounded, so the expression
+    is fixed-size; the predicate stays a single codegen filter, exactly
+    like the box/radius conditions."""
+    inside = _point_in_ring(col["lat"], col["lon"], _ring_points(spec["exterior"]))
+    for hole in spec.get("interiors") or []:
+        inside = inside & ~_point_in_ring(col["lat"], col["lon"], _ring_points(hole))
+    return inside
+
+
 def _geo_radius(col: Column, spec: dict) -> Column:
     """Qdrant ``GeoRadius``: haversine great-circle distance from
     ``center`` <= ``radius`` meters, computed in fused codegen (radians/
@@ -237,33 +301,72 @@ def _geo_radius(col: Column, spec: dict) -> Column:
     return dist <= F.lit(radius)
 
 
-def _condition(cond: dict, id_col: str) -> Column:
-    """One Qdrant condition dict → a Catalyst predicate Column."""
+def _dtype(schema, key: str):
+    """Resolve a key's Spark type from an optional StructType (None when
+    the caller compiled without a DataFrame, or the key isn't promoted)."""
+    if schema is None:
+        return None
+    try:
+        return schema[key].dataType
+    except Exception:
+        return None
+
+
+def _condition(cond: dict, id_col: str, *, schema=None, col_of=None) -> Column:
+    """One Qdrant condition dict → a Catalyst predicate Column.
+
+    ``col_of`` resolves a payload key to a Column — ``F.col`` at the top
+    level, the lambda-variable getter inside a ``nested`` condition (so
+    the same leaf compilers serve both contexts)."""
+    nested_ctx = col_of is not None
+    if col_of is None:
+        col_of = F.col
     if not isinstance(cond, dict):
         raise ValueError(f"condition must be a dict, got {type(cond).__name__}")
     if "nested" in cond:
-        # Qdrant NestedCondition targets array-of-objects payloads; the
-        # engine's point payload is a flat map<string,string> (the
-        # reference's metadata shape, qdrant_client.py:209-213), so there
-        # is no nested array to address.  Model nested records as their
-        # own table/columns (SURVEY §1.3 promotion) and filter relationally.
-        raise NotImplementedError(
-            "nested conditions need an array-of-objects payload column; this "
-            "store's payload is a flat map — promote nested records to their "
-            "own typed columns/table and express the filter relationally"
+        # Qdrant NestedCondition: the key names an array-of-objects
+        # payload column; the inner Filter must hold on the SAME element
+        # for the point to pass.  Exactly Spark's EXISTS higher-order
+        # function: exists(arr, e -> inner(e)) — per-element evaluation
+        # fused in codegen, no explode, no shuffle, no lateral join.  At
+        # 100 TB this is the difference between a predicate and an
+        # explode+regroup (which would shuffle the full fact table).
+        spec = cond["nested"]
+        key, inner = spec["key"], spec["filter"]
+        arr = col_of(key)
+        return F.exists(
+            arr,
+            lambda e: build_filter(
+                inner, id_col=id_col, _col_of=lambda k: e[k]
+            ),
         )
     if any(k in cond for k in _CLAUSES):  # nested Filter
-        return build_filter(cond, id_col=id_col)
+        return build_filter(
+            cond, id_col=id_col, schema=schema,
+            _col_of=col_of if nested_ctx else None,
+        )
     if "has_id" in cond:
+        if nested_ctx:
+            # Qdrant rejects has_id inside nested: the element has no id.
+            raise ValueError("has_id is not valid inside a nested condition")
         ids = list(cond["has_id"])
         return F.col(id_col) == ids[0] if len(ids) == 1 else F.col(id_col).isin(ids)
     if "is_null" in cond:
-        return F.col(cond["is_null"]["key"]).isNull()
+        return col_of(cond["is_null"]["key"]).isNull()
     if "is_empty" in cond:
-        # Qdrant IsEmpty: field absent OR an empty array.
-        c = F.col(cond["is_empty"]["key"])
+        # Qdrant IsEmpty: field absent OR an empty array.  A present
+        # SCALAR is never empty — needs the type (schema) to distinguish.
+        from pyspark.sql.types import ArrayType
+
+        key = cond["is_empty"]["key"]
+        c = col_of(key)
+        dt = _dtype(schema, key)
+        if dt is not None and not isinstance(dt, ArrayType):
+            return c.isNull()
         return c.isNull() | (F.size(c) == 0)
     if "has_vector" in cond:
+        if nested_ctx:
+            raise ValueError("has_vector is not valid inside a nested condition")
         # Qdrant HasVector: the point carries a vector in the named
         # space.  Column-per-space model (named_vector_search): the space
         # IS a column, so presence is a plain IsNotNull — pushable.
@@ -271,9 +374,9 @@ def _condition(cond: dict, id_col: str) -> Column:
     key = cond.get("key")
     if key is None:
         raise ValueError(
-            f"condition needs 'key' (or has_id/is_null/is_empty/has_vector): {cond}"
+            f"condition needs 'key' (or has_id/is_null/is_empty/has_vector/nested): {cond}"
         )
-    col = F.col(key)
+    col = col_of(key)
     if "match" in cond:
         m = cond["match"]
         if "value" in m:
@@ -294,39 +397,39 @@ def _condition(cond: dict, id_col: str) -> Column:
     if "datetime_range" in cond:
         return _range_predicate(col, cond["datetime_range"], bound=_datetime_bound)
     if "values_count" in cond:
-        return _values_count(col, cond["values_count"])
+        return _values_count(col, cond["values_count"], dtype=_dtype(schema, key))
     if "geo_bounding_box" in cond:
         return _geo_bounding_box(col, cond["geo_bounding_box"])
     if "geo_radius" in cond:
         return _geo_radius(col, cond["geo_radius"])
     if "geo_polygon" in cond:
-        # Point-in-polygon ray casting over an arbitrary-length ring is a
-        # loop, not a fixed predicate tree; model polygon regions as a
-        # promoted region column (the relational form) or cover with
-        # bounding-box + radius conditions.
-        raise NotImplementedError(
-            "geo_polygon is not compiled to a predicate; pre-assign a region "
-            "id at layout time (promoted column) and filter on it, or "
-            "approximate with geo_bounding_box/geo_radius"
-        )
+        return _geo_polygon(col, cond["geo_polygon"])
     raise ValueError(f"unsupported condition: {cond}")
 
 
-def _negate(cond: dict, id_col: str) -> Column:
+def _negate(cond: dict, id_col: str, *, schema=None, col_of=None) -> Column:
     """Qdrant ``must_not``: passes when the condition is FALSE **or the
     field is NULL** (absent) — ``IS NOT TRUE``, not SQL NOT.  Spelled
     per condition type so the null guard lands on the COLUMN
     (``Or(Not(...), IsNull(col))`` translates to a data-source filter;
     ``IsNull(col = lit)`` does not)."""
-    if any(k in cond for k in _CLAUSES):  # nested Filter — generic IS NOT TRUE
-        c = build_filter(cond, id_col=id_col)
+    resolve = col_of if col_of is not None else F.col
+    if any(k in cond for k in _CLAUSES) or "nested" in cond:
+        # nested Filter / NestedCondition — generic IS NOT TRUE
+        c = _condition(cond, id_col, schema=schema, col_of=col_of)
         return ~c | c.isNull()
     if "has_id" in cond:  # point ids are never NULL
-        return ~_condition(cond, id_col)
+        return ~_condition(cond, id_col, schema=schema, col_of=col_of)
     if "is_null" in cond:
-        return F.col(cond["is_null"]["key"]).isNotNull()
+        return resolve(cond["is_null"]["key"]).isNotNull()
     if "is_empty" in cond:
-        c = F.col(cond["is_empty"]["key"])
+        from pyspark.sql.types import ArrayType
+
+        key = cond["is_empty"]["key"]
+        c = resolve(key)
+        dt = _dtype(schema, key)
+        if dt is not None and not isinstance(dt, ArrayType):
+            return c.isNotNull()  # present scalar is never empty
         return c.isNotNull() & (F.size(c) > 0)
     if "has_vector" in cond:  # no vector in the space — exact complement
         return F.col(cond["has_vector"]).isNull()
@@ -334,14 +437,18 @@ def _negate(cond: dict, id_col: str) -> Column:
         # the count expression is 0 for absent fields, never NULL — and
         # Qdrant evaluates ValuesCount on the 0, so an absent field does
         # NOT get the blanket absent-passes treatment: plain NOT.
-        return ~_condition(cond, id_col)
+        return ~_condition(cond, id_col, schema=schema, col_of=col_of)
     if "match" in cond and "except" in cond["match"]:
         # NOT(everything-except-these) = value IS one of these
-        return F.col(cond["key"]).isin(list(cond["match"]["except"]))
-    return ~_condition(cond, id_col) | F.col(cond["key"]).isNull()
+        return resolve(cond["key"]).isin(list(cond["match"]["except"]))
+    return ~_condition(cond, id_col, schema=schema, col_of=col_of) | resolve(
+        cond["key"]
+    ).isNull()
 
 
-def build_filter(spec: dict, *, id_col: str = "point_id") -> Column:
+def build_filter(
+    spec: dict, *, id_col: str = "point_id", schema=None, _col_of=None
+) -> Column:
     """Compile a Qdrant ``Filter`` dict (must/should/must_not/min_should,
     conditions in wire format, nesting allowed) to one Catalyst predicate.
 
@@ -349,24 +456,36 @@ def build_filter(spec: dict, *, id_col: str = "point_id") -> Column:
     only when the clause is definitively TRUE (a NULL field never
     satisfies a match/range — same as Qdrant's absent-field behavior);
     must_not keeps rows where no condition is TRUE, **including** rows
-    where the field is NULL (``IS NOT TRUE``, not SQL NOT)."""
+    where the field is NULL (``IS NOT TRUE``, not SQL NOT).
+
+    ``schema`` (optional StructType) refines type-dependent leaves:
+    values_count / is_empty on a SCALAR column (Qdrant counts a present
+    scalar as 1) need it — entry points holding the DataFrame
+    (``qdrant_filter``/``count_points``) pass it automatically.
+    ``_col_of`` is the internal nested-element resolver."""
     unknown = [k for k in spec if k not in _CLAUSES]
     if unknown:
         raise ValueError(f"unknown Filter clauses {unknown}; valid: {list(_CLAUSES)}")
     parts: list[Column] = []
     for cond in spec.get("must", []):
-        parts.append(_condition(cond, id_col))
-    should = [(_condition(c, id_col)) for c in spec.get("should", [])]
+        parts.append(_condition(cond, id_col, schema=schema, col_of=_col_of))
+    should = [
+        (_condition(c, id_col, schema=schema, col_of=_col_of))
+        for c in spec.get("should", [])
+    ]
     if should:
         acc = should[0]
         for c in should[1:]:
             acc = acc | c
         parts.append(acc)
     for cond in spec.get("must_not", []):
-        parts.append(_negate(cond, id_col))
+        parts.append(_negate(cond, id_col, schema=schema, col_of=_col_of))
     if "min_should" in spec:
         ms = spec["min_should"]
-        conds = [(_condition(c, id_col)) for c in ms["conditions"]]
+        conds = [
+            (_condition(c, id_col, schema=schema, col_of=_col_of))
+            for c in ms["conditions"]
+        ]
         if not conds:
             raise ValueError("min_should requires at least one condition")
         n = ms["min_count"]
@@ -385,7 +504,7 @@ def build_filter(spec: dict, *, id_col: str = "point_id") -> Column:
 
 def qdrant_filter(df: DataFrame, spec: dict, *, id_col: str = "point_id") -> DataFrame:
     """Apply a Qdrant ``Filter`` dict to a DataFrame of promoted points."""
-    return df.filter(build_filter(spec, id_col=id_col))
+    return df.filter(build_filter(spec, id_col=id_col, schema=df.schema))
 
 
 def count_points(

@@ -153,7 +153,9 @@ def knn_search(
     if query_filter is not None:
         from .payload_index import build_filter
 
-        corpus = corpus.filter(build_filter(query_filter, id_col=corpus_id))
+        corpus = corpus.filter(
+            build_filter(query_filter, id_col=corpus_id, schema=corpus.schema)
+        )
     scored = score_pairs(
         corpus, queries, corpus_vec=corpus_vec, query_vec=query_vec, metric=metric
     )
@@ -390,6 +392,126 @@ def recommend_best_score(
             ["q_id", corpus_id],
             "left_anti",
         )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", corpus_id, "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def recommend_sum_scores(
+    corpus: DataFrame,
+    examples: DataFrame,
+    k: int = 10,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Q5 variant: Qdrant's third public recommend strategy
+    (``RecommendStrategy.SUM_SCORES``) — every candidate scores against
+    ALL examples, positives add, negatives subtract::
+
+        score = Σ over positives of cos(candidate, pos)
+              − Σ over negatives of cos(candidate, neg)
+
+    (the strategy Qdrant documents as the relevance-feedback / Rocchio
+    scorer: unlike ``best_score`` it rewards breadth across positives
+    rather than the single closest one).
+
+    Determinism: example vectors collapse to ONE signed array row per
+    query (broadcast); each contribution is cast to exact DECIMAL(18,12)
+    and folded through a DECIMAL(27,12) accumulator — order-independent
+    (the RRF discipline), so collect_list's nondeterministic array order
+    cannot perturb the sum.  Only the ranking shuffles, exactly like
+    ``knn_search``.  Example points are excluded (API contract).
+
+    Returns: (q_id, vec_id, rank, score).
+    """
+    validate_search_args(k, None)
+    ex_vecs = examples.join(
+        corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("_emb")),
+        "vec_id",
+    )
+    # one row per query: [(±1 sign, example vector), ...]
+    arrs = ex_vecs.groupBy("q_id").agg(
+        F.collect_list(
+            F.struct(
+                F.when(F.col("polarity") == "pos", F.lit(1.0))
+                .otherwise(F.lit(-1.0))
+                .alias("sign"),
+                F.col("_emb").alias("emb"),
+            )
+        ).alias("_ex")
+    )
+    # DECIMAL(27,12) accumulator: |contribution| ≤ 1 per example, request-
+    # sized example lists — the 15-digit integer part never overflows.
+    score = (
+        "CAST(aggregate(transform(_ex, x -> CAST(x.sign * "
+        + cosine_sql(corpus_vec, "x.emb")
+        + " AS DECIMAL(18,12))), CAST(0 AS DECIMAL(27,12)), "
+        "(acc, v) -> CAST(acc + v AS DECIMAL(27,12))) AS DOUBLE)"
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(arrs))
+        .withColumn("score", F.expr(score))
+        .join(
+            F.broadcast(examples.select("q_id", F.col("vec_id").alias(corpus_id))),
+            ["q_id", corpus_id],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", corpus_id, "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def multivector_maxsim(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    corpus_id: str = "doc_id",
+    corpus_vecs: str = "vectors",
+    query_vecs: str = "q_vecs",
+) -> DataFrame:
+    """Q2 extension: Qdrant MULTIVECTOR collections with the ``MaxSim``
+    comparator (ColBERT-style late interaction) — a point stores a LIST
+    of vectors; a multivector query scores against it as::
+
+        score(q, d) = Σ over query vectors t of  max over doc vectors v
+                      of cos(t, v)
+
+    the late-interaction scorer Qdrant applies when a named vector is
+    configured with ``MultiVectorConfig(comparator=MAX_SIM)``.
+
+    Plan shape: queries collapse to one broadcast array row each; the
+    corpus is scanned once and the whole MaxSim double fold (outer sum
+    over query tokens, inner max over doc vectors) runs map-side in ONE
+    fused higher-order expression — no explode, no per-token shuffle, no
+    UDF.  Determinism: the inner fold is ``greatest`` of exact doubles
+    (≡ MAX, order-independent); the outer fold adds in the query array's
+    fixed order, so it is reproducible and equals any sequential
+    left-fold restatement.  Only the ranking shuffles.  At 100 TB the
+    multivector column costs exactly its bytes — token vectors stay
+    packed in one array cell, never row-expanded.
+
+    ``corpus``: (corpus_id, corpus_vecs array<array<float>>);
+    ``queries``: (q_id, query_vecs array<array<float>>).
+    Returns: (q_id, <corpus_id>, rank, score).
+    """
+    validate_search_args(k, None)
+    maxsim = (
+        f"aggregate({query_vecs}, CAST(0.0 AS DOUBLE), (qacc, qv) -> qacc + "
+        f"aggregate({corpus_vecs}, CAST(-2.0 AS DOUBLE), (dacc, dv) -> "
+        f"greatest(dacc, {cosine_sql('dv', 'qv')})))"
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "score", F.expr(maxsim)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col(corpus_id))
     return (
@@ -806,6 +928,7 @@ def matrix_offsets(
     *,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    max_sample: int = 4096,
 ) -> DataFrame:
     """Q8, offsets form — Qdrant's ``search_matrix_offsets`` response
     shape: the same sampled pairwise top-``k`` as ``search_matrix_pairs``
@@ -817,7 +940,21 @@ def matrix_offsets(
 
     The offsets dimension is the sample id list itself — request-bounded
     by the API contract (Qdrant samples, default 10), so the global
-    ordering window and both offset joins are broadcast-sized."""
+    ordering window and both offset joins are broadcast-sized.  That
+    precondition is ENFORCED, not assumed: the unpartitioned ordering
+    window below moves the whole ``corpus`` argument to one partition,
+    so an unbounded corpus is a caller bug — refuse it (``max_sample``,
+    default 4096, far above Qdrant's sample bound) instead of silently
+    degrading to a single-partition sort."""
+    n = corpus.select(corpus_id).limit(int(max_sample) + 1).count()
+    if n > int(max_sample):
+        raise ValueError(
+            f"matrix_offsets corpus exceeds max_sample={max_sample}: the "
+            "offsets encoding globally orders the sample id list (single-"
+            "partition window) — pass the SAMPLED points (Qdrant's "
+            "search_matrix 'sample' contract), or raise max_sample "
+            "deliberately"
+        )
     pairs = similarity_matrix_topk(
         corpus, k, corpus_id=corpus_id, corpus_vec=corpus_vec
     )
@@ -912,7 +1049,9 @@ def scroll_page(
     if scroll_filter is not None:
         from .payload_index import build_filter
 
-        corpus = corpus.filter(build_filter(scroll_filter, id_col=id_col))
+        corpus = corpus.filter(
+            build_filter(scroll_filter, id_col=id_col, schema=corpus.schema)
+        )
     if after_id is not None:
         corpus = corpus.filter(F.col(id_col) > F.lit(after_id))
     return corpus.orderBy(id_col).limit(page_size)
@@ -965,7 +1104,9 @@ def scroll_page_order_by(
     if scroll_filter is not None:
         from .payload_index import build_filter
 
-        corpus = corpus.filter(build_filter(scroll_filter, id_col=id_col))
+        corpus = corpus.filter(
+            build_filter(scroll_filter, id_col=id_col, schema=corpus.schema)
+        )
     corpus = corpus.filter(F.col(order_col).isNotNull())
     if start_from is not None:
         bound = (

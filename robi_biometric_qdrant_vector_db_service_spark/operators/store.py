@@ -921,7 +921,21 @@ class AliasRegistry:
           (collides with neither a surviving alias nor one created
           earlier in this batch); ops see the effect of earlier ops in
           the same batch (sequential application, like apply_batch).
+
+        Readers stay lock-free (write-temp + os.replace is atomic for
+        them); WRITERS serialize on an fcntl lock so two concurrent
+        read-modify-replace batches can't silently drop each other's ops.
         """
+        import fcntl
+
+        with open(os.path.join(self.root, "aliases.lock"), "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                return self._apply_ops(ops)
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
+
+    def _apply_ops(self, ops: list[tuple]) -> dict[str, str]:
         table = dict(self.aliases())
         for op in ops:
             if not op or op[0] not in ("create", "delete", "rename"):

@@ -1891,10 +1891,10 @@ def payload_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT doc_id, lang, source
 FROM documents
-WHERE list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'spark')
-  AND list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'window')
-  AND list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'query')
-  AND (list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'vector')
+WHERE list_contains(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), 'spark')
+  AND list_contains(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), 'window')
+  AND list_contains(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), 'query')
+  AND (list_contains(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), 'vector')
        IS NOT TRUE)
 """,
 )
@@ -1927,7 +1927,7 @@ def match_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT doc_id, n_chars
 FROM documents
-WHERE concat(' ', regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')
+WHERE concat(' ', regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'), ' ')
       LIKE '% fast sort %'
 """,
 )
@@ -2116,6 +2116,87 @@ def geo_filter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "radius": 1500000.0,
                     },
                 },
+            ]
+        },
+        id_col="c_custkey",
+    ).select("c_custkey", "lat", "lon")
+
+
+# geo_polygon fixture rings (lat, lon) — pentagon over "Europe" with a
+# triangular hole; the SAME literals drive the engine spec and the oracle
+# SQL (crossing terms generated by _ring_crossings_sql below, slope folded
+# to one literal exactly as operators.payload_index._point_in_ring does).
+_POLY_EXTERIOR = [(35.0, -10.0), (35.0, 30.0), (60.0, 30.0), (65.0, 10.0), (60.0, -10.0)]
+_POLY_HOLE = [(44.0, 4.0), (50.0, 16.0), (44.0, 16.0)]
+
+
+def _ring_crossings_sql(pts: list[tuple[float, float]]) -> str:
+    """Even-odd ray-casting parity over a literal ring as DuckDB SQL —
+    term-for-term the expression _point_in_ring compiles, so both engines
+    run the identical IEEE-754 arithmetic."""
+    terms = []
+    n = len(pts)
+    for i in range(n):
+        y1, x1 = pts[i]
+        y2, x2 = pts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        slope = (x2 - x1) / (y2 - y1)
+        terms.append(
+            f"CASE WHEN (({y1!r} > lat) <> ({y2!r} > lat)) "
+            f"AND lon < (lat - {y1!r}) * {slope!r} + {x1!r} THEN 1 ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def _ring_spec(pts: list[tuple[float, float]]) -> dict:
+    return {"points": [{"lat": la, "lon": lo} for la, lo in pts]}
+
+
+@register(
+    "geo_polygon_filter",
+    f"""
+WITH g AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT c_custkey, lat, lon
+FROM g
+WHERE ({_ring_crossings_sql(_POLY_EXTERIOR)})
+  AND NOT ({_ring_crossings_sql(_POLY_HOLE)})
+""",
+)
+def geo_polygon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``GeoPolygon`` (exterior ring + interior holes) — the last
+    gated geo condition, now compiled: the polygon is request-side data,
+    so even-odd ray casting UNROLLS at compile time into one fixed-size
+    codegen predicate (a crossing indicator per edge, parity decides) —
+    no UDF, no loop at runtime, one scan, zero shuffles.  All arithmetic
+    is literal-folded identically on both engines (the slope folds to a
+    single double before touching any column), so the filter set matches
+    exactly — no boundary fuzz needed, unlike the haversine's libm.  Same
+    deterministic custkey-derived coordinates as geo_filter_search."""
+    from .operators.payload_index import qdrant_filter
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    ).withColumn("geo", F.struct("lat", "lon"))
+    return qdrant_filter(
+        pts,
+        {
+            "must": [
+                {
+                    "key": "geo",
+                    "geo_polygon": {
+                        "exterior": _ring_spec(_POLY_EXTERIOR),
+                        "interiors": [_ring_spec(_POLY_HOLE)],
+                    },
+                }
             ]
         },
         id_col="c_custkey",
@@ -2440,6 +2521,169 @@ def recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         RECOMMEND_EXAMPLES, "q_id int, vec_id bigint, polarity string"
     )
     return S.recommend_best_score(corpus, examples, k=10)
+
+
+@register(
+    "recommend_sum_scores",
+    f"""
+WITH ex(q_id, vec_id, polarity) AS (VALUES {{ex_values}}),
+exv AS (
+  SELECT ex.q_id, ex.polarity, e.embedding AS emb
+  FROM ex JOIN embeddings e USING (vec_id)
+),
+sums AS (
+  SELECT x.q_id, c.vec_id,
+         CAST(sum(CAST((CASE WHEN x.polarity = 'pos' THEN 1.0 ELSE -1.0 END)
+                  * {_dcos('c.embedding', 'x.emb')} AS DECIMAL(18,12)))
+              AS DOUBLE) AS score
+  FROM embeddings c CROSS JOIN exv x
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT m.q_id, m.vec_id, m.score FROM sums m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ex WHERE ex.q_id = m.q_id AND ex.vec_id = m.vec_id
+  )
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""".format(ex_values=_EX_VALUES),
+)
+def recommend_sum_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 recommend, Qdrant's third public strategy
+    (``RecommendStrategy.SUM_SCORES``): candidates score by the SUM of
+    their positive-example similarities minus the sum of their
+    negative-example similarities (the Rocchio relevance-feedback
+    scorer).  Each signed contribution is cast to exact DECIMAL(18,12)
+    before summation on BOTH engines, so the group-by sum (oracle) and
+    the broadcast array fold (engine) are the same exact number in any
+    order — the ranking pins bit-for-bit."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    examples = spark.createDataFrame(
+        RECOMMEND_EXAMPLES, "q_id int, vec_id bigint, polarity string"
+    )
+    return S.recommend_sum_scores(corpus, examples, k=10)
+
+
+@register(
+    "multivector_maxsim_topk",
+    f"""
+WITH mv AS (
+  SELECT vec_id // 4 AS doc_id, list(embedding ORDER BY vec_id) AS vectors
+  FROM embeddings GROUP BY 1
+),
+q AS (SELECT doc_id AS q_id, vectors AS q_vecs FROM mv WHERE doc_id < 3),
+scored AS (
+  SELECT q.q_id, d.doc_id,
+         list_reduce(list_transform(q.q_vecs, qv ->
+           list_reduce(list_transform(d.vectors, dv -> {_dcos('dv', 'qv')}),
+                       (a, b) -> greatest(a, b))),
+           (a, b) -> a + b) AS score
+  FROM mv d CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT q_id, doc_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def multivector_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 extension: Qdrant MULTIVECTOR collections with the MaxSim
+    comparator (``MultiVectorConfig(comparator=MAX_SIM)`` — ColBERT late
+    interaction): each doc stores a LIST of vectors (here 4 consecutive
+    embeddings per doc, a deterministic fixture grouping); a multivector
+    query scores Σ_t max_v cos(t, v).  The whole double fold runs
+    map-side in one fused higher-order expression — no explode, no
+    per-token shuffle (operators/search.py multivector_maxsim).  Oracle:
+    the same fold as DuckDB list lambdas — the inner max is
+    order-independent, the outer sum adds in the same fixed array order,
+    so hashes pin exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = emb.groupBy(F.expr("vec_id DIV 4").alias("doc_id")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(vec_id, embedding))), "
+            "s -> s.embedding)"
+        ).alias("vectors")
+    )
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"), F.col("vectors").alias("q_vecs")
+    )
+    return S.multivector_maxsim(docs, queries, k=10)
+
+
+@register(
+    "nested_payload_filter",
+    """
+SELECT l_orderkey AS order_id, CAST(count(*) AS INT) AS n_items
+FROM lineitem
+GROUP BY l_orderkey
+HAVING bool_or(l_quantity > 45 AND l_returnflag = 'R')
+   AND NOT bool_or(l_returnflag = 'A' AND l_quantity < 3)
+""",
+)
+def nested_payload_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``NestedCondition`` (``{"nested": {"key", "filter"}}``): the
+    payload key is an ARRAY OF OBJECTS and the inner filter must hold on
+    the SAME element — `items[].qty > 45 AND items[].rf = 'R'` in one
+    element, not across two.  Compiled to Spark's EXISTS higher-order
+    function over the array column (operators/payload_index.py) — a pure
+    codegen predicate, no explode, no regroup shuffle; at 100 TB that is
+    the difference between a scan filter and re-shuffling the fact table.
+    Fixture: each order's lineitems as array<struct>, must-nested (a
+    high-qty returned item) AND must_not-nested (no tiny 'A' item).  The
+    oracle restates EXISTS-per-element as grouped bool_or over the same
+    per-row conjunctions."""
+    from .operators.payload_index import qdrant_filter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_partkey").alias("part"),
+                F.col("l_quantity").alias("qty"),
+                F.col("l_returnflag").alias("rf"),
+            )
+        ).alias("items")
+    )
+    spec = {
+        "must": [
+            {
+                "nested": {
+                    "key": "items",
+                    "filter": {
+                        "must": [
+                            {"key": "qty", "range": {"gt": 45.0}},
+                            {"key": "rf", "match": {"value": "R"}},
+                        ]
+                    },
+                }
+            }
+        ],
+        "must_not": [
+            {
+                "nested": {
+                    "key": "items",
+                    "filter": {
+                        "must": [
+                            {"key": "rf", "match": {"value": "A"}},
+                            {"key": "qty", "range": {"lt": 3.0}},
+                        ]
+                    },
+                }
+            }
+        ],
+    }
+    return qdrant_filter(orders, spec, id_col="l_orderkey").select(
+        F.col("l_orderkey").alias("order_id"), F.size("items").alias("n_items")
+    )
 
 
 @register(
@@ -3140,108 +3384,74 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r10: (a) the 19 queries with NO driver-window row in ANY round
-# — the 7 from early r10 (set_payload_points, fixed after the r9
-# regression; scroll_start_from, sparse_knn_topk, hybrid_search_rrf,
-# recommend_best_score, context_pairs_search, points_update_batch) plus
-# the 15 new late-r10 surfaces (formula_rescore_topk,
-# tenant_routed_search, pii_redaction, matrix_offsets_coo,
-# knn_offset_page, alias_blue_green_read, scroll_payload_selector,
-# recommend_groups_topk, retrieve_points, stream_pii_scrub,
-# named_vector_search, query_batch_points, snapshot_restore_read,
-# chunk_dedup_groups, domain_blocklist_filter); (b) queries whose operator
-# code changed this round and must re-certify: count_filtered (count_points
-# empty-spec change) / advanced_filter_should_not / knn_combinator_filtered
-# / payload_index_filter / scroll_filtered (payload_index min_should
-# validation + nested gate), scroll_order_by / scroll_order_by_desc
-# (start_from-extended keyset), npy_migration (binary-family decoders),
-# recommend_by_examples (recommend_probes extraction), search_groups_topk /
-# search_groups_lookup (exclude param) — knn_search's offset param is
-# plan-identical at offset=0 (PLANS_r10 byte-diff clean), so the knn_*
-# family re-certifies via the local replica, not window slots; then the
-# 6 filter-DSL queries added at the END of r10 (match_text_filter,
-# match_phrase_filter, values_count_filter, datetime_range_filter,
-# geo_filter_search, has_vector_filter — never driver-windowed, and the
-# payload_index compiler they exercise changed with them),
-# update_vectors_points (the vector-mutation points API, also new at the
-# end of r10), and the three closing-r10 additions sparse_idf_knn /
-# prefetch_chain_rescore / semdedup_pairs (sparse Modifier.IDF, nested
-# prefetch rescore chain, cluster-bounded embedding dedup); (c) the
-# 18-query r7-stale cohort promised by the r9 rotation, cut at the
-# 50-row cap after its first 7 entries (purchase_attribution_asof …
-# running_supplier_qty).  The leftover — session_window_rollup,
-# shingle_novelty, stream_attribution_join, stream_dedup_events,
-# stream_hourly_counts,
-# stream_store_ingest, text_stats, tfidf_top_terms,
-# top_part_per_supplier, top_revenue_customers, vector_norms (r7-stale)
-# plus the whole r8-stale cohort (adaptive_search, add_batch_append,
-# ann_ivfpq_topk,
-# ann_signlsh_topk, approx_distinct_parts, benchmark_decontamination,
-# bm25_top_docs, collection_stats, cube_orders, dbsf_fusion_topk,
-# dedup_keep_newest, delete_by_id, delete_by_predicate, delete_by_user,
-# detect_1toN, discover_context, distinct_part_counts,
-# domain_balanced_sample, embedding_near_dups, facet_counts,
-# ingest_bulk_100k, int8_rescore_topk, knn_batch_throughput,
-# knn_topk_gemm, label_centroids, latency_distribution, minhash_lsh_dups,
-# multi_vector_fusion, payload_projection, qty_pivot_by_status,
-# quality_weighted_sample, random_sample_points, rollup_returns,
-# running_ops_stats, salted_user_rollup, scroll_keyset, sequence_packing,
-# sessionization, simhash_hamming_pairs, similarity_matrix_topk) — stays
-# local-replica-only and leads the r11 rotation.
+# Rotation r11: (a) the 6 new r11 surfaces (recommend_sum_scores,
+# multivector_maxsim_topk, nested_payload_filter, bq_hamming_rescore,
+# gopher_quality_filter, geo_polygon_filter — never driver-windowed);
+# (b) the complete
+# 40-query r8-stale cohort promised by the r10 rotation (adaptive_search …
+# similarity_matrix_topk); (c) 5 of the 11 r7-stale
+# (session_window_rollup … stream_hourly_counts).  The r11 ADVICE fixes
+# (unicode tokenizer, scalar values_count/is_empty, formula NULL-drop,
+# matrix_offsets guard, alias writer lock) touch queries that were ALL
+# driver-green in r10 and are result-identical at sf0.01 (ASCII corpus,
+# no scalar values_count in registered specs, no /0 in formula fixtures);
+# they re-certify via the full 149-query local replica
+# (CORRECTNESS_LOCAL_r11.json) rather than window slots.  Leftover for
+# r12: the 7 remaining r7-stale (stream_hourly_counts, stream_store_ingest, text_stats,
+# tfidf_top_terms, top_part_per_supplier, top_revenue_customers,
+# vector_norms).
 FRONT_QUERIES = [
-    # (a) never driver-windowed — early-r10 batch
-    "set_payload_points",
-    "scroll_start_from",
-    "sparse_knn_topk",
-    "hybrid_search_rrf",
-    "recommend_best_score",
-    "context_pairs_search",
-    "points_update_batch",
-    # (a) never driver-windowed — late-r10 batch
-    "formula_rescore_topk",
-    "tenant_routed_search",
-    "pii_redaction",
-    "matrix_offsets_coo",
-    "knn_offset_page",
-    "alias_blue_green_read",
-    "scroll_payload_selector",
-    "recommend_groups_topk",
-    "retrieve_points",
-    "stream_pii_scrub",
-    "named_vector_search",
-    "query_batch_points",
-    "snapshot_restore_read",
-    "chunk_dedup_groups",
-    "domain_blocklist_filter",
-    # (a) never driver-windowed — final-r10 filter-DSL batch
-    "match_text_filter",
-    "match_phrase_filter",
-    "values_count_filter",
-    "datetime_range_filter",
-    "geo_filter_search",
-    "has_vector_filter",
-    "update_vectors_points",
-    "sparse_idf_knn",
-    "prefetch_chain_rescore",
-    "semdedup_pairs",
-    # (b) changed this round
-    "count_filtered",
-    "advanced_filter_should_not",
-    "knn_combinator_filtered",
-    "payload_index_filter",
-    "scroll_filtered",
-    "scroll_order_by",
-    "scroll_order_by_desc",
-    "npy_migration",
-    "recommend_by_examples",
-    "search_groups_topk",
-    "search_groups_lookup",
-    # (c) r7-stale cohort (complete)
-    "purchase_attribution_asof",
-    "regex_token_profile",
-    "regional_revenue",
-    "repetition_profile",
-    "rolling_hash_fp",
-    "rrf_fusion_topk",
-    "running_supplier_qty",
+    # (a) new in r11 — never driver-windowed
+    "recommend_sum_scores",
+    "multivector_maxsim_topk",
+    "nested_payload_filter",
+    "bq_hamming_rescore",
+    "gopher_quality_filter",
+    "geo_polygon_filter",
+    # (b) the r8-stale cohort, complete (40)
+    "adaptive_search",
+    "add_batch_append",
+    "ann_ivfpq_topk",
+    "ann_signlsh_topk",
+    "approx_distinct_parts",
+    "benchmark_decontamination",
+    "bm25_top_docs",
+    "collection_stats",
+    "cube_orders",
+    "dbsf_fusion_topk",
+    "dedup_keep_newest",
+    "delete_by_id",
+    "delete_by_predicate",
+    "delete_by_user",
+    "detect_1toN",
+    "discover_context",
+    "distinct_part_counts",
+    "domain_balanced_sample",
+    "embedding_near_dups",
+    "facet_counts",
+    "ingest_bulk_100k",
+    "int8_rescore_topk",
+    "knn_batch_throughput",
+    "knn_topk_gemm",
+    "label_centroids",
+    "latency_distribution",
+    "minhash_lsh_dups",
+    "multi_vector_fusion",
+    "payload_projection",
+    "qty_pivot_by_status",
+    "quality_weighted_sample",
+    "random_sample_points",
+    "rollup_returns",
+    "running_ops_stats",
+    "salted_user_rollup",
+    "scroll_keyset",
+    "sequence_packing",
+    "sessionization",
+    "simhash_hamming_pairs",
+    "similarity_matrix_topk",
+    # (c) r7-stale, first 5 of 11
+    "session_window_rollup",
+    "shingle_novelty",
+    "stream_attribution_join",
+    "stream_dedup_events",
 ]

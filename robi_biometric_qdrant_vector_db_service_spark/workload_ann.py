@@ -713,3 +713,61 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, _probes(spark, sf_dir), k=10, nprobe=2,
         coarse=coarse, cents=cents0, codes=codes,
     )
+
+
+def _duck_bq_sql(k: int = 10, oversample: int = 4, dims: int = 64) -> str:
+    # sign-bit pack into 32-bit BIGINT words — same layout as
+    # operators.ann.bq_words_expr (DuckDB lambda index is 1-based, Spark's
+    # 0-based: (i-1) vs i produce the identical bit positions).
+    def words(col: str) -> str:
+        ws = []
+        for off in range(0, dims, 32):
+            ws.append(
+                f"list_reduce(list_transform(({col})[{off + 1}:{off + 32}], "
+                f"(x, i) -> CASE WHEN CAST(x AS DOUBLE) > 0.0 "
+                f"THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END), "
+                f"(a, b) -> a | b)"
+            )
+        return f"[{', '.join(ws)}]"
+
+    n_words = dims // 32
+    ham = " + ".join(
+        f"bit_count(xor(cw[{i + 1}], qw[{i + 1}]))" for i in range(n_words)
+    )
+    return f"""
+WITH q AS (SELECT q_id, q_emb, {words('q_emb')} AS qw FROM ({_DUCK_Q})),
+c AS (SELECT vec_id, embedding, {words('embedding')} AS cw FROM embeddings),
+stage1 AS (
+  SELECT q.q_id, q.q_emb, c.vec_id, c.embedding, {ham} AS hamming
+  FROM c CROSS JOIN q
+),
+survivors AS (
+  SELECT q_id, q_emb, vec_id, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrank
+    FROM stage1
+  ) WHERE hrank <= {oversample * k}
+),
+rescored AS (
+  SELECT q_id, vec_id, {_dcos('embedding', 'q_emb')} AS score FROM survivors
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM rescored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("bq_hamming_rescore", _duck_bq_sql())
+def bq_hamming_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 binary quantization (Qdrant ``BinaryQuantization`` — the 1-bit
+    tier below the reference's INT8, qdrant_client.py:129-138 pattern):
+    stage 1 ranks by Hamming distance between sign-bit codes (popcount of
+    XOR over packed BIGINT words — integer-exact on both engines), stage 2
+    rescores the 4×k survivors with exact cosine.  At rest the packed code
+    column is 1/32 the float bytes — the 100 TB prescreen scans codes, not
+    vectors."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return ann.bq_hamming_topk(corpus, _probes(spark, sf_dir), k=10, oversample=4)

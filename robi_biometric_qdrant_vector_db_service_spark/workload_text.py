@@ -656,3 +656,70 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", F.round(score, 6).alias("bm25"))
     )
+
+
+@register(
+    "gopher_quality_filter",
+    f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+             / CAST(len(words) AS DOUBLE) AS mwl,
+         CAST(len(list_filter(words, t -> t IN {_STOP_SQL})) AS BIGINT) AS n_stop,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+             / CAST(len(words) AS DOUBLE) AS alpha_frac
+  FROM w
+)
+SELECT doc_id, lang, n_words, round(mwl, 4) AS mean_word_len, n_stop,
+       round(alpha_frac, 4) AS alpha_frac
+FROM m
+WHERE n_words BETWEEN 30 AND 90
+  AND mwl BETWEEN 4.2 AND 10.0
+  AND n_stop >= 2
+  AND alpha_frac >= 0.8
+""",
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    standard LLM training-data gate), composed as ONE conjunctive codegen
+    predicate over per-document array folds: word-count band, mean-word-
+    length band, minimum stop-word hits, minimum alphabetic-word
+    fraction.  No UDF, no shuffle — a pure scan filter; at 100 TB this is
+    the first pass of the pipeline and runs at parquet-scan speed,
+    emitting the metrics alongside the verdict for audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    t = docs.withColumn("words", F.split("text", " "))
+    n_words = F.size("words").cast("bigint")
+    sum_len = F.expr("aggregate(transform(words, x -> length(x)), 0L, (a, v) -> a + v)")
+    mwl = sum_len.cast("double") / n_words.cast("double")
+    n_stop = F.expr(f"size(filter(words, t -> t IN ({stop_list})))").cast("bigint")
+    alpha = (
+        F.expr("size(filter(words, x -> x rlike '[a-z]'))").cast("double")
+        / n_words.cast("double")
+    )
+    m = t.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        mwl.alias("mwl"),
+        n_stop.alias("n_stop"),
+        alpha.alias("alpha_frac"),
+    )
+    return m.filter(
+        F.col("n_words").between(30, 90)
+        & F.col("mwl").between(4.2, 10.0)
+        & (F.col("n_stop") >= 2)
+        & (F.col("alpha_frac") >= 0.8)
+    ).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.round("mwl", 4).alias("mean_word_len"),
+        "n_stop",
+        F.round("alpha_frac", 4).alias("alpha_frac"),
+    )

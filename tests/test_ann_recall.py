@@ -222,3 +222,38 @@ def test_ivfpq_recall_and_contract(spark):
     rec = hit / len(ivf_exact)
     print(f"ivfpq recall@10 vs ivf-exact (same cells) = {rec:.3f}")
     assert rec >= 0.7
+
+
+def test_bq_packing_matches_numpy(spark):
+    """The sign-bit word packing (bq_words_expr) is bit-identical to the
+    NumPy reference packing — per 32-bit word, bit i set iff x[w*32+i] > 0."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r.code
+        for r in df.select(
+            "vec_id", F.expr(ann.bq_words_expr("embedding", 64)).alias("code")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        bits = (v > 0).astype(np.int64)
+        want = [int((bits[w * 32:(w + 1) * 32] << np.arange(32)).sum()) for w in range(2)]
+        assert got[i] == want, i
+
+
+def test_bq_hamming_recall(spark):
+    """BQ prescreen (1 bit/dim) + 4× oversampled exact rescore holds
+    useful recall on the fixture corpus — and stays deterministic."""
+    corpus, probes, exact = _setup(spark, k=10)
+    approx = ann.bq_hamming_topk(corpus, probes, k=10, oversample=4).collect()
+    r = _recall(approx, exact)
+    print(f"bq hamming recall@10 = {r:.3f}")
+    assert r >= 0.5  # 1-bit codes are the recall floor of the quant family
+    again = ann.bq_hamming_topk(corpus, probes, k=10, oversample=4).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))

@@ -155,3 +155,24 @@ def test_formula_query_boost_reorders(spark):
     assert n3 > 0
     # every label-3 point (score+10) ranks above every other point
     assert all(r.label == 3 for r in rows[:n3]), [(r.rank, r.label) for r in rows]
+
+
+def test_formula_query_drops_null_scores(spark):
+    """div with no by_zero_default → NULL new_score → the point is DROPPED
+    (Qdrant semantics), never emitted as a NULL-score trailing row."""
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+    # divisor = the condition indicator (1.0 on label 3, else 0.0) → every
+    # non-label-3 candidate divides by zero
+    ast = {"div": {"left": "$score", "right": {"key": "label", "match": {"value": 3}}}}
+    out = formula_query(corpus, _probes(spark), ast, prefetch_k=50, k=50).collect()
+    assert out, "some label-3 candidates must survive"
+    assert all(r.score is not None for r in out)
+    labels = {r.vec_id: r.label for r in
+              load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "label").collect()}
+    # every emitted point divided by indicator 1.0 → label 3 only
+    assert all(labels[r.vec_id] == 3 for r in out)
+    # with the default supplied, the dropped points come back (score 0)
+    ast2 = {"div": {"left": "$score", "right": {"key": "label", "match": {"value": 3}},
+                    "by_zero_default": 0.0}}
+    out2 = formula_query(corpus, _probes(spark), ast2, prefetch_k=50, k=50).collect()
+    assert len(out2) > len(out)

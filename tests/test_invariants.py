@@ -497,3 +497,30 @@ def test_restored_snapshot_preserves_ts_skipping_stats(spark, tmp_path):
     pruned = restored.read(ts_range=(1000.0, 2000.0))
     assert pruned.count() == 0
     assert not pruned.inputFiles(), "disjoint ts_range must enumerate zero files"
+
+
+def test_alias_registry_concurrent_writers_lose_no_ops(spark, tmp_path):
+    """Two writer batches racing on the same registry must BOTH land —
+    update_aliases serializes read-modify-replace on an fcntl lock (readers
+    stay lock-free on the atomic os.replace)."""
+    import threading
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import AliasRegistry
+
+    store = _payload_store(spark, tmp_path, [("a", [1.0] * 4, "u1", 1.0, {})])
+    reg = AliasRegistry(spark, str(tmp_path / "reg"))
+    errors = []
+
+    def writer(i):
+        try:
+            for j in range(10):
+                reg.update_aliases([("create", f"alias_{i}_{j}", store.root)])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errors
+    table = reg.aliases()
+    assert len(table) == 40, f"lost writes: {sorted(table)}"

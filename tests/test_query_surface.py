@@ -454,7 +454,9 @@ def test_qdrant_filter_combinator_semantics(spark):
         build_filter({"must": [{"key": "population", "range": {}}]})
     with pytest.raises(ValueError, match="min_should requires"):
         build_filter({"min_should": {"conditions": [], "min_count": 1}})
-    with pytest.raises(NotImplementedError, match="array-of-objects"):
+    # nested compiles since r11 (test_qdrant_filter_r11_type_aware_and_nested);
+    # an EMPTY inner filter still fails loud like any empty Filter
+    with pytest.raises(ValueError, match="empty Filter"):
         build_filter({"must": [{"nested": {"key": "items", "filter": {}}}]})
 
 
@@ -545,8 +547,27 @@ def test_qdrant_filter_extended_condition_types(spark):
     # HasVector: presence of the named space; must_not is the exact complement
     assert ids({"must": [{"has_vector": "rev"}]}) == ["1", "3"]
     assert ids({"must_not": [{"has_vector": "rev"}]}) == ["2", "4"]
+    # GeoPolygon (r11): square around the origin keeps rows 1 (0,0) and
+    # 2 (1,0); a hole over (0,0) then drops row 1; degenerate rings fail loud
+    square = {"points": [
+        {"lat": -2.0, "lon": -2.0}, {"lat": -2.0, "lon": 2.0},
+        {"lat": 2.5, "lon": 2.0}, {"lat": 2.5, "lon": -2.0},
+        {"lat": -2.0, "lon": -2.0}]}
+    assert ids({"must": [{"key": "geo", "geo_polygon": {"exterior": square}}]}) == [
+        "1", "2"
+    ]
+    hole = {"points": [
+        {"lat": -0.5, "lon": -0.5}, {"lat": -0.5, "lon": 0.5},
+        {"lat": 0.5, "lon": 0.5}, {"lat": 0.5, "lon": -0.5}]}
+    assert ids(
+        {"must": [{"key": "geo", "geo_polygon": {
+            "exterior": square, "interiors": [hole]}}]}
+    ) == ["2"]
+    assert ids({"must_not": [{"key": "geo", "geo_polygon": {"exterior": square}}]}) == [
+        "3", "4"
+    ]
     # fail-loud
-    with pytest.raises(NotImplementedError, match="geo_polygon"):
+    with pytest.raises(ValueError, match="3 distinct points"):
         build_filter({"must": [{"key": "geo", "geo_polygon": {"exterior": []}}]})
     with pytest.raises(ValueError, match="at least one token"):
         build_filter({"must": [{"key": "text", "match": {"text": " ... "}}]})
@@ -846,3 +867,150 @@ def test_recommend_lookup_from_other_collection(spark):
         [(1, 999999, "pos")], "q_id int, vec_id bigint, polarity string"
     )
     assert recommend_probes(corpus, ghost, lookup_from=lookup).count() == 0
+
+
+def test_qdrant_filter_r11_type_aware_and_nested(spark):
+    """r11 compiler upgrades: values_count / is_empty on SCALAR columns
+    (present scalar counts 1 / is never empty — needs the schema the
+    DataFrame entry points now pass), the unicode-aware word tokenizer
+    ('café' is ONE token; '_' breaks), and NestedCondition same-element
+    semantics (EXISTS over array<struct>, has_id rejected inside)."""
+    import pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.payload_index import (
+        build_filter,
+        qdrant_filter,
+    )
+
+    rows = [
+        ("1", "s", ["x", "y"], "Le Café est ouvert",
+         [{"f": "meat", "q": 1}, {"f": "fruit", "q": 9}]),
+        ("2", None, [], "snake_case_words only", [{"f": "meat", "q": 9}]),
+        ("3", "b", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "point_id string, tag string, tags array<string>, text string, "
+        "items array<struct<f:string,q:int>>",
+    )
+
+    def ids(spec):
+        return sorted(r.point_id for r in qdrant_filter(df, spec).collect())
+
+    # scalar values_count: present scalar counts 1, absent counts 0
+    assert ids({"must": [{"key": "tag", "values_count": {"gte": 1}}]}) == ["1", "3"]
+    assert ids({"must": [{"key": "tag", "values_count": {"lt": 1}}]}) == ["2"]
+    # scalar is_empty: NULL is empty, a present scalar never is
+    assert ids({"must": [{"is_empty": {"key": "tag"}}]}) == ["2"]
+    assert ids({"must_not": [{"is_empty": {"key": "tag"}}]}) == ["1", "3"]
+    # array columns keep array semantics (row 2's [] IS empty)
+    assert ids({"must": [{"is_empty": {"key": "tags"}}]}) == ["2", "3"]
+    # unicode word tokenizer: 'café' survives as one token...
+    assert ids({"must": [{"key": "text", "match": {"text": "café"}}]}) == ["1"]
+    # ...so its ASCII prefix is NOT a token
+    assert ids({"must": [{"key": "text", "match": {"text": "caf"}}]}) == []
+    # underscore is a token break on both the field and the query side
+    assert ids({"must": [{"key": "text", "match": {"text": "snake case"}}]}) == ["2"]
+    assert ids({"must": [{"key": "text", "match": {"phrase": "case words"}}]}) == ["2"]
+    # NestedCondition: BOTH inner conditions on the SAME element — row 1
+    # has (meat, q=1) and (fruit, q=9), so meat∧q>=5 must NOT match it
+    nested = {
+        "nested": {
+            "key": "items",
+            "filter": {
+                "must": [
+                    {"key": "f", "match": {"value": "meat"}},
+                    {"key": "q", "range": {"gte": 5}},
+                ]
+            },
+        }
+    }
+    assert ids({"must": [nested]}) == ["2"]
+    # must_not nested: no element matches OR the array is absent
+    assert ids({"must_not": [nested]}) == ["1", "3"]
+    # inner must_not applies per element: some element that is not meat
+    assert ids(
+        {"must": [{"nested": {"key": "items", "filter": {
+            "must_not": [{"key": "f", "match": {"value": "meat"}}]}}}]}
+    ) == ["1"]
+    with pytest.raises(ValueError, match="has_id"):
+        qdrant_filter(
+            df,
+            {"must": [{"nested": {"key": "items",
+                                  "filter": {"must": [{"has_id": [1]}]}}}]},
+        ).collect()
+    # schema-free build_filter still compiles (array-typed requirement)
+    assert build_filter({"must": [{"key": "tags", "values_count": {"gte": 1}}]}) is not None
+
+
+def test_matrix_offsets_refuses_unbounded_corpus(spark):
+    """matrix_offsets globally orders the sample id list (single-partition
+    window) — an over-cap corpus must fail loud, not silently degrade."""
+    import pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import (
+        matrix_offsets,
+    )
+
+    big = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(CAST(id AS DOUBLE), 1.0D)").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_sample"):
+        matrix_offsets(big, k=2, max_sample=10)
+    out = matrix_offsets(big.filter("vec_id < 8"), k=2, max_sample=10)
+    assert out.count() == 16  # 8 rows × top-2, offsets resolved
+
+
+def test_multivector_maxsim_pinned(spark):
+    """MaxSim on a hand-computable fixture: score = Σ_t max_v cos(t, v);
+    the doc holding both query directions beats the one holding one."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import (
+        multivector_maxsim,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, [[1.0, 0.0], [0.0, 1.0]]),   # both axes
+            (1, [[1.0, 0.0], [1.0, 0.0]]),   # x only
+            (2, [[-1.0, 0.0]]),  # anti-aligned to token 1 only
+        ],
+        "doc_id bigint, vectors array<array<double>>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [[1.0, 0.0], [0.0, 1.0]])], "q_id bigint, q_vecs array<array<double>>"
+    )
+    rows = {r.doc_id: (r.rank, r.score) for r in multivector_maxsim(docs, qs, k=3).collect()}
+    assert rows[0] == (1, 2.0)   # max per token: 1 + 1
+    assert rows[1] == (2, 1.0)   # 1 + 0
+    assert rows[2] == (3, -1.0)  # -1 + 0
+
+
+def test_recommend_sum_scores_polarity(spark):
+    """SUM_SCORES rewards breadth: a candidate near BOTH positives outranks
+    one nearest a single positive (where best_score would tie them), and
+    negatives subtract."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import (
+        recommend_sum_scores,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),    # pos example A
+            (1, [0.0, 1.0, 0.0]),    # pos example B
+            (2, [0.0, 0.0, 1.0]),    # neg example
+            (10, [1.0, 1.0, 0.0]),   # near both positives
+            (11, [1.0, 0.0, 0.001]), # near one positive
+            (12, [0.0, 0.0, 0.9]),   # near the negative
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ex = spark.createDataFrame(
+        [(0, 0, "pos"), (0, 1, "pos"), (0, 2, "neg")],
+        "q_id int, vec_id bigint, polarity string",
+    )
+    out = recommend_sum_scores(corpus, ex, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [10, 11, 12]
+    assert out[0].score > out[1].score > out[2].score
+    # examples themselves excluded
+    assert {r.vec_id for r in out}.isdisjoint({0, 1, 2})
