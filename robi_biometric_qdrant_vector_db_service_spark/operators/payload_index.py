@@ -143,13 +143,56 @@ def _text_tokens(query: str) -> list[str]:
     return toks
 
 
-def _match_text(col: Column, query: str) -> Column:
-    """Qdrant ``MatchText`` (full-text index, word tokenizer): every query
-    token present in the field's token set, any order."""
-    toks = F.split(F.lower(col), _TOKEN_BREAK_RE_JVM)
+def _match_text(col: Column, query: str, params: dict | None = None) -> Column:
+    """Qdrant ``MatchText`` (full-text index): every query token present
+    in the field's token set, any order.  ``params`` carries the field's
+    ``TextIndexParams`` (the engine inlines the index declaration at the
+    condition — there is no index catalog in a schema-free compile): with
+    ``tokenizer: "prefix"`` a query token matches any field token it
+    PREFIXES (Qdrant's prefix index, which stores min..max_token_len
+    prefixes of every token)."""
+    p = dict(params or {})
+    tok = p.get("tokenizer", "word")
+    if tok not in ("word", "whitespace", "prefix"):
+        raise NotImplementedError(
+            f"tokenizer {tok!r} not supported (word/whitespace/prefix; "
+            "multilingual needs a language-aware analyzer)"
+        )
+    import re
+
+    lower = p.get("lowercase", True)
+    c = F.lower(col) if lower else col
+    toks = F.split(c, r"\s+" if tok == "whitespace" else _TOKEN_BREAK_RE_JVM)
+    mn = int(p.get("min_token_len") or 1)
+    mx = p.get("max_token_len")
+    # query-time analysis mirrors index-time analysis (same tokenizer +
+    # same lowercasing), as in Qdrant
+    qsrc = str(query).lower() if lower else str(query)
+    qbreak = r"\s+" if tok == "whitespace" else _TOKEN_BREAK_RE_PY
+    qtoks = [t for t in re.split(qbreak, qsrc) if t]
+    if not qtoks:
+        raise ValueError(f"text match needs at least one token: {query!r}")
     out = None
-    for t in _text_tokens(query):
-        term = F.array_contains(toks, t)
+    for t in qtoks:
+        if len(t) < mn or (mx is not None and len(t) > int(mx)):
+            # the index never stored tokens outside the bounds — no match
+            term = F.lit(False)
+        elif tok != "prefix" and mn <= 1 and mx is None:
+            # unbounded exact-token path: keep the array_contains shape
+            # (the r10 plan the match_text_filter plan audit pinned)
+            term = F.array_contains(toks, t)
+        else:
+
+            def _term_fn(q: str, prefix: bool):
+                def f(ft: Column) -> Column:
+                    cond = F.length(ft) >= F.lit(mn)
+                    if mx is not None:
+                        cond = cond & (F.length(ft) <= F.lit(int(mx)))
+                    return cond & (ft.startswith(q) if prefix else ft == F.lit(q))
+
+                return f
+
+            term = F.exists(toks, _term_fn(t, tok == "prefix"))
         out = term if out is None else out & term
     return out
 
@@ -388,7 +431,7 @@ def _condition(cond: dict, id_col: str, *, schema=None, col_of=None) -> Column:
             # MatchExcept: everything except these values — absent passes.
             return ~col.isin(list(m["except"])) | col.isNull()
         if "text" in m:
-            return _match_text(col, m["text"])
+            return _match_text(col, m["text"], m.get("params"))
         if "phrase" in m:
             return _match_phrase(col, m["phrase"])
         raise ValueError(f"match needs value/any/except/text/phrase: {m}")

@@ -566,6 +566,18 @@ class VectorStore:
         new_map = F.map_concat(self._without_keys(list(payload)), new_pairs)
         return self._mutate_matched(point_ids, new_map)
 
+    def overwrite_payload(self, point_ids: list[str], payload: dict) -> int:
+        """Qdrant ``overwrite_payload`` (points API ``PUT /points/payload``):
+        REPLACE the matched points' whole metadata map with ``payload`` —
+        keys not in the request are dropped (the PUT sibling of
+        ``set_payload``'s POST merge)."""
+        if not payload:
+            raise ValueError("overwrite_payload requires at least one key")
+        new_map = F.create_map(
+            *[F.lit(str(x)) for k, v in payload.items() for x in (k, v)]
+        )
+        return self._mutate_matched(point_ids, new_map)
+
     def delete_payload(self, point_ids: list[str], keys: list[str]) -> int:
         """Qdrant ``delete_payload``: drop the given keys from the matched
         points' metadata; absent keys are a no-op (Qdrant ignores them)."""

@@ -75,3 +75,36 @@ def pii_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_phones").cast("bigint").alias("n_phones"),
         )
     )
+
+
+def quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the Gopher quality gate (workload_text.gopher_frame — a
+    stateless projection+filter, identical expression tree as batch) as a
+    stream over the staged documents, append passing docs to a memory
+    sink, drain, and return per-lang totals (n_docs, sum_words)."""
+    from ..workload_text import gopher_frame
+
+    path = staged_documents_path(spark, sf_dir)
+    name = f"quality_gate_{os.getpid()}_{next(_counter)}"
+    stream = spark.readStream.schema(DOCS_SCHEMA).option(
+        "maxFilesPerTrigger", 4
+    ).parquet(path)
+    passed = gopher_frame(stream)
+    q = (
+        passed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+        )
+    )

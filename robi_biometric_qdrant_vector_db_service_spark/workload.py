@@ -1923,6 +1923,43 @@ def match_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "match_text_prefix",
+    r"""
+SELECT doc_id, lang
+FROM documents
+WHERE len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+          t -> len(t) BETWEEN 2 AND 12 AND starts_with(t, 'spar'))) > 0
+  AND len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+          t -> len(t) BETWEEN 2 AND 12 AND starts_with(t, 'win'))) > 0
+""",
+)
+def match_text_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``TextIndexParams(tokenizer=PREFIX, min_token_len,
+    max_token_len)``: the text index stores min..max-length prefixes of
+    every token, so a query token matches any field token it PREFIXES —
+    'spar' hits 'spark', 'win' hits 'window'.  The schema-free compiler
+    inlines the index declaration at the condition (``match.params``);
+    query-time analysis mirrors index-time (same tokenizer, same bounds —
+    an out-of-bounds query token matches nothing, exactly as an unindexed
+    prefix).  Compiled to an EXISTS higher-order predicate per query
+    token — still one scan, fused codegen, zero shuffles; Qdrant pays a
+    prefix-trie probe, this is the scan-side fallback."""
+    from .operators.payload_index import qdrant_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    params = {"tokenizer": "prefix", "min_token_len": 2, "max_token_len": 12}
+    return qdrant_filter(
+        docs,
+        {
+            "must": [
+                {"key": "text", "match": {"text": "spar win", "params": params}},
+            ]
+        },
+        id_col="doc_id",
+    ).select("doc_id", "lang")
+
+
+@register(
     "match_phrase_filter",
     """
 SELECT doc_id, n_chars
@@ -3384,10 +3421,13 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r11: (a) the 6 new r11 surfaces (recommend_sum_scores,
+# Rotation r11: (a) the 10 new r11 surfaces (recommend_sum_scores,
 # multivector_maxsim_topk, nested_payload_filter, bq_hamming_rescore,
-# gopher_quality_filter, geo_polygon_filter — never driver-windowed);
-# (b) the complete
+# gopher_quality_filter, geo_polygon_filter, hard_negative_mining,
+# dsir_importance_weights, stream_quality_gate, match_text_prefix,
+# mixture_rebalance — never driver-windowed; overwrite_payload is API
+# surface covered by pytest);
+# (b) the
 # 40-query r8-stale cohort promised by the r10 rotation (adaptive_search …
 # similarity_matrix_topk); (c) 5 of the 11 r7-stale
 # (session_window_rollup … stream_hourly_counts).  The r11 ADVICE fixes
@@ -3397,7 +3437,9 @@ from . import workload_graph  # noqa: E402,F401
 # no scalar values_count in registered specs, no /0 in formula fixtures);
 # they re-certify via the full 149-query local replica
 # (CORRECTNESS_LOCAL_r11.json) rather than window slots.  Leftover for
-# r12: the 7 remaining r7-stale (stream_hourly_counts, stream_store_ingest, text_stats,
+# r12: the last 5 r8-stale (scroll_keyset, sequence_packing,
+# sessionization, simhash_hamming_pairs, similarity_matrix_topk) and the 7 remaining
+# r7-stale (stream_hourly_counts, stream_store_ingest, text_stats,
 # tfidf_top_terms, top_part_per_supplier, top_revenue_customers,
 # vector_norms).
 FRONT_QUERIES = [
@@ -3408,7 +3450,14 @@ FRONT_QUERIES = [
     "bq_hamming_rescore",
     "gopher_quality_filter",
     "geo_polygon_filter",
-    # (b) the r8-stale cohort, complete (40)
+    "hard_negative_mining",
+    "dsir_importance_weights",
+    "stream_quality_gate",
+    "match_text_prefix",
+    "mixture_rebalance",
+    # (b) the r8-stale cohort, first 35 of 40
+    #     (scroll_keyset/sequence_packing/sessionization/
+    #      simhash_hamming_pairs/similarity_matrix_topk deferred to r12)
     "adaptive_search",
     "add_batch_append",
     "ann_ivfpq_topk",
@@ -3444,11 +3493,6 @@ FRONT_QUERIES = [
     "rollup_returns",
     "running_ops_stats",
     "salted_user_rollup",
-    "scroll_keyset",
-    "sequence_packing",
-    "sessionization",
-    "simhash_hamming_pairs",
-    "similarity_matrix_topk",
     # (c) r7-stale, first 5 of 11
     "session_window_rollup",
     "shingle_novelty",

@@ -603,3 +603,320 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "domain")
         .agg(F.count("*").cast("bigint").alias("n_urls"))
     )
+
+
+def _duck_hard_neg_sql(k: int = 8) -> str:
+    from .workload import N_QUERIES, _dcos
+
+    return f"""
+WITH a AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, label AS anchor_label
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT a.q_id, a.anchor_label, e.vec_id, e.label AS neg_label,
+         {_dcos('e.embedding', 'a.q_emb')} AS score
+  FROM embeddings e CROSS JOIN a
+  WHERE e.label <> a.anchor_label
+),
+ranked AS (
+  SELECT q_id, anchor_label, vec_id, neg_label, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(anchor_label AS INT) AS anchor_label, vec_id,
+       CAST(neg_label AS INT) AS neg_label, CAST(rank AS INT) AS rank,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("hard_negative_mining", _duck_hard_neg_sql())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor, the
+    top-k most-similar points with a DIFFERENT label — the nearest
+    neighbors most likely to confuse an embedding model, the standard
+    negative set for InfoNCE/triplet training (in-batch negatives'
+    curated upgrade).  Plan shape: anchors broadcast, the label-mismatch
+    predicate prunes map-side BEFORE scoring, one ranking shuffle — knn's
+    plan with a filter, nothing more.  At 100 TB anchors stream in
+    request-sized batches exactly like ``knn_batch_throughput``."""
+    from .functions.vector import cosine_sql
+    from .workload import N_QUERIES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("score", F.expr(cosine_sql("embedding", "q_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 8)
+        .select(
+            "q_id",
+            F.col("anchor_label").cast("int").alias("anchor_label"),
+            "vec_id",
+            F.col("label").cast("int").alias("neg_label"),
+            "rank",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+DSIR_BUCKETS = 64  # hashed unigram feature space (Xie et al. 2023 use 10k; 64 keeps the fixture oracle readable)
+
+
+def _duck_dsir_sql() -> str:
+    b = DSIR_BUCKETS
+    return f"""
+WITH words AS (
+  SELECT doc_id, lang, w,
+         (('0x' || substring(md5(w), 1, 6))::BIGINT) % {b} AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+per_doc AS (
+  SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS cnt
+  FROM words GROUP BY 1, 2, 3
+),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct_t FROM words WHERE lang = 'en' GROUP BY 1),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS ct_r FROM words GROUP BY 1),
+tot AS (
+  SELECT (SELECT count(*) FROM words WHERE lang = 'en') AS t_t,
+         (SELECT count(*) FROM words) AS t_r
+),
+lr AS (
+  SELECT raw.b,
+         CAST(round(ln(((coalesce(tgt.ct_t, 0) + 1.0) / (tot.t_t + {b}.0))
+                       / ((raw.ct_r + 1.0) / (tot.t_r + {b}.0))), 6)
+              AS DECIMAL(18,6)) AS logratio
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+)
+SELECT per_doc.doc_id, any_value(per_doc.lang) AS lang,
+       CAST(sum(per_doc.cnt * lr.logratio) AS DOUBLE) AS weight
+FROM per_doc JOIN lr USING (b)
+GROUP BY per_doc.doc_id
+"""
+
+
+@register("dsir_importance_weights", _duck_dsir_sql())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    per-document importance weight Σ_w ln(p_target(bucket(w)) /
+    p_raw(bucket(w))) over hashed unigram features, target = the
+    in-domain slice (lang='en'), Laplace-smoothed.  The standard
+    importance-resampling scorer for building a domain-matched training
+    mix from a raw crawl.
+
+    Determinism discipline: the feature hash is the md5 idiom (identical
+    both engines); each bucket's log-ratio rounds to 6 dp BEFORE use
+    (collapses cross-libm ln ulp drift — the sparse_idf trick) and
+    accumulates as exact DECIMAL, so per-doc weights pin bit-for-bit.
+
+    Plan shape: tokens never shuffle raw — per-doc bucket counts reduce
+    map-side first (≤ DSIR_BUCKETS rows per doc cross the one group-by
+    exchange), the bucket log-ratio table is DSIR_BUCKETS rows broadcast, and the two corpus
+    aggregates are map-side-combined 64-row reductions.  At 100 TB the
+    weight is a per-doc projection + one bounded shuffle — resampling is
+    then a threshold filter, not a global sort."""
+    b = DSIR_BUCKETS
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .withColumn(
+            "b",
+            F.expr(f"CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) % {b}"),
+        )
+    )
+    # ONE corpus-scale pass: per-doc bucket counts (map-side combined);
+    # every distribution table below derives from the ≤64-rows-per-doc
+    # reduction, never from the raw token stream again.
+    per_doc = words.groupBy("doc_id", "lang", "b").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    bl = per_doc.groupBy("b", "lang").agg(F.sum("cnt").alias("n"))
+    tgt = (
+        bl.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("n").cast("bigint").alias("ct_t"))
+    )
+    raw = bl.groupBy("b").agg(F.sum("n").cast("bigint").alias("ct_r"))
+    tot = bl.agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("t_t"),
+        F.sum("n").cast("bigint").alias("t_r"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("ct_t"), F.lit(0)) + 1.0) / (F.col("t_t") + float(b)))
+                    / ((F.col("ct_r") + 1.0) / (F.col("t_r") + float(b)))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("logratio"),
+        )
+    )
+    # The log-ratio table is model state (DSIR_BUCKETS rows) — pin it
+    # driver-side (the kmeans-codebook discipline) so the per-doc weight
+    # join starts from a literal and the corpus-scale per_doc reduction
+    # is computed ONCE, not re-derived per plan branch.
+    lr = spark.createDataFrame(lr.collect(), "b bigint, logratio decimal(18,6)")
+    return (
+        per_doc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("any_value(lang)").alias("lang"),
+            F.sum(F.col("cnt") * F.col("logratio")).cast("double").alias("weight"),
+        )
+    )
+
+
+def _register_stream_quality_gate() -> None:
+    from .workload_text import _STOP_SQL
+
+    @register(
+        "stream_quality_gate",
+        f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+             / CAST(len(words) AS DOUBLE) AS mwl,
+         CAST(len(list_filter(words, t -> t IN {_STOP_SQL})) AS BIGINT) AS n_stop,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+             / CAST(len(words) AS DOUBLE) AS alpha_frac
+  FROM w
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_words
+FROM m
+WHERE n_words BETWEEN 30 AND 90
+  AND mwl BETWEEN 4.2 AND 10.0
+  AND n_stop >= 2
+  AND alpha_frac >= 0.8
+GROUP BY lang
+""",
+    )
+    def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The Gopher quality gate as a continuous pipeline stage: the
+        IDENTICAL stateless gate expression (``workload_text.gopher_frame``)
+        runs per micro-batch over the document file stream, passing docs
+        append to the sink, and the drained per-lang totals must equal the
+        batch aggregation (the oracle) — same one-definition-serves-both
+        posture as the PII scrub, proving the whole quality stage of the
+        pipeline can run on the live feed with zero semantic drift."""
+        from .streaming.scrub import quality_gate_stream
+
+        return quality_gate_stream(spark, sf_dir)
+
+
+_register_stream_quality_gate()
+
+
+def _duck_mixture_sql() -> str:
+    return """
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS t, count(*) AS n_src FROM per_src),
+rates AS (
+  SELECT per_src.source, per_src.n_docs, per_src.n_tokens,
+         least(1.0, (tot.t / CAST(tot.n_src AS DOUBLE)) / per_src.n_tokens) AS rate
+  FROM per_src CROSS JOIN tot
+),
+kept AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN rates USING (source)
+  WHERE ((('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)
+         / 4294967296.0) < rates.rate
+  GROUP BY d.source
+)
+SELECT rates.source, rates.n_docs, rates.n_tokens, round(rates.rate, 6) AS rate,
+       coalesce(kept.n_kept, 0) AS n_kept
+FROM rates LEFT JOIN kept USING (source)
+"""
+
+
+@register("mixture_rebalance", _duck_mixture_sql())
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rebalance: compute per-domain sampling rates that move
+    the natural token mix toward a UNIFORM target share (the standard
+    downsample-only mixture step before training — rate = min(1,
+    target_tokens / domain_tokens), over-represented domains thinned,
+    under-represented kept whole), then apply them as a deterministic
+    md5-acceptance sample and report per-domain kept counts.
+
+    Everything reduces before it moves: per-source token counts are
+    map-side-combined 20-row aggregates, the rate table broadcasts back
+    over the corpus, and the acceptance test is the exact md5-uniform
+    draw (identical doubles both engines, so the sampled SET — not just
+    its size — is deterministic).  At 100 TB: two tiny shuffles + one
+    scan, and the emitted rates ARE the mixture config a trainer consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("n_src")
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.least(
+            F.lit(1.0),
+            (F.col("t") / F.col("n_src").cast("double")) / F.col("n_tokens"),
+        ).alias("rate"),
+    )
+    # the rate table IS the mixture config (one row per domain) — pin it
+    # driver-side so the acceptance pass and the final report both start
+    # from the literal instead of re-deriving the per-source aggregation
+    rates = spark.createDataFrame(
+        rates.collect(), "source string, n_docs bigint, n_tokens bigint, rate double"
+    )
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        )
+        / F.lit(4294967296.0)
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(u < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )
+    return (
+        rates.join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

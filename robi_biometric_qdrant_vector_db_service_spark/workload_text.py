@@ -658,6 +658,44 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_frame(docs: DataFrame) -> DataFrame:
+    """The Gopher gate as a reusable frame transform (batch AND streaming —
+    a stateless projection+filter, so the identical expression tree runs
+    under Structured Streaming unchanged).  Input needs (doc_id, lang,
+    text); returns the passing docs with their audit metrics."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    t = docs.withColumn("words", F.split("text", " "))
+    n_words = F.size("words").cast("bigint")
+    sum_len = F.expr("aggregate(transform(words, x -> length(x)), 0L, (a, v) -> a + v)")
+    mwl = sum_len.cast("double") / n_words.cast("double")
+    n_stop = F.expr(f"size(filter(words, t -> t IN ({stop_list})))").cast("bigint")
+    alpha = (
+        F.expr("size(filter(words, x -> x rlike '[a-z]'))").cast("double")
+        / n_words.cast("double")
+    )
+    m = t.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        mwl.alias("mwl"),
+        n_stop.alias("n_stop"),
+        alpha.alias("alpha_frac"),
+    )
+    return m.filter(
+        F.col("n_words").between(30, 90)
+        & F.col("mwl").between(4.2, 10.0)
+        & (F.col("n_stop") >= 2)
+        & (F.col("alpha_frac") >= 0.8)
+    ).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.round("mwl", 4).alias("mean_word_len"),
+        "n_stop",
+        F.round("alpha_frac", 4).alias("alpha_frac"),
+    )
+
+
 @register(
     "gopher_quality_filter",
     f"""
@@ -691,35 +729,4 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction.  No UDF, no shuffle — a pure scan filter; at 100 TB this is
     the first pass of the pipeline and runs at parquet-scan speed,
     emitting the metrics alongside the verdict for audit."""
-    docs = load_table(spark, sf_dir, "documents")
-    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    t = docs.withColumn("words", F.split("text", " "))
-    n_words = F.size("words").cast("bigint")
-    sum_len = F.expr("aggregate(transform(words, x -> length(x)), 0L, (a, v) -> a + v)")
-    mwl = sum_len.cast("double") / n_words.cast("double")
-    n_stop = F.expr(f"size(filter(words, t -> t IN ({stop_list})))").cast("bigint")
-    alpha = (
-        F.expr("size(filter(words, x -> x rlike '[a-z]'))").cast("double")
-        / n_words.cast("double")
-    )
-    m = t.select(
-        "doc_id",
-        "lang",
-        n_words.alias("n_words"),
-        mwl.alias("mwl"),
-        n_stop.alias("n_stop"),
-        alpha.alias("alpha_frac"),
-    )
-    return m.filter(
-        F.col("n_words").between(30, 90)
-        & F.col("mwl").between(4.2, 10.0)
-        & (F.col("n_stop") >= 2)
-        & (F.col("alpha_frac") >= 0.8)
-    ).select(
-        "doc_id",
-        "lang",
-        "n_words",
-        F.round("mwl", 4).alias("mean_word_len"),
-        "n_stop",
-        F.round("alpha_frac", 4).alias("alpha_frac"),
-    )
+    return gopher_frame(load_table(spark, sf_dir, "documents"))

@@ -255,6 +255,15 @@ def test_payload_mutation_semantics(spark, tmp_path):
     assert out["b"] == {}, out["b"]
     assert out["c"] == {"tier": "gold", "new": "k"}, out["c"]
     assert out["d"] == {"keep": "me"}, out["d"]
+    # overwrite_payload (PUT): REPLACE the whole map — 'seq'/'new' dropped
+    assert store.overwrite_payload(["a", "missing-id"], {"tier": "silver"}) == 1
+    out = {r["point_id"]: r["metadata"] for r in store.read().collect()}
+    assert out["a"] == {"tier": "silver"}, out["a"]
+    assert out["c"] == {"tier": "gold", "new": "k"}, out["c"]  # untouched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one key"):
+        store.overwrite_payload(["a"], {})
 
 
 def test_payload_values_with_backslashes_and_quotes(spark, tmp_path):

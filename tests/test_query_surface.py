@@ -1014,3 +1014,41 @@ def test_recommend_sum_scores_polarity(spark):
     assert out[0].score > out[1].score > out[2].score
     # examples themselves excluded
     assert {r.vec_id for r in out}.isdisjoint({0, 1, 2})
+
+
+def test_text_index_params_tokenizers(spark):
+    """TextIndexParams at the match condition: prefix tokenizer (query
+    token prefixes a field token), whitespace tokenizer (no punctuation
+    break, query analyzed identically), min/max_token_len bounds (out-of-
+    bounds tokens are unindexed on BOTH sides), multilingual gates."""
+    import pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.payload_index import (
+        qdrant_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Sparking windows are Sparkly"), (2, "win the spar match"), (3, "a b c")],
+        "doc_id int, text string",
+    )
+
+    def ids(d, spec):
+        return sorted(r.doc_id for r in qdrant_filter(d, spec, id_col="doc_id").collect())
+
+    def m(text, **params):
+        return {"must": [{"key": "text", "match": {"text": text, "params": params}}]}
+
+    assert ids(df, m("spark", tokenizer="prefix")) == [1]
+    assert ids(df, m("spar win", tokenizer="prefix")) == [1, 2]
+    # min_token_len: 1-char tokens are never indexed — query 'a' matches nothing
+    assert ids(df, m("a", min_token_len=2)) == []
+    # max_token_len: 'windows' (7) unindexed at 5 — only row 2's 'win' remains
+    assert ids(df, m("win", tokenizer="prefix", max_token_len=5)) == [2]
+    # whitespace tokenizer: hyphenated token stays whole, query analyzed the same
+    df2 = spark.createDataFrame(
+        [(1, "end-to-end test"), (2, "end to end")], "doc_id int, text string"
+    )
+    assert ids(df2, m("end-to-end", tokenizer="whitespace")) == [1]
+    assert ids(df2, {"must": [{"key": "text", "match": {"text": "end-to-end"}}]}) == [1, 2]
+    with pytest.raises(NotImplementedError, match="multilingual"):
+        ids(df, m("x", tokenizer="multilingual"))
