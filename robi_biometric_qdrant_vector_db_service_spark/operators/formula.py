@@ -37,10 +37,18 @@ Wire-format AST accepted (Qdrant's public ``Expression`` union):
     exp_decay:    exp(ln(midpoint) / scale * |x - target|)
     gauss_decay:  exp(ln(midpoint) / scale^2 * (x - target)^2)
 
-- ``{"geo_distance": ...}`` / ``{"datetime": ...}`` / ``{"datetime_key":
-  ...}`` are gated with ``NotImplementedError`` — the engine's point
-  schema (SURVEY §1) has no geo or calendar-typed payload columns to
-  serve them; promote such fields first (operators/payload_index.py).
+- ``{"geo_distance": {"origin": {"lat","lon"}, "to": key}}`` → haversine
+  meters from the literal origin to the point's ``struct<lat,lon>``
+  payload column (the same fused-codegen kernel as the ``GeoRadius``
+  filter condition — ``payload_index.haversine_m``).
+- ``{"datetime": "<RFC3339>"}`` → the constant's epoch seconds (UTC,
+  parsed at compile time — a plain double literal in the plan).
+- ``{"datetime_key": key}`` → the payload column as epoch seconds.
+  Schema-aware when the caller passes one (``formula_query`` does):
+  numeric columns are taken as epoch seconds verbatim; timestamp/string
+  columns go through one ``cast(timestamp)`` (microsecond precision).
+  Differences between datetime expressions are therefore durations in
+  seconds — Qdrant's documented decay semantics for datetime inputs.
 
 Float-parity note (SURVEY §7 risk 1): +, *, /, abs, max compose
 bit-identically across engines; ``exp``/``ln``/``pow`` are libm calls
@@ -74,8 +82,45 @@ _OPS = (
     "exp_decay",
     "gauss_decay",
 )
-_GATED = ("geo_distance", "datetime", "datetime_key")
 _CONDITION_KEYS = ("key", "has_id", "is_null", "is_empty") + _CLAUSES
+
+
+def _rfc3339_epoch(s: str) -> float:
+    """Parse one RFC3339 / ISO-8601 literal to epoch seconds (UTC).  A
+    bare date or a timestamp without offset is UTC (Qdrant's convention
+    for datetime payloads); the value becomes a plain double literal."""
+    import datetime as _dt
+
+    txt = str(s).strip()
+    if txt.endswith(("Z", "z")):
+        txt = txt[:-1] + "+00:00"
+    try:
+        dt = _dt.datetime.fromisoformat(txt)
+    except ValueError as exc:
+        raise ValueError(f"datetime literal {s!r} is not RFC3339") from exc
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return dt.timestamp()
+
+
+def _epoch_seconds(key: str, schema) -> Column:
+    """A payload column as epoch seconds.  With a schema: numeric columns
+    are epoch seconds already (the engine's ``ts DOUBLE`` system field,
+    SURVEY §1.1); timestamp/date/string columns take one cast.  Without a
+    schema the cast chain is still correct for all three (double epoch →
+    timestamp → double round-trips at microsecond precision)."""
+    from pyspark.sql.types import NumericType
+
+    col = F.col(key)
+    dtype = None
+    if schema is not None:
+        try:
+            dtype = schema[key].dataType
+        except Exception:
+            dtype = None
+    if isinstance(dtype, NumericType):
+        return col.cast("double")
+    return col.cast("timestamp").cast("double")
 
 
 def _decay_params(spec: dict, *, op: str):
@@ -98,11 +143,13 @@ def compile_formula(
     score: Column | None = None,
     id_col: str = "point_id",
     defaults: dict | None = None,
+    schema=None,
 ) -> Column:
     """Compile one Qdrant ``Expression`` AST node to a Catalyst ``Column``.
 
     ``score`` binds ``"$score"``; ``defaults`` is the formula's
-    missing-payload-value map (Qdrant ``FormulaQuery.defaults``)."""
+    missing-payload-value map (Qdrant ``FormulaQuery.defaults``);
+    ``schema`` (optional StructType) types ``datetime_key`` references."""
 
     def rec(e) -> Column:
         if isinstance(e, bool):
@@ -125,12 +172,23 @@ def compile_formula(
             return col
         if not isinstance(e, dict):
             raise ValueError(f"unsupported formula node: {type(e).__name__}")
-        gated = [k for k in e if k in _GATED]
-        if gated:
-            raise NotImplementedError(
-                f"{gated[0]} formula expressions need a geo/calendar-typed payload "
-                "column — promote the field first (operators/payload_index.py)"
-            )
+        if "geo_distance" in e:
+            from .payload_index import _geo_struct, haversine_m
+
+            spec = e["geo_distance"]
+            if not isinstance(spec, dict) or "origin" not in spec or "to" not in spec:
+                raise ValueError(f"geo_distance needs origin + to: {e}")
+            try:
+                g_lat, g_lon = _geo_struct(spec["origin"])
+            except (KeyError, TypeError) as exc:
+                raise ValueError(
+                    f"geo_distance origin needs lat + lon: {spec['origin']!r}"
+                ) from exc
+            return haversine_m(F.col(str(spec["to"])), g_lat, g_lon)
+        if "datetime" in e:
+            return F.lit(_rfc3339_epoch(e["datetime"]))
+        if "datetime_key" in e:
+            return _epoch_seconds(str(e["datetime_key"]), schema)
         ops = [k for k in e if k in _OPS]
         if len(ops) > 1:
             raise ValueError(f"ambiguous formula node with ops {ops}: {e}")
@@ -247,7 +305,11 @@ def formula_query(
         .drop("prerank")
     )
     new_score = compile_formula(
-        formula, score=F.col("score"), id_col=corpus_id, defaults=defaults
+        formula,
+        score=F.col("score"),
+        id_col=corpus_id,
+        defaults=defaults,
+        schema=prefetched.schema,
     )
     # Qdrant DROPS a point whose formula evaluates to no value (div by
     # zero with no by_zero_default, ln of a non-positive, …) — a NULL

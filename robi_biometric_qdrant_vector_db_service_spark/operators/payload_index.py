@@ -328,20 +328,27 @@ def _geo_polygon(col: Column, spec: dict) -> Column:
     return inside
 
 
-def _geo_radius(col: Column, spec: dict) -> Column:
-    """Qdrant ``GeoRadius``: haversine great-circle distance from
-    ``center`` <= ``radius`` meters, computed in fused codegen (radians/
-    sin/cos/asin/sqrt are all Catalyst builtins — no UDF)."""
-    c_lat, c_lon = _geo_struct(spec["center"])
-    radius = float(spec["radius"])
+def haversine_m(col: Column, c_lat: float, c_lon: float) -> Column:
+    """Great-circle distance in meters from the literal origin to the
+    ``struct<lat,lon>`` column, computed in fused codegen (radians/sin/
+    cos/asin/sqrt are all Catalyst builtins — no UDF).  Shared by the
+    ``GeoRadius`` filter condition and the FormulaQuery ``geo_distance``
+    expression (operators/formula.py)."""
     lat1, lon1 = F.radians(F.lit(c_lat)), F.radians(F.lit(c_lon))
     lat2, lon2 = F.radians(col["lat"]), F.radians(col["lon"])
     h = (
         F.pow(F.sin((lat2 - lat1) / 2), 2)
         + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin((lon2 - lon1) / 2), 2)
     )
-    dist = 2 * F.lit(_EARTH_RADIUS_M) * F.asin(F.sqrt(h))
-    return dist <= F.lit(radius)
+    return 2 * F.lit(_EARTH_RADIUS_M) * F.asin(F.sqrt(h))
+
+
+def _geo_radius(col: Column, spec: dict) -> Column:
+    """Qdrant ``GeoRadius``: haversine great-circle distance from
+    ``center`` <= ``radius`` meters."""
+    c_lat, c_lon = _geo_struct(spec["center"])
+    radius = float(spec["radius"])
+    return haversine_m(col, c_lat, c_lon) <= F.lit(radius)
 
 
 def _dtype(schema, key: str):

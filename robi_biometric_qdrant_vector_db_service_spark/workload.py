@@ -3399,6 +3399,187 @@ def formula_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FormulaQuery geo_distance (r11 — the gate removed): rescore = prefetch
+# score × lin_decay(haversine meters from a literal origin to the point's
+# struct<lat,lon> payload).  The haversine is the SAME fused-codegen
+# kernel the GeoRadius filter condition compiles to
+# (payload_index.haversine_m) — trig builtins, no UDF, still one fused
+# projection.  Float parity: trig is libm, so the unrounded score can
+# differ in the last ulps cross-engine; the 6dp boundary round plus the
+# pytest margin/gap audit (tests/test_formula.py) is the same discipline
+# the geo filter fixtures use.
+_FORMULA_GEO_AST = {
+    "mult": [
+        "$score",
+        {"lin_decay": {
+            "x": {"geo_distance": {"origin": {"lat": 45.0, "lon": 10.0},
+                                   "to": "geo"}},
+            "target": 0.0, "scale": 20000000.0, "midpoint": 0.5,
+        }},
+    ]
+}
+
+# One DuckDB haversine spelling shared by the oracle (mirrors
+# payload_index.haversine_m term-for-term: h-formula, asin(sqrt), 2R).
+_DHAV = (
+    "(2.0 * 6371000.0 * asin(sqrt("
+    "pow(sin((radians({lat}) - radians({olat})) / 2), 2) "
+    "+ cos(radians({olat})) * cos(radians({lat})) "
+    "* pow(sin((radians({lon}) - radians({olon})) / 2), 2))))"
+)
+
+
+@register(
+    "formula_geo_decay_topk",
+    _ORACLE_SCORED
+    + f"""
+, geo AS (
+  SELECT vec_id,
+         (vec_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (vec_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM embeddings
+),
+pre AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS prerank
+  FROM scored
+),
+resc AS (
+  SELECT p.q_id, p.vec_id,
+         p.score * greatest(0.0, 1.0 - abs({_DHAV.format(lat='g.lat', lon='g.lon', olat='45.0', olon='10.0')} - 0.0)
+                                   * ((1.0 - 0.5) / 20000000.0)) AS new_score
+  FROM pre p JOIN geo g USING (vec_id)
+  WHERE p.prerank <= 50
+),
+ranked AS (
+  SELECT q_id, vec_id, new_score,
+         row_number() OVER (PARTITION BY q_id ORDER BY new_score DESC, vec_id) AS rank
+  FROM resc
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(new_score, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def formula_geo_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FormulaQuery with a geo_distance input: boost nearby points.  The
+    geo payload is the same deterministic lat/lon derivation the geo
+    filter fixtures use (struct<lat,lon> column); plan shape is identical
+    to formula_rescore_topk — the distance is just more codegen arithmetic
+    in the one fused rescore projection."""
+    from .operators.formula import formula_query
+
+    corpus = load_table(spark, sf_dir, "embeddings").withColumn(
+        "geo",
+        F.struct(
+            ((F.col("vec_id") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+            ((F.col("vec_id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+        ),
+    )
+    return formula_query(
+        corpus, _probes(spark, sf_dir), _FORMULA_GEO_AST, prefetch_k=50, k=10
+    )
+
+
+# FormulaQuery datetime decay (r11 — the datetime/datetime_key gates
+# removed): freshness boost = lin_decay over the seconds between the
+# point's TIMESTAMP payload and a literal RFC3339 target.  Epoch
+# conversion is exact (integer seconds in double), lin_decay is pure
+# arithmetic — hash-exact cross-engine, no rounding fuzz needed beyond
+# the standard 6dp boundary round.
+_TS_BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+_FORMULA_DT_AST = {
+    "sum": [
+        {"mult": [0.7, "$score"]},
+        {"mult": [0.3, {"lin_decay": {
+            "x": {"datetime_key": "ts"},
+            "target": {"datetime": "2024-06-01T00:00:00Z"},  # epoch 1717200000
+            "scale": 31536000.0, "midpoint": 0.5,
+        }}]},
+    ]
+}
+
+
+@register(
+    "formula_datetime_decay_topk",
+    _ORACLE_SCORED
+    + f"""
+, pre AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS prerank
+  FROM scored
+),
+resc AS (
+  SELECT p.q_id, p.vec_id,
+         0.7 * p.score
+         + 0.3 * greatest(0.0, 1.0 - abs(CAST({_TS_BASE_EPOCH} + e.vec_id * 3600 AS DOUBLE)
+                                         - 1717200000.0)
+                                   * ((1.0 - 0.5) / 31536000.0)) AS new_score
+  FROM pre p JOIN embeddings e USING (vec_id)
+  WHERE p.prerank <= 50
+),
+ranked AS (
+  SELECT q_id, vec_id, new_score,
+         row_number() OVER (PARTITION BY q_id ORDER BY new_score DESC, vec_id) AS rank
+  FROM resc
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(new_score, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def formula_datetime_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FormulaQuery freshness boost: the point's ingest TIMESTAMP (fixture:
+    base + vec_id hours, a real TimestampType column so datetime_key takes
+    the cast path) decayed around a literal RFC3339 target.  Epoch math is
+    exact; the decay is the pure-arithmetic lin_decay — bit-parity-safe."""
+    from .operators.formula import formula_query
+
+    corpus = load_table(spark, sf_dir, "embeddings").withColumn(
+        "ts", F.timestamp_seconds(F.lit(_TS_BASE_EPOCH) + F.col("vec_id") * 3600)
+    )
+    return formula_query(
+        corpus, _probes(spark, sf_dir), _FORMULA_DT_AST, prefetch_k=50, k=10
+    )
+
+
+# Euclid-metric top-k — completes the registered coverage of Qdrant's
+# public Distance enum (cosine/dot throughout, manhattan above, euclid
+# here; the reference pins COSINE, qdrant_client.py:105).  Same
+# deterministic-fold discipline as _DL1: the seeded Spark fold and
+# DuckDB's unseeded list_reduce agree because 0.0 + x == x exactly.
+_DL2 = (
+    "sqrt(list_reduce(list_transform(list_zip(CAST({a} AS DOUBLE[]), "
+    "CAST({b} AS DOUBLE[])), p -> (p[1] - p[2]) * (p[1] - p[2])), "
+    "(acc, x) -> acc + x))"
+)
+
+
+@register(
+    "knn_euclid_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {_DL2.format(a='e.embedding', b='q.q_emb')} AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""",
+)
+def knn_euclid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 under Qdrant's Euclid metric: 10 nearest by L2 distance,
+    ascending.  Same broadcast-probes plan as knn_topk — only the scoring
+    projection and sort polarity change (operators/search.py METRICS)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return S.knn_search(corpus, _probes(spark, sf_dir), k=10, metric="euclid")
+
+
 # ---------------------------------------------------------------------------
 # Extended surfaces register themselves into this registry on import.
 # ---------------------------------------------------------------------------
@@ -3438,12 +3619,16 @@ from . import workload_graph  # noqa: E402,F401
 # they re-certify via the full 149-query local replica
 # (CORRECTNESS_LOCAL_r11.json) rather than window slots.  Leftover for
 # r12: the last 5 r8-stale (scroll_keyset, sequence_packing,
-# sessionization, simhash_hamming_pairs, similarity_matrix_topk) and the 7 remaining
-# r7-stale (stream_hourly_counts, stream_store_ingest, text_stats,
-# tfidf_top_terms, top_part_per_supplier, top_revenue_customers,
-# vector_norms).
+# sessionization, simhash_hamming_pairs, similarity_matrix_topk) and the
+# 10 remaining r7-stale (shingle_novelty, stream_attribution_join,
+# stream_dedup_events, stream_hourly_counts, stream_store_ingest,
+# text_stats, tfidf_top_terms, top_part_per_supplier,
+# top_revenue_customers, vector_norms).
 FRONT_QUERIES = [
     # (a) new in r11 — never driver-windowed
+    "formula_geo_decay_topk",
+    "formula_datetime_decay_topk",
+    "knn_euclid_topk",
     "recommend_sum_scores",
     "multivector_maxsim_topk",
     "nested_payload_filter",
@@ -3493,9 +3678,8 @@ FRONT_QUERIES = [
     "rollup_returns",
     "running_ops_stats",
     "salted_user_rollup",
-    # (c) r7-stale, first 5 of 11
+    # (c) r7-stale, first 1 of 11 (the 3 new formula/metric surfaces took
+    #     the other slots; shingle_novelty/stream_attribution_join/
+    #     stream_dedup_events join the r12 leftover cohort)
     "session_window_rollup",
-    "shingle_novelty",
-    "stream_attribution_join",
-    "stream_dedup_events",
 ]

@@ -82,6 +82,53 @@ def test_decay_pins_match_python_math(spark, op):
     assert decay_py(op, 5.0, **params) == pytest.approx(0.25)
 
 
+def test_geo_distance_node(spark):
+    """geo_distance = haversine meters, same kernel as GeoRadius; pinned
+    against a pure-Python haversine at a known pair (Paris→origin)."""
+    df = spark.createDataFrame(
+        [(1, 48.8566, 2.3522), (2, 45.0, 10.0)], "x int, lat double, lon double"
+    ).withColumn("geo", F.struct("lat", "lon"))
+    ast = {"geo_distance": {"origin": {"lat": 45.0, "lon": 10.0}, "to": "geo"}}
+    got = [
+        r.v
+        for r in df.select(compile_formula(ast, id_col="x").alias("v"))
+        .orderBy("x")
+        .collect()
+    ]
+
+    def hav(lat1, lon1, lat2, lon2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp, dl = p2 - p1, math.radians(lon2) - math.radians(lon1)
+        h = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * 6371000.0 * math.asin(math.sqrt(h))
+
+    assert got[0] == pytest.approx(hav(45.0, 10.0, 48.8566, 2.3522), rel=1e-9)
+    assert got[1] == 0.0
+
+
+def test_datetime_nodes(spark):
+    """datetime literal → epoch seconds; datetime_key reads epoch doubles
+    verbatim (schema-aware) and casts timestamp/string columns; their
+    difference is a duration in seconds (the decay input contract)."""
+    epoch = 1704067200.0  # 2024-01-01T00:00:00Z
+    lit = {"datetime": "2024-01-01T00:00:00Z"}
+    assert _eval(spark, lit) == [epoch]
+    assert _eval(spark, {"datetime": "2024-01-01"}) == [epoch]
+    # numeric column: taken as epoch seconds verbatim (no cast round-trip)
+    df = spark.createDataFrame([(1, epoch + 0.5)], "x int, ts double")
+    ast = {"sum": [{"datetime_key": "ts"}, {"neg": lit}]}
+    v = df.select(
+        compile_formula(ast, id_col="x", schema=df.schema).alias("v")
+    ).collect()[0].v
+    assert v == 0.5
+    # string column: parsed as a timestamp (UTC), same epoch basis
+    df2 = spark.createDataFrame([(1, "2024-01-01 00:00:30")], "x int, ts string")
+    v2 = df2.select(
+        compile_formula(ast, id_col="x", schema=df2.schema).alias("v")
+    ).collect()[0].v
+    assert v2 == 30.0
+
+
 def test_score_binding_and_errors(spark):
     df = spark.createDataFrame([(1, 0.5)], "x int, s double")
     v = df.select(
@@ -92,8 +139,12 @@ def test_score_binding_and_errors(spark):
         compile_formula("$score")  # no score bound
     with pytest.raises(NotImplementedError, match="prefetch leg"):
         compile_formula("$score[1]", score=F.col("s"))
-    with pytest.raises(NotImplementedError, match="geo_distance"):
+    with pytest.raises(ValueError, match="geo_distance origin"):
         compile_formula({"geo_distance": {"origin": {}, "to": "f"}})
+    with pytest.raises(ValueError, match="geo_distance needs"):
+        compile_formula({"geo_distance": {"origin": {"lat": 0, "lon": 0}}})
+    with pytest.raises(ValueError, match="RFC3339"):
+        compile_formula({"datetime": "not-a-date"})
     with pytest.raises(ValueError, match="midpoint"):
         compile_formula({"gauss_decay": {"x": "x", "midpoint": 1.5}})
     with pytest.raises(ValueError, match="scale"):
@@ -176,3 +227,57 @@ def test_formula_query_drops_null_scores(spark):
                     "by_zero_default": 0.0}}
     out2 = formula_query(corpus, _probes(spark), ast2, prefetch_k=50, k=50).collect()
     assert len(out2) > len(out)
+
+
+def test_geo_decay_float_margin(spark):
+    """Libm-parity audit for formula_geo_decay_topk (the one formula query
+    whose score path crosses trig): across the whole fixture corpus the
+    UNROUNDED rescore must sit far from any 6dp rounding boundary, and
+    within each probe's prefetch set adjacent scores must be separated by
+    far more than cross-engine trig ulp noise (~1e-15 relative) — so the
+    6dp round and the rank order are both stable under last-ulp drift."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    # Re-derive the unrounded rescore exactly as the registered query does,
+    # but keep full precision and the whole prefetch set.
+    from robi_biometric_qdrant_vector_db_service_spark.workload import (
+        _FORMULA_GEO_AST,
+        _probes as _wprobes,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.operators.formula import compile_formula
+    from robi_biometric_qdrant_vector_db_service_spark.operators.search import score_pairs
+    from pyspark.sql import Window
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings").withColumn(
+        "geo",
+        F.struct(
+            ((F.col("vec_id") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+            ((F.col("vec_id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+        ),
+    )
+    scored = score_pairs(corpus, _wprobes(spark, SF_SMOKE)).drop("embedding", "q_emb")
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "vec_id")
+    pre = scored.withColumn("prerank", F.row_number().over(w)).filter(
+        F.col("prerank") <= 50
+    )
+    resc = pre.withColumn(
+        "ns",
+        compile_formula(_FORMULA_GEO_AST, score=F.col("score"), id_col="vec_id"),
+    )
+    rows = resc.select("q_id", "ns").collect()
+    # (1) rounding-boundary margin: |frac(ns * 1e6) - 0.5| >> trig noise
+    margins = [abs((r.ns * 1e6) % 1.0 - 0.5) for r in rows]
+    assert min(margins) > 1e-4, min(margins)
+    # (2) adjacent-score gap inside each probe's candidate set
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.ns)
+    min_gap = min(
+        b - a
+        for vals in by_q.values()
+        for a, b in zip(sorted(vals), sorted(vals)[1:])
+    )
+    assert min_gap > 1e-9, min_gap
+
+    # and the registered query agrees with itself end-to-end (smoke)
+    assert REGISTRY["formula_geo_decay_topk"].run(spark, SF_SMOKE).count() > 0
