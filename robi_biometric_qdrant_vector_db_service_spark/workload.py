@@ -3346,6 +3346,50 @@ def facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "facet_array_values",
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(['t' || CAST(doc_id % 7 AS VARCHAR),
+                        't' || CAST(doc_id % 11 AS VARCHAR),
+                        lang]) AS tags
+  FROM documents WHERE lang = 'en'
+),
+u AS (SELECT unnest(tags) AS value FROM t)
+SELECT value, CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY value
+ORDER BY n DESC, value
+LIMIT 12
+""",
+)
+def facet_array_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet over an ARRAY-typed payload field (Qdrant facets an indexed
+    array field per element, each matching POINT counted once per value —
+    hence the per-point array_distinct before counting).  The tags fixture
+    is derived deterministically from doc_id so every engine sees the same
+    payload.  Plan: pushed lang filter, map-side explode of the distinct
+    elements, one map-side-combined count exchange, top values — the same
+    shape as facet_counts with a generator instead of a column ref; no
+    per-point state crosses the shuffle except (value, partial count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tags = F.array_distinct(
+        F.array(
+            F.concat(F.lit("t"), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("t"), (F.col("doc_id") % 11).cast("string")),
+            F.col("lang"),
+        )
+    )
+    return (
+        docs.filter(F.col("lang") == "en")
+        .select(F.explode(tags).alias("value"))
+        .groupBy("value")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "value")
+        .limit(12)
+    )
+
+
 # Qdrant FormulaQuery (query_points score boosting) — prefetch 50 dense
 # hits per probe, rescore with a formula over the prefetch score, a
 # condition indicator and a lin_decay over the point id (the pure-

@@ -544,6 +544,137 @@ def charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet-style perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359):
+# per language, split the corpus into head / middle / tail terciles by LM
+# quality score and report the bucket shapes (CCNet keeps head+middle for
+# training).  The score is the SAME char-bigram LM mean probability as
+# charlm_quality (higher = more typical = head; probability space, so the
+# per-doc score is a 6dp-rounded exact DECIMAL ratio — hash-safe).
+#
+# Scale posture: the corpus is NEVER globally sorted.  Bucket cutoffs are
+# computed threshold-style, CCNet's actual semantics (ties share a bucket):
+# a per-(lang, score) histogram reduces map-side first — after the 6dp
+# round the histogram is bounded at 1e6 rows per language no matter the
+# corpus size — the cumulative window runs over that bounded table, and
+# the 2-cutoff-per-language bounds table broadcasts back onto the scored
+# corpus.  At 100 TB this is two map-side-combined aggregations plus one
+# small-table window; the production knob (swap the exact histogram for
+# percentile_approx) changes nothing downstream.
+def _ccnet_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (lang, score): charlm_quality's scoring projection with the
+    language column carried through (model broadcast, map-side only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p_rows = _charlm_model(spark, sf_dir)
+    lm_map = F.map_from_arrays(
+        F.lit([r.bg for r in p_rows]), F.lit([r.p for r in p_rows])
+    )
+    fold = (
+        "aggregate(transform(sequence(1, length(text) - 1), "
+        "i -> substring(text, i, 2)), "
+        "CAST(0.0 AS DECIMAL(19,12)), "
+        "(acc, bg) -> CAST(acc + CAST(element_at(_lm, bg) AS DECIMAL(16,12)) AS DECIMAL(19,12)))"
+    )
+    return (
+        docs.filter(F.expr("length(text) >= 2"))
+        .withColumn("_lm", lm_map)
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.expr(fold).cast("double") / (F.length("text") - 1), 6).alias(
+                "s"
+            ),
+        )
+    )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text)),
+                               i -> substr(text, CAST(i AS INT), 2))) AS bg
+  FROM documents
+),
+lm AS (SELECT bg, count(*) AS cnt FROM ex GROUP BY bg),
+ctx AS (SELECT substr(bg, 1, 1) AS c1, sum(cnt) AS cctx FROM lm GROUP BY 1),
+v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS vsize FROM lm),
+p_table AS (
+  SELECT lm.bg,
+         CAST(round((lm.cnt + 1.0) / (ctx.cctx + v.vsize), 12) AS DECIMAL(16,12)) AS p
+  FROM lm JOIN ctx ON substr(lm.bg, 1, 1) = ctx.c1 CROSS JOIN v
+),
+score AS (
+  SELECT d.doc_id, d.lang,
+         round(CAST(sum(pt.p) AS DOUBLE) / count(*), 6) AS s
+  FROM ex JOIN p_table pt ON pt.bg = ex.bg
+  JOIN documents d ON d.doc_id = ex.doc_id
+  GROUP BY d.doc_id, d.lang
+),
+hist AS (SELECT lang, s, count(*) AS c FROM score GROUP BY 1, 2),
+cum AS (
+  SELECT lang, s, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY s DESC) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+bounds AS (
+  SELECT lang,
+         max(CASE WHEN cum >= CAST(floor((n + 2) / 3.0) AS BIGINT) THEN s END) AS s_head,
+         max(CASE WHEN cum >= CAST(floor((2 * n + 2) / 3.0) AS BIGINT) THEN s END) AS s_mid
+  FROM cum GROUP BY lang
+),
+tagged AS (
+  SELECT sc.lang,
+         CASE WHEN sc.s >= b.s_head THEN 'head'
+              WHEN sc.s >= b.s_mid THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         sc.s
+  FROM score sc JOIN bounds b USING (lang)
+)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       min(s) AS lo, max(s) AS hi
+FROM tagged GROUP BY lang, bucket
+""",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: per language, tercile cutoffs over the
+    char-LM quality score, assigned by score threshold (ties share a
+    bucket — CCNet's semantics), reported as per-bucket shapes."""
+    from pyspark.sql import Window
+
+    scored = _ccnet_scored(spark, sf_dir)
+    hist = scored.groupBy("lang", "s").agg(F.count("*").alias("c"))
+    cum = hist.select(
+        "lang",
+        "s",
+        "c",
+        F.sum("c").over(Window.partitionBy("lang").orderBy(F.desc("s"))).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    t1 = F.floor((F.col("n") + 2) / 3.0).cast("bigint")
+    t2 = F.floor((2 * F.col("n") + 2) / 3.0).cast("bigint")
+    bounds = cum.groupBy("lang").agg(
+        F.max(F.when(F.col("cum") >= t1, F.col("s"))).alias("s_head"),
+        F.max(F.when(F.col("cum") >= t2, F.col("s"))).alias("s_mid"),
+    )
+    bucket = (
+        F.when(F.col("s") >= F.col("s_head"), "head")
+        .when(F.col("s") >= F.col("s_mid"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(bounds), "lang")
+        .select("lang", bucket.alias("bucket"), "s")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("s").alias("lo"),
+            F.max("s").alias("hi"),
+        )
+    )
+
+
 # BM25 ranked retrieval over a fixed query-term set — the retrieval /
 # quality-weighting primitive of a curation pipeline (reference analogue:
 # payload-filtered relevance ranking, SURVEY §2.4/§2.7).  Constants are the
