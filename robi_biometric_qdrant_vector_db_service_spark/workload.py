@@ -1888,7 +1888,7 @@ def payload_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "match_text_filter",
-    """
+    r"""
 SELECT doc_id, lang, source
 FROM documents
 WHERE list_contains(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), 'spark')
@@ -1961,7 +1961,7 @@ def match_text_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "match_phrase_filter",
-    """
+    r"""
 SELECT doc_id, n_chars
 FROM documents
 WHERE concat(' ', regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'), ' ')
