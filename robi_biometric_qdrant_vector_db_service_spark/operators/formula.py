@@ -82,6 +82,7 @@ _OPS = (
     "exp_decay",
     "gauss_decay",
 )
+_DATE_GEO_OPS = ("geo_distance", "datetime", "datetime_key")
 _CONDITION_KEYS = ("key", "has_id", "is_null", "is_empty") + _CLAUSES
 
 
@@ -108,8 +109,16 @@ def _epoch_seconds(key: str, schema) -> Column:
     are epoch seconds already (the engine's ``ts DOUBLE`` system field,
     SURVEY §1.1); timestamp/date/string columns take one cast.  Without a
     schema the cast chain is still correct for all three (double epoch →
-    timestamp → double round-trips at microsecond precision)."""
-    from pyspark.sql.types import NumericType
+    timestamp → double round-trips at microsecond precision).
+
+    UTC contract: ``cast('timestamp')`` parses tz-NAIVE strings (and
+    renders dates) in ``spark.sql.session.timeZone``, while the
+    ``{"datetime": <literal>}`` path treats naive values as UTC
+    (Qdrant's convention).  The two bases must agree, so the string/date
+    path asserts the session is pinned to UTC (this repo pins it in
+    every entry point; ``compile_formula`` is public, hence the check).
+    Numeric and timestamp columns are timezone-independent and skip it."""
+    from pyspark.sql.types import NumericType, TimestampType
 
     col = F.col(key)
     dtype = None
@@ -120,7 +129,29 @@ def _epoch_seconds(key: str, schema) -> Column:
             dtype = None
     if isinstance(dtype, NumericType):
         return col.cast("double")
+    if not isinstance(dtype, TimestampType):
+        _assert_utc_session(key)
     return col.cast("timestamp").cast("double")
+
+
+def _assert_utc_session(key: str) -> None:
+    """Refuse to compile a session-timezone-dependent datetime cast in a
+    non-UTC session — the ``datetime`` literal base is always UTC and the
+    two bases would silently diverge (naive-string payloads parse in
+    session tz).  Remediation is in the message."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # compile without a session: nothing to check yet
+        return
+    tz = (spark.conf.get("spark.sql.session.timeZone") or "").strip()
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"datetime_key {key!r} parses naive string payloads in the session "
+            f"timezone ({tz!r}), but datetime literals are UTC — set "
+            "spark.sql.session.timeZone=UTC (this repo's default) or store the "
+            "field as epoch seconds / TIMESTAMP to use it in a formula"
+        )
 
 
 def _decay_params(spec: dict, *, op: str):
@@ -172,7 +203,13 @@ def compile_formula(
             return col
         if not isinstance(e, dict):
             raise ValueError(f"unsupported formula node: {type(e).__name__}")
-        if "geo_distance" in e:
+        # operator-key scan FIRST: geo_distance/datetime/datetime_key are
+        # operator keys like any other — a node mixing them with arithmetic
+        # ops is ambiguous, not "whichever key we test first wins"
+        ops = [k for k in e if k in _OPS or k in _DATE_GEO_OPS]
+        if len(ops) > 1:
+            raise ValueError(f"ambiguous formula node with ops {ops}: {e}")
+        if ops == ["geo_distance"]:
             from .payload_index import _geo_struct, haversine_m
 
             spec = e["geo_distance"]
@@ -184,14 +221,28 @@ def compile_formula(
                 raise ValueError(
                     f"geo_distance origin needs lat + lon: {spec['origin']!r}"
                 ) from exc
-            return haversine_m(F.col(str(spec["to"])), g_lat, g_lon)
-        if "datetime" in e:
+            to_key = str(spec["to"])
+            to_col = F.col(to_key)
+            if defaults and to_key in defaults:
+                # FormulaQuery.defaults for a geo field is a geo point
+                # dict — coalesce per component (struct-literal coalesce
+                # would demand exact struct-type equality)
+                d_lat, d_lon = _geo_struct(defaults[to_key])
+                to_col = F.struct(
+                    F.coalesce(to_col["lat"].cast("double"), F.lit(d_lat)).alias("lat"),
+                    F.coalesce(to_col["lon"].cast("double"), F.lit(d_lon)).alias("lon"),
+                )
+            return haversine_m(to_col, g_lat, g_lon)
+        if ops == ["datetime"]:
             return F.lit(_rfc3339_epoch(e["datetime"]))
-        if "datetime_key" in e:
-            return _epoch_seconds(str(e["datetime_key"]), schema)
-        ops = [k for k in e if k in _OPS]
-        if len(ops) > 1:
-            raise ValueError(f"ambiguous formula node with ops {ops}: {e}")
+        if ops == ["datetime_key"]:
+            dt_key = str(e["datetime_key"])
+            col = _epoch_seconds(dt_key, schema)
+            if defaults and dt_key in defaults:
+                d = defaults[dt_key]
+                d_epoch = _rfc3339_epoch(d) if isinstance(d, str) else float(d)
+                return F.coalesce(col, F.lit(d_epoch))
+            return col
         if not ops:
             # not an operator → must be a Filter condition: 1.0 / 0.0 term
             if any(k in e for k in _CONDITION_KEYS):

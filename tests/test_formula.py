@@ -157,6 +157,74 @@ def test_score_binding_and_errors(spark):
         compile_formula({"sum": []})
 
 
+def test_date_geo_nodes_respect_defaults_and_ambiguity(spark):
+    """r11 advice: geo_distance/datetime/datetime_key are operator keys —
+    they join the multi-op ambiguity check, and FormulaQuery.defaults
+    fills a missing geo / datetime payload field instead of NULLing the
+    point out of the ranking."""
+    with pytest.raises(ValueError, match="ambiguous"):
+        compile_formula({"datetime_key": "ts", "sum": [1.0]})
+    with pytest.raises(ValueError, match="ambiguous"):
+        compile_formula(
+            {"geo_distance": {"origin": {"lat": 0, "lon": 0}, "to": "g"}, "neg": 1.0}
+        )
+    # datetime_key default (RFC3339 string form) fills a NULL payload
+    epoch = 1704067200.0  # 2024-01-01T00:00:00Z
+    df = spark.createDataFrame([(1, None), (2, epoch + 60.0)], "x int, ts double")
+    ast = {"sum": [{"datetime_key": "ts"}, {"neg": {"datetime": "2024-01-01T00:00:00Z"}}]}
+    got = {
+        r.x: r.v
+        for r in df.select(
+            "x",
+            compile_formula(
+                ast, id_col="x", schema=df.schema, defaults={"ts": "2024-01-01T00:00:30Z"}
+            ).alias("v"),
+        ).collect()
+    }
+    assert got == {1: 30.0, 2: 60.0}
+    # geo_distance default: a geo-point dict per component
+    gdf = spark.createDataFrame(
+        [(1, 48.8566, 2.3522), (2, None, None)], "x int, lat double, lon double"
+    ).withColumn("geo", F.when(F.col("lat").isNotNull(), F.struct("lat", "lon")))
+    gast = {"geo_distance": {"origin": {"lat": 45.0, "lon": 10.0}, "to": "geo"}}
+    gv = {
+        r.x: r.v
+        for r in gdf.select(
+            "x",
+            compile_formula(
+                gast, id_col="x", defaults={"geo": {"lat": 45.0, "lon": 10.0}}
+            ).alias("v"),
+        ).collect()
+    }
+    assert gv[2] == 0.0 and gv[1] > 0.0
+    # without a default the missing field still yields NULL (Qdrant drop)
+    gv_null = gdf.select(compile_formula(gast, id_col="x").alias("v")).collect()
+    assert any(r.v is None for r in gv_null)
+
+
+def test_datetime_key_requires_utc_session(spark):
+    """String-typed datetime payloads parse in the session timezone; the
+    datetime literal base is UTC — compile refuses the divergence in a
+    non-UTC session (r11 advice, formula.py:_epoch_seconds)."""
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:30")], "x int, ts string")
+    ast = {"datetime_key": "ts"}
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="session timezone"):
+            compile_formula(ast, id_col="x", schema=df.schema)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # UTC session: compiles, and numeric columns never need the check
+    compile_formula(ast, id_col="x", schema=df.schema)
+    ndf = spark.createDataFrame([(1, 0.0)], "x int, ts double")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        compile_formula(ast, id_col="x", schema=ndf.schema)  # no raise
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def _probes(spark, n=4):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     return emb.filter(F.col("vec_id") < n).select(
