@@ -133,6 +133,18 @@ _CLAUSES = ("must", "should", "must_not", "min_should")
 _TOKEN_BREAK_RE_JVM = r"[^\p{L}\p{N}]+"  # Catalyst split/regexp_replace
 _TOKEN_BREAK_RE_PY = r"[\W_]+"  # Python re (unicode by default)
 
+# Qdrant ``multilingual`` tokenizer, best-effort (charabia's documented
+# behavior for the scripts the fixtures cover): scripts without word
+# boundaries segment CHARACTER-wise, everything else like ``word``.
+# Implemented as space-injection around each CJK codepoint before the
+# word break — one explicit codepoint-range class so the Java-regex
+# (Catalyst), RE2 (DuckDB oracle), and Python-re (query analysis)
+# spellings are the IDENTICAL literal: Han (CJK Unified + Ext A),
+# Hiragana, Katakana, Hangul syllables.  Full ICU word-segmentation
+# (Thai/Khmer/Lao, compound splitting) stays out of reach — those
+# scripts raise via the tokenizer gate's remediation message.
+_CJK_CHAR_CLASS = "[一-鿿㐀-䶿぀-ゟ゠-ヿ가-힯]"
+
 
 def _text_tokens(query: str) -> list[str]:
     import re
@@ -150,24 +162,33 @@ def _match_text(col: Column, query: str, params: dict | None = None) -> Column:
     condition — there is no index catalog in a schema-free compile): with
     ``tokenizer: "prefix"`` a query token matches any field token it
     PREFIXES (Qdrant's prefix index, which stores min..max_token_len
-    prefixes of every token)."""
+    prefixes of every token).  ``tokenizer: "multilingual"`` adds
+    character-wise segmentation of CJK runs (see _CJK_CHAR_CLASS) on BOTH
+    the field and the query — Qdrant's charabia behavior for scripts
+    without word boundaries."""
     p = dict(params or {})
     tok = p.get("tokenizer", "word")
-    if tok not in ("word", "whitespace", "prefix"):
+    if tok not in ("word", "whitespace", "prefix", "multilingual"):
         raise NotImplementedError(
-            f"tokenizer {tok!r} not supported (word/whitespace/prefix; "
-            "multilingual needs a language-aware analyzer)"
+            f"tokenizer {tok!r} not supported (word/whitespace/prefix/"
+            "multilingual; Thai/Khmer/Lao segmentation needs ICU — index "
+            "those fields with tokenizer=word or pre-segment upstream)"
         )
     import re
 
     lower = p.get("lowercase", True)
     c = F.lower(col) if lower else col
+    if tok == "multilingual":
+        # index-time analysis: each CJK codepoint becomes its own token
+        c = F.regexp_replace(c, f"({_CJK_CHAR_CLASS})", " $1 ")
     toks = F.split(c, r"\s+" if tok == "whitespace" else _TOKEN_BREAK_RE_JVM)
     mn = int(p.get("min_token_len") or 1)
     mx = p.get("max_token_len")
     # query-time analysis mirrors index-time analysis (same tokenizer +
     # same lowercasing), as in Qdrant
     qsrc = str(query).lower() if lower else str(query)
+    if tok == "multilingual":
+        qsrc = re.sub(f"({_CJK_CHAR_CLASS})", r" \1 ", qsrc)
     qbreak = r"\s+" if tok == "whitespace" else _TOKEN_BREAK_RE_PY
     qtoks = [t for t in re.split(qbreak, qsrc) if t]
     if not qtoks:
@@ -572,3 +593,37 @@ def count_points(
     hash it."""
     out = qdrant_filter(df, spec, id_col=id_col) if spec is not None else df
     return out.agg(F.count("*").cast("bigint").alias("n"))
+
+
+def facet(
+    df: DataFrame,
+    key: str,
+    *,
+    spec: dict | None = None,
+    limit: int = 10,
+    is_array: bool = False,
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Qdrant's ``facet`` API (``client.facet(collection, key, facet_filter=…,
+    limit=…)``): per-value exact counts of a payload field among the points
+    matching ``spec``, top values first.  Array-typed indexes facet PER
+    ELEMENT with each matching point counted once per distinct value —
+    ``is_array=True`` applies the per-point ``array_distinct`` then
+    explodes (Qdrant counts points, not occurrences).  Always
+    ``exact=True``, like ``count_points``.
+
+    Plan: the Filter pushes to the scan (``build_filter``), the optional
+    explode is a shuffle-free generator, the count is map-side combined,
+    and the top-``limit`` selection is a TakeOrderedAndProject — nothing
+    but (value, partial count) crosses the one exchange."""
+    out = qdrant_filter(df, spec, id_col=id_col) if spec is not None else df
+    col = (
+        F.explode(F.array_distinct(F.col(key))) if is_array else F.col(key)
+    )
+    return (
+        out.select(col.alias("value"))
+        .groupBy("value")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "value")
+        .limit(int(limit))
+    )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from .functions.vector import cosine_sql, norm_sql
 from .operators import search as S
+from .operators.payload_index import _CJK_CHAR_CLASS
 from .sources.catalog import load_table
 
 # Number of probe vectors used by the vector-query fixtures (the reference's
@@ -1923,6 +1924,72 @@ def match_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "match_text_multilingual",
+    f"""
+WITH aug AS (
+  SELECT doc_id, lang,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' 向量搜索引擎' ELSE '' END
+         || CASE WHEN doc_id % 7 = 3 THEN ' 搜索速' ELSE '' END AS t
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(
+           regexp_replace(lower(t), '({_CJK_CHAR_CLASS})', ' \\1 ', 'g'),
+           '[^\\p{{L}}\\p{{N}}]+') AS toks
+  FROM aug
+)
+SELECT doc_id, lang
+FROM tk
+WHERE list_contains(toks, 'spark')
+  AND list_contains(toks, '搜') AND list_contains(toks, '索')
+  AND list_contains(toks, '引') AND list_contains(toks, '擎')
+""",
+)
+def match_text_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``TextIndexParams(tokenizer=MULTILINGUAL)``, best-effort:
+    charabia segments scripts without word boundaries CHARACTER-wise, so
+    a Han/kana/hangul query token matches per codepoint while Latin words
+    keep word segmentation — one query string mixes both here
+    ('spark 搜索引擎' → tokens [spark, 搜, 索, 引, 擎], all required).
+    The fixture PLANTS the CJK payloads deterministically (the synthetic
+    corpus is ASCII): doc_id % 7 == 0 carries the full phrase, % 7 == 3 a
+    two-char decoy that must NOT match.  Index-time and query-time
+    analysis share one codepoint-class space-injection
+    (payload_index._CJK_CHAR_CLASS — the identical literal in Java regex,
+    RE2, and Python re), mirroring Qdrant's analyzer symmetry.  Full ICU
+    segmentation (Thai/Khmer/Lao) stays gated with remediation.  Same
+    one-scan fused-codegen shape as ``match_text_filter``."""
+    from .operators.payload_index import qdrant_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" 向量搜索引擎")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 3, F.lit(" 搜索速")).otherwise(F.lit("")),
+        ),
+    )
+    return qdrant_filter(
+        aug,
+        {
+            "must": [
+                {
+                    "key": "text",
+                    "match": {
+                        "text": "spark 搜索引擎",
+                        "params": {"tokenizer": "multilingual"},
+                    },
+                }
+            ]
+        },
+        id_col="doc_id",
+    ).select("doc_id", "lang")
+
+
+@register(
     "match_text_prefix",
     r"""
 SELECT doc_id, lang
@@ -3334,15 +3401,15 @@ LIMIT 10
 )
 def facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 facet counts: per-value cardinalities of a payload field under a
-    filter (public Qdrant facet API) — a pushed scan predicate, a map-side-
-    combined count, top values by count."""
+    filter (public Qdrant facet API, ``operators.payload_index.facet``) —
+    a pushed scan predicate, a map-side-combined count, top values by
+    count."""
+    from .operators.payload_index import facet
+
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.filter(F.col("lang") == "en")
-        .groupBy("source")
-        .agg(F.count("*").cast("bigint").alias("n"))
-        .orderBy(F.desc("n"), "source")
-        .limit(10)
+    spec = {"must": [{"key": "lang", "match": {"value": "en"}}]}
+    return facet(docs, "source", spec=spec, limit=10, id_col="doc_id").select(
+        F.col("value").alias("source"), "n"
     )
 
 
@@ -3371,22 +3438,25 @@ def facet_array_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload.  Plan: pushed lang filter, map-side explode of the distinct
     elements, one map-side-combined count exchange, top values — the same
     shape as facet_counts with a generator instead of a column ref; no
-    per-point state crosses the shuffle except (value, partial count)."""
+    per-point state crosses the shuffle except (value, partial count).
+    Shares ``operators.payload_index.facet(is_array=True)`` with the
+    scalar facet query."""
+    from .operators.payload_index import facet
+
     docs = load_table(spark, sf_dir, "documents")
-    tags = F.array_distinct(
-        F.array(
-            F.concat(F.lit("t"), (F.col("doc_id") % 7).cast("string")),
-            F.concat(F.lit("t"), (F.col("doc_id") % 11).cast("string")),
-            F.col("lang"),
-        )
+    tags = F.array(
+        F.concat(F.lit("t"), (F.col("doc_id") % 7).cast("string")),
+        F.concat(F.lit("t"), (F.col("doc_id") % 11).cast("string")),
+        F.col("lang"),
     )
-    return (
-        docs.filter(F.col("lang") == "en")
-        .select(F.explode(tags).alias("value"))
-        .groupBy("value")
-        .agg(F.count("*").cast("bigint").alias("n"))
-        .orderBy(F.desc("n"), "value")
-        .limit(12)
+    spec = {"must": [{"key": "lang", "match": {"value": "en"}}]}
+    return facet(
+        docs.withColumn("tags", tags),
+        "tags",
+        spec=spec,
+        limit=12,
+        is_array=True,
+        id_col="doc_id",
     )
 
 
@@ -3646,84 +3716,77 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r11: (a) the 10 new r11 surfaces (recommend_sum_scores,
-# multivector_maxsim_topk, nested_payload_filter, bq_hamming_rescore,
-# gopher_quality_filter, geo_polygon_filter, hard_negative_mining,
-# dsir_importance_weights, stream_quality_gate, match_text_prefix,
-# mixture_rebalance — never driver-windowed; overwrite_payload is API
-# surface covered by pytest);
-# (b) the
-# 40-query r8-stale cohort promised by the r10 rotation (adaptive_search …
-# similarity_matrix_topk); (c) 5 of the 11 r7-stale
-# (session_window_rollup … stream_hourly_counts).  The r11 ADVICE fixes
-# (unicode tokenizer, scalar values_count/is_empty, formula NULL-drop,
-# matrix_offsets guard, alias writer lock) touch queries that were ALL
-# driver-green in r10 and are result-identical at sf0.01 (ASCII corpus,
-# no scalar values_count in registered specs, no /0 in formula fixtures);
-# they re-certify via the full 149-query local replica
-# (CORRECTNESS_LOCAL_r11.json) rather than window slots.  Leftover for
-# r12: the last 5 r8-stale (scroll_keyset, sequence_packing,
-# sessionization, simhash_hamming_pairs, similarity_matrix_topk) and the
-# 10 remaining r7-stale (shingle_novelty, stream_attribution_join,
-# stream_dedup_events, stream_hourly_counts, stream_store_ingest,
-# text_stats, tfidf_top_terms, top_part_per_supplier,
-# top_revenue_customers, vector_norms).
+# Rotation r12: (a) the 4 never-driver-windowed queries — the 2 r11
+# snapshot-commit orphans (facet_array_values, ccnet_perplexity_buckets —
+# VERDICT r11 item 2) plus the 3 new r12 surfaces (substring_dedup_spans,
+# substring_dup_fraction, match_text_multilingual); (b) queries whose
+# code changed this round:
+# the 3 formula queries (operators/formula.py grew defaults/ambiguity/UTC
+# handling — r11 ADVICE) and semdedup_pairs (fixture codebook 8→32
+# cells, VERDICT r11 item 6); the word/whitespace/prefix _match_text
+# paths are byte-identical after the multilingual branch (PLANS_r12
+# re-pins them), so match_text_filter/prefix/phrase keep their r10/r11
+# rows; (c) the last 5 r8-stale and all 10 r7-stale rows; (d) the 26
+# stalest r9 rows in registry order.  Leftover for r13: the remaining 17
+# r9-stale (embedding_near_dups_lsh, embedding_near_dups_lsh_hi,
+# ann_ivf_topk, ann_ivf_pruned_topk,
+# ann_kmeans_ivf_topk, sql_surface_knn, pq_adc_topk, multimodal_decode,
+# multimodal_frame_sample, multimodal_resize, stream_ops_stats,
+# stateful_running_stats, stream_search_serving, train_test_split,
+# doc_chunks, dedup_group_components, dedup_survivors).
 FRONT_QUERIES = [
-    # (a) new in r11 — never driver-windowed
+    # (a) never driver-windowed
+    "facet_array_values",
+    "ccnet_perplexity_buckets",
+    "substring_dedup_spans",
+    "substring_dup_fraction",
+    "match_text_multilingual",
+    # (b) code changed this round
+    "formula_rescore_topk",
     "formula_geo_decay_topk",
     "formula_datetime_decay_topk",
-    "knn_euclid_topk",
-    "recommend_sum_scores",
-    "multivector_maxsim_topk",
-    "nested_payload_filter",
-    "bq_hamming_rescore",
-    "gopher_quality_filter",
-    "geo_polygon_filter",
-    "hard_negative_mining",
-    "dsir_importance_weights",
-    "stream_quality_gate",
-    "match_text_prefix",
-    "mixture_rebalance",
-    # (b) the r8-stale cohort, first 35 of 40
-    #     (scroll_keyset/sequence_packing/sessionization/
-    #      simhash_hamming_pairs/similarity_matrix_topk deferred to r12)
-    "adaptive_search",
-    "add_batch_append",
-    "ann_ivfpq_topk",
-    "ann_signlsh_topk",
-    "approx_distinct_parts",
-    "benchmark_decontamination",
-    "bm25_top_docs",
-    "collection_stats",
-    "cube_orders",
-    "dbsf_fusion_topk",
-    "dedup_keep_newest",
-    "delete_by_id",
-    "delete_by_predicate",
-    "delete_by_user",
-    "detect_1toN",
-    "discover_context",
-    "distinct_part_counts",
-    "domain_balanced_sample",
-    "embedding_near_dups",
-    "facet_counts",
-    "ingest_bulk_100k",
-    "int8_rescore_topk",
-    "knn_batch_throughput",
-    "knn_topk_gemm",
-    "label_centroids",
-    "latency_distribution",
-    "minhash_lsh_dups",
-    "multi_vector_fusion",
-    "payload_projection",
-    "qty_pivot_by_status",
-    "quality_weighted_sample",
-    "random_sample_points",
-    "rollup_returns",
-    "running_ops_stats",
-    "salted_user_rollup",
-    # (c) r7-stale, first 1 of 11 (the 3 new formula/metric surfaces took
-    #     the other slots; shingle_novelty/stream_attribution_join/
-    #     stream_dedup_events join the r12 leftover cohort)
-    "session_window_rollup",
+    "semdedup_pairs",
+    # (c) r8-stale (5) + r7-stale (10)
+    "scroll_keyset",
+    "sequence_packing",
+    "sessionization",
+    "simhash_hamming_pairs",
+    "similarity_matrix_topk",
+    "vector_norms",
+    "top_revenue_customers",
+    "top_part_per_supplier",
+    "text_stats",
+    "tfidf_top_terms",
+    "shingle_novelty",
+    "stream_store_ingest",
+    "stream_dedup_events",
+    "stream_hourly_counts",
+    "stream_attribution_join",
+    # (d) r9-stale, first 27 of 43 in registry order
+    "knn_topk",
+    "knn_filtered",
+    "knn_manhattan_topk",
+    "mmr_diversity_topk",
+    "verify_1to1",
+    "upsert_merge",
+    "store_search_api",
+    "time_travel_read",
+    "time_range_scan",
+    "store_compaction",
+    "pricing_summary",
+    "customers_without_orders",
+    "active_customer_balance",
+    "order_status_intersect",
+    "order_status_except",
+    "events_json_extract",
+    "events_hourly_rollup",
+    "events_retention_24h",
+    "funnel_stages",
+    "lang_token_summary",
+    "doc_quality_filter",
+    "lang_id_heuristic",
+    "doc_fingerprints",
+    "charlm_quality",
+    "exact_dedup_groups",
+    "ngram_jaccard_dups",
 ]

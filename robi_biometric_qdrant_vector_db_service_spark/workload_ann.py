@@ -236,15 +236,15 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # path), so serving queries look the codebook up.  Pinned driver-side as
 # plain rows (k×D doubles) and rebuilt into a literal DataFrame per call —
 # session-independent, trained at most once per (process, sf_dir).
-_kmeans_codebook_cache: dict[str, list] = {}
+_kmeans_codebook_cache: dict[tuple[str, int], list] = {}
 
 
-def _kmeans_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if sf_dir not in _kmeans_codebook_cache:
+def _kmeans_cents(spark: SparkSession, sf_dir: str, *, k: int = 8) -> DataFrame:
+    if (sf_dir, k) not in _kmeans_codebook_cache:
         corpus = load_table(spark, sf_dir, "embeddings")
-        _kmeans_codebook_cache[sf_dir] = ann.kmeans_centroids(corpus, k=8).collect()
+        _kmeans_codebook_cache[(sf_dir, k)] = ann.kmeans_centroids(corpus, k=k).collect()
     return spark.createDataFrame(
-        _kmeans_codebook_cache[sf_dir], schema="cell int, centroid array<double>"
+        _kmeans_codebook_cache[(sf_dir, k)], schema="cell int, centroid array<double>"
     )
 
 

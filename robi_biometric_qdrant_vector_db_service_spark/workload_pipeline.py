@@ -529,6 +529,186 @@ def chunk_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_W = 16  # minimum repeated-span length, in tokens (Lee et al. use 50)
+
+
+@register(
+    "substring_dedup_spans",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE text IS NOT NULL),
+p AS (
+  SELECT doc_id, CAST(unnest(range(0, len(toks) - {SUBSTR_W} + 1)) AS BIGINT) AS pos, toks
+  FROM t WHERE len(toks) >= {SUBSTR_W}
+),
+g AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(toks, pos + 1, pos + {SUBSTR_W}), ' ')) AS fp
+  FROM p
+),
+dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
+d AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+  FROM g JOIN dup USING (fp)
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {SUBSTR_W} AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + {SUBSTR_W} AS BIGINT) AS span_len
+FROM d GROUP BY doc_id, island
+""",
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022, arXiv:2107.06499,
+    ExactSubstr): find every maximal token span of length >= 16 that is
+    repeated ACROSS documents at ARBITRARY offsets — the spans a trainer
+    drops byte-ranges for.  This is what the 32-token ALIGNED windows of
+    ``chunk_dedup_groups`` structurally miss: a quoted passage starting
+    mid-chunk never lines up with its source's chunk grid
+    (tests/test_invariants.py pins a recall case).
+
+    Algorithm — the shuffle restatement of the paper's suffix array: emit
+    a fingerprint for the 16-gram at EVERY token position (stride 1 —
+    any cross-doc repeat of length >= 16 must share a full window at
+    some offset, so stride-1 windows are exhaustive where strided grids
+    are alignment-lucky); group by fingerprint keeping those seen in >1
+    document; join the duplicated fingerprints back to their positions;
+    merge runs of consecutive duplicated positions per document into
+    maximal spans with the gaps-and-islands window (pos - row_number).
+    Returns (doc_id, span_start, span_end, span_len), end exclusive —
+    span_len >= 16 always, > 16 where consecutive windows chain.
+
+    Scale: the position explode is a shuffle-free projection of
+    O(corpus tokens) rows; the fingerprint group-by is map-side combined
+    on md5; the dup-fp join keys both sides on fp (the aggregate's
+    exchange is reused on the build side, and the dup side is the small
+    one — AQE broadcasts it when it fits); the island merge shuffles each
+    duplicated position once on doc_id.  At 100 TB the O(n*w) join-chars
+    per window drop to O(n) with a Rabin-Karp rolling hash over the
+    per-token hashes (the ``rolling_hash_fp`` kernel) inside the same
+    plan, and fingerprint volume drops ~2/(w+1)x with winnowing
+    (Schleimer et al. 2003) — both change the hash function only, not
+    the group-join-merge shape certified here."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return substring_spans(docs, w=SUBSTR_W)
+
+
+def substring_spans(docs: DataFrame, *, w: int) -> DataFrame:
+    """The ExactSubstr kernel over (doc_id, text): maximal cross-document
+    repeated token spans of length >= ``w``, as (doc_id, span_start,
+    span_end, span_len) with end exclusive.  See ``substring_dedup_spans``
+    for the algorithm and scale notes."""
+    t = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= w
+    )
+    g = t.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, size(toks) - {w})")).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.md5(F.array_join(F.expr(f"slice(toks, pos + 1, {w})"), " ")).alias("fp"),
+    )
+    dup = g.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd")).filter(
+        F.col("nd") > 1
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    d = (
+        g.join(dup.select("fp"), "fp")
+        .withColumn("island", F.col("pos") - F.row_number().over(win))
+    )
+    return (
+        d.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + w).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start")).cast("bigint").alias("span_len"),
+        )
+    )
+
+
+SUBSTR_DUP_MAX = 0.5  # drop a doc when >50% of its tokens sit in repeated spans
+
+
+@register(
+    "substring_dup_fraction",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE text IS NOT NULL),
+p AS (
+  SELECT doc_id, CAST(unnest(range(0, len(toks) - {SUBSTR_W} + 1)) AS BIGINT) AS pos, toks
+  FROM t WHERE len(toks) >= {SUBSTR_W}
+),
+g AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(toks, pos + 1, pos + {SUBSTR_W}), ' ')) AS fp
+  FROM p
+),
+dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
+d AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+  FROM g JOIN dup USING (fp)
+),
+spans AS (
+  SELECT doc_id, CAST(max(pos) - min(pos) + {SUBSTR_W} AS BIGINT) AS span_len
+  FROM d GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       coalesce(per_doc.dup_tokens, 0) AS dup_tokens,
+       round(CAST(coalesce(per_doc.dup_tokens, 0) AS DOUBLE) / len(t.toks), 6)
+         AS dup_fraction,
+       CAST(coalesce(per_doc.dup_tokens, 0) AS DOUBLE) / len(t.toks)
+         <= {SUBSTR_DUP_MAX} AS keep
+FROM t LEFT JOIN per_doc USING (doc_id)
+""",
+)
+def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation gate Lee et al. 2022 build on ExactSubstr: per
+    document, the fraction of tokens covered by cross-document repeated
+    spans (maximal spans are disjoint, so their summed lengths never
+    double-count), and the keep/drop verdict at the 50% bar — documents
+    that are mostly boilerplate/quotation leave the corpus, documents
+    with a stray shared sentence stay and can be span-trimmed instead.
+    Every document is reported (LEFT join — zero-dup docs carry
+    dup_fraction 0.0), so the gate composes with the quality gates as one
+    more boolean column.
+
+    Scale: ``substring_spans``'s group-join-merge shape plus one
+    doc-keyed sum (reuses the island shuffle's partitioning) and a
+    left join back to the corpus keyed on doc_id — the corpus side never
+    re-shuffles more than once; exact division both engines (IEEE-754
+    correctly rounded)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    per_doc = (
+        substring_spans(docs, w=SUBSTR_W)
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").cast("bigint").alias("dup_tokens"))
+    )
+    dup = F.coalesce(F.col("dup_tokens"), F.lit(0).cast("bigint"))
+    frac = dup.cast("double") / F.col("n_tokens")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        dup.alias("dup_tokens"),
+        F.round(frac, 6).alias("dup_fraction"),
+        (frac <= SUBSTR_DUP_MAX).alias("keep"),
+    )
+
+
 # Java∩RE2 common dialect, like the PII regexes.
 URL_RE = r"https://[A-Za-z0-9.-]+/[A-Za-z0-9/_-]*"
 DOMAIN_RE = r"https://([A-Za-z0-9.-]+)/"

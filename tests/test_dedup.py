@@ -314,8 +314,10 @@ def test_semdedup_recall_at_production_threshold(spark):
     }
     assert len(true_pairs) >= 45
 
+    from robi_biometric_qdrant_vector_db_service_spark.workload_dedup import SEMDEDUP_CELLS
+
     cents = planted.sparkSession.createDataFrame(
-        kmeans_centroids(planted, k=8).collect(),
+        kmeans_centroids(planted, k=SEMDEDUP_CELLS).collect(),
         schema="cell int, centroid array<double>",
     )
     found = {

@@ -140,6 +140,95 @@ def test_curation_mass_conservation(spark):
     assert flagged.filter(F.col("bench_doc") >= BENCH_MAX_DOC).count() == 0
 
 
+def test_substring_dedup_catches_unaligned_repeats(spark):
+    """Lee et al. 2022 ExactSubstr recall case: a 20-token passage copied
+    at DIFFERENT offsets in two documents.  The stride-1 substring kernel
+    must recover the exact maximal span in both docs; the 32-token-aligned
+    chunk grid (chunk_dedup_groups' fingerprints) finds nothing — the
+    copies never line up with any full chunk."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        substring_spans,
+    )
+
+    shared = [f"s{i}" for i in range(20)]
+    a_toks = [f"a{i}" for i in range(20)] + shared + [f"a{i}" for i in range(20, 40)]
+    b_toks = [f"b{i}" for i in range(10)] + shared + [f"b{i}" for i in range(10, 30)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))], "doc_id long, text string"
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in substring_spans(docs, w=16).collect()
+    }
+    assert spans == {1: (20, 40, 20), 2: (10, 30, 20)}
+
+    # the aligned chunk grid misses it: no full-size chunk of doc 1 equals
+    # any full-size chunk of doc 2 (same fingerprint construction as
+    # chunk_dedup_groups)
+    def chunks(toks):
+        return {
+            " ".join(toks[s : s + CHUNK_SIZE])
+            for s in range(0, len(toks), CHUNK_STRIDE)
+            if len(toks[s : s + CHUNK_SIZE]) == CHUNK_SIZE
+        }
+
+    assert not (chunks(a_toks) & chunks(b_toks))
+
+    # below-threshold repeats stay silent: w=16 never fires on a 15-token copy
+    short = shared[:15]
+    docs15 = spark.createDataFrame(
+        [(1, " ".join([f"a{i}" for i in range(20)] + short)),
+         (2, " ".join(short + [f"b{i}" for i in range(20)]))],
+        "doc_id long, text string",
+    )
+    assert substring_spans(docs15, w=16).count() == 0
+
+
+def test_substring_spans_are_well_formed_on_corpus(spark):
+    """Registered-query sanity at smoke scale: every span is in-bounds,
+    at least W tokens, end-exclusive, and non-overlapping per document."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import SUBSTR_W
+
+    rows = REGISTRY["substring_dedup_spans"].run(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        assert r["span_len"] == r["span_end"] - r["span_start"] >= SUBSTR_W
+        assert 0 <= r["span_start"] and r["span_end"] <= n_toks[r["doc_id"]]
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for doc, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2, (doc, (s1, e1), (s2, e2))  # maximal ⇒ disjoint
+
+
+def test_substring_dup_fraction_conserves_and_gates(spark):
+    """The document gate reports EVERY corpus doc, its dup_tokens equal the
+    summed maximal-span lengths from substring_dedup_spans exactly (spans
+    are disjoint), the fraction is bounded, and keep is the 50% rule."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import SUBSTR_DUP_MAX
+
+    frac = {r["doc_id"]: r for r in REGISTRY["substring_dup_fraction"].run(spark, SF_SMOKE).collect()}
+    n_docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("text").isNotNull()).count()
+    assert len(frac) == n_docs
+    spans = REGISTRY["substring_dedup_spans"].run(spark, SF_SMOKE).collect()
+    by_doc: dict = {}
+    for r in spans:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["span_len"]
+    for doc_id, row in frac.items():
+        assert row["dup_tokens"] == by_doc.get(doc_id, 0)
+        assert 0.0 <= row["dup_fraction"] <= 1.0
+        assert row["keep"] == (row["dup_tokens"] / row["n_tokens"] <= SUBSTR_DUP_MAX)
+
+
 def test_split_membership_is_stable_under_append(spark):
     """The property hash splits exist for: growing the corpus must never
     move an existing document across the split boundary."""

@@ -1050,5 +1050,46 @@ def test_text_index_params_tokenizers(spark):
     )
     assert ids(df2, m("end-to-end", tokenizer="whitespace")) == [1]
     assert ids(df2, {"must": [{"key": "text", "match": {"text": "end-to-end"}}]}) == [1, 2]
-    with pytest.raises(NotImplementedError, match="multilingual"):
-        ids(df, m("x", tokenizer="multilingual"))
+    # unknown tokenizers still gate with remediation
+    with pytest.raises(NotImplementedError, match="tokenizer"):
+        ids(df, m("x", tokenizer="stemmer"))
+
+
+def test_multilingual_tokenizer_char_segments(spark):
+    """Qdrant's multilingual tokenizer (charabia), best-effort: CJK runs
+    segment character-wise on BOTH the field and the query, Latin words
+    keep word segmentation — Han, katakana, and hangul all covered; the
+    word tokenizer treats a CJK run as ONE opaque token (\\p{L} keeps
+    it), so subset queries only match under multilingual."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.payload_index import (
+        qdrant_filter,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "fast 向量搜索引擎 spark"),  # Han run + Latin words
+            (2, "エンジン検索 demo"),  # katakana + Han
+            (3, "검색 엔진 spark"),  # hangul, space-separated
+            (4, "searching engines spark"),
+        ],
+        "doc_id int, text string",
+    )
+
+    def ids(spec):
+        return sorted(r.doc_id for r in qdrant_filter(df, spec, id_col="doc_id").collect())
+
+    def m(text, **params):
+        return {"must": [{"key": "text", "match": {"text": text, "params": params}}]}
+
+    ml = {"tokenizer": "multilingual"}
+    # char-wise: the 2-char query hits any doc containing both chars
+    assert ids(m("搜索", **ml)) == [1]
+    assert ids(m("検索", **ml)) == [2]
+    # mixed Latin + CJK in one query string
+    assert ids(m("spark 引擎", **ml)) == [1]
+    # hangul chars segment too (검 + 색 present in doc 3)
+    assert ids(m("검색", **ml)) == [3]
+    # word tokenizer keeps the whole run: subset query matches nothing,
+    # the exact full run matches
+    assert ids(m("搜索")) == []
+    assert ids(m("向量搜索引擎")) == [1]
