@@ -3718,18 +3718,18 @@ from . import workload_graph  # noqa: E402,F401
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
 # Rotation r12: (a) the 4 never-driver-windowed queries — the 2 r11
 # snapshot-commit orphans (facet_array_values, ccnet_perplexity_buckets —
-# VERDICT r11 item 2) plus the 3 new r12 surfaces (substring_dedup_spans,
-# substring_dup_fraction, match_text_multilingual); (b) queries whose
-# code changed this round:
+# VERDICT r11 item 2) plus the 4 new r12 surfaces (substring_dedup_spans,
+# substring_dup_fraction, match_text_multilingual, stream_neardup_pairs);
+# (b) queries whose code changed this round:
 # the 3 formula queries (operators/formula.py grew defaults/ambiguity/UTC
 # handling — r11 ADVICE) and semdedup_pairs (fixture codebook 8→32
 # cells, VERDICT r11 item 6); the word/whitespace/prefix _match_text
 # paths are byte-identical after the multilingual branch (PLANS_r12
 # re-pins them), so match_text_filter/prefix/phrase keep their r10/r11
-# rows; (c) the last 5 r8-stale and all 10 r7-stale rows; (d) the 26
-# stalest r9 rows in registry order.  Leftover for r13: the remaining 17
-# r9-stale (embedding_near_dups_lsh, embedding_near_dups_lsh_hi,
-# ann_ivf_topk, ann_ivf_pruned_topk,
+# rows; (c) the last 5 r8-stale and all 10 r7-stale rows; (d) the 25
+# stalest r9 rows in registry order.  Leftover for r13: the remaining 18
+# r9-stale (ngram_jaccard_dups, embedding_near_dups_lsh,
+# embedding_near_dups_lsh_hi, ann_ivf_topk, ann_ivf_pruned_topk,
 # ann_kmeans_ivf_topk, sql_surface_knn, pq_adc_topk, multimodal_decode,
 # multimodal_frame_sample, multimodal_resize, stream_ops_stats,
 # stateful_running_stats, stream_search_serving, train_test_split,
@@ -3741,6 +3741,7 @@ FRONT_QUERIES = [
     "substring_dedup_spans",
     "substring_dup_fraction",
     "match_text_multilingual",
+    "stream_neardup_pairs",
     # (b) code changed this round
     "formula_rescore_topk",
     "formula_geo_decay_topk",
@@ -3788,5 +3789,4 @@ FRONT_QUERIES = [
     "doc_fingerprints",
     "charlm_quality",
     "exact_dedup_groups",
-    "ngram_jaccard_dups",
 ]

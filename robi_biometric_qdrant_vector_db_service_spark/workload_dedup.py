@@ -448,6 +448,69 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_stream_neardup_sql() -> str:
+    """Oracle for the INCREMENTAL LSH gate: the full-corpus band self-join
+    with exact jaccard over FULL shingle sets (no DF_CAP — a stream cannot
+    know the final global shingle df; streaming/neardup.py documents the
+    deliberate difference from the batch query's capped verify)."""
+    mh_list = ", ".join(DUCK_MINHASHES)
+    band_keys = ", ".join(
+        f"concat(m[{2*i+1}], ',', m[{2*i+2}])" for i in range(N_BANDS)
+    )
+    jac = (
+        "CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / "
+        "(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+s AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM t),
+sig AS (SELECT doc_id, sh, [{mh_list}] AS m FROM s),
+keyed AS (SELECT doc_id, [{band_keys}] AS ks FROM sig),
+bands AS (
+  SELECT doc_id, CAST(t.i AS INT) AS band, ks[CAST(t.i AS INT)] AS key
+  FROM keyed CROSS JOIN range(1, {N_BANDS + 1}) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2, round({jac}, 6) AS jaccard
+FROM cand c JOIN s s1 ON s1.doc_id = c.doc1 JOIN s s2 ON s2.doc_id = c.doc2
+WHERE round({jac}, 6) >= {JACCARD_T}
+"""
+
+
+@register("stream_neardup_pairs", _duck_stream_neardup_sql())
+def stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ADMISSION GATE: the minhash-LSH pipeline as an
+    incremental stage — documents arrive in micro-batches, each batch's
+    band signatures (the IDENTICAL expression trees as the batch query)
+    join against the accumulated band store, so a document is compared
+    only against its past, and every near-dup pair surfaces exactly once,
+    in the batch where its later member arrives.  The drained pair set
+    must equal the full-corpus LSH result regardless of batch boundaries
+    (the oracle pins it) — the all-data-is-streaming-data invariant for
+    the one dedup family that is genuinely stateful.
+
+    Verification is exact jaccard over FULL shingle sets (the stream
+    cannot know a shingle's final global df, so no DF_CAP — see
+    streaming/neardup.py for the scale notes: append-only band/document
+    state tables, per-batch work ∝ |batch| + matched buckets)."""
+    from .streaming.neardup import neardup_pairs_stream
+
+    return neardup_pairs_stream(spark, sf_dir)
+
+
+def _prepare_neardup_staging(spark: SparkSession, sf_dir: str) -> None:
+    from .streaming.neardup import _staged_neardup_docs
+
+    _staged_neardup_docs(spark, sf_dir)
+
+
+PREPARE.append(_prepare_neardup_staging)
+
+
 # ---------------------------------------------------------------------------
 # 4. SimHash — 64-bit frequency-weighted signature, Hamming-ball pairs
 # ---------------------------------------------------------------------------

@@ -334,3 +334,58 @@ def test_semdedup_recall_at_production_threshold(spark):
     m = sum(sizes)
     frac = sum(s * (s - 1) // 2 for s in sizes) / (m * (m - 1) / 2)
     assert frac <= 0.3, frac
+
+
+def test_stream_neardup_equals_batch_pair_set(spark):
+    """The incremental LSH gate must drain to EXACTLY the full-corpus pair
+    set — batch boundaries and arrival order may not change the answer.
+    The staging fixture is pinned to 8 files at maxFilesPerTrigger=2, so
+    the run genuinely crosses >= 4 micro-batches (a single-batch run would
+    trivially equal the batch answer without exercising the state)."""
+    import glob
+
+    from robi_biometric_qdrant_vector_db_service_spark.streaming.neardup import (
+        _banded,
+        _shingled,
+        _staged_neardup_docs,
+        neardup_pairs_stream,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.workload_dedup import JACCARD_T
+    from tests.conftest import SF_SMOKE
+
+    staged = _staged_neardup_docs(spark, SF_SMOKE)
+    assert len(glob.glob(staged + "/part-*")) == 8
+
+    streamed = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in neardup_pairs_stream(spark, SF_SMOKE).collect()
+    }
+
+    # batch twin, computed inline with the same kernels (full-set jaccard)
+    from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    sh = _shingled(load_table(spark, SF_SMOKE, "documents"))
+    bands = _banded(sh)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("s1.sh", "s2.sh"))
+    j = inter.cast("double") / (F.size("s1.sh") + F.size("s2.sh") - inter)
+    batch = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in cand.join(sh.alias("s1"), F.col("doc1") == F.col("s1.doc_id"))
+        .join(sh.alias("s2"), F.col("doc2") == F.col("s2.doc_id"))
+        .select("doc1", "doc2", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .collect()
+    }
+    assert streamed == batch and streamed, (len(streamed), len(batch))

