@@ -772,3 +772,49 @@ def test_ordered_scroll_skips_null_field_rows(spark):
     assert seen == [(10, 2), (10, 5), (20, 3), (30, 6)]  # NULL-grp skipped
     with pytest.raises(ValueError):
         scroll_page_order_by(df, "grp", after=(None, 1), page_size=2)
+
+
+def test_substring_dedup_plan_shape(spark):
+    """ExactSubstr must stay the group-join-merge shape: no cartesian, no
+    corpus-side broadcast (only the small dup-fp side may broadcast), and
+    bounded shuffles — fingerprint agg + island window + span agg, with
+    the dup-join either reusing the fp exchange or broadcasting the dup
+    side.  A regression to an N² pair join would explode here first."""
+    import re
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    plan = _plan(REGISTRY["substring_dedup_spans"].run(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert shuffles <= 4, plan
+    # the dup-fp side is the broadcast build of a hash join (never the
+    # corpus-side positions), and its count-distinct aggregate combines
+    # map-side before its exchange
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"BroadcastExchange(.|\n)*HashAggregate(.|\n)*Exchange", plan), plan
+
+
+def test_multilingual_match_is_a_pure_scan_predicate(spark):
+    """The multilingual tokenizer must compile to the same zero-shuffle
+    fused scan predicate as the word tokenizer — no UDF, no exchange."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    plan = _plan(REGISTRY["match_text_multilingual"].run(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_facet_filter_pushes_and_takes_ordered(spark):
+    """The shared facet operator: the Filter reaches the scan
+    (PushedFilters on lang) and the top-limit is a TakeOrderedAndProject,
+    not a global sort."""
+    import re
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    for name in ("facet_counts", "facet_array_values"):
+        plan = _plan(REGISTRY[name].run(spark, SF_SMOKE))
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any("lang" in p for p in pushed), (name, plan)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
