@@ -1,0 +1,164 @@
+"""Model-based fuzz of the VectorStore mutation protocol.
+
+Random mutation sequences (add / upsert / payload set-overwrite-delete-
+clear / delete by id / delete by user / compact) run against a real
+on-disk store — individually or through the ordered ``apply_batch``
+protocol — and the final ``read()`` state plus every exact matched-count
+return value must equal a trivially-correct Python dict model.  This is
+the manifest logic's composition test: bucket-pruned rewrites, carry-over
+by reference, sequential consistency of overlapping ops, and compaction's
+state-preservation are all places a wrong manifest merge would silently
+lose or duplicate rows (reference semantics: qdrant_client.py:242-309
+add/upsert, :407-461 deletes, Qdrant points payload API)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from robi_biometric_qdrant_vector_db_service_spark.operators.store import VectorStore
+
+IDS = [f"p{i}" for i in range(10)]
+USERS = ["u0", "u1", "u2"]
+EMB = {pid: [float(i + 1), 0.5] for i, pid in enumerate(IDS)}
+PAYLOADS = [{"tier": "gold"}, {"tier": "bronze", "seq": "9"}, {"k": "v"}]
+KEYSETS = [["tier"], ["seq"], ["tier", "k"]]
+
+_ids = st.lists(st.sampled_from(IDS), min_size=1, max_size=4, unique=True)
+_rows = st.lists(
+    st.tuples(st.sampled_from(IDS), st.sampled_from(USERS),
+              st.sampled_from(PAYLOADS)),
+    min_size=1, max_size=3, unique_by=lambda t: t[0],
+)
+
+op = st.one_of(
+    st.tuples(st.just("upsert"), _rows),
+    st.tuples(st.just("set_payload"), _ids, st.sampled_from(PAYLOADS)),
+    st.tuples(st.just("overwrite_payload"), _ids, st.sampled_from(PAYLOADS)),
+    st.tuples(st.just("delete_payload"), _ids, st.sampled_from(KEYSETS)),
+    st.tuples(st.just("clear_payload"), _ids),
+    st.tuples(st.just("delete"), _ids),
+    st.tuples(st.just("delete_user"), st.sampled_from(USERS)),
+    st.tuples(st.just("compact")),
+)
+
+
+def _row_df(spark, rows):
+    return spark.createDataFrame(
+        [(pid, EMB[pid], user, 1000.0, dict(meta)) for pid, user, meta in rows],
+        "point_id string, embedding array<double>, user_id string, "
+        "ts double, metadata map<string,string>",
+    )
+
+
+def _apply_model(model, o):
+    """Apply one op to the dict model; return the expected count (or None
+    when the engine's return value is not a matched-count)."""
+    kind = o[0]
+    if kind == "upsert":
+        for pid, user, meta in o[1]:
+            model[pid] = {"user_id": user, "metadata": dict(meta)}
+        return len(o[1])
+    if kind == "set_payload":
+        hit = [p for p in o[1] if p in model]
+        for p in hit:
+            model[p]["metadata"].update(o[2])
+        return len(hit)
+    if kind == "overwrite_payload":
+        hit = [p for p in o[1] if p in model]
+        for p in hit:
+            model[p]["metadata"] = dict(o[2])
+        return len(hit)
+    if kind == "delete_payload":
+        hit = [p for p in o[1] if p in model]
+        for p in hit:
+            for k in o[2]:
+                model[p]["metadata"].pop(k, None)
+        return len(hit)
+    if kind == "clear_payload":
+        hit = [p for p in o[1] if p in model]
+        for p in hit:
+            model[p]["metadata"] = {}
+        return len(hit)
+    if kind == "delete":
+        hit = [p for p in o[1] if p in model]
+        for p in hit:
+            del model[p]
+        return len(hit)
+    if kind == "delete_user":
+        hit = [p for p, r in model.items() if r["user_id"] == o[1]]
+        for p in hit:
+            del model[p]
+        return len(hit)
+    if kind == "compact":
+        return None
+    raise AssertionError(kind)
+
+
+def _to_batch_op(spark, o):
+    if o[0] == "upsert":
+        return ("upsert", _row_df(spark, o[1]))
+    if o[0] in ("set_payload", "delete_payload"):
+        return (o[0], list(o[1]), o[2])
+    if o[0] == "clear_payload":
+        return ("clear_payload", list(o[1]))
+    if o[0] == "delete":
+        return ("delete", list(o[1]))
+    return None  # overwrite/delete_user/compact run as direct calls
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    initial=_rows,
+    ops=st.lists(op, min_size=2, max_size=5),
+    via_batch=st.booleans(),
+    data=st.data(),
+)
+def test_store_matches_dict_model(spark, tmp_path_factory, initial, ops,
+                                  via_batch, data):
+    root = str(tmp_path_factory.mktemp("store_fuzz"))
+    store = VectorStore.create(spark, root, _row_df(spark, initial))
+    model = {
+        pid: {"user_id": user, "metadata": dict(meta)}
+        for pid, user, meta in initial
+    }
+
+    batchable = []
+    for o in ops:
+        want = _apply_model(model, o)
+        bop = _to_batch_op(spark, o) if via_batch else None
+        if bop is not None:
+            batchable.append((bop, want))
+            continue
+        if batchable:  # flush the pending batch before a direct-only op
+            got = store.apply_batch([b for b, _ in batchable])
+            assert got == [w for _, w in batchable], (got, batchable)
+            batchable = []
+        if o[0] == "upsert":
+            assert store.upsert(_row_df(spark, o[1]), normalize=False) == want
+        elif o[0] == "set_payload":
+            assert store.set_payload(list(o[1]), o[2]) == want
+        elif o[0] == "overwrite_payload":
+            assert store.overwrite_payload(list(o[1]), o[2]) == want
+        elif o[0] == "delete_payload":
+            assert store.delete_payload(list(o[1]), o[2]) == want
+        elif o[0] == "clear_payload":
+            assert store.clear_payload(list(o[1])) == want
+        elif o[0] == "delete":
+            assert store.delete_by_id(list(o[1])) == want
+        elif o[0] == "delete_user":
+            assert store.delete_user(o[1]) == want
+        elif o[0] == "compact":
+            store.compact()
+    if batchable:
+        got = store.apply_batch([b for b, _ in batchable])
+        assert got == [w for _, w in batchable], (got, batchable)
+
+    state = {
+        r["point_id"]: {"user_id": r["user_id"],
+                        "metadata": dict(r["metadata"] or {})}
+        for r in store.read().select("point_id", "user_id", "metadata").collect()
+    }
+    assert state == model, f"ops={ops!r}\n state={state}\n model={model}"
