@@ -224,13 +224,26 @@ def compile_formula(
             to_key = str(spec["to"])
             to_col = F.col(to_key)
             if defaults and to_key in defaults:
-                # FormulaQuery.defaults for a geo field is a geo point
-                # dict — coalesce per component (struct-literal coalesce
-                # would demand exact struct-type equality)
+                # FormulaQuery.defaults replaces the missing VALUE as a
+                # unit: a payload point with either component NULL (or the
+                # struct NULL) is missing, and the WHOLE default point
+                # substitutes — never a mixed payload-lat/default-lon point
                 d_lat, d_lon = _geo_struct(defaults[to_key])
-                to_col = F.struct(
-                    F.coalesce(to_col["lat"].cast("double"), F.lit(d_lat)).alias("lat"),
-                    F.coalesce(to_col["lon"].cast("double"), F.lit(d_lon)).alias("lon"),
+                missing = (
+                    to_col.isNull()
+                    | to_col["lat"].cast("double").isNull()
+                    | to_col["lon"].cast("double").isNull()
+                )
+                to_col = F.when(
+                    missing,
+                    F.struct(
+                        F.lit(d_lat).alias("lat"), F.lit(d_lon).alias("lon")
+                    ),
+                ).otherwise(
+                    F.struct(
+                        to_col["lat"].cast("double").alias("lat"),
+                        to_col["lon"].cast("double").alias("lon"),
+                    )
                 )
             return haversine_m(to_col, g_lat, g_lon)
         if ops == ["datetime"]:

@@ -617,6 +617,10 @@ def facet(
     and the top-``limit`` selection is a TakeOrderedAndProject — nothing
     but (value, partial count) crosses the one exchange."""
     out = qdrant_filter(df, spec, id_col=id_col) if spec is not None else df
+    # Qdrant skips points lacking the field entirely — no NULL bucket.
+    # The array path gets this for free (explode drops NULL arrays); the
+    # scalar path must filter explicitly or groupBy keeps the null group.
+    out = out.filter(F.col(key).isNotNull())
     col = (
         F.explode(F.array_distinct(F.col(key))) if is_array else F.col(key)
     )

@@ -3393,7 +3393,7 @@ def matrix_offsets_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT source, CAST(count(*) AS BIGINT) AS n
 FROM documents
-WHERE lang = 'en'
+WHERE lang = 'en' AND source IS NOT NULL
 GROUP BY source
 ORDER BY n DESC, source
 LIMIT 10
@@ -3716,7 +3716,7 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r12: (a) the 4 never-driver-windowed queries — the 2 r11
+# Rotation r12: (a) the 6 never-driver-windowed queries — the 2 r11
 # snapshot-commit orphans (facet_array_values, ccnet_perplexity_buckets —
 # VERDICT r11 item 2) plus the 4 new r12 surfaces (substring_dedup_spans,
 # substring_dup_fraction, match_text_multilingual, stream_neardup_pairs);
@@ -3763,7 +3763,7 @@ FRONT_QUERIES = [
     "stream_dedup_events",
     "stream_hourly_counts",
     "stream_attribution_join",
-    # (d) r9-stale, first 27 of 43 in registry order
+    # (d) r9-stale, first 25 of 43 in registry order
     "knn_topk",
     "knn_filtered",
     "knn_manhattan_topk",

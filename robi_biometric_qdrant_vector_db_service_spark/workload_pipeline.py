@@ -547,10 +547,17 @@ g AS (
   FROM p
 ),
 dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
-d AS (
+d0 AS (
   SELECT g.doc_id, g.pos,
-         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+         lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
   FROM g JOIN dup USING (fp)
+),
+d AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {SUBSTR_W} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM d0
 )
 SELECT doc_id,
        CAST(min(pos) AS BIGINT) AS span_start,
@@ -574,10 +581,17 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     some offset, so stride-1 windows are exhaustive where strided grids
     are alignment-lucky); group by fingerprint keeping those seen in >1
     document; join the duplicated fingerprints back to their positions;
-    merge runs of consecutive duplicated positions per document into
-    maximal spans with the gaps-and-islands window (pos - row_number).
-    Returns (doc_id, span_start, span_end, span_len), end exclusive —
-    span_len >= 16 always, > 16 where consecutive windows chain.
+    merge duplicated positions per document into maximal spans with a
+    gaps-and-islands window that breaks only when the gap between
+    consecutive duplicated positions EXCEEDS w (lag + break flag +
+    running sum): positions p and p+g with g <= w have overlapping or
+    adjacent windows [p, p+w) and [p+g, p+g+w), so their merged span
+    [p, p+g+w) is exactly the union of covered windows — merged spans
+    are therefore disjoint and their summed lengths count each covered
+    token once.  (A pos - row_number island would split such pairs into
+    OVERLAPPING spans and double-count the overlap.)  Returns (doc_id,
+    span_start, span_end, span_len), end exclusive — span_len >= 16
+    always, > 16 where windows chain or overlap.
 
     Scale: the position explode is a shuffle-free projection of
     O(corpus tokens) rows; the fingerprint group-by is map-side combined
@@ -615,9 +629,14 @@ def substring_spans(docs: DataFrame, *, w: int) -> DataFrame:
         F.col("nd") > 1
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
+    run = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_break = F.when(
+        F.col("prev").isNull() | ((F.col("pos") - F.col("prev")) > w), 1
+    ).otherwise(0)
     d = (
         g.join(dup.select("fp"), "fp")
-        .withColumn("island", F.col("pos") - F.row_number().over(win))
+        .withColumn("prev", F.lag("pos").over(win))
+        .withColumn("island", F.sum(gap_break).over(run))
     )
     return (
         d.groupBy("doc_id", "island")
@@ -652,10 +671,17 @@ g AS (
   FROM p
 ),
 dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
-d AS (
+d0 AS (
   SELECT g.doc_id, g.pos,
-         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+         lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
   FROM g JOIN dup USING (fp)
+),
+d AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {SUBSTR_W} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM d0
 ),
 spans AS (
   SELECT doc_id, CAST(max(pos) - min(pos) + {SUBSTR_W} AS BIGINT) AS span_len

@@ -202,6 +202,43 @@ def test_date_geo_nodes_respect_defaults_and_ambiguity(spark):
     assert any(r.v is None for r in gv_null)
 
 
+def test_geo_default_substitutes_whole_point_not_per_component(spark):
+    """r12 advice: Qdrant's FormulaQuery.defaults replaces a missing geo
+    VALUE as a unit.  A payload struct with lat present but lon NULL is
+    missing — the whole default point substitutes; it must never score
+    with a mixed (payload-lat, default-lon) point."""
+    gdf = spark.createDataFrame(
+        [
+            (1, 48.8566, 2.3522),  # complete payload point
+            (2, 48.8566, None),    # half-missing: lon NULL
+            (3, None, 2.3522),     # half-missing: lat NULL
+            (4, None, None),       # struct fully NULL
+        ],
+        "x int, lat double, lon double",
+    ).withColumn(
+        "geo",
+        F.when(
+            F.col("lat").isNotNull() | F.col("lon").isNotNull(),
+            F.struct("lat", "lon"),
+        ),
+    )
+    # origin == default point → every missing-value row must score 0.0
+    gast = {"geo_distance": {"origin": {"lat": 45.0, "lon": 10.0}, "to": "geo"}}
+    gv = {
+        r.x: r.v
+        for r in gdf.select(
+            "x",
+            compile_formula(
+                gast, id_col="x", defaults={"geo": {"lat": 45.0, "lon": 10.0}}
+            ).alias("v"),
+        ).collect()
+    }
+    assert gv[1] > 0.0  # complete point scores with the payload value
+    # per-component coalesce would give haversine(48.8566, 10) ≈ 430 km
+    # for row 2 — as-a-unit substitution gives exactly the default point
+    assert gv[2] == 0.0 and gv[3] == 0.0 and gv[4] == 0.0
+
+
 def test_datetime_key_requires_utc_session(spark):
     """String-typed datetime payloads parse in the session timezone; the
     datetime literal base is UTC — compile refuses the divergence in a

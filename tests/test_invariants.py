@@ -186,6 +186,35 @@ def test_substring_dedup_catches_unaligned_repeats(spark):
     assert substring_spans(docs15, w=16).count() == 0
 
 
+def test_substring_spans_merge_gapped_windows_into_union(spark):
+    """Regression (r13): duplicated window positions p and p+2 with p+1
+    NOT duplicated must merge into ONE span equal to the union of the two
+    covered windows — [p, p+2+w).  A pos - row_number island puts them in
+    separate islands whose spans [p, p+w) and [p+2, p+2+w) OVERLAP,
+    breaking the disjointness contract and double-counting 14 tokens in
+    substring_dup_fraction.  Islands must break only on gap > w."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import substring_spans
+
+    T = [f"t{i}" for i in range(18)]
+    a = [f"a{i}" for i in range(5)] + T + [f"a{i}" for i in range(5, 10)]
+    b = [f"b{i}" for i in range(3)] + T[:16] + ["b99"]   # dups A's window at 5
+    c = T[2:] + [f"c{i}" for i in range(4)]              # dups A's window at 7
+    docs = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b)), (3, " ".join(c))],
+        "doc_id long, text string",
+    )
+    spans = {}
+    for r in substring_spans(docs, w=16).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_len"])
+        )
+    # doc 1: positions {5, 7} duplicated (gap 2 <= w), window 6 is not —
+    # exactly one merged span covering tokens 5..22 (union, not 2x16)
+    assert spans[1] == [(5, 23, 18)]
+    assert spans[2] == [(3, 19, 16)]
+    assert spans[3] == [(0, 16, 16)]
+
+
 def test_substring_spans_are_well_formed_on_corpus(spark):
     """Registered-query sanity at smoke scale: every span is in-bounds,
     at least W tokens, end-exclusive, and non-overlapping per document."""

@@ -132,6 +132,23 @@ def test_scroll_cursor_pushes_to_scan_no_global_sort(spark):
 # -- discover / matrix / facet ----------------------------------------------
 
 
+def test_facet_skips_points_lacking_the_field(spark):
+    """r12 advice: Qdrant's facet API skips points that lack the faceted
+    field — no NULL-value bucket on the scalar path (the array path
+    already drops NULL arrays via explode), and counts cover only points
+    carrying the field."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.payload_index import facet
+
+    df = spark.createDataFrame(
+        [(1, "red", ["a", "b"]), (2, None, None), (3, "red", ["b"]), (4, "blue", None)],
+        "point_id long, color string, tags array<string>",
+    )
+    scalar = {r["value"]: r["n"] for r in facet(df, "color").collect()}
+    assert scalar == {"red": 2, "blue": 1}  # no None key
+    arr = {r["value"]: r["n"] for r in facet(df, "tags", is_array=True).collect()}
+    assert arr == {"a": 1, "b": 2}
+
+
 def test_discover_candidates_satisfy_context(spark):
     """Every returned candidate must be strictly closer to each positive
     example than to its paired negative."""
