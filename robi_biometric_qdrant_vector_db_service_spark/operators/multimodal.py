@@ -140,6 +140,101 @@ def resize_blobs(blobs: DataFrame, factor: int = 2) -> DataFrame:
     return blobs.mapInPandas(run, schema=BLOB_SCHEMA)
 
 
+DHASH_SCHEMA = "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+
+
+def dhash_bands(blobs: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) of each opaque image blob, as
+    four 16-bit band words — the banded layout the LSH candidate join and
+    the popcount verify consume directly (same banded-Hamming shape as
+    ``operators.ann.bq_hamming_rescore``'s packed words).
+
+    dHash proper: downsample to an 8x9 grayscale grid, emit one bit per
+    horizontally adjacent cell pair (left < right), 64 bits total —
+    robust to re-encoding/resizing because it keys on gradient direction,
+    not pixel values.  STUB DOWNSAMPLE (no codec libs in this image): the
+    8x9 "grayscale grid" is the byte stream split into 72 equal spans,
+    cell = span byte-sum — deterministic and oracle-checkable; a real
+    decoder swaps in pixel-block means, the bit/band packing and
+    everything downstream are unchanged.
+
+    Bit layout: cell index i in 0..71 is grid (r, c) = (i // 9, i % 9);
+    bit (r, c) for c < 8 is 1 iff cell[r][c] < cell[r][c+1], bit index
+    b = r*8 + c; band j (0..3) packs bits 16j..16j+15 little-endian.
+
+    Fully vectorized per Arrow batch: one flattened-buffer cumsum, one
+    (rows x 73) boundary gather, no per-row Python.  Partition-parallel
+    projection — no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w16 = 1 << np.arange(16, dtype=np.int64)
+        grid_i = np.arange(73, dtype=np.int64)
+        for pdf in batches:
+            data, starts, ends, lens = _flatten(pdf["blob"])
+            csum = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
+            bounds = starts[:, None] + (lens[:, None] * grid_i) // 72
+            cs = csum[bounds]
+            cells = (cs[:, 1:] - cs[:, :-1]).reshape(-1, 8, 9)
+            bits = (cells[:, :, :-1] < cells[:, :, 1:]).reshape(-1, 64)
+            out = {"doc_id": pdf["doc_id"]}
+            for j in range(4):
+                out[f"b{j}"] = (bits[:, 16 * j : 16 * (j + 1)] * w16).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def phash_dup_pairs(hashes: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs by banded-Hamming join over dHash words:
+    (doc_a < doc_b, hamming) for every pair within ``max_hamming`` bits.
+
+    Candidate generation is EXACT for max_hamming <= 3 by pigeonhole —
+    a pair differing in <= 3 of 64 bits has at most 3 of its 4 16-bit
+    bands touched, so at least one band collides; recall is 1.0, no
+    LSH tuning.  Verify recomputes the exact distance with JVM-side
+    popcount (bit_count(xor)) over the four words.
+
+    Scale: each doc contributes exactly 4 (band, val) rows, so the
+    candidate self-join shuffles 4n rows on (band, val) — the banded-
+    bucket shape of the MinHash-LSH family (workload_dedup), never
+    all-pairs; the verify joins the 5-column hash table twice keyed on
+    doc id (AQE broadcasts the candidate side when it fits).  Band-value
+    skew (e.g. flat images hashing to band 0) is the same DF_CAP story
+    as the text LSH — a hot bucket caps at |bucket| choose 2 candidates
+    that the exact verify then prunes.  Declaratively the hash table is
+    recomputed per join leg; at 100 TB you materialize it once (32
+    bytes/doc — a rounding error next to the blobs) and every leg reads
+    the persisted column instead of re-decoding."""
+    bands = hashes.selectExpr(
+        "doc_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ha = hashes.toDF("doc_a", "a0", "a1", "a2", "a3")
+    hb = hashes.toDF("doc_b", "c0", "c1", "c2", "c3")
+    ham = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}"))) for j in range(4)
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_checksum bigint"
 
 

@@ -209,6 +209,74 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_MIN_BYTES = 72   # need >= 1 byte per grid cell for a meaningful hash
+PHASH_MAX_HAMMING = 3  # <= 3 of 64 bits => banded recall is exactly 1.0
+
+
+@register(
+    "image_phash_dups",
+    f"""
+WITH b AS (
+  SELECT doc_id, len(text) AS n,
+         [unicode(text[i]) FOR i IN range(1, len(text)+1)] AS bytes
+  FROM documents WHERE len(text) >= {PHASH_MIN_BYTES}
+),
+cell AS (
+  SELECT doc_id, unnest(range(0, 72)) AS i, n, bytes FROM b
+),
+cs AS (
+  SELECT doc_id, i,
+         coalesce(list_sum(list_slice(bytes, (i*n)//72 + 1, ((i+1)*n)//72)), 0) AS s
+  FROM cell
+),
+bit AS (
+  SELECT c1.doc_id,
+         (c1.i // 9) * 8 + (c1.i % 9) AS bidx,
+         CASE WHEN c1.s < c2.s THEN 1 ELSE 0 END AS v
+  FROM cs c1 JOIN cs c2 ON c1.doc_id = c2.doc_id AND c2.i = c1.i + 1
+  WHERE c1.i % 9 < 8
+),
+band AS (
+  SELECT doc_id, CAST(bidx // 16 AS INT) AS band,
+         CAST(sum(v * (1 << (bidx % 16))) AS BIGINT) AS val
+  FROM bit GROUP BY doc_id, bidx // 16
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM band a JOIN band b2
+    ON a.band = b2.band AND a.val = b2.val AND a.doc_id < b2.doc_id
+),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(bit_count(xor(ba.val, bb.val))) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN band ba ON ba.doc_id = c.doc_a
+  JOIN band bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {PHASH_MAX_HAMMING}
+""",
+)
+def image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-duplicate pairs — the multimodal member
+    of the dedup family (text shingles / embeddings / now raw images):
+    blobs → mapInPandas dHash (four 16-bit band words) → banded-Hamming
+    candidate join (recall exactly 1.0 at the <=3-bit bar by pigeonhole)
+    → JVM popcount verify.  A training-data pipeline runs this BEFORE
+    embedding: re-encoded/resized copies of an image hash within a few
+    bits of each other while embeddings are never computed for the
+    duplicates dropped here.  The decode stub derives the 8x9 grid from
+    byte-span sums (no codec libs in this image — operators.multimodal);
+    the oracle replays the identical integer math from the character
+    stream (pure-ASCII corpus: code point == byte).  Blobs below one
+    byte per grid cell are skipped in both engines."""
+    from .operators.multimodal import dhash_bands, phash_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = to_blob_table(docs).filter(F.col("n_bytes") >= PHASH_MIN_BYTES)
+    return phash_dup_pairs(dhash_bands(blobs), max_hamming=PHASH_MAX_HAMMING)
+
+
 # ---------------------------------------------------------------------------
 # Streaming — Structured Streaming twins of A3 / the retention sweep (§2.10)
 # ---------------------------------------------------------------------------

@@ -336,6 +336,70 @@ def test_semdedup_recall_at_production_threshold(spark):
     assert frac <= 0.3, frac
 
 
+def test_image_phash_planted_dup_recall(spark):
+    """Planted-dup recall for the perceptual-hash image near-dup (r13):
+    a lightly perturbed copy of an image blob (one byte changed flips at
+    most 2 of the 64 dHash gradient bits) must surface as a pair, an
+    unrelated blob must not, and the banded candidate join must find
+    EVERY pair within the <=3-bit bar (pigeonhole recall 1.0) — checked
+    against an exhaustive popcount over the same hashes."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import (
+        dhash_bands,
+        phash_dup_pairs,
+    )
+
+    rng_docs = []
+    base = bytes((37 * i * i + 11 * i + 5) % 256 for i in range(400))
+    near = bytearray(base)
+    near[200] = (near[200] + 90) % 256  # one-byte corruption: <=2 bits flip
+    far = bytes((211 * i + 97) % 256 for i in reversed(range(400)))
+    rng_docs = [(1, base), (2, bytes(near)), (3, far)]
+    blobs = spark.createDataFrame(
+        [(d, b, "image/fake", len(b)) for d, b in rng_docs],
+        "doc_id bigint, blob binary, media_type string, n_bytes bigint",
+    )
+    hashes = dhash_bands(blobs)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # exhaustive ground truth on the corpus: the banded join misses NO
+    # pair within the bar (recall exactly 1.0 at <=3 of 64 bits)
+    from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import to_blob_table
+    from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+    from robi_biometric_qdrant_vector_db_service_spark.workload_sources import (
+        PHASH_MIN_BYTES,
+    )
+
+    corpus = load_table(spark, SF_SMOKE, "documents")
+
+    h = dhash_bands(
+        to_blob_table(corpus).filter(F.col("n_bytes") >= PHASH_MIN_BYTES)
+    ).collect()
+    def ham(a, b):
+        return sum(
+            bin((a[f"b{j}"] ^ b[f"b{j}"]) & 0xFFFF).count("1") for j in range(4)
+        )
+
+    truth = {
+        (a["doc_id"], b["doc_id"]): ham(a, b)
+        for a, b in itertools.combinations(sorted(h, key=lambda r: r["doc_id"]), 2)
+        if ham(a, b) <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in REGISTRY["image_phash_dups"].run(spark, SF_SMOKE).collect()
+    }
+    assert got == truth and len(truth) > 0
+
+
 def test_stream_neardup_equals_batch_pair_set(spark):
     """The incremental LSH gate must drain to EXACTLY the full-corpus pair
     set — batch boundaries and arrival order may not change the answer.
