@@ -114,12 +114,26 @@ def main() -> None:
         # r1/r3 numbers; embeddings-based queries are unaffected
         "corpus_generation": "2026-08-13 regen (round 5+)",
     }
-    # full per-query detail goes to a file (and an informational line):
-    # 97 queries don't fit the consumer's 2000-char output-tail window, so
-    # the FINAL line is compact — total + a headline subset — and parseable
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # full per-query detail goes to a ROUND-STAMPED file (and an
+    # informational line): the registry doesn't fit the consumer's
+    # output-tail window, so the FINAL line is compact — total + a headline
+    # subset — and parseable.  Round-stamping (r12 VERDICT item 3) keeps
+    # committed artifacts immutable: re-benches of round N never clobber
+    # round N-1's committed detail.  Round = $SPARK_GRAFT_ROUND, else
+    # 1 + the highest committed BENCH_r{N}.json.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    round_no = os.environ.get("SPARK_GRAFT_ROUND")
+    if not round_no:
+        import re as _re
+
+        prior = [
+            int(m.group(1))
+            for f in os.listdir(repo_dir)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        round_no = str(max(prior, default=0) + 1)
+    detail_name = f"BENCH_DETAIL_r{round_no}.json"
+    detail_path = os.path.join(repo_dir, detail_name)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print("full per-query detail:", detail_path)
@@ -153,7 +167,7 @@ def main() -> None:
                 "iters": iters,
                 "per_query_stat": "min",
                 "n_errors": len(errors),
-                "detail_file": "BENCH_DETAIL.json",
+                "detail_file": detail_name,
             },
             separators=(",", ":"),
         )

@@ -145,6 +145,16 @@ _TOKEN_BREAK_RE_PY = r"[\W_]+"  # Python re (unicode by default)
 # scripts raise via the tokenizer gate's remediation message.
 _CJK_CHAR_CLASS = "[一-鿿㐀-䶿぀-ゟ゠-ヿ가-힯]"
 
+# PERMANENT, TESTED DIVERGENCE (r12 VERDICT item 4): scripts that are
+# unsegmentable without an ICU dictionary — Thai U+0E00-0E7F, Lao
+# U+0E80-0EFF, Khmer U+1780-17FF.  charabia word-segments these;
+# dictionary-free segmentation cannot reproduce its boundaries in any
+# engine-portable way (Java regex / Python re / RE2 have no dictionary),
+# so a MULTILINGUAL text-index query containing these codepoints raises
+# with remediation instead of silently matching whole runs as single
+# tokens.  tests/test_query_surface.py pins that the gate fires.
+_ICU_ONLY_RE_PY = "[฀-໿ក-៿]"  # Thai + Lao + Khmer blocks
+
 
 def _text_tokens(query: str) -> list[str]:
     import re
@@ -179,6 +189,15 @@ def _match_text(col: Column, query: str, params: dict | None = None) -> Column:
     lower = p.get("lowercase", True)
     c = F.lower(col) if lower else col
     if tok == "multilingual":
+        if re.search(_ICU_ONLY_RE_PY, str(query)):
+            raise NotImplementedError(
+                "multilingual MatchText on Thai/Khmer/Lao needs an ICU "
+                "word-segmentation dictionary (charabia parity is not "
+                "reproducible dictionary-free) — pre-segment the query and "
+                "field upstream (inject spaces at word boundaries), or "
+                "index the field with tokenizer=word for whole-run match "
+                "semantics (permanent divergence, SURVEY §2.12)"
+            )
         # index-time analysis: each CJK codepoint becomes its own token
         c = F.regexp_replace(c, f"({_CJK_CHAR_CLASS})", " $1 ")
     toks = F.split(c, r"\s+" if tok == "whitespace" else _TOKEN_BREAK_RE_JVM)

@@ -3716,77 +3716,77 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r12: (a) the 6 never-driver-windowed queries — the 2 r11
-# snapshot-commit orphans (facet_array_values, ccnet_perplexity_buckets —
-# VERDICT r11 item 2) plus the 4 new r12 surfaces (substring_dedup_spans,
-# substring_dup_fraction, match_text_multilingual, stream_neardup_pairs);
-# (b) queries whose code changed this round:
-# the 3 formula queries (operators/formula.py grew defaults/ambiguity/UTC
-# handling — r11 ADVICE) and semdedup_pairs (fixture codebook 8→32
-# cells, VERDICT r11 item 6); the word/whitespace/prefix _match_text
-# paths are byte-identical after the multilingual branch (PLANS_r12
-# re-pins them), so match_text_filter/prefix/phrase keep their r10/r11
-# rows; (c) the last 5 r8-stale and all 10 r7-stale rows; (d) the 25
-# stalest r9 rows in registry order.  Leftover for r13: the remaining 18
-# r9-stale (ngram_jaccard_dups, embedding_near_dups_lsh,
-# embedding_near_dups_lsh_hi, ann_ivf_topk, ann_ivf_pruned_topk,
-# ann_kmeans_ivf_topk, sql_surface_knn, pq_adc_topk, multimodal_decode,
-# multimodal_frame_sample, multimodal_resize, stream_ops_stats,
-# stateful_running_stats, stream_search_serving, train_test_split,
-# doc_chunks, dedup_group_components, dedup_survivors).
+# Rotation r13: (a) the 2 never-driver-windowed queries (new this round:
+# image_phash_dups, c4_line_quality); (b) queries whose code changed this
+# round: substring_dedup_spans + substring_dup_fraction (r12 ADVICE island
+# fix — gap<=w merge), facet_counts + facet_array_values (facet() now skips
+# NULL-field points), formula_geo_decay_topk (geo defaults substitute as a
+# unit), match_text_multilingual (the ICU-script gate landed in the
+# multilingual branch; the word/whitespace/prefix _match_text paths are
+# byte-identical, so match_text_filter/prefix/phrase keep their r10 rows —
+# PLANS_r13 re-pins them); (c) all 18 remaining r9-stale rows; (d) the 24
+# stalest r10 rows in registry order.  Leftover for r14: the remaining 24
+# r10-stale (recommend_by_examples, recommend_groups_topk,
+# recommend_best_score, context_pairs_search, search_groups_topk,
+# search_groups_lookup, scroll_payload_selector, retrieve_points,
+# scroll_filtered, scroll_order_by, scroll_order_by_desc,
+# scroll_start_from, matrix_offsets_coo, regional_revenue,
+# running_supplier_qty, purchase_attribution_asof, regex_token_profile,
+# rolling_hash_fp, repetition_profile, npy_migration, pii_redaction,
+# stream_pii_scrub, chunk_dedup_groups, domain_blocklist_filter).
 FRONT_QUERIES = [
-    # (a) never driver-windowed
-    "facet_array_values",
-    "ccnet_perplexity_buckets",
+    # (a) never driver-windowed (new this round)
+    "image_phash_dups",
+    "c4_line_quality",
+    # (b) code changed this round
     "substring_dedup_spans",
     "substring_dup_fraction",
-    "match_text_multilingual",
-    "stream_neardup_pairs",
-    # (b) code changed this round
-    "formula_rescore_topk",
+    "facet_counts",
+    "facet_array_values",
     "formula_geo_decay_topk",
-    "formula_datetime_decay_topk",
-    "semdedup_pairs",
-    # (c) r8-stale (5) + r7-stale (10)
-    "scroll_keyset",
-    "sequence_packing",
-    "sessionization",
-    "simhash_hamming_pairs",
-    "similarity_matrix_topk",
-    "vector_norms",
-    "top_revenue_customers",
-    "top_part_per_supplier",
-    "text_stats",
-    "tfidf_top_terms",
-    "shingle_novelty",
-    "stream_store_ingest",
-    "stream_dedup_events",
-    "stream_hourly_counts",
-    "stream_attribution_join",
-    # (d) r9-stale, first 25 of 43 in registry order
-    "knn_topk",
-    "knn_filtered",
-    "knn_manhattan_topk",
-    "mmr_diversity_topk",
-    "verify_1to1",
-    "upsert_merge",
-    "store_search_api",
-    "time_travel_read",
-    "time_range_scan",
-    "store_compaction",
-    "pricing_summary",
-    "customers_without_orders",
-    "active_customer_balance",
-    "order_status_intersect",
-    "order_status_except",
-    "events_json_extract",
-    "events_hourly_rollup",
-    "events_retention_24h",
-    "funnel_stages",
-    "lang_token_summary",
-    "doc_quality_filter",
-    "lang_id_heuristic",
-    "doc_fingerprints",
-    "charlm_quality",
-    "exact_dedup_groups",
+    "match_text_multilingual",
+    # (c) r9-stale, all 18 remaining
+    "ngram_jaccard_dups",
+    "embedding_near_dups_lsh",
+    "embedding_near_dups_lsh_hi",
+    "ann_ivf_topk",
+    "ann_ivf_pruned_topk",
+    "ann_kmeans_ivf_topk",
+    "sql_surface_knn",
+    "pq_adc_topk",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "stream_ops_stats",
+    "stateful_running_stats",
+    "stream_search_serving",
+    "train_test_split",
+    "doc_chunks",
+    "dedup_group_components",
+    "dedup_survivors",
+    # (d) r10-stale, first 24 of 48 in registry order
+    "named_vector_search",
+    "query_batch_points",
+    "knn_offset_page",
+    "knn_combinator_filtered",
+    "rrf_fusion_topk",
+    "sparse_knn_topk",
+    "hybrid_search_rrf",
+    "sparse_idf_knn",
+    "prefetch_chain_rescore",
+    "set_payload_points",
+    "update_vectors_points",
+    "alias_blue_green_read",
+    "points_update_batch",
+    "snapshot_restore_read",
+    "tenant_routed_search",
+    "payload_index_filter",
+    "advanced_filter_should_not",
+    "count_filtered",
+    "match_text_filter",
+    "match_phrase_filter",
+    "values_count_filter",
+    "datetime_range_filter",
+    "geo_filter_search",
+    "has_vector_filter",
 ]

@@ -12,7 +12,7 @@ group-bys shuffle only the reduced aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .sources.catalog import load_table
@@ -861,3 +861,156 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first pass of the pipeline and runs at parquet-scan speed,
     emitting the metrics alongside the verdict for audit."""
     return gopher_frame(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# C4 / RefinedWeb LINE-level quality rules — the third quality gate next to
+# Gopher (document shape) and CCNet (LM score): real web text is curated
+# line-by-line (Raffel et al. 2020 §2.2 "C4"; Penedo et al. 2023
+# "RefinedWeb" line-wise filters) before any document-level statistics.
+# The synthetic corpus has no newlines or punctuation, so line structure is
+# PLANTED deterministically from (doc_id, line index) residues — the
+# pii_redaction / domain_blocklist fixture discipline: both engines build
+# the identical multi-line text, and the machinery under test is the real
+# line split + per-line predicates.
+# ---------------------------------------------------------------------------
+
+C4_LINE_W = 12       # planted tokens per line
+C4_MIN_LINES = 3     # C4 drops pages with too few sentences
+C4_TERMINAL_MIN = 0.4   # min fraction of lines ending in terminal punct
+C4_BULLET_MAX = 0.5     # RefinedWeb: mostly-bullet pages are boilerplate
+C4_ELLIPSIS_MAX = 0.3   # RefinedWeb: ellipsis-heavy pages are truncated
+C4_BLOCKLIST = ("javascript", "lorem ipsum")
+
+
+def c4_line_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/RefinedWeb line rules as a reusable frame transform over a
+    multi-line text column: per-document line count, terminal-punctuation
+    /bullet/ellipsis line fractions, word-blocklist hit, and the
+    conjunctive keep verdict.  Pure higher-order-function folds over
+    ``split(text, '\\n')`` — one codegen projection, no UDF, no shuffle;
+    like ``gopher_frame`` it is stateless, so the identical expression
+    tree serves batch curation, streaming gates, and composition with
+    ``quality_weighted_sample`` (keep is one more boolean column).
+
+    Fractions are rounded to 6 dp BEFORE the keep comparison so both
+    engines compare identical doubles (the charlm rounding discipline)."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("bigint")
+
+    def frac(pred) -> Column:
+        return F.round(
+            F.size(F.filter(lines, pred)).cast("double") / n_lines.cast("double"), 6
+        )
+
+    terminal = frac(
+        lambda l: l.endswith(".") | l.endswith("!") | l.endswith("?") | l.endswith('"')
+    )
+    bullet = frac(lambda l: l.startswith("- ") | l.startswith("* "))
+    ellipsis = frac(lambda l: l.endswith("..."))
+    block = F.exists(
+        lines,
+        lambda l: F.lower(l).contains(C4_BLOCKLIST[0])
+        | F.lower(l).contains(C4_BLOCKLIST[1]),
+    )
+    m = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        terminal.alias("frac_terminal"),
+        bullet.alias("frac_bullet"),
+        ellipsis.alias("frac_ellipsis"),
+        block.alias("has_blocklist"),
+    )
+    return m.select(
+        "*",
+        (
+            (F.col("n_lines") >= C4_MIN_LINES)
+            & (F.col("frac_terminal") >= C4_TERMINAL_MIN)
+            & (F.col("frac_bullet") <= C4_BULLET_MAX)
+            & (F.col("frac_ellipsis") <= C4_ELLIPSIS_MAX)
+            & ~F.col("has_blocklist")
+        ).alias("keep"),
+    )
+
+
+_C4_AUG_SQL = f"""
+array_join(
+  transform(sequence(0, (size(toks) - 1) div {C4_LINE_W}), j ->
+    concat(
+      CASE WHEN doc_id % 10 = 7 OR j % 6 = 5 THEN '- ' ELSE '' END,
+      array_join(slice(toks, cast(j * {C4_LINE_W} + 1 as int), {C4_LINE_W}), ' '),
+      CASE WHEN doc_id % 13 = 0 AND j = 0 THEN ' javascript' ELSE '' END,
+      CASE WHEN doc_id % 9 = 5 AND j % 2 = 0 THEN '...'
+           WHEN doc_id % 4 = 0 THEN ''
+           WHEN (doc_id + j) % 3 = 0 THEN '.'
+           WHEN (doc_id + j) % 3 = 1 THEN '!'
+           ELSE '' END
+    )
+  ), chr(10))
+"""
+
+
+@register(
+    "c4_line_quality",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
+),
+aug AS (
+  SELECT doc_id, array_to_string([
+      (CASE WHEN doc_id % 10 = 7 OR j % 6 = 5 THEN '- ' ELSE '' END)
+      || array_to_string(list_slice(toks, j * {C4_LINE_W} + 1, j * {C4_LINE_W} + {C4_LINE_W}), ' ')
+      || (CASE WHEN doc_id % 13 = 0 AND j = 0 THEN ' javascript' ELSE '' END)
+      || (CASE WHEN doc_id % 9 = 5 AND j % 2 = 0 THEN '...'
+               WHEN doc_id % 4 = 0 THEN ''
+               WHEN (doc_id + j) % 3 = 0 THEN '.'
+               WHEN (doc_id + j) % 3 = 1 THEN '!'
+               ELSE '' END)
+      FOR j IN range(0, (len(toks) - 1) // {C4_LINE_W} + 1)
+    ], chr(10)) AS t2
+  FROM t
+),
+l AS (SELECT doc_id, string_split(t2, chr(10)) AS lines FROM aug),
+m AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    round(CAST(len(list_filter(lines, x -> ends_with(x, '.') OR ends_with(x, '!')
+        OR ends_with(x, '?') OR ends_with(x, '"'))) AS DOUBLE) / len(lines), 6)
+      AS frac_terminal,
+    round(CAST(len(list_filter(lines, x -> starts_with(x, '- ')
+        OR starts_with(x, '* '))) AS DOUBLE) / len(lines), 6) AS frac_bullet,
+    round(CAST(len(list_filter(lines, x -> ends_with(x, '...'))) AS DOUBLE)
+        / len(lines), 6) AS frac_ellipsis,
+    len(list_filter(lines, x -> contains(lower(x), 'javascript')
+        OR contains(lower(x), 'lorem ipsum'))) > 0 AS has_blocklist
+  FROM l
+)
+SELECT doc_id, n_lines, frac_terminal, frac_bullet, frac_ellipsis, has_blocklist,
+  (n_lines >= {C4_MIN_LINES} AND frac_terminal >= {C4_TERMINAL_MIN}
+   AND frac_bullet <= {C4_BULLET_MAX} AND frac_ellipsis <= {C4_ELLIPSIS_MAX}
+   AND NOT has_blocklist) AS keep
+FROM m
+""",
+)
+def c4_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb line-level quality gate (Raffel et al. 2020 §2.2;
+    Penedo et al. 2023): per document, the fraction of lines ending in
+    terminal punctuation, starting as bullets, or ending in an ellipsis,
+    plus a word-blocklist scan — conjoined into one keep verdict with the
+    audit metrics alongside (the Gopher gate's shape, applied per line).
+    Line structure is PLANTED deterministically from (doc_id, line-index)
+    residues — the corpus has no newlines — and both engines build the
+    identical multi-line text before the REAL machinery (line split +
+    per-line predicate folds) runs.
+
+    Scale: fixture aside, the gate is a pure per-document codegen
+    projection over split-to-lines array folds — no UDF, no shuffle, no
+    state; it runs at parquet-scan speed next to the Gopher and CCNet
+    gates and composes with ``quality_weighted_sample`` as one more
+    boolean column."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    aug = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", F.expr(_C4_AUG_SQL).alias("text"))
+    return c4_line_frame(aug)

@@ -52,10 +52,26 @@ def run_pair(spark, spec, sf_dir: str):
     return s_cols, s_rows, d_cols, d_rows
 
 
-def check(spark, name: str, spec, sf_dir: str) -> list[str]:
-    """Returns a list of mismatch descriptions (empty == pass)."""
+def value_hash(cols, rows) -> str:
+    """Order-insensitive md5 over the canonicalized (sorted-columns) row
+    multiset — the offline cross-check token CORRECTNESS_LOCAL_r{N}.json
+    records per query (r12 VERDICT item 5) so a judge can compare the
+    local replica's values against the driver's rows without re-running."""
+    import hashlib
+
+    canon = sorted((tuple(_canon(v) for v in r) for r in rows), key=repr)
+    payload = repr((sorted(cols), canon)).encode()
+    return hashlib.md5(payload).hexdigest()
+
+
+def check(spark, name: str, spec, sf_dir: str, out: dict | None = None) -> list[str]:
+    """Returns a list of mismatch descriptions (empty == pass).  When
+    ``out`` is given, records the Spark-side value hash + row count."""
     errs: list[str] = []
     s_cols, s_rows, d_cols, d_rows = run_pair(spark, spec, sf_dir)
+    if out is not None:
+        out["hash"] = value_hash(s_cols, s_rows)
+        out["rows"] = len(s_rows)
     if sorted(s_cols) != sorted(d_cols):
         errs.append(f"{name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return errs

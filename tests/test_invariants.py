@@ -258,6 +258,44 @@ def test_substring_dup_fraction_conserves_and_gates(spark):
         assert row["keep"] == (row["dup_tokens"] / row["n_tokens"] <= SUBSTR_DUP_MAX)
 
 
+def test_c4_line_frame_metrics_and_verdicts(spark):
+    """The C4/RefinedWeb line gate (r13): hand-built multi-line docs get
+    exact metric values, each rule can individually flip the verdict, and
+    on the planted corpus every failure class is populated."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+    from robi_biometric_qdrant_vector_db_service_spark.workload_text import c4_line_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Good line one.\nAnother fine line!\nA third line?"),
+            (2, "no terminal here\nnor here\nnor even here"),
+            (3, "- bullet a.\n- bullet b.\n- bullet c.\nplain line."),
+            (4, "starts fine.\ntrails off...\nand again...\nmore..."),
+            (5, "Nice line.\nEnable JavaScript to continue.\nFine line."),
+            (6, "one line only."),
+        ],
+        "doc_id long, text string",
+    )
+    m = {r["doc_id"]: r for r in c4_line_frame(docs).collect()}
+    assert m[1]["keep"] and m[1]["frac_terminal"] == 1.0
+    assert not m[2]["keep"] and m[2]["frac_terminal"] == 0.0       # terminal rule
+    assert not m[3]["keep"] and m[3]["frac_bullet"] == 0.75        # bullet rule
+    assert not m[4]["keep"] and m[4]["frac_ellipsis"] == 0.75      # ellipsis rule
+    assert not m[5]["keep"] and m[5]["has_blocklist"]              # blocklist rule
+    assert not m[6]["keep"] and m[6]["n_lines"] == 1               # min-lines rule
+
+    # planted corpus: every rule fires somewhere and keeps exist
+    rows = REGISTRY["c4_line_quality"].run(spark, SF_SMOKE).collect()
+    assert any(r["keep"] for r in rows)
+    assert any(not r["keep"] and r["frac_terminal"] < 0.4 for r in rows)
+    assert any(not r["keep"] and r["frac_bullet"] > 0.5 for r in rows)
+    assert any(not r["keep"] and r["frac_ellipsis"] > 0.3 for r in rows)
+    assert any(r["has_blocklist"] for r in rows)
+    for r in rows:
+        for c in ("frac_terminal", "frac_bullet", "frac_ellipsis"):
+            assert 0.0 <= r[c] <= 1.0
+
+
 def test_split_membership_is_stable_under_append(spark):
     """The property hash splits exist for: growing the corpus must never
     move an existing document across the split boundary."""

@@ -805,6 +805,34 @@ def test_multilingual_match_is_a_pure_scan_predicate(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_image_phash_banded_join_plan(spark):
+    """The perceptual-hash near-dup (r13): never all-pairs — no cartesian
+    or nested-loop join anywhere; the dHash runs as Arrow-batched
+    MapInPandas (not row-at-a-time Python); candidate generation is a
+    banded equi-join; the popcount verify stays JVM-side (bit_count in
+    the fused projection, no Python stage after the hash)."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    plan = _plan(REGISTRY["image_phash_dups"].run(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "bit_count" in plan, plan
+
+
+def test_c4_line_gate_is_scan_speed(spark):
+    """The C4/RefinedWeb line gate (r13): a pure per-document codegen
+    projection — zero exchanges, zero Python stages, like the Gopher
+    gate it sits next to."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+    plan = _plan(REGISTRY["c4_line_quality"].run(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+
+
 def test_facet_filter_pushes_and_takes_ordered(spark):
     """The shared facet operator: the Filter reaches the scan
     (PushedFilters on lang) and the top-limit is a TakeOrderedAndProject,

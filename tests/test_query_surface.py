@@ -1120,3 +1120,38 @@ def test_multilingual_tokenizer_char_segments(spark):
     # the exact full run matches
     assert ids(m("搜索")) == []
     assert ids(m("向量搜索引擎")) == [1]
+
+
+def test_multilingual_icu_scripts_gate_permanently(spark):
+    """The ICU-script gate is a PINNED permanent divergence (r12 VERDICT
+    item 4): Thai/Khmer/Lao cannot be word-segmented dictionary-free in
+    any engine-portable way, so a multilingual MatchText query carrying
+    those codepoints must raise with actionable remediation rather than
+    silently matching whole runs as single tokens (what charabia would
+    segment).  Under tokenizer=word the same text is a legal whole-run
+    token — the documented remediation path works."""
+    import pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.payload_index import (
+        qdrant_filter,
+    )
+
+    thai = "สวัสดีชาวโลก"     # "hello world", no spaces — needs ICU
+    khmer = "សួស្តីពិភពលោក"
+    lao = "ສະບາຍດີ"
+    df = spark.createDataFrame(
+        [(1, f"{thai} demo"), (2, "plain latin")], "doc_id int, text string"
+    )
+
+    def m(text, **params):
+        return {"must": [{"key": "text", "match": {"text": text, "params": params}}]}
+
+    for q in (thai, khmer, lao, f"mixed {thai}"):
+        with pytest.raises(NotImplementedError, match="ICU"):
+            qdrant_filter(df, m(q, tokenizer="multilingual"), id_col="doc_id")
+    # CJK queries still pass the gate on the same code path
+    got = qdrant_filter(df, m("搜索", tokenizer="multilingual"), id_col="doc_id")
+    assert got.count() == 0
+    # remediation path: tokenizer=word treats the run as one exact token
+    word = qdrant_filter(df, m(thai), id_col="doc_id")
+    assert [r.doc_id for r in word.collect()] == [1]
