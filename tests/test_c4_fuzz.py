@@ -17,6 +17,11 @@ from decimal import ROUND_HALF_UP, Decimal
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# the registry root must initialize before workload_text is imported
+# directly (workload_pipeline's module-level registration pulls
+# workload_text._STOP_SQL mid-import otherwise — a latent circular-import
+# ordering every other consumer avoids by importing workload first)
+from robi_biometric_qdrant_vector_db_service_spark import workload as _workload  # noqa: F401
 from robi_biometric_qdrant_vector_db_service_spark.workload_text import (
     C4_BULLET_MAX,
     C4_ELLIPSIS_MAX,
