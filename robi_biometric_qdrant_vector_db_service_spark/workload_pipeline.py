@@ -208,7 +208,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _quality_sql_subquery() -> str:
     """The doc_quality_filter 0-4 score, as an oracle subquery (same rules
     as workload_text.doc_quality_filter — shared constant set)."""
-    from .workload_text import _STOP_SQL
+    from .functions.textconst import STOP_SQL as _STOP_SQL
 
     return f"""
   SELECT doc_id,
@@ -995,7 +995,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_stream_quality_gate() -> None:
-    from .workload_text import _STOP_SQL
+    from .functions.textconst import STOP_SQL as _STOP_SQL
 
     @register(
         "stream_quality_gate",

@@ -18,8 +18,11 @@ from pyspark.sql import functions as F
 from .sources.catalog import load_table
 from .workload import register
 
-STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
-_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+# Hoisted to functions/textconst.py (leaf module) so workload_pipeline can
+# use the same constants without a circular sibling import; re-exported here
+# under the historical names for every existing call site and test.
+from .functions.textconst import STOP_SQL as _STOP_SQL
+from .functions.textconst import STOPWORDS
 
 
 @register(
