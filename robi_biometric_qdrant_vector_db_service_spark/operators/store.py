@@ -539,15 +539,16 @@ class VectorStore:
         return self._delete_rewrite(manifest, touched_counts, _transform)
 
     @staticmethod
-    def _without_keys(keys: list[str]):
-        """``metadata`` minus the given top-level keys, as a Column.  Built
-        from native Column functions (lambda over Columns, literal key
-        array) — no SQL-string interpolation, so keys containing quotes or
-        backslashes round-trip exactly and caller strings never reach the
-        SQL parser."""
+    def _without_keys(keys: list[str], meta=None):
+        """``metadata`` (or the given metadata Column — the coalesced batch
+        path threads an intermediate state through) minus the given
+        top-level keys, as a Column.  Built from native Column functions
+        (lambda over Columns, literal key array) — no SQL-string
+        interpolation, so keys containing quotes or backslashes round-trip
+        exactly and caller strings never reach the SQL parser."""
         key_arr = F.array(*[F.lit(str(k)) for k in keys])
         return F.map_filter(
-            F.coalesce(F.col("metadata"), _empty_meta()),
+            F.coalesce(F.col("metadata") if meta is None else meta, _empty_meta()),
             lambda k, _v: ~F.array_contains(key_arr, k),
         )
 
@@ -653,33 +654,59 @@ class VectorStore:
             "space column"
         )
 
-    def apply_batch(self, ops: list[tuple]) -> list[int]:
+    # ops whose effect on any row is a pure function of (point_id ∈ the
+    # op's id list, the row's CURRENT metadata) — a consecutive run of
+    # them composes into ONE bucket rewrite with the per-row state
+    # threaded op-by-op, so sequential consistency holds with one commit
+    _REWRITE_TAGS = frozenset(
+        ("delete", "set_payload", "overwrite_payload", "delete_payload",
+         "clear_payload")
+    )
+
+    def apply_batch(self, ops: list[tuple], *, coalesce: bool = True) -> list[int]:
         """Qdrant's points batch-update API (``batch_update_points`` /
         ``POST /collections/{c}/points/batch``): an ORDERED sequence of
         write operations applied with Qdrant's sequential-consistency
         guarantee — op N observes every effect of ops < N.  Each element
         is a tuple tagged by operation::
 
-            ("upsert",         DataFrame)            MERGE ON point_id
-            ("delete",         [point_id, ...])      delete by id
-            ("delete_where",   "SQL predicate")      predicate delete
-            ("set_payload",    [ids], {payload})     merge payload keys
-            ("delete_payload", [ids], [keys])        drop payload keys
-            ("clear_payload",  [ids])                empty payload
-            ("update_vectors", DataFrame)            overwrite vectors only
+            ("upsert",            DataFrame)            MERGE ON point_id
+            ("delete",            [point_id, ...])      delete by id
+            ("delete_where",      "SQL predicate")      predicate delete
+            ("set_payload",       [ids], {payload})     merge payload keys
+            ("overwrite_payload", [ids], {payload})     replace payload
+            ("delete_payload",    [ids], [keys])        drop payload keys
+            ("clear_payload",     [ids])                empty payload
+            ("update_vectors",    DataFrame)            overwrite vectors only
 
-        Returns the per-op affected counts, positionally.  Each op
-        publishes its own manifest version — the manifest log IS the
-        operation log, so the batch leaves one inspectable version per
-        step (time travel across the batch) exactly as Qdrant reports one
-        ``UpdateResult`` per op; there is no cross-op atomicity in the
-        public API either.  Unknown tags fail before ANY op runs — a
-        malformed batch must not half-apply."""
+        Returns the per-op affected counts, positionally.  Unknown tags
+        fail before ANY op runs — a malformed batch must not half-apply.
+
+        COMMIT COALESCING (default on): a consecutive run of id-keyed
+        rewrite ops (delete / set_payload / overwrite_payload /
+        delete_payload / clear_payload) commits ONE manifest version via a
+        single composed bucket rewrite — per-row liveness and metadata are
+        threaded through the run in op order, so overlapping id sets keep
+        exact sequential semantics and per-op matched counts (a payload op
+        after a delete in the same run never counts the deleted row).  A
+        consecutive run of upserts whose EXPLICIT point_ids are pairwise
+        disjoint across batches likewise merges into one locate + rewrite
+        + append + commit (overlapping runs fall back to sequential — the
+        later upsert must replace the earlier's row).  ``delete_where``
+        and ``update_vectors`` always commit solo.  With ``coalesce=True``
+        the manifest log records one version per commit GROUP rather than
+        per op (the only observable difference — time travel lands on
+        group boundaries); per-op ``UpdateResult`` counts are exact either
+        way, and ``coalesce=False`` restores the one-version-per-op log.
+        At 100 TB the coalesced run reads and rewrites each touched bucket
+        once instead of once per op — commit cost per GROUP, data cost
+        still pruned-bucket-only."""
         dispatch = {
             "upsert": self.upsert,
             "delete": self.delete_by_id,
             "delete_where": self.delete_where,
             "set_payload": self.set_payload,
+            "overwrite_payload": self.overwrite_payload,
             "delete_payload": self.delete_payload,
             "clear_payload": self.clear_payload,
             "update_vectors": self.update_vectors,
@@ -690,7 +717,192 @@ class VectorStore:
                 f"apply_batch: unknown operation tags {bad}; "
                 f"valid: {sorted(dispatch)}"
             )
-        return [dispatch[op[0]](*op[1:]) for op in ops]
+        if not coalesce:
+            return [dispatch[op[0]](*op[1:]) for op in ops]
+
+        results: list[int] = []
+        i = 0
+        while i < len(ops):
+            tag = ops[i][0]
+            if tag in self._REWRITE_TAGS:
+                j = i
+                while j < len(ops) and ops[j][0] in self._REWRITE_TAGS:
+                    j += 1
+                group = ops[i:j]
+                if len(group) == 1:
+                    results.append(dispatch[tag](*group[0][1:]))
+                else:
+                    results.extend(self._apply_rewrite_group(group))
+                i = j
+            elif tag == "upsert":
+                j = i
+                while j < len(ops) and ops[j][0] == "upsert":
+                    j += 1
+                batches = [op[1] for op in ops[i:j]]
+                if len(batches) == 1:
+                    results.append(self.upsert(batches[0]))
+                else:
+                    results.extend(self._apply_upsert_group(batches))
+                i = j
+            else:
+                results.append(dispatch[tag](*ops[i][1:]))
+                i += 1
+        return results
+
+    def _rewrite_group_state(self, df: DataFrame, ops: list[tuple]):
+        """Thread the composed per-row state of an id-keyed rewrite run
+        over ``df`` (already joined against the per-op ``__f{k}`` match
+        flags): returns (matched_k Columns, final liveness, final
+        metadata).  Unmatched rows carry their metadata through
+        byte-identical (NULL stays NULL — the single-op contract)."""
+        alive = F.lit(True)
+        meta = F.col("metadata")
+        matched = []
+        for k, op in enumerate(ops):
+            m = alive & F.coalesce(F.col(f"__f{k}"), F.lit(False))
+            matched.append(m)
+            tag = op[0]
+            if tag == "delete":
+                alive = alive & ~m
+            elif tag == "set_payload":
+                new_pairs = F.create_map(
+                    *[F.lit(str(x)) for kk, v in op[2].items() for x in (kk, v)]
+                )
+                meta = F.when(
+                    m, F.map_concat(self._without_keys(list(op[2]), meta), new_pairs)
+                ).otherwise(meta)
+            elif tag == "overwrite_payload":
+                meta = F.when(
+                    m,
+                    F.create_map(
+                        *[F.lit(str(x)) for kk, v in op[2].items() for x in (kk, v)]
+                    ),
+                ).otherwise(meta)
+            elif tag == "delete_payload":
+                meta = F.when(m, self._without_keys(op[2], meta)).otherwise(meta)
+            elif tag == "clear_payload":
+                meta = F.when(m, _empty_meta()).otherwise(meta)
+            else:  # pragma: no cover — guarded by _REWRITE_TAGS
+                raise AssertionError(tag)
+        return matched, alive, meta
+
+    def _apply_rewrite_group(self, ops: list[tuple]) -> list[int]:
+        """A consecutive run of id-keyed rewrite ops as ONE locate scan +
+        ONE bucket rewrite + ONE manifest commit, with exact per-op
+        counts.  Validates every op up front (the group must not
+        half-apply), computes driver-side per-point match flags from the
+        Python id lists (deduped — the ``_mutate_matched`` discipline),
+        and threads liveness/metadata per row in op order, so overlapping
+        id sets reproduce sequential semantics exactly."""
+        for op in ops:
+            if op[0] in ("set_payload", "overwrite_payload") and not op[2]:
+                raise ValueError(f"{op[0]} requires at least one key")
+            if op[0] == "delete_payload" and not op[2]:
+                raise ValueError("delete_payload requires at least one key")
+        idsets = [set(op[1]) for op in ops]
+        all_ids = sorted(set().union(*idsets))
+        flags = self.spark.createDataFrame(
+            [tuple([pid] + [pid in s for s in idsets]) for pid in all_ids],
+            "point_id string"
+            + "".join(f", __f{k} boolean" for k in range(len(ops))),
+        )
+        manifest = self._read_manifest()
+        current = self._read_files([f for fs in manifest.values() for f in fs])
+        joined = current.join(F.broadcast(flags), "point_id", "left")
+        matched, _, _ = self._rewrite_group_state(joined, ops)
+        per_bucket = (
+            joined.groupBy("ubucket")
+            .agg(*[F.sum(m.cast("int")).alias(f"n{k}") for k, m in enumerate(matched)])
+            .collect()
+        )
+        counts = [sum(r[f"n{k}"] for r in per_bucket) for k in range(len(ops))]
+        touched = [
+            r["ubucket"]
+            for r in per_bucket
+            if any(r[f"n{k}"] for k in range(len(ops)))
+        ]
+        if touched:
+            df = self._read_files([f for b in touched for f in manifest.get(b, [])])
+            dj = df.join(F.broadcast(flags), "point_id", "left")
+            _, alive, meta = self._rewrite_group_state(dj, ops)
+            survivors = (
+                dj.filter(alive)
+                .withColumn("metadata", meta)
+                .select("point_id", "embedding", "user_id", "ts", "metadata", "ubucket")
+            )
+            rewritten, stats, _ = self._write_segment(survivors)
+            for b in touched:
+                manifest[b] = rewritten.get(b, [])
+            self._publish_manifest(manifest, stats)
+        return counts
+
+    def _apply_upsert_group(self, batches: list[DataFrame]) -> list[int]:
+        """A consecutive run of upserts whose EXPLICIT point_ids are
+        pairwise disjoint ACROSS batches, as one merged locate + rewrite +
+        append + commit (disjoint upserts commute, so the merged final
+        state equals the sequential one).  One distributed overlap probe
+        gates the merge; any cross-batch id overlap falls back to the
+        sequential per-op path (the later op must observe the earlier's
+        write).  NULL / absent ids take fresh uuids and never overlap.
+        Per-op counts = each batch's written rows, exactly as sequential."""
+        explicit = [
+            b.select(F.col("point_id").cast("string").alias("point_id")).filter(
+                F.col("point_id").isNotNull()
+            )
+            for b in batches
+            if "point_id" in b.columns
+        ]
+        if len(explicit) >= 2:
+            probe = explicit[0].withColumn("__op_k", F.lit(0))
+            for k, e in enumerate(explicit[1:], start=1):
+                probe = probe.unionByName(e.withColumn("__op_k", F.lit(k)))
+            overlapping = (
+                probe.groupBy("point_id")
+                .agg(F.countDistinct("__op_k").alias("d"))
+                .filter(F.col("d") > 1)
+                .limit(1)
+                .count()
+            )
+            if overlapping:
+                return [self.upsert(b) for b in batches]
+        prepped = [
+            self._with_bucket(self._defaults(b, normalize=True)).withColumn(
+                "__op_k", F.lit(k)
+            )
+            for k, b in enumerate(batches)
+        ]
+        combined = prepped[0]
+        for p in prepped[1:]:
+            combined = combined.unionByName(p)
+        manifest = self._read_manifest()
+        current = self._read_files([f for fs in manifest.values() for f in fs])
+        ids = combined.select("point_id")
+        touched = [
+            r["ubucket"]
+            for r in current.join(F.broadcast(ids), "point_id", "left_semi")
+            .select("ubucket")
+            .distinct()
+            .collect()
+        ]
+        new_stats: dict[str, list[float]] = {}
+        if touched:
+            survivors = self._read_files(
+                [f for b in touched for f in manifest.get(b, [])]
+            ).join(F.broadcast(ids), "point_id", "left_anti")
+            rewritten, r_stats, _ = self._write_segment(survivors)
+            new_stats.update(r_stats)
+            for b in touched:
+                manifest[b] = rewritten.get(b, [])
+        per_op = {
+            r["__op_k"]: r["n"]
+            for r in combined.groupBy("__op_k").agg(F.count("*").alias("n")).collect()
+        }
+        appended, a_stats, _ = self._write_segment(combined.drop("__op_k"))
+        new_stats.update(a_stats)
+        for b, fs in appended.items():
+            manifest[b] = manifest.get(b, []) + fs
+        self._publish_manifest(manifest, new_stats)
+        return [per_op.get(k, 0) for k in range(len(batches))]
 
     # -- S6/S7 deletes ------------------------------------------------------
 

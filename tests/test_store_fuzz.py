@@ -99,13 +99,13 @@ def _apply_model(model, o):
 def _to_batch_op(spark, o):
     if o[0] == "upsert":
         return ("upsert", _row_df(spark, o[1]))
-    if o[0] in ("set_payload", "delete_payload"):
+    if o[0] in ("set_payload", "overwrite_payload", "delete_payload"):
         return (o[0], list(o[1]), o[2])
     if o[0] == "clear_payload":
         return ("clear_payload", list(o[1]))
     if o[0] == "delete":
         return ("delete", list(o[1]))
-    return None  # overwrite/delete_user/compact run as direct calls
+    return None  # delete_user/compact run as direct calls
 
 
 @settings(max_examples=6, deadline=None,
@@ -162,3 +162,48 @@ def test_store_matches_dict_model(spark, tmp_path_factory, initial, ops,
         for r in store.read().select("point_id", "user_id", "metadata").collect()
     }
     assert state == model, f"ops={ops!r}\n state={state}\n model={model}"
+
+
+_batchable_op = st.one_of(
+    st.tuples(st.just("upsert"), _rows),
+    st.tuples(st.just("set_payload"), _ids, st.sampled_from(PAYLOADS)),
+    st.tuples(st.just("overwrite_payload"), _ids, st.sampled_from(PAYLOADS)),
+    st.tuples(st.just("delete_payload"), _ids, st.sampled_from(KEYSETS)),
+    st.tuples(st.just("clear_payload"), _ids),
+    st.tuples(st.just("delete"), _ids),
+)
+
+
+def _read_state(store):
+    return {
+        r["point_id"]: {"user_id": r["user_id"],
+                        "metadata": dict(r["metadata"] or {})}
+        for r in store.read().select("point_id", "user_id", "metadata").collect()
+    }
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(initial=_rows, ops=st.lists(_batchable_op, min_size=2, max_size=6))
+def test_apply_batch_coalesced_equals_sequential(spark, tmp_path_factory,
+                                                 initial, ops):
+    """The commit-coalescing path (default, one manifest version per
+    rewrite-run / disjoint-upsert-run) must return the same per-op counts
+    and leave the same final state as the one-version-per-op sequential
+    path — on ARBITRARY op sequences, overlapping id sets included (the
+    coalesced rewrite threads per-row liveness/metadata in op order, and
+    overlapping upsert runs must detect the overlap and fall back)."""
+    roots = tmp_path_factory.mktemp("store_coal")
+    a = VectorStore.create(spark, str(roots / "coalesced"),
+                           _row_df(spark, initial))
+    b = VectorStore.create(spark, str(roots / "sequential"),
+                           _row_df(spark, initial))
+    batch = [_to_batch_op(spark, o) for o in ops]
+    got_a = a.apply_batch(batch, coalesce=True)
+    got_b = b.apply_batch(
+        [_to_batch_op(spark, o) for o in ops], coalesce=False
+    )
+    assert got_a == got_b, (got_a, got_b, ops)
+    assert _read_state(a) == _read_state(b), ops
+    # coalescing only ever reduces the number of published versions
+    assert a._current_version() <= b._current_version()
