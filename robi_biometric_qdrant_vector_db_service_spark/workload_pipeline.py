@@ -29,6 +29,7 @@ Scale posture:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -608,23 +609,132 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_spans(docs, w=SUBSTR_W)
 
 
-def substring_spans(docs: DataFrame, *, w: int) -> DataFrame:
+# Winnowing (Schleimer et al. 2003, "Winnowing: Local Algorithms for
+# Document Fingerprinting") selection parameters for the scale mode of
+# substring_spans: from every window of WINNOW_W consecutive w-gram
+# positions, select the (rightmost) minimum rolling hash — expected
+# fingerprint density 2/(WINNOW_W+1) of stride-1, guarantee: every repeat
+# of >= w + WINNOW_W - 1 tokens shares at least one selected fingerprint.
+WINNOW_W = 8
+_WINNOW_M = (1 << 31) - 1  # Mersenne prime: products of two residues < 2^62
+_WINNOW_B = 1_000_003 % _WINNOW_M
+
+
+def _mod_pows(base: int, n: int) -> "np.ndarray":  # noqa: F821
+    """[base^0, ..., base^(n-1)] mod _WINNOW_M as int64 — by binary
+    exponentiation over the exponent's bits, all intermediates < 2^62."""
+    import numpy as np
+
+    e = np.arange(n, dtype=np.int64)
+    out = np.ones(n, dtype=np.int64)
+    sq = base % _WINNOW_M
+    for bit in range(max(n - 1, 1).bit_length()):
+        out = np.where((e >> bit) & 1 == 1, (out * sq) % _WINNOW_M, out)
+        sq = (sq * sq) % _WINNOW_M
+    return out
+
+
+def _winnow_select(w: int, window: int):
+    """Arrow-batched selector: per document, the winnowed w-gram positions
+    from its per-token hash array.  O(tokens) rolling hashes via modular
+    prefix sums (O(1) amortized per window — the Rabin-Karp swap the
+    stride-1 mode's docstring promises), then rightmost-min-per-window
+    selection over a strided view.  Pure NumPy per batch; the per-row loop
+    touches only row boundaries (ragged arrays), all arithmetic is
+    batch-wide where the layout allows."""
+    import numpy as np
+
+    binv = pow(_WINNOW_B, _WINNOW_M - 2, _WINNOW_M)
+
+    @F.pandas_udf("array<bigint>")
+    def sel(th: pd.Series) -> pd.Series:
+        out = []
+        for h in th:
+            h = np.asarray(h, dtype=np.int64) % _WINNOW_M
+            n = h.size
+            g = n - w + 1
+            if g <= 0:
+                out.append([])
+                continue
+            # H(p) = hash of tokens [p, p+w): (S[p+w]-S[p]) * B^p mod M,
+            # where S is the prefix sum of h[i] * B^-i — one pass, O(1)
+            # per window after the two power tables
+            ipow = _mod_pows(binv, n + 1)
+            fpow = _mod_pows(_WINNOW_B, g)
+            s = np.concatenate(([0], np.cumsum((h * ipow[:n]) % _WINNOW_M)))
+            H = (((s[w : w + g] - s[:g]) % _WINNOW_M) * fpow) % _WINNOW_M
+            if g <= window:
+                p = int(g - 1 - np.argmin(H[::-1]))
+                out.append([p])
+                continue
+            view = np.lib.stride_tricks.sliding_window_view(H, window)
+            idx = window - 1 - np.argmin(view[:, ::-1], axis=1)
+            picks = np.unique(np.arange(g - window + 1, dtype=np.int64) + idx)
+            out.append(picks.tolist())
+        return pd.Series(out)
+
+    return sel
+
+
+def substring_spans(
+    docs: DataFrame, *, w: int, mode: str = "exact", window: int = WINNOW_W
+) -> DataFrame:
     """The ExactSubstr kernel over (doc_id, text): maximal cross-document
     repeated token spans of length >= ``w``, as (doc_id, span_start,
     span_end, span_len) with end exclusive.  See ``substring_dedup_spans``
-    for the algorithm and scale notes."""
+    for the algorithm and scale notes.
+
+    ``mode`` picks the fingerprinting strategy — the group-join-merge plan
+    shape is IDENTICAL, only the fingerprint volume changes:
+
+    - ``"exact"`` (default, the oracle-checked registry mode): stride-1
+      md5 over every w-gram — exhaustive, spans are exactly maximal.
+    - ``"winnow"``: the 100 TB path — per-token xxhash64 residues feed an
+      O(1)-per-window Rabin-Karp rolling hash (modular prefix sums), and
+      winnowing (Schleimer et al. 2003) keeps one position per
+      ``window`` consecutive grams (rightmost minimum), expected density
+      2/(window+1); selected positions then fingerprint with the same
+      md5, so a hash collision can never fabricate a false duplicate.
+      RECALL CONTRACT (pinned in tests/test_substring_fuzz.py): requires
+      ``window <= w``; then (a) every winnowed duplicated position is a
+      stride-1 duplicated position, and consecutive in-region selections
+      sit <= window <= w apart, so every winnow span is CONTAINED in an
+      exact-mode span; (b) every exact span of length >= w + window - 1
+      tokens (the winnowing guarantee threshold t) overlaps at least one
+      winnow span in the same document.  Shorter repeats may be missed —
+      the deliberate trade: ~2/(window+1) of the fingerprint rows cross
+      the one fingerprint shuffle."""
+    if mode not in ("exact", "winnow"):
+        raise ValueError(f"substring_spans: unknown mode {mode!r}")
+    if mode == "winnow" and window > w:
+        raise ValueError(
+            f"substring_spans(winnow): window ({window}) must be <= w ({w}) "
+            "— the containment contract needs in-region selection gaps to "
+            "stay within one island merge"
+        )
     t = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= w
     )
-    g = t.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0, size(toks) - {w})")).alias("pos"),
-        "toks",
-    ).select(
-        "doc_id",
-        F.col("pos").cast("bigint").alias("pos"),
-        F.md5(F.array_join(F.expr(f"slice(toks, pos + 1, {w})"), " ")).alias("fp"),
-    )
+    if mode == "winnow":
+        th = F.expr(f"transform(toks, x -> pmod(xxhash64(x), {_WINNOW_M}))")
+        picked = t.select(
+            "doc_id", "toks", F.explode(_winnow_select(w, window)(th)).alias("pos")
+        )
+        g = picked.select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.md5(F.array_join(F.expr(f"slice(toks, pos + 1, {w})"), " ")).alias("fp"),
+        )
+    else:
+        g = t.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, size(toks) - {w})")).alias("pos"),
+            "toks",
+        ).select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.md5(F.array_join(F.expr(f"slice(toks, pos + 1, {w})"), " ")).alias("fp"),
+        )
     dup = g.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd")).filter(
         F.col("nd") > 1
     )

@@ -795,6 +795,48 @@ def test_substring_dedup_plan_shape(spark):
     assert re.search(r"BroadcastExchange(.|\n)*HashAggregate(.|\n)*Exchange", plan), plan
 
 
+def test_substring_winnow_same_plan_shape_fewer_fingerprints(spark):
+    """The winnowing mode (r14 — the 100 TB fingerprint path) must keep
+    the exact mode's group-join-merge plan SHAPE (no cartesian, bounded
+    shuffles, broadcast dup-fp side) with the selector as the one
+    Arrow-batched stage — and must put ~2/(window+1) of the stride-1
+    fingerprint rows through the fp shuffle (measured on the corpus, the
+    volume claim that justifies the mode)."""
+    import re
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
+        SUBSTR_W,
+        WINNOW_W,
+        _winnow_select,
+        substring_spans,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    plan = _plan(substring_spans(docs, w=SUBSTR_W, mode="winnow"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert shuffles <= 4, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ArrowEvalPython" in plan, plan  # the winnow selector
+    assert "BatchEvalPython" not in plan, plan  # never row-at-a-time
+
+    t = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= SUBSTR_W
+    )
+    exact_rows = t.select(
+        F.sum(F.size("toks") - SUBSTR_W + 1).alias("n")
+    ).collect()[0]["n"]
+    th = F.expr(f"transform(toks, x -> pmod(xxhash64(x), {(1 << 31) - 1}))")
+    win_rows = t.select(
+        F.sum(F.size(_winnow_select(SUBSTR_W, WINNOW_W)(th))).alias("n")
+    ).collect()[0]["n"]
+    ratio = win_rows / exact_rows
+    expect = 2 / (WINNOW_W + 1)
+    assert ratio < 1.6 * expect, (ratio, expect)
+
+
 def test_multilingual_match_is_a_pure_scan_predicate(spark):
     """The multilingual tokenizer must compile to the same zero-shuffle
     fused scan predicate as the word tokenizer — no UDF, no exchange."""

@@ -99,3 +99,152 @@ def test_gap_exactly_w_merges_touching_windows(spark):
         if r["doc_id"] == 0
     }
     assert rows == {0: (0, 8)}
+
+
+# ---------------------------------------------------------------------------
+# winnow mode: the 100 TB fingerprint path (rolling hash + Schleimer
+# winnowing).  Contract (substring_spans docstring): with window <= w,
+# (a) every winnow span is CONTAINED in an exact-mode span of the same doc,
+# (b) every exact span of length >= w + window - 1 overlaps a winnow span.
+# ---------------------------------------------------------------------------
+
+WINNOW = 3  # selection window (<= W): t = W + WINNOW - 1 = 6 token guarantee
+
+
+def _contained(inner: tuple, outers: list[tuple]) -> bool:
+    return any(s <= inner[0] and inner[1] <= e for s, e in outers)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=30),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_winnow_spans_contained_with_guaranteed_recall(spark, docs):
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    exact = defaultdict(list)
+    for r in substring_spans(df, w=W).collect():
+        exact[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    win = defaultdict(list)
+    for r in substring_spans(df, w=W, mode="winnow", window=WINNOW).collect():
+        win[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    # (a) containment: winnowed dup positions are a subset of stride-1 dup
+    # positions and merge under the same gap rule, so every winnow span
+    # sits inside an exact span
+    for doc_id, spans in win.items():
+        for sp in spans:
+            assert _contained(sp, exact[doc_id]), (doc_id, sp, exact[doc_id])
+    # (b) the winnowing guarantee: exact spans of >= t tokens always
+    # surface (some selected fingerprint is shared by both copies)
+    t_guar = W + WINNOW - 1
+    for doc_id, spans in exact.items():
+        for s, e in spans:
+            if e - s >= t_guar:
+                assert any(
+                    ws < e and s < we for ws, we in win[doc_id]
+                ), (doc_id, (s, e), win[doc_id])
+
+
+def test_winnow_planted_long_repeat_surfaces_in_both_docs(spark):
+    """A shared passage of exactly t = w + window - 1 tokens, planted at
+    DIFFERENT offsets inside otherwise-unique filler, must produce a
+    winnow span in each document (the minimum-length guarantee case)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    shared = [f"s{i}" for i in range(W + WINNOW - 1)]
+    f1 = [f"a{i}" for i in range(11)]
+    f2 = [f"b{i}" for i in range(7)]
+    docs = [f1 + shared + [f"c{i}" for i in range(5)], f2 + shared]
+    del rng
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    rows = substring_spans(df, w=W, mode="winnow", window=WINNOW).collect()
+    by_doc = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in rows}
+    assert set(by_doc) == {0, 1}, rows
+    # each span must sit inside its doc's planted region
+    assert 11 <= by_doc[0][0] and by_doc[0][1] <= 11 + len(shared), by_doc
+    assert 7 <= by_doc[1][0] and by_doc[1][1] <= 7 + len(shared), by_doc
+
+
+def test_winnow_selector_density_and_coverage():
+    """The selector itself (no Spark): on random token-hash arrays, picks
+    must (a) cover every window of ``window`` consecutive grams — gaps
+    between consecutive picks <= window, first pick < window, last pick >=
+    n_grams - window (the winnowing guarantee's engine), and (b) keep the
+    expected ~2/(window+1) density, the fingerprint-volume claim of the
+    scale mode."""
+    import numpy as np
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
+        _WINNOW_M,
+        _mod_pows,
+    )
+
+    # replicate the UDF body (pandas_udf needs a Spark session; the kernel
+    # is pure NumPy) — same code path as _winnow_select's inner loop
+    w, window = 16, 8
+    binv = pow(1_000_003 % _WINNOW_M, _WINNOW_M - 2, _WINNOW_M)
+    rng = np.random.default_rng(23)
+    total_picks = total_grams = 0
+    for _ in range(20):
+        n = int(rng.integers(200, 600))
+        h = rng.integers(0, _WINNOW_M, size=n).astype(np.int64)
+        g = n - w + 1
+        ipow = _mod_pows(binv, n + 1)
+        fpow = _mod_pows(1_000_003 % _WINNOW_M, g)
+        s = np.concatenate(([0], np.cumsum((h * ipow[:n]) % _WINNOW_M)))
+        H = (((s[w : w + g] - s[:g]) % _WINNOW_M) * fpow) % _WINNOW_M
+        view = np.lib.stride_tricks.sliding_window_view(H, window)
+        idx = window - 1 - np.argmin(view[:, ::-1], axis=1)
+        picks = np.unique(np.arange(g - window + 1, dtype=np.int64) + idx)
+        assert picks[0] < window
+        assert picks[-1] >= g - window
+        assert np.all(np.diff(picks) <= window)
+        total_picks += picks.size
+        total_grams += g
+    density = total_picks / total_grams
+    expect = 2 / (window + 1)
+    assert 0.7 * expect < density < 1.4 * expect, (density, expect)
+
+
+def test_winnow_rolling_hash_is_content_keyed(spark):
+    """Two copies of the same token window at different positions must
+    roll to the same hash (position-independence of the prefix-sum
+    restatement) — pinned via the end result: identical windows planted at
+    offsets 0 and 13 dedup against each other."""
+    shared = [f"s{i}" for i in range(W + WINNOW - 1)]
+    docs = [shared + [f"x{i}" for i in range(9)] + shared, ["y0"] + shared]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    rows = [
+        (r["span_start"], r["span_end"])
+        for r in substring_spans(df, w=W, mode="winnow", window=WINNOW).collect()
+        if r["doc_id"] == 0
+    ]
+    # both planted copies in doc 0 surface (they repeat in doc 1 AND
+    # against each other)
+    assert len(rows) == 2 and rows[0] != rows[1], rows
+
+
+def test_winnow_mode_validation():
+    import pytest
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="unknown mode"):
+        substring_spans(df, w=4, mode="rabin")
+    with pytest.raises(ValueError, match="must be <= w"):
+        substring_spans(df, w=4, mode="winnow", window=5)
