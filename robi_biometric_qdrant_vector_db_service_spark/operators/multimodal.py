@@ -142,8 +142,69 @@ def resize_blobs(blobs: DataFrame, factor: int = 2) -> DataFrame:
 
 DHASH_SCHEMA = "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
 
+# A GRID DECODER turns one flattened Arrow batch of blobs — (data, starts,
+# ends, lens) as produced by ``_flatten`` — into a (n_rows, 8, 9) array of
+# grayscale cell values.  Everything downstream of the grid (gradient bits,
+# 16-bit band packing, the banded join, the popcount verify) is
+# decoder-agnostic: swapping the decoder changes WHAT is hashed, never the
+# hash layout or the pair pipeline (pinned in tests/test_multimodal.py).
 
-def dhash_bands(blobs: DataFrame) -> DataFrame:
+
+def byte_span_grid(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """DEFAULT STUB decoder (no codec libs in this image): the 8x9
+    "grayscale grid" is the byte stream split into 72 equal spans, cell =
+    span byte-sum — deterministic and oracle-checkable.  One
+    flattened-buffer cumsum + one (rows x 73) boundary gather, no per-row
+    Python."""
+    grid_i = np.arange(73, dtype=np.int64)
+    csum = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
+    bounds = starts[:, None] + (lens[:, None] * grid_i) // 72
+    cs = csum[bounds]
+    return (cs[:, 1:] - cs[:, :-1]).reshape(-1, 8, 9)
+
+
+def raw_rgb_grid(width: int, height: int):
+    """Decoder factory for RAW 8-bit RGB blobs (row-major h x w x 3, the
+    shape a real codec's decode step emits): 8x9 block-MEAN luminance grid
+    — actual dHash downsampling, exercised on synthetic raw-RGB fixtures.
+    Vectorized across the batch: blobs of one raw layout are fixed-size,
+    so the flattened buffer reshapes to (n, h, w, 3) directly; luminance
+    is integer Rec.601 (299R + 587G + 114B), and the 72 block means come
+    from one 2-D integral image + a 9x10 boundary gather — no per-row or
+    per-pixel Python.  A real codec (PIL/libjpeg) slots in the same way:
+    decode to pixels, then this exact block-mean + packing path."""
+    expect = width * height * 3
+
+    def decode(
+        data: np.ndarray, starts: np.ndarray, ends: np.ndarray, lens: np.ndarray
+    ) -> np.ndarray:
+        if len(lens) == 0:
+            return np.empty((0, 8, 9), dtype=np.float64)
+        if not np.all(lens == expect):
+            bad = lens[lens != expect]
+            raise ValueError(
+                f"raw_rgb_grid({width}x{height}): expected {expect}-byte "
+                f"raw RGB blobs, got lengths {bad[:5].tolist()}"
+            )
+        # _flatten concatenates rows in order, so the fixed-size segments
+        # reshape without a gather
+        img = data.reshape(len(lens), height, width, 3).astype(np.int64)
+        luma = img[..., 0] * 299 + img[..., 1] * 587 + img[..., 2] * 114
+        ii = np.zeros((len(lens), height + 1, width + 1), dtype=np.int64)
+        ii[:, 1:, 1:] = luma.cumsum(axis=1).cumsum(axis=2)
+        rb = (height * np.arange(9, dtype=np.int64)) // 8
+        cb = (width * np.arange(10, dtype=np.int64)) // 9
+        g = ii[:, rb][:, :, cb]
+        block = g[:, 1:, 1:] - g[:, :-1, 1:] - g[:, 1:, :-1] + g[:, :-1, :-1]
+        areas = np.diff(rb)[:, None] * np.diff(cb)[None, :]
+        return block / areas
+
+    return decode
+
+
+def dhash_bands(blobs: DataFrame, *, decoder=byte_span_grid) -> DataFrame:
     """Perceptual difference-hash (dHash) of each opaque image blob, as
     four 16-bit band words — the banded layout the LSH candidate join and
     the popcount verify consume directly (same banded-Hamming shape as
@@ -152,29 +213,26 @@ def dhash_bands(blobs: DataFrame) -> DataFrame:
     dHash proper: downsample to an 8x9 grayscale grid, emit one bit per
     horizontally adjacent cell pair (left < right), 64 bits total —
     robust to re-encoding/resizing because it keys on gradient direction,
-    not pixel values.  STUB DOWNSAMPLE (no codec libs in this image): the
-    8x9 "grayscale grid" is the byte stream split into 72 equal spans,
-    cell = span byte-sum — deterministic and oracle-checkable; a real
-    decoder swaps in pixel-block means, the bit/band packing and
-    everything downstream are unchanged.
+    not pixel values.  The grid extraction is PLUGGABLE (``decoder``, see
+    the GridDecoder contract above): ``byte_span_grid`` (default — the
+    honest stub for a codec-less image) and ``raw_rgb_grid`` (real
+    block-mean downsampling over raw RGB) share every line of the packing
+    and pair pipeline, so a production codec swaps in without touching
+    anything downstream.
 
     Bit layout: cell index i in 0..71 is grid (r, c) = (i // 9, i % 9);
     bit (r, c) for c < 8 is 1 iff cell[r][c] < cell[r][c+1], bit index
     b = r*8 + c; band j (0..3) packs bits 16j..16j+15 little-endian.
 
-    Fully vectorized per Arrow batch: one flattened-buffer cumsum, one
-    (rows x 73) boundary gather, no per-row Python.  Partition-parallel
-    projection — no shuffle."""
+    Fully vectorized per Arrow batch (each decoder documents its own
+    vectorization; the packing is one comparison + one matmul-shaped
+    sum).  Partition-parallel projection — no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w16 = 1 << np.arange(16, dtype=np.int64)
-        grid_i = np.arange(73, dtype=np.int64)
         for pdf in batches:
             data, starts, ends, lens = _flatten(pdf["blob"])
-            csum = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
-            bounds = starts[:, None] + (lens[:, None] * grid_i) // 72
-            cs = csum[bounds]
-            cells = (cs[:, 1:] - cs[:, :-1]).reshape(-1, 8, 9)
+            cells = decoder(data, starts, ends, lens)
             bits = (cells[:, :, :-1] < cells[:, :, 1:]).reshape(-1, 64)
             out = {"doc_id": pdf["doc_id"]}
             for j in range(4):
