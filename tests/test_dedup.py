@@ -453,3 +453,32 @@ def test_stream_neardup_equals_batch_pair_set(spark):
         .collect()
     }
     assert streamed == batch and streamed, (len(streamed), len(batch))
+
+
+def test_stream_embedding_neardup_equals_batch_pair_set(spark):
+    """The incremental sign-LSH gate (embedding twin) must drain to EXACTLY
+    the batch ``embedding_near_dups_lsh`` pair set — batch boundaries and
+    arrival order may not change the answer.  Staged at 8 files /
+    maxFilesPerTrigger=2, so the run genuinely crosses >= 4 micro-batches
+    and the accumulated band/vector state is exercised."""
+    import glob
+
+    from robi_biometric_qdrant_vector_db_service_spark.streaming.neardup_embedding import (
+        _staged_embeddings,
+        embedding_neardup_stream,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    staged = _staged_embeddings(spark, SF_SMOKE)
+    assert len(glob.glob(staged + "/part-*")) == 8
+
+    streamed = {
+        (r["v1"], r["v2"]): r["cos_sim"]
+        for r in embedding_neardup_stream(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r["v1"], r["v2"]): r["cos_sim"]
+        for r in REGISTRY["embedding_near_dups_lsh"].run(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch and streamed, (len(streamed), len(batch))
