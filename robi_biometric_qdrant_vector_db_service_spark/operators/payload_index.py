@@ -234,6 +234,27 @@ def _match_text(col: Column, query: str, params: dict | None = None) -> Column:
 
             term = F.exists(toks, _term_fn(t, tok == "prefix"))
         out = term if out is None else out & term
+    if tok == "multilingual":
+        # FIELD-side gate (ADVICE r13): the query gate above cannot see
+        # what the indexed column stores — a Latin query over a field row
+        # carrying Thai/Lao/Khmer would silently match whole unsegmented
+        # runs where charabia would dictionary-segment.  Same contract as
+        # the query side: raise with remediation, per row, inside the
+        # codegen'd predicate (the fixtures' corpus never trips it, so
+        # the plan pin's zero-shuffle no-Python shape is unchanged).
+        out = F.when(
+            c.rlike(_ICU_ONLY_RE_PY),
+            F.raise_error(
+                F.lit(
+                    "multilingual MatchText over a field value containing "
+                    "Thai/Khmer/Lao needs an ICU word-segmentation "
+                    "dictionary (charabia parity is not reproducible "
+                    "dictionary-free) — pre-segment the field upstream or "
+                    "index it with tokenizer=word (permanent divergence, "
+                    "SURVEY §2.12)"
+                )
+            ).cast("boolean"),
+        ).otherwise(out)
     return out
 
 

@@ -53,13 +53,22 @@ def run_pair(spark, spec, sf_dir: str):
 
 
 def value_hash(cols, rows) -> str:
-    """Order-insensitive md5 over the canonicalized (sorted-columns) row
-    multiset — the offline cross-check token CORRECTNESS_LOCAL_r{N}.json
-    records per query (r12 VERDICT item 5) so a judge can compare the
-    local replica's values against the driver's rows without re-running."""
+    """Order-insensitive md5 over the canonicalized row multiset with both
+    the column-name list AND each row's values in sorted-column order —
+    the offline cross-check token CORRECTNESS_LOCAL_r{N}.json records per
+    query (r12 VERDICT item 5) so a judge can compare the local replica's
+    values against the driver's rows without re-running.
+
+    Contract (ADVICE r13): ``rows`` are tuples aligned with ``cols`` in
+    whatever order the caller has them; the permutation to sorted-column
+    order happens HERE, so two callers holding the same data in different
+    column orders derive the same hash."""
     import hashlib
 
-    canon = sorted((tuple(_canon(v) for v in r) for r in rows), key=repr)
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        (tuple(_canon(r[i]) for i in idx) for r in rows), key=repr
+    )
     payload = repr((sorted(cols), canon)).encode()
     return hashlib.md5(payload).hexdigest()
 
@@ -70,7 +79,10 @@ def check(spark, name: str, spec, sf_dir: str, out: dict | None = None) -> list[
     errs: list[str] = []
     s_cols, s_rows, d_cols, d_rows = run_pair(spark, spec, sf_dir)
     if out is not None:
-        out["hash"] = value_hash(s_cols, s_rows)
+        # s_rows come from run_pair in sorted-column order — pass the
+        # matching sorted name list so value_hash's internal permutation
+        # is the identity (same alignment contract either way)
+        out["hash"] = value_hash(sorted(s_cols), s_rows)
         out["rows"] = len(s_rows)
     if sorted(s_cols) != sorted(d_cols):
         errs.append(f"{name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")

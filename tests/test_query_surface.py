@@ -1149,9 +1149,20 @@ def test_multilingual_icu_scripts_gate_permanently(spark):
     for q in (thai, khmer, lao, f"mixed {thai}"):
         with pytest.raises(NotImplementedError, match="ICU"):
             qdrant_filter(df, m(q, tokenizer="multilingual"), id_col="doc_id")
-    # CJK queries still pass the gate on the same code path
+    # FIELD-side gate (ADVICE r13): a Latin/CJK query passes the compile
+    # gate, but EXECUTING a multilingual match over a field row that
+    # carries ICU-only scripts raises per row — the stored text would
+    # need charabia's dictionary segmentation, so matching against its
+    # whole runs would be a silent divergence
     got = qdrant_filter(df, m("搜索", tokenizer="multilingual"), id_col="doc_id")
-    assert got.count() == 0
+    with pytest.raises(Exception, match="ICU|dictionary"):
+        got.count()
+    # the same query over a clean field executes fine
+    clean = spark.createDataFrame(
+        [(1, "搜索引擎 demo"), (2, "plain latin")], "doc_id int, text string"
+    )
+    ok = qdrant_filter(clean, m("搜索", tokenizer="multilingual"), id_col="doc_id")
+    assert [r.doc_id for r in ok.collect()] == [1]
     # remediation path: tokenizer=word treats the run as one exact token
     word = qdrant_filter(df, m(thai), id_col="doc_id")
     assert [r.doc_id for r in word.collect()] == [1]
