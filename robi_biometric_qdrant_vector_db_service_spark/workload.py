@@ -3736,57 +3736,59 @@ from . import workload_graph  # noqa: E402,F401
 # stream_pii_scrub, chunk_dedup_groups, domain_blocklist_filter).
 FRONT_QUERIES = [
     # (a) never driver-windowed (new this round)
+    "stream_embedding_neardups",
+    # (b) code changed this round: apply_batch coalescing, dHash decoder
+    # refactor, multilingual field-side ICU gate, substring_spans mode split
+    "points_update_batch",
+    "set_payload_points",
     "image_phash_dups",
-    "c4_line_quality",
-    # (b) code changed this round
+    "match_text_multilingual",
     "substring_dedup_spans",
     "substring_dup_fraction",
-    "facet_counts",
-    "facet_array_values",
-    "formula_geo_decay_topk",
-    "match_text_multilingual",
-    # (c) r9-stale, all 18 remaining
-    "ngram_jaccard_dups",
-    "embedding_near_dups_lsh",
-    "embedding_near_dups_lsh_hi",
-    "ann_ivf_topk",
-    "ann_ivf_pruned_topk",
-    "ann_kmeans_ivf_topk",
-    "sql_surface_knn",
-    "pq_adc_topk",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "stream_ops_stats",
-    "stateful_running_stats",
-    "stream_search_serving",
-    "train_test_split",
-    "doc_chunks",
-    "dedup_group_components",
-    "dedup_survivors",
-    # (d) r10-stale, first 24 of 48 in registry order
-    "named_vector_search",
-    "query_batch_points",
-    "knn_offset_page",
-    "knn_combinator_filtered",
-    "rrf_fusion_topk",
-    "sparse_knn_topk",
-    "hybrid_search_rrf",
-    "sparse_idf_knn",
-    "prefetch_chain_rescore",
-    "set_payload_points",
-    "update_vectors_points",
-    "alias_blue_green_read",
-    "points_update_batch",
-    "snapshot_restore_read",
-    "tenant_routed_search",
-    "payload_index_filter",
-    "advanced_filter_should_not",
-    "count_filtered",
-    "match_text_filter",
-    "match_phrase_filter",
-    "values_count_filter",
-    "datetime_range_filter",
-    "geo_filter_search",
-    "has_vector_filter",
+    # (c) r10-stale — ALL 24 remaining (ledger: union of CORRECTNESS_r*.json)
+    "chunk_dedup_groups",
+    "context_pairs_search",
+    "domain_blocklist_filter",
+    "matrix_offsets_coo",
+    "npy_migration",
+    "pii_redaction",
+    "purchase_attribution_asof",
+    "recommend_best_score",
+    "recommend_by_examples",
+    "recommend_groups_topk",
+    "regex_token_profile",
+    "regional_revenue",
+    "repetition_profile",
+    "retrieve_points",
+    "rolling_hash_fp",
+    "running_supplier_qty",
+    "scroll_filtered",
+    "scroll_order_by",
+    "scroll_order_by_desc",
+    "scroll_payload_selector",
+    "scroll_start_from",
+    "search_groups_lookup",
+    "search_groups_topk",
+    "stream_pii_scrub",
+    # (d) r11-stale, first 19 of 47 alphabetically (the remaining 28 front
+    # next round)
+    "adaptive_search",
+    "add_batch_append",
+    "ann_ivfpq_topk",
+    "ann_signlsh_topk",
+    "approx_distinct_parts",
+    "benchmark_decontamination",
+    "bm25_top_docs",
+    "bq_hamming_rescore",
+    "collection_stats",
+    "cube_orders",
+    "dbsf_fusion_topk",
+    "dedup_keep_newest",
+    "delete_by_id",
+    "delete_by_predicate",
+    "delete_by_user",
+    "detect_1toN",
+    "discover_context",
+    "distinct_part_counts",
+    "domain_balanced_sample",
 ]
