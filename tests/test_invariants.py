@@ -520,6 +520,59 @@ def test_delete_vectors_default_space_rejected(spark, tmp_path):
         store.delete_vectors(["a"], ["dense"])
 
 
+def test_apply_batch_coalesces_commit_counts(spark, tmp_path):
+    """The r14 commit-coalescing contract, pinned by VERSION COUNT:
+
+    - a consecutive run of id-keyed rewrite ops publishes exactly ONE
+      manifest version (points_update_batch's 4 ops -> 2 commits is the
+      benched consequence);
+    - a run of upserts with disjoint explicit ids publishes exactly one;
+    - a run of upserts with OVERLAPPING ids falls back to one version per
+      op (the later op must observe the earlier's write);
+    - coalesce=False restores one version per op for the rewrite run."""
+    store = _payload_store(
+        spark,
+        tmp_path,
+        [(pid, [1.0, 0.0], "u1", 1.0, {"tier": "bronze"})
+         for pid in ("a", "b", "c", "d")],
+    )
+    v0 = store._current_version()
+    got = store.apply_batch(
+        [
+            ("set_payload", ["a", "b"], {"tier": "gold"}),
+            ("delete", ["b", "c"]),
+            ("clear_payload", ["a", "d"]),
+        ]
+    )
+    assert got == [2, 2, 2]
+    assert store._current_version() == v0 + 1  # ONE composed commit
+
+    def batch(pid, user):
+        return spark.createDataFrame(
+            [(pid, [0.5, 0.5], user)],
+            "point_id string, embedding array<double>, user_id string",
+        )
+
+    v1 = store._current_version()
+    assert store.apply_batch([("upsert", batch("x", "u1")),
+                              ("upsert", batch("y", "u2"))]) == [1, 1]
+    assert store._current_version() == v1 + 1  # disjoint run: ONE commit
+
+    v2 = store._current_version()
+    assert store.apply_batch([("upsert", batch("z", "u1")),
+                              ("upsert", batch("z", "u2"))]) == [1, 1]
+    assert store._current_version() == v2 + 2  # overlap: sequential
+    assert [r["user_id"] for r in store.read().filter("point_id = 'z'")
+            .collect()] == ["u2"]  # the LATER upsert won
+
+    v3 = store._current_version()
+    assert store.apply_batch(
+        [("set_payload", ["a"], {"k": "v"}), ("clear_payload", ["a"])],
+        coalesce=False,
+    ) == [1, 1]
+    assert store._current_version() == v3 + 2  # opt-out: one per op
+
+
 def test_apply_batch_rejects_unknown_op_before_running_any(spark, tmp_path):
     """A malformed batch must fail up front — no half-applied sequence."""
     import pytest
