@@ -62,3 +62,28 @@ def test_label_is_component_min(spark):
     edges = [(7, 3), (3, 9), (20, 21)]
     labels = _spark_labels(spark, edges)
     assert labels == {3: 3, 7: 3, 9: 3, 20: 20, 21: 20}
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=25),
+                  st.integers(min_value=1, max_value=25)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_components_match_union_find_random(spark, edges):
+    """Hypothesis over RANDOM multigraphs on a small id domain (dense
+    merges, duplicate/reversed/self edges arise naturally) — the directed
+    topologies above each stress one regime; this closes the gaps between
+    them.  Reference: path-halving union-find with min-root labelling,
+    over the operator's documented domain (self-loops are DROPPED before
+    anything else — a node exists only via an edge to a distinct node,
+    the dedup-pair shape where doc_a < doc_b always holds)."""
+    proper = [(a, b) for a, b in edges if a != b]
+    assert _spark_labels(spark, edges) == _uf_labels(proper)
