@@ -657,12 +657,18 @@ def facet(
     and the top-``limit`` selection is a TakeOrderedAndProject — nothing
     but (value, partial count) crosses the one exchange."""
     out = qdrant_filter(df, spec, id_col=id_col) if spec is not None else df
-    # Qdrant skips points lacking the field entirely — no NULL bucket.
-    # The array path gets this for free (explode drops NULL arrays); the
-    # scalar path must filter explicitly or groupBy keeps the null group.
+    # Qdrant never indexes nulls — no NULL bucket from ANY path: the
+    # scalar path must filter explicitly or groupBy keeps the null group
+    # (the r13 fix), and the array path must drop NULL ELEMENTS before the
+    # explode or a [x, NULL] payload mints a null-valued bucket (the r14
+    # array-side twin, caught by the facet fuzz).  A row whose array
+    # holds only nulls then explodes to nothing — skipped entirely, like
+    # a missing field.
     out = out.filter(F.col(key).isNotNull())
     col = (
-        F.explode(F.array_distinct(F.col(key))) if is_array else F.col(key)
+        F.explode(F.array_distinct(F.filter(F.col(key), lambda x: x.isNotNull())))
+        if is_array
+        else F.col(key)
     )
     return (
         out.select(col.alias("value"))
