@@ -1,0 +1,90 @@
+"""Differential fuzz of gap-based sessionization
+(``workload_events.sessionization``) against a pure-Python reference of
+the documented semantics: per user, events ordered by (ts, event_id), a
+new session starts when there is no previous event or the gap EXCEEDS 30
+minutes (strictly — an exactly-1800s gap continues the session); per
+session report n_events, min/max ts, and the value sum accumulated in
+DECIMAL(18,2) (each value HALF_UP-quantized to cents first) cast back to
+double.
+
+Adversarial inputs the fixture corpus rarely produces: equal timestamps
+(the engine's cumulative window orders by ts alone and leans on the
+shared (ts, event_id) sort for deterministic tie placement), gaps of
+exactly 1800s (the > boundary), and single-event users."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import robi_biometric_qdrant_vector_db_service_spark.workload  # noqa: F401  (registry root first)
+from robi_biometric_qdrant_vector_db_service_spark.workload import REGISTRY
+
+# second offsets hugging the 1800s boundary plus equal-ts collisions
+_SECS = [0, 1, 2, 1799, 1800, 1801, 3600, 3601, 5401]
+
+_event = st.tuples(
+    st.integers(min_value=1, max_value=2),      # user
+    st.sampled_from(_SECS),                     # ts second
+    st.floats(min_value=0.0, max_value=9.0, allow_nan=False),
+)
+
+
+def _ts(sec: int) -> dt.datetime:
+    return dt.datetime(2026, 2, 1) + dt.timedelta(seconds=sec)
+
+
+def _cents(x: float) -> Decimal:
+    return Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+
+
+def ref_sessions(events):
+    """events: list of (event_id, user, sec, value) -> set of session rows
+    (user, session_id, n_events, start_sec, end_sec, total_value)."""
+    by_user: dict[int, list] = {}
+    for eid, user, sec, val in events:
+        by_user.setdefault(user, []).append((sec, eid, val))
+    out = set()
+    for user, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        groups: dict[int, list] = {}
+        for sec, eid, val in evs:
+            if prev is None or sec - prev > 1800:
+                sid += 1
+            prev = sec
+            groups.setdefault(sid, []).append((sec, val))
+        for sid, rows in groups.items():
+            total = sum((_cents(v) for _, v in rows), Decimal(0))
+            out.add((user, sid, len(rows), min(s for s, _ in rows),
+                     max(s for s, _ in rows), float(total)))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=st.lists(_event, min_size=1, max_size=20))
+def test_sessionization_matches_reference(spark, tmp_path_factory, events):
+    rows = [(i, _ts(sec), user, "view", val, "{}")
+            for i, (user, sec, val) in enumerate(events)]
+    sf_dir = str(tmp_path_factory.mktemp("sess_sf"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        (r["user_id"], r["session_id"], r["n_events"],
+         int((r["session_start"] - _ts(0)).total_seconds()),
+         int((r["session_end"] - _ts(0)).total_seconds()),
+         r["total_value"])
+        for r in REGISTRY["sessionization"].run(spark, sf_dir).collect()
+    }
+    expect = ref_sessions(
+        [(i, user, sec, val) for i, (user, sec, val) in enumerate(events)]
+    )
+    assert got == expect, (events, got, expect)
