@@ -641,7 +641,11 @@ def _winnow_select(w: int, window: int):
     stride-1 mode's docstring promises), then rightmost-min-per-window
     selection over a strided view.  Pure NumPy per batch; the per-row loop
     touches only row boundaries (ragged arrays), all arithmetic is
-    batch-wide where the layout allows."""
+    batch-wide where the layout allows.  The two modular power tables are
+    hoisted to ONE computation per Arrow batch at the batch max length
+    (power tables are prefix-closed: a longer table's prefix IS the
+    shorter table), then sliced per row — O(log n) vectorized passes per
+    batch instead of per document."""
     import numpy as np
 
     binv = pow(_WINNOW_B, _WINNOW_M - 2, _WINNOW_M)
@@ -649,6 +653,9 @@ def _winnow_select(w: int, window: int):
     @F.pandas_udf("array<bigint>")
     def sel(th: pd.Series) -> pd.Series:
         out = []
+        max_n = max((len(h) for h in th), default=0)
+        ipow_tab = _mod_pows(binv, max_n + 1)
+        fpow_tab = _mod_pows(_WINNOW_B, max(max_n - w + 1, 1))
         for h in th:
             h = np.asarray(h, dtype=np.int64) % _WINNOW_M
             n = h.size
@@ -658,9 +665,9 @@ def _winnow_select(w: int, window: int):
                 continue
             # H(p) = hash of tokens [p, p+w): (S[p+w]-S[p]) * B^p mod M,
             # where S is the prefix sum of h[i] * B^-i — one pass, O(1)
-            # per window after the two power tables
-            ipow = _mod_pows(binv, n + 1)
-            fpow = _mod_pows(_WINNOW_B, g)
+            # per window after the two (batch-hoisted) power tables
+            ipow = ipow_tab[: n + 1]
+            fpow = fpow_tab[:g]
             s = np.concatenate(([0], np.cumsum((h * ipow[:n]) % _WINNOW_M)))
             H = (((s[w : w + g] - s[:g]) % _WINNOW_M) * fpow) % _WINNOW_M
             if g <= window:
@@ -699,11 +706,18 @@ def substring_spans(
       ``window <= w``; then (a) every winnowed duplicated position is a
       stride-1 duplicated position, and consecutive in-region selections
       sit <= window <= w apart, so every winnow span is CONTAINED in an
-      exact-mode span; (b) every exact span of length >= w + window - 1
-      tokens (the winnowing guarantee threshold t) overlaps at least one
-      winnow span in the same document.  Shorter repeats may be missed —
-      the deliberate trade: ~2/(window+1) of the fingerprint rows cross
-      the one fingerprint shuffle."""
+      exact-mode span; (b) every CONTIGUOUS cross-document repeat of
+      >= w + window - 1 tokens (the winnowing guarantee threshold t —
+      Schleimer et al. 2003 Theorem: one full selection window of gram
+      hashes fits inside the shared run, so both copies select the same
+      fingerprint) overlaps at least one winnow span in each document
+      holding a copy.  NOT guaranteed: an exact-mode span can reach
+      length >= t by CHAINING repeats shorter than t whose partner
+      copies sit at DIFFERENT offsets (no single contiguous shared run
+      of >= t tokens exists), and winnow mode may miss such a span
+      entirely — chained shorter repeats are outside the theorem.  The
+      deliberate trade: ~2/(window+1) of the fingerprint rows cross the
+      one fingerprint shuffle."""
     if mode not in ("exact", "winnow"):
         raise ValueError(f"substring_spans: unknown mode {mode!r}")
     if mode == "winnow" and window > w:

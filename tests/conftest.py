@@ -1,13 +1,26 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
 import pytest
+from hypothesis import settings as hyp_settings
 
 REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
+
+# Seed-robustness protocol (r14 judge item 2): a "green tip" must certify
+# the contracts, not one lucky seed.  Two profiles — "ci" is derandomized
+# (deterministic replay of the canonical corpus + all explicit @example
+# pins), "exploratory" (default) draws a fresh seed every run.  Round
+# protocol: run the suite under BOTH before cutting artifacts; known
+# counterexamples are additionally pinned as seed-independent @example
+# decorators so they replay under every profile.
+hyp_settings.register_profile("ci", derandomize=True)
+hyp_settings.register_profile("exploratory", derandomize=False)
+hyp_settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "exploratory"))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"

