@@ -1,0 +1,85 @@
+"""foreachBatch RETRY idempotence of the streaming near-dup gates
+(r14 ADVICE: the sinks previously appended with no batch_id keying, so a
+retried micro-batch would double-emit pairs and state rows).
+
+Protocol under test (streaming/neardup.py, streaming/neardup_embedding.py):
+every state/sink write owns a ``batch=<id>`` partition (per-directory
+overwrite) and state reads filter ``batch < id`` — so replaying a
+micro-batch, whether after a FULL previous attempt or after a PARTIAL one
+that crashed between the three writes, converges to byte-identical stores.
+The tests drive ``_process_batch`` directly: once for batches 0 and 1,
+snapshot all stores, then replay batch 1 (a) verbatim and (b) after
+deleting one of its partitions to simulate a mid-write crash, asserting
+the snapshots are unchanged.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _snap(spark, *stores: str) -> list[list[tuple]]:
+    return [
+        sorted(tuple(r) for r in spark.read.parquet(s).collect()) for s in stores
+    ]
+
+
+def _run_replay_scenarios(spark, process, stores, batches):
+    """Shared driver: process all batches, snapshot, then replay the LAST
+    batch (full attempt + partial-crash attempt) and require identical
+    stores each time."""
+    for i, b in enumerate(batches):
+        process(b, i, *stores)
+    want = _snap(spark, *stores)
+    last = len(batches) - 1
+
+    # (a) full retry: the previous attempt completed all three writes
+    process(batches[last], last, *stores)
+    assert _snap(spark, *stores) == want
+
+    # (b) partial retry: the previous attempt crashed after the FIRST
+    # write (pairs) — later state partitions for this id are missing
+    shutil.rmtree(f"{stores[0]}/batch={last}")  # bands/state store
+    process(batches[last], last, *stores)
+    assert _snap(spark, *stores) == want
+
+
+def test_text_neardup_replay_idempotent(spark):
+    from robi_biometric_qdrant_vector_db_service_spark.streaming.neardup import (
+        _process_batch,
+        _seed_state,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import (
+        load_table,
+    )
+
+    run = tempfile.mkdtemp(prefix="replay_text_")
+    stores = _seed_state(spark, run)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    batches = [
+        docs.filter(F.col("doc_id") % 2 == i).localCheckpoint() for i in (0, 1)
+    ]
+    _run_replay_scenarios(spark, _process_batch, stores, batches)
+
+
+def test_embedding_neardup_replay_idempotent(spark):
+    from robi_biometric_qdrant_vector_db_service_spark.streaming.neardup_embedding import (  # noqa: E501
+        _process_batch,
+        _seed_state,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import (
+        load_table,
+    )
+
+    run = tempfile.mkdtemp(prefix="replay_emb_")
+    stores = _seed_state(spark, run)
+    vecs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    batches = [
+        vecs.filter(F.col("vec_id") % 2 == i).localCheckpoint() for i in (0, 1)
+    ]
+    _run_replay_scenarios(spark, _process_batch, stores, batches)
