@@ -100,16 +100,12 @@ def _probes(spark: SparkSession, sf_dir: str, n: int = N_QUERIES) -> DataFrame:
     )
 
 
-# SQL fragments shared by the DuckDB oracles --------------------------------
+# SQL fragments shared by the DuckDB oracles — defined in the leaf module
+# functions.textconst (r15 hoist, see there), re-exported under the
+# historical names every registry module imports.
 
-_DDOT = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
-
-
-def _dcos(a: str, b: str) -> str:
-    dot = _DDOT.format(a=a, b=b)
-    na = f"greatest(sqrt({_DDOT.format(a=a, b=a)}), 1e-12)"
-    nb = f"greatest(sqrt({_DDOT.format(a=b, b=b)}), 1e-12)"
-    return f"({dot} / ({na} * {nb}))"
+from .functions.textconst import DDOT as _DDOT  # noqa: E402
+from .functions.textconst import dcos as _dcos  # noqa: E402
 
 
 _ORACLE_SCORED = f"""

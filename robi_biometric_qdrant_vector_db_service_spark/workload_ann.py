@@ -12,10 +12,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.textconst import dcos as _dcos
 from .operators import ann
 from .plans.strategy import smart_search
 from .sources.catalog import load_table
-from .workload import N_QUERIES, PREPARE, _dcos, _probes, register
+
+# duck_kmeans_cents_cte is defined ABOVE the registry-root import:
+# workload_dedup's SemDeDup oracle calls it at registration time, which
+# runs mid-way through this module's import when workload_ann is the
+# user's FIRST import (root tail -> workload_dedup -> here, partially
+# initialized).  Everything above the root import is already bound by
+# then (tests/test_imports.py pins every first-import order).
+
+
+def duck_kmeans_cents_cte(n_cells: int = 8, iters: int = 2) -> tuple[str, str]:
+    """The deterministic Lloyd's k-means BUILD as a DuckDB CTE fragment —
+    shared by the kmeans-IVF oracle below and the SemDeDup oracle
+    (workload_dedup.py): seeded init (first ``n_cells`` vectors by id,
+    exactly ann.kmeans_centroids), then ``iters`` rounds of assign (cosine
+    argmax, cell-id tiebreak) → DECIMAL-exact per-cell means.  Expects an
+    upstream ``nv(vec_id, emb)`` CTE; returns (fragment, final_cents_name)
+    where the fragment is comma-terminated CTE definitions."""
+    cte = [
+        f"cents0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS centroid FROM nv WHERE vec_id < {n_cells}),",
+    ]
+    prev = "cents0"
+    for it in range(1, iters + 1):
+        cte.append(f"""asg{it} AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT nv.vec_id, nv.emb, c.cell,
+           row_number() OVER (PARTITION BY nv.vec_id
+                              ORDER BY {_dcos('nv.emb', 'c.centroid')} DESC, c.cell) AS rn
+    FROM nv CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+dims{it} AS (
+  SELECT cell, i, CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12)) AS v
+  FROM (SELECT cell, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM asg{it})
+),
+cents{it} AS (
+  SELECT cell, list(m ORDER BY i) AS centroid
+  FROM (SELECT cell, i, CAST(sum(v) AS DOUBLE) / count(*) AS m
+        FROM dims{it} GROUP BY cell, i)
+  GROUP BY cell
+),""")
+        prev = f"cents{it}"
+    return "\n".join(cte), prev
+
+
+from .workload import N_QUERIES, PREPARE, _probes, register  # noqa: E402
 
 _DUCK_Q = f"SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}"
 
@@ -291,41 +336,6 @@ def _prepare_codebooks(spark: SparkSession, sf_dir: str) -> None:
 
 
 PREPARE.append(_prepare_codebooks)
-
-
-def duck_kmeans_cents_cte(n_cells: int = 8, iters: int = 2) -> tuple[str, str]:
-    """The deterministic Lloyd's k-means BUILD as a DuckDB CTE fragment —
-    shared by the kmeans-IVF oracle below and the SemDeDup oracle
-    (workload_dedup.py): seeded init (first ``n_cells`` vectors by id,
-    exactly ann.kmeans_centroids), then ``iters`` rounds of assign (cosine
-    argmax, cell-id tiebreak) → DECIMAL-exact per-cell means.  Expects an
-    upstream ``nv(vec_id, emb)`` CTE; returns (fragment, final_cents_name)
-    where the fragment is comma-terminated CTE definitions."""
-    cte = [
-        f"cents0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS centroid FROM nv WHERE vec_id < {n_cells}),",
-    ]
-    prev = "cents0"
-    for it in range(1, iters + 1):
-        cte.append(f"""asg{it} AS (
-  SELECT vec_id, emb, cell FROM (
-    SELECT nv.vec_id, nv.emb, c.cell,
-           row_number() OVER (PARTITION BY nv.vec_id
-                              ORDER BY {_dcos('nv.emb', 'c.centroid')} DESC, c.cell) AS rn
-    FROM nv CROSS JOIN {prev} c
-  ) WHERE rn = 1
-),
-dims{it} AS (
-  SELECT cell, i, CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12)) AS v
-  FROM (SELECT cell, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM asg{it})
-),
-cents{it} AS (
-  SELECT cell, list(m ORDER BY i) AS centroid
-  FROM (SELECT cell, i, CAST(sum(v) AS DOUBLE) / count(*) AS m
-        FROM dims{it} GROUP BY cell, i)
-  GROUP BY cell
-),""")
-        prev = f"cents{it}"
-    return "\n".join(cte), prev
 
 
 def _duck_kmeans_ivf_sql(

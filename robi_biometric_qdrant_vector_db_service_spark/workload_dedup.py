@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 
 from .functions.vector import cosine_sql
 from .sources.catalog import load_table
-from .workload import PREPARE, register, track_scratch
 
 P = 2147483647  # 2^31-1; keeps a*h+b inside signed 64-bit on both engines
 N_HASHES = 16
@@ -63,20 +62,23 @@ _rng = random.Random(42)
 MINHASH_AB = [(_rng.randrange(1, P), _rng.randrange(0, P)) for _ in range(N_HASHES)]
 
 # -- shared expression text (Spark SQL | DuckDB SQL) -------------------------
+# Defined in the leaf module functions.textconst (r15 hoist — breaks the
+# workload_pipeline -> workload_dedup circular import); re-exported here
+# so registry call sites and tests keep their historical import path.
 
-SPARK_TOKENS = "split(text, ' ')"
-DUCK_TOKENS = "string_split(text, ' ')"
+from .functions.textconst import (  # noqa: E402
+    DUCK_SHINGLES,
+    DUCK_TOKENS,
+    SPARK_SHINGLES,
+    SPARK_TOKENS,
+)
 
-SPARK_SHINGLES = (
-    "CASE WHEN size(toks) >= 3 THEN "
-    "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))) "
-    "ELSE array(concat_ws(' ', toks)) END"
-)
-DUCK_SHINGLES = (
-    "CASE WHEN len(toks) >= 3 THEN "
-    "list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) "
-    "ELSE [array_to_string(toks, ' ')] END"
-)
+# The registry-root import sits BELOW this module's constants (r15): the
+# root's tail imports workload_graph, which reads DF_CAP/JACCARD_T from
+# this module at import time — when THIS module is the user's first
+# import, everything above this line is already bound, so the cycle
+# resolves (tests/test_imports.py pins every first-import order).
+from .workload import PREPARE, register, track_scratch  # noqa: E402
 
 
 def spark_hash(s: str) -> str:

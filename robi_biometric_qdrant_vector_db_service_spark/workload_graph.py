@@ -24,14 +24,13 @@ from pyspark.sql import functions as F
 from .operators.graph import connected_components
 from .sources.catalog import load_table
 from .workload import register
-from .workload_dedup import (
-    DF_CAP,
-    DUCK_SHINGLES,
-    DUCK_TOKENS,
-    JACCARD_T,
-    jaccard_pairs,
-    staged_shingle_index,
-)
+from .functions.textconst import DUCK_SHINGLES, DUCK_TOKENS
+
+# Module-level sibling import is constants-only; workload_dedup binds
+# these ABOVE its own registry-root import, so this resolves in every
+# first-import order (jaccard_pairs / staged_shingle_index are imported
+# inside the query functions for the same reason).
+from .workload_dedup import DF_CAP, JACCARD_T
 
 # Shared oracle text: capped-Jaccard pairs (identical to ngram_jaccard_dups)
 # closed into components by a recursive min-label walk.
@@ -86,6 +85,8 @@ def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     document in a group labelled with the group's min doc_id (the canonical
     survivor), plus the group size.  Components via distributed
     large-star/small-star (`operators.graph.connected_components`)."""
+    from .workload_dedup import jaccard_pairs, staged_shingle_index
+
     docs = load_table(spark, sf_dir, "documents")
     comp = connected_components(
         jaccard_pairs(docs, index=staged_shingle_index(spark, sf_dir)).select(
@@ -123,6 +124,8 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional count so kept/dropped come from one pass; no forced
     broadcast — the drop set is usually tiny but scales with the dup rate,
     so AQE picks the join strategy from its runtime size."""
+    from .workload_dedup import jaccard_pairs, staged_shingle_index
+
     docs = load_table(spark, sf_dir, "documents")
     comp = connected_components(
         jaccard_pairs(docs, index=staged_shingle_index(spark, sf_dir)).select(

@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 
 from .sources.catalog import load_table
 from .workload import PREPARE, register
-from .workload_dedup import DUCK_SHINGLES, DUCK_TOKENS, SPARK_SHINGLES, SPARK_TOKENS
+from .functions.textconst import (
+    DUCK_SHINGLES,
+    DUCK_TOKENS,
+    SPARK_SHINGLES,
+    SPARK_TOKENS,
+)
 
 PACK_BUDGET = 2048  # tokens per packed context window
 DECON_MIN_SHARED = 5  # shared 3-token shingles to flag contamination
