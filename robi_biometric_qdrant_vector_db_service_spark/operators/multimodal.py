@@ -175,6 +175,15 @@ def raw_rgb_grid(width: int, height: int):
     from one 2-D integral image + a 9x10 boundary gather — no per-row or
     per-pixel Python.  A real codec (PIL/libjpeg) slots in the same way:
     decode to pixels, then this exact block-mean + packing path."""
+    if width < 9 or height < 8:
+        # mirror the loud wrong-size-blob contract (r14 ADVICE): an 8x9
+        # grid over a smaller image yields zero-area blocks whose 0/0
+        # means silently hash every undersized image to identical
+        # all-zero bands — false hamming-0 duplicates
+        raise ValueError(
+            f"raw_rgb_grid: image must be at least 9x8 for an 8x9 block "
+            f"grid, got {width}x{height}"
+        )
     expect = width * height * 3
 
     def decode(
@@ -202,6 +211,118 @@ def raw_rgb_grid(width: int, height: int):
         return block / areas
 
     return decode
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_pixels(blob: bytes) -> "np.ndarray":
+    """(h, w, 3) int64 pixel array from one PNG byte string — pure stdlib
+    (``zlib`` inflate + struct chunk walk + scanline unfilter), no codec
+    libs.  Baseline subset: bit depth 8, color types 0 (grayscale) and
+    2 (truecolor RGB), non-interlaced; all five scanline filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6).  Anything else fails loud
+    with the offending field — corrupt or exotic files must never hash."""
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("raw_png_grid: not a PNG (bad signature)")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(blob):
+        (ln,), typ = struct.unpack(">I", blob[pos : pos + 4]), blob[pos + 4 : pos + 8]
+        pos += 8
+        chunk = blob[pos : pos + ln]
+        pos += ln + 4  # payload + CRC (integrity is zlib's adler32's job here)
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("raw_png_grid: missing IHDR chunk")
+    w, h, depth, ctype, comp, filt, interlace = hdr
+    if depth != 8 or ctype not in (0, 2) or comp or filt or interlace:
+        raise ValueError(
+            f"raw_png_grid: unsupported PNG (depth={depth} color_type={ctype} "
+            f"compression={comp} filter={filt} interlace={interlace}); "
+            "supported: 8-bit grayscale/truecolor, non-interlaced"
+        )
+    ch = 3 if ctype == 2 else 1
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"raw_png_grid: IDAT stream is {len(raw)} bytes, "
+            f"expected {h * (stride + 1)} for {w}x{h}x{ch}"
+        )
+    recon = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        f = row[0]
+        line = np.frombuffer(row, dtype=np.uint8)[1:].astype(np.int64)
+        prior = recon[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — no left dependency, vectorizes
+            rec = (line + prior) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth carry a left dependency
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"raw_png_grid: unknown scanline filter {f}")
+        recon[y] = rec
+    px = recon.reshape(h, w, ch)
+    return np.repeat(px, 3, axis=2) if ch == 1 else px
+
+
+def raw_png_grid(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Third GridDecoder: REAL compressed-image decode, stdlib-only — PNG
+    (zlib inflate + unfilter, ``_png_pixels``) then the identical integer
+    Rec.601 luminance + 8x9 integral-image block means as ``raw_rgb_grid``
+    (differential-pinned against it in tests/test_png_fuzz.py: encode the
+    same pixels both ways, grids must match exactly).
+
+    Unlike the raw-RGB factory, dimensions come from each file's IHDR, so
+    blobs of MIXED sizes hash in one batch; each image must still be at
+    least 9x8 for a non-degenerate block grid.  Decode is per-blob inside
+    the Arrow batch (a zlib stream is inherently one file), the exact
+    slot a vectorized codec library would fill; everything downstream is
+    the shared decoder-agnostic packing."""
+    grids = np.empty((len(lens), 8, 9), dtype=np.float64)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        px = _png_pixels(data[s:e].tobytes())
+        h, w = px.shape[:2]
+        if w < 9 or h < 8:
+            raise ValueError(
+                f"raw_png_grid: image must be at least 9x8 for an 8x9 "
+                f"block grid, got {w}x{h}"
+            )
+        luma = px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114
+        ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+        ii[1:, 1:] = luma.cumsum(axis=0).cumsum(axis=1)
+        rb = (h * np.arange(9, dtype=np.int64)) // 8
+        cb = (w * np.arange(10, dtype=np.int64)) // 9
+        g = ii[rb][:, cb]
+        block = g[1:, 1:] - g[:-1, 1:] - g[1:, :-1] + g[:-1, :-1]
+        areas = np.diff(rb)[:, None] * np.diff(cb)[None, :]
+        grids[i] = block / areas
+    return grids
 
 
 def dhash_bands(blobs: DataFrame, *, decoder=byte_span_grid) -> DataFrame:

@@ -50,16 +50,26 @@ def _pairs(spark, blobs, decoder):
 
 
 def test_decoder_invariance_on_planted_exact_dups(spark):
-    """Exact duplicate blobs must pair at hamming 0 under BOTH decoders,
-    and neither decoder may pair the unrelated images — the band packing
-    and pair pipeline downstream of the grid are decoder-agnostic."""
+    """Exact duplicate blobs must pair at hamming 0 under ALL THREE
+    decoders (byte-span stub, raw-RGB block means, stdlib PNG decode),
+    and no decoder may pair the unrelated images — the band packing and
+    pair pipeline downstream of the grid are decoder-agnostic."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import (
+        raw_png_grid,
+    )
+    from tests.test_png_fuzz import png_encode
+
     rng = np.random.default_rng(7)
-    originals = [_grid_image(rng).tobytes() for _ in range(6)]
+    images = [_grid_image(rng) for _ in range(6)]
+    originals = [px.tobytes() for px in images]
     blobs = originals + [originals[0], originals[3]]  # docs 6, 7 are dups
     expected = {(0, 6): 0, (3, 7): 0}
     for decoder in (byte_span_grid, raw_rgb_grid(W, H)):
         got = _pairs(spark, blobs, decoder)
         assert got == expected, (decoder, got)
+    pngs = [png_encode(px, [i % 5]) for i, px in enumerate(images)]
+    pngs += [png_encode(images[0], [2, 4]), png_encode(images[3], [3])]
+    assert _pairs(spark, pngs, raw_png_grid) == expected
 
 
 def test_raw_decoder_robust_to_pixel_jitter(spark):

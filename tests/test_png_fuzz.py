@@ -1,0 +1,216 @@
+"""Differential fuzz of the stdlib-only PNG GridDecoder
+(``operators.multimodal.raw_png_grid`` — zlib inflate + scanline
+unfilter): encode random pixel arrays with a from-scratch PNG writer that
+exercises ALL FIVE scanline filters (None/Sub/Up/Average/Paeth, chosen
+per row), then require the decoded 8x9 block-mean grid to equal
+``raw_rgb_grid``'s grid over the same raw pixels EXACTLY — PNG is
+lossless, so any difference is a decode bug, not tolerance.
+
+Also pins: grayscale (color type 0) decodes as R=G=B, mixed image sizes
+hash in one batch, planted duplicate PNGs pair identically to their
+raw-RGB twins through the full dhash pipeline, and corrupt/unsupported
+files fail loud.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import (
+    _flatten,
+    _png_pixels,
+    dhash_bands,
+    phash_dup_pairs,
+    raw_png_grid,
+    raw_rgb_grid,
+)
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(px: np.ndarray, filters: list[int], gray: bool = False) -> bytes:
+    """From-scratch PNG writer (the test's independent reference): 8-bit
+    truecolor or grayscale, one caller-chosen filter per scanline —
+    filtering is the ENCODER's free choice, so a decoder must accept any
+    mix.  Filter math is the RFC 2083 definition in per-pixel pure Python,
+    deliberately NOT the decoder's vectorized restatement."""
+    h, w = px.shape[:2]
+    if gray:
+        assert np.all(px[..., 0] == px[..., 1]) and np.all(px[..., 1] == px[..., 2])
+        samples = px[..., 0].astype(np.int64)
+        ch, ctype = 1, 0
+    else:
+        samples = px.reshape(h, w * 3).astype(np.int64)
+        ch, ctype = 3, 2
+    stride = samples.shape[1] if gray else w * 3
+    samples = samples.reshape(h, stride)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(stride):
+            v = int(samples[y][x])
+            a = int(samples[y][x - ch]) if x >= ch else 0
+            b = int(samples[y - 1][x]) if y else 0
+            c = int(samples[y - 1][x - ch]) if (y and x >= ch) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((v - pred) % 256)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _grids_for(blobs: list[bytes], decoder) -> np.ndarray:
+    import pandas as pd
+
+    data, starts, ends, lens = _flatten(pd.Series([bytearray(b) for b in blobs]))
+    return decoder(data, starts, ends, lens)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(9, 40),
+    h=st.integers(8, 40),
+    seed=st.integers(0, 2**32 - 1),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+)
+def test_png_grid_equals_raw_rgb_grid(w, h, seed, filters):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    png_grid = _grids_for([png_encode(px, filters)], raw_png_grid)
+    rgb_grid = _grids_for([px.tobytes()], raw_rgb_grid(w, h))
+    assert np.array_equal(png_grid, rgb_grid)  # lossless => exact
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(9, 30),
+    h=st.integers(8, 30),
+    seed=st.integers(0, 2**32 - 1),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=4),
+)
+def test_grayscale_png_decodes_as_rgb_triple(w, h, seed, filters):
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, size=(h, w, 1)).astype(np.uint8)
+    px = np.repeat(g, 3, axis=2)
+    got = _png_pixels(png_encode(px, filters, gray=True))
+    assert np.array_equal(got, px.astype(np.int64))
+
+
+def test_mixed_sizes_decode_in_one_batch():
+    """IHDR carries each file's dims — unlike the fixed-layout raw-RGB
+    factory, one batch may mix sizes."""
+    rng = np.random.default_rng(3)
+    imgs = [
+        rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for w, h in [(9, 8), (20, 12), (33, 31)]
+    ]
+    grids = _grids_for([png_encode(px, [0, 1, 2, 3, 4]) for px in imgs], raw_png_grid)
+    for i, px in enumerate(imgs):
+        h, w = px.shape[:2]
+        want = _grids_for([px.tobytes()], raw_rgb_grid(w, h))[0]
+        assert np.array_equal(grids[i], want)
+
+
+def test_png_planted_dups_pair_like_raw_rgb(spark):
+    """End-to-end through dhash_bands + phash_dup_pairs: duplicate PNGs
+    (even when re-encoded with DIFFERENT scanline filters) pair exactly
+    as their raw-RGB twins — decoder-invariance of the pair pipeline,
+    extended to the compressed-codec decoder."""
+    from tests.test_multimodal import W, H, _blob_df, _grid_image
+
+    rng = np.random.default_rng(17)
+    originals = [_grid_image(rng) for _ in range(5)]
+    pngs = [png_encode(px, [y % 5]) for y, px in enumerate(originals)]
+    # doc 5 re-encodes doc 0's pixels with a different filter schedule —
+    # same content, different bytes — and doc 6 duplicates doc 2
+    blobs = pngs + [png_encode(originals[0], [4, 3]), png_encode(originals[2], [1])]
+    hashes = dhash_bands(_blob_df(spark, blobs), decoder=raw_png_grid)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_dup_pairs(hashes).collect()
+    }
+    raw_blobs = [px.tobytes() for px in originals] + [
+        originals[0].tobytes(),
+        originals[2].tobytes(),
+    ]
+    raw_hashes = dhash_bands(_blob_df(spark, raw_blobs), decoder=raw_rgb_grid(W, H))
+    want = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_dup_pairs(raw_hashes).collect()
+    }
+    assert got == want == {(0, 5): 0, (2, 6): 0}
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(8, 9, 3)).astype(np.uint8)
+    good = png_encode(px, [0])
+    with pytest.raises(ValueError, match="bad signature"):
+        _grids_for([b"JFIF" + good], raw_png_grid)
+    with pytest.raises(ValueError, match="missing IHDR"):
+        _grids_for([good[:8] + _chunk(b"IEND", b"")], raw_png_grid)
+    # 16-bit depth: flip IHDR's depth byte (offset 8+8+8 = 24)
+    deep = bytearray(good)
+    deep[24] = 16
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        _grids_for([bytes(deep)], raw_png_grid)
+    # undersized image: 8x8 < 9 columns
+    small = png_encode(px[:, :8], [0])
+    with pytest.raises(ValueError, match="at least 9x8"):
+        _grids_for([small], raw_png_grid)
+    # truncated IDAT stream
+    trunc = png_encode(px, [0]).replace(
+        _chunk(b"IDAT", zlib.compress(_idat_raw(px))),
+        _chunk(b"IDAT", zlib.compress(_idat_raw(px)[:-5])),
+    )
+    with pytest.raises(ValueError, match="IDAT stream"):
+        _grids_for([trunc], raw_png_grid)
+
+
+def _idat_raw(px: np.ndarray) -> bytes:
+    h = px.shape[0]
+    out = bytearray()
+    for y in range(h):
+        out.append(0)
+        out.extend(px[y].tobytes())
+    return bytes(out)
+
+
+def test_raw_rgb_factory_rejects_undersized_dims():
+    """r14 ADVICE: width<9 or height<8 previously minted all-zero NaN
+    grids (0/0 block areas) that paired every undersized image at
+    hamming 0 — now a loud factory-time contract."""
+    with pytest.raises(ValueError, match="at least 9x8"):
+        raw_rgb_grid(8, 8)
+    with pytest.raises(ValueError, match="at least 9x8"):
+        raw_rgb_grid(9, 7)
+    raw_rgb_grid(9, 8)  # the minimum legal layout constructs fine
