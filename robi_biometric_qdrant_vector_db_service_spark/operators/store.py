@@ -655,12 +655,14 @@ class VectorStore:
         )
 
     # ops whose effect on any row is a pure function of (point_id ∈ the
-    # op's id list, the row's CURRENT metadata) — a consecutive run of
-    # them composes into ONE bucket rewrite with the per-row state
-    # threaded op-by-op, so sequential consistency holds with one commit
+    # op's id set, the row's CURRENT metadata/embedding) — a consecutive
+    # run of them composes into ONE bucket rewrite with the per-row state
+    # threaded op-by-op, so sequential consistency holds with one commit.
+    # update_vectors joined the family in r15 (its id set is the request
+    # batch's point_ids; the new embeddings broadcast-join in).
     _REWRITE_TAGS = frozenset(
         ("delete", "set_payload", "overwrite_payload", "delete_payload",
-         "clear_payload")
+         "clear_payload", "update_vectors")
     )
 
     def apply_batch(self, ops: list[tuple], *, coalesce: bool = True) -> list[int]:
@@ -684,16 +686,21 @@ class VectorStore:
 
         COMMIT COALESCING (default on): a consecutive run of id-keyed
         rewrite ops (delete / set_payload / overwrite_payload /
-        delete_payload / clear_payload) commits ONE manifest version via a
-        single composed bucket rewrite — per-row liveness and metadata are
-        threaded through the run in op order, so overlapping id sets keep
-        exact sequential semantics and per-op matched counts (a payload op
-        after a delete in the same run never counts the deleted row).  A
+        delete_payload / clear_payload / update_vectors — the last joined
+        the family in r15: its id set is the batch's point_ids, its new
+        embeddings broadcast-join into the same composed rewrite) commits
+        ONE manifest version via a single composed bucket rewrite —
+        per-row liveness, metadata and embedding are threaded through the
+        run in op order, so overlapping id sets keep exact sequential
+        semantics and per-op matched counts (a payload or vector op after
+        a delete in the same run never counts the deleted row).  A
         consecutive run of upserts whose EXPLICIT point_ids are pairwise
         disjoint across batches likewise merges into one locate + rewrite
         + append + commit (overlapping runs fall back to sequential — the
         later upsert must replace the earlier's row).  ``delete_where``
-        and ``update_vectors`` always commit solo.  With ``coalesce=True``
+        always commits solo (its match set is a PREDICATE over current
+        row state, not an id set — composing it would require re-binding
+        the predicate against threaded columns).  With ``coalesce=True``
         the manifest log records one version per commit GROUP rather than
         per op (the only observable difference — time travel lands on
         group boundaries); per-op ``UpdateResult`` counts are exact either
@@ -752,11 +759,14 @@ class VectorStore:
     def _rewrite_group_state(self, df: DataFrame, ops: list[tuple]):
         """Thread the composed per-row state of an id-keyed rewrite run
         over ``df`` (already joined against the per-op ``__f{k}`` match
-        flags): returns (matched_k Columns, final liveness, final
-        metadata).  Unmatched rows carry their metadata through
-        byte-identical (NULL stays NULL — the single-op contract)."""
+        flags, and — for ``update_vectors`` ops — the per-op ``__e{k}``
+        new-embedding columns): returns (matched_k Columns, final
+        liveness, final metadata, final embedding).  Unmatched rows carry
+        their metadata and embedding through byte-identical (NULL stays
+        NULL — the single-op contract)."""
         alive = F.lit(True)
         meta = F.col("metadata")
+        emb = F.col("embedding")
         matched = []
         for k, op in enumerate(ops):
             m = alive & F.coalesce(F.col(f"__f{k}"), F.lit(False))
@@ -764,6 +774,8 @@ class VectorStore:
             tag = op[0]
             if tag == "delete":
                 alive = alive & ~m
+            elif tag == "update_vectors":
+                emb = F.when(m, F.col(f"__e{k}")).otherwise(emb)
             elif tag == "set_payload":
                 new_pairs = F.create_map(
                     *[F.lit(str(x)) for kk, v in op[2].items() for x in (kk, v)]
@@ -784,22 +796,41 @@ class VectorStore:
                 meta = F.when(m, _empty_meta()).otherwise(meta)
             else:  # pragma: no cover — guarded by _REWRITE_TAGS
                 raise AssertionError(tag)
-        return matched, alive, meta
+        return matched, alive, meta, emb
 
     def _apply_rewrite_group(self, ops: list[tuple]) -> list[int]:
         """A consecutive run of id-keyed rewrite ops as ONE locate scan +
         ONE bucket rewrite + ONE manifest commit, with exact per-op
         counts.  Validates every op up front (the group must not
         half-apply), computes driver-side per-point match flags from the
-        Python id lists (deduped — the ``_mutate_matched`` discipline),
-        and threads liveness/metadata per row in op order, so overlapping
-        id sets reproduce sequential semantics exactly."""
+        Python id lists (deduped — the ``_mutate_matched`` discipline;
+        an ``update_vectors`` op's ids come from its request-sized batch,
+        its new embeddings stay distributed and join in by broadcast),
+        and threads liveness/metadata/embedding per row in op order, so
+        overlapping id sets reproduce sequential semantics exactly."""
         for op in ops:
             if op[0] in ("set_payload", "overwrite_payload") and not op[2]:
                 raise ValueError(f"{op[0]} requires at least one key")
             if op[0] == "delete_payload" and not op[2]:
                 raise ValueError("delete_payload requires at least one key")
-        idsets = [set(op[1]) for op in ops]
+        uv_batches: dict[int, DataFrame] = {}
+        idsets = []
+        for k, op in enumerate(ops):
+            if op[0] == "update_vectors":
+                new = op[1].select(
+                    F.col("point_id").cast("string").alias("point_id"),
+                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                        f"__e{k}"
+                    ),
+                )
+                new = new.withColumn(f"__e{k}", F.expr(l2_normalize_sql(f"__e{k}")))
+                ids = [r["point_id"] for r in new.select("point_id").collect()]
+                if len(ids) != len(set(ids)):
+                    raise ValueError("update_vectors: duplicate point_id in request")
+                uv_batches[k] = new
+                idsets.append(set(ids))
+            else:
+                idsets.append(set(op[1]))
         all_ids = sorted(set().union(*idsets))
         flags = self.spark.createDataFrame(
             [tuple([pid] + [pid in s for s in idsets]) for pid in all_ids],
@@ -809,7 +840,7 @@ class VectorStore:
         manifest = self._read_manifest()
         current = self._read_files([f for fs in manifest.values() for f in fs])
         joined = current.join(F.broadcast(flags), "point_id", "left")
-        matched, _, _ = self._rewrite_group_state(joined, ops)
+        matched, _, _, _ = self._rewrite_group_state(joined, ops)
         per_bucket = (
             joined.groupBy("ubucket")
             .agg(*[F.sum(m.cast("int")).alias(f"n{k}") for k, m in enumerate(matched)])
@@ -824,10 +855,13 @@ class VectorStore:
         if touched:
             df = self._read_files([f for b in touched for f in manifest.get(b, [])])
             dj = df.join(F.broadcast(flags), "point_id", "left")
-            _, alive, meta = self._rewrite_group_state(dj, ops)
+            for k, new in uv_batches.items():
+                dj = dj.join(F.broadcast(new), "point_id", "left")
+            _, alive, meta, emb = self._rewrite_group_state(dj, ops)
             survivors = (
                 dj.filter(alive)
                 .withColumn("metadata", meta)
+                .withColumn("embedding", emb)
                 .select("point_id", "embedding", "user_id", "ts", "metadata", "ubucket")
             )
             rewritten, stats, _ = self._write_segment(survivors)

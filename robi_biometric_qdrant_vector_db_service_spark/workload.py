@@ -1344,6 +1344,25 @@ def alias_blue_green_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "points_update_batch",
     """
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 40
+),
+n AS (
+  SELECT vec_id, label, e,
+    list_transform(e,
+      x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)) AS en,
+    list_transform(list_reverse(e),
+      x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)) AS er
+  FROM base
+),
+fin AS (
+  SELECT vec_id, label,
+    CASE WHEN vec_id BETWEEN 3 AND 7 THEN er
+         WHEN vec_id < 3 THEN en
+         ELSE e END AS ef
+  FROM n WHERE NOT vec_id BETWEEN 8 AND 12
+)
 SELECT CAST(vec_id AS VARCHAR) AS point_id,
        CASE WHEN vec_id < 5 THEN 'moved'
             ELSE concat('u', CAST(label AS VARCHAR)) END AS user_id,
@@ -1354,19 +1373,27 @@ SELECT CAST(vec_id AS VARCHAR) AS point_id,
             ELSE CAST(vec_id AS VARCHAR) END AS seq,
        CAST(CASE WHEN vec_id < 5 THEN 1
                  WHEN vec_id BETWEEN 13 AND 15 THEN 0
-                 ELSE 2 END AS INT) AS n_keys
-FROM embeddings WHERE vec_id < 40 AND NOT vec_id BETWEEN 8 AND 12
+                 ELSE 2 END AS INT) AS n_keys,
+       round(ef[4], 6) AS e3,
+       round(sqrt(list_dot_product(ef, ef)), 6) AS nrm
+FROM fin
 """,
 )
 def points_update_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Qdrant's points batch-update API (``batch_update_points``): an
     ORDERED op sequence through ``VectorStore.apply_batch`` whose ranges
     deliberately overlap so the oracle proves sequential consistency —
-    the upsert wipes ids 0–4's payloads (and moves them to user 'moved'),
-    THEN set_payload puts ``tier=gold`` on ids 0–9 (so the wiped rows end
-    with exactly one key), THEN the delete removes ids 8–12 (two freshly
-    gilded rows among them), THEN clear_payload empties ids 13–15.  Any
-    reordering changes the final state the oracle pins."""
+    the upsert wipes ids 0–4's payloads (and moves them to user 'moved',
+    normalizing at write), THEN set_payload puts ``tier=gold`` on ids 0–9
+    (so the wiped rows end with exactly one key), THEN update_vectors
+    (in the SAME coalesced rewrite run since r15) overwrites ids 3–8's
+    vectors with their normalized reverses — id 8 still live, so it
+    counts — THEN the delete removes ids 8–12 (two freshly gilded rows
+    and one freshly re-vectored row among them), THEN clear_payload
+    empties ids 13–15.  Any reordering changes the final state the
+    oracle pins, now including each survivor's vector (element + norm:
+    reversed-normalized for 3–7, upsert-normalized for 0–2, raw seed
+    for the rest)."""
     import tempfile
 
     from .operators.store import VectorStore
@@ -1388,21 +1415,36 @@ def points_update_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
         F.lit("moved").alias("user_id"),
     )
+    revved = (
+        emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") <= 8))
+        .select(
+            F.col("vec_id").cast("string").alias("point_id"),
+            F.reverse("embedding").alias("embedding"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("999999", [0.0] * 8)], "point_id string, embedding array<double>"
+            )
+        )
+    )
     counts = store.apply_batch(
         [
             ("upsert", moved),
             ("set_payload", [str(i) for i in range(10)], {"tier": "gold"}),
+            ("update_vectors", revved),
             ("delete", [str(i) for i in range(8, 13)]),
             ("clear_payload", [str(i) for i in range(13, 16)]),
         ]
     )
-    assert counts == [5, 10, 5, 3], counts
+    assert counts == [5, 10, 6, 5, 3], counts
     return store.read().select(
         "point_id",
         "user_id",
         F.element_at("metadata", "tier").alias("tier"),
         F.element_at("metadata", "seq").alias("seq"),
         F.size("metadata").cast("int").alias("n_keys"),
+        F.round(F.element_at("embedding", 4), 6).alias("e3"),
+        F.round(F.expr(norm_sql("embedding")), 6).alias("nrm"),
     )
 
 

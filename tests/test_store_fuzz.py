@@ -99,6 +99,8 @@ def _apply_model(model, o):
 def _to_batch_op(spark, o):
     if o[0] == "upsert":
         return ("upsert", _row_df(spark, o[1]))
+    if o[0] == "update_vectors":
+        return ("update_vectors", _uv_df(spark, o[1]))
     if o[0] in ("set_payload", "overwrite_payload", "delete_payload"):
         return (o[0], list(o[1]), o[2])
     if o[0] == "clear_payload":
@@ -164,6 +166,14 @@ def test_store_matches_dict_model(spark, tmp_path_factory, initial, ops,
     assert state == model, f"ops={ops!r}\n state={state}\n model={model}"
 
 
+_uv_rows = st.lists(
+    st.tuples(
+        st.sampled_from(IDS),
+        st.tuples(st.floats(0.5, 9.0), st.floats(0.5, 9.0)),
+    ),
+    min_size=1, max_size=4, unique_by=lambda t: t[0],
+)
+
 _batchable_op = st.one_of(
     st.tuples(st.just("upsert"), _rows),
     st.tuples(st.just("set_payload"), _ids, st.sampled_from(PAYLOADS)),
@@ -171,14 +181,25 @@ _batchable_op = st.one_of(
     st.tuples(st.just("delete_payload"), _ids, st.sampled_from(KEYSETS)),
     st.tuples(st.just("clear_payload"), _ids),
     st.tuples(st.just("delete"), _ids),
+    st.tuples(st.just("update_vectors"), _uv_rows),
 )
+
+
+def _uv_df(spark, rows):
+    return spark.createDataFrame(
+        [(pid, list(vec)) for pid, vec in rows],
+        "point_id string, embedding array<double>",
+    )
 
 
 def _read_state(store):
     return {
         r["point_id"]: {"user_id": r["user_id"],
-                        "metadata": dict(r["metadata"] or {})}
-        for r in store.read().select("point_id", "user_id", "metadata").collect()
+                        "metadata": dict(r["metadata"] or {}),
+                        "embedding": tuple(r["embedding"])}
+        for r in store.read()
+        .select("point_id", "user_id", "metadata", "embedding")
+        .collect()
     }
 
 
@@ -191,8 +212,11 @@ def test_apply_batch_coalesced_equals_sequential(spark, tmp_path_factory,
     rewrite-run / disjoint-upsert-run) must return the same per-op counts
     and leave the same final state as the one-version-per-op sequential
     path — on ARBITRARY op sequences, overlapping id sets included (the
-    coalesced rewrite threads per-row liveness/metadata in op order, and
-    overlapping upsert runs must detect the overlap and fall back)."""
+    coalesced rewrite threads per-row liveness/metadata/EMBEDDING in op
+    order — update_vectors joined the rewrite family in r15 — and
+    overlapping upsert runs must detect the overlap and fall back).
+    State equality covers the embedding column bit-for-bit, so a vector
+    update lost, misordered, or applied to a deleted row fails here."""
     roots = tmp_path_factory.mktemp("store_coal")
     a = VectorStore.create(spark, str(roots / "coalesced"),
                            _row_df(spark, initial))
