@@ -1,0 +1,114 @@
+"""Streaming gap-based sessionization — the stateful twin of the batch
+``sessionization`` / ``session_window_rollup`` queries (SURVEY §2.10
+posture: every batch curation op should also run as a continuous stage).
+
+Spark-native construction: ``withWatermark`` + ``session_window(ts, gap)``
+aggregation in APPEND mode — the engine merges overlapping per-event
+windows into sessions as micro-batches arrive and emits each session
+exactly once, when the watermark passes its close.  This is the
+production shape for clickstream sessionization: state is bounded by the
+watermark (a session older than max-event-time − delay can never grow
+again and is flushed), so state size tracks ACTIVE sessions, not history.
+
+Drain protocol for the bounded fixture: the watermark only advances with
+new event time, so a drained bounded source leaves every session
+unflushed in the state store.  The run is two-phased — phase A drains the
+real files; phase B appends ONE sentinel event whose timestamp exceeds
+max(ts) + delay + gap, advancing the watermark past every real session's
+close (Spark's no-data batch then emits them), and the sentinel's own
+forever-open session is excluded from the result by its reserved user id.
+Phase ordering (not file mtimes) guarantees the sentinel is processed
+last, so no real event is ever late: with the delay chosen to exceed the
+fixture's full time span, the drained result equals the batch query
+bit-for-bit regardless of how the file source batches.
+
+Oracle semantics: ``session_window`` is [start, start + gap) — an event
+at EXACTLY prev + gap opens a NEW session (the ``>=`` in the batch
+``session_window_rollup`` oracle), unlike the hand-rolled
+``sessionization`` query's ``>``.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .stats import EVENTS_SCHEMA, _staged_events_path, _state_partitions
+
+SESSION_GAP = "30 minutes"
+# longer than any fixture's event-time span, so no real event is ever
+# late relative to the watermark no matter which micro-batch it lands in
+WATERMARK_DELAY_DAYS = 3650
+SENTINEL_USER = -1
+
+_counter = itertools.count()
+
+
+def _run_dir_with_links(spark: SparkSession, sf_dir: str) -> str:
+    """A fresh per-run source directory hard-linked to the cached staged
+    events files (the sentinel append must not pollute the shared cache —
+    an old sentinel in an early micro-batch would advance the watermark
+    past the real data and silently drop it)."""
+    src = _staged_events_path(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="stream_sess_")
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(src, f), os.path.join(out, f))
+    return out
+
+
+def sessionization_stream(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> DataFrame:
+    """Drain the bounded events source through the watermarked
+    session_window aggregation and return every finalized session
+    (user_id, session_start, n_events, total_value) — equal as a set to
+    the batch lag+cumsum construction with the ``>=`` gap rule."""
+    path = _run_dir_with_links(spark, sf_dir)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    sess = (
+        stream.withWatermark("ts", f"{WATERMARK_DELAY_DAYS} days")
+        .groupBy("user_id", F.session_window("ts", SESSION_GAP))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+    with _state_partitions(spark, 4):
+        q = (
+            sess.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # phase A: all real events into state
+            sentinel_ts = F.lit(max_ts) + F.expr(
+                f"INTERVAL {WATERMARK_DELAY_DAYS} DAYS + INTERVAL 2 HOURS"
+            )
+            spark.range(1).select(
+                F.lit(10**9).alias("event_id"),
+                sentinel_ts.alias("ts"),
+                F.lit(SENTINEL_USER).cast("bigint").alias("user_id"),
+                F.lit("__sentinel__").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("").alias("props"),
+            ).write.mode("append").parquet(path)
+            q.processAllAvailable()  # phase B: watermark passes every close
+        finally:
+            q.stop()
+    return spark.table(query_name).filter(F.col("user_id") != SENTINEL_USER)

@@ -304,6 +304,48 @@ def stream_ops_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sessionization",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  -- >= : session_window is [start, start+gap), an event at EXACTLY
+  -- prev+30min opens a new session (same rule as session_window_rollup)
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a REAL watermarked Structured Streaming
+    job (``session_window`` aggregation, append mode, memory sink): the
+    engine merges per-event windows into sessions across micro-batches and
+    emits each exactly once when the watermark passes its close; a
+    sentinel event flushes the bounded fixture's final sessions (see
+    streaming/sessionize.py for the two-phase drain protocol).  The
+    drained set must equal the batch lag+cumsum construction with the
+    ``>=`` gap rule — which is exactly what the oracle runs."""
+    from .streaming.sessionize import sessionization_stream
+
+    return sessionization_stream(spark, sf_dir, _uniq("sessionize"))
+
+
+@register(
     "stateful_running_stats",
     """
 SELECT event_type,

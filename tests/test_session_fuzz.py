@@ -88,3 +88,85 @@ def test_sessionization_matches_reference(spark, tmp_path_factory, events):
         [(i, user, sec, val) for i, (user, sec, val) in enumerate(events)]
     )
     assert got == expect, (events, got, expect)
+
+
+# ---------------------------------------------------------------------------
+# streaming twin (r15): the watermarked session_window drain
+# (stream_sessionization) against a pure-Python reference of the >= gap
+# rule — session_window is [start, start+gap), so an event at EXACTLY
+# prev+1800s opens a NEW session, unlike the batch sessionization's >.
+# Adversarial corpora: boundary gaps, equal timestamps, single-event users,
+# all drained through REAL micro-batches + the sentinel watermark flush.
+# ---------------------------------------------------------------------------
+
+
+def ref_sessions_ge(events):
+    """events: list of (user, sec, value) -> set of
+    (user, n_events, start_sec, total_value) under the >= gap rule."""
+    by_user: dict[int, list] = {}
+    for user, sec, val in events:
+        by_user.setdefault(user, []).append((sec, val))
+    out = set()
+    for user, evs in by_user.items():
+        evs.sort(key=lambda t: t[0])
+        groups: list[list] = []
+        prev = None
+        for sec, val in evs:
+            if prev is None or sec - prev >= 1800:
+                groups.append([])
+            prev = sec
+            groups[-1].append((sec, val))
+        for rows in groups:
+            total = sum((_cents(v) for _, v in rows), Decimal(0))
+            out.add((user, len(rows), min(s for s, _ in rows), float(total)))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(events=st.lists(_event, min_size=1, max_size=16))
+def test_stream_sessionization_matches_reference(spark, tmp_path_factory, events):
+    rows = [(i, _ts(sec), user, "view", val, "{}")
+            for i, (user, sec, val) in enumerate(events)]
+    sf_dir = str(tmp_path_factory.mktemp("ssess_sf"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r["user_id"], r["n_events"],
+         int((r["session_start"] - _ts(0)).total_seconds()), r["total_value"])
+        for r in REGISTRY["stream_sessionization"].run(spark, sf_dir).collect()
+    }
+    expect = ref_sessions_ge([(u, s, v) for u, s, v in events])
+    assert got == expect, (events, got, expect)
+
+
+def test_stream_sessionization_drain_equals_batch_session_window(spark):
+    """The drained streaming result must equal the BATCH session_window
+    aggregation over the same fixture — the all-data-is-streaming-data
+    invariant, for the native session operator."""
+    from pyspark.sql import functions as F
+
+    from robi_biometric_qdrant_vector_db_service_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        tuple(r)
+        for r in REGISTRY["stream_sessionization"].run(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = {
+        tuple(r)
+        for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect()
+    }
+    assert got == want
