@@ -216,6 +216,78 @@ def raw_rgb_grid(width: int, height: int):
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+def png_encode_rgb(px: "np.ndarray", filt: int = 0) -> bytes:
+    """Minimal stdlib PNG writer (8-bit truecolor, non-interlaced, one
+    filter type for every scanline): the engine-side encoder behind the
+    synthetic compressed-image corpus (``workload_sources.
+    image_png_phash_dups``) — a real corpus arrives already encoded, but
+    the fixture tables carry text, so the query plants its own PNGs and
+    the decoder must earn the pairs back through inflate + unfilter.
+    Filter deltas are computed vectorized per image (the predictor reads
+    ORIGINAL neighbor samples, which equal the reconstructed ones during
+    encoding); the independent per-pixel encoder in tests/test_png_fuzz.py
+    cross-checks the decoder, not this writer."""
+    import struct
+    import zlib
+
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError(f"png_encode_rgb: expected 3 channels, got {ch}")
+    if filt not in (0, 1, 2, 3, 4):
+        raise ValueError(f"png_encode_rgb: unknown filter {filt}")
+    s = px.reshape(h, w * 3).astype(np.int64)
+    a = np.zeros_like(s)
+    a[:, 3:] = s[:, :-3]  # left neighbor (per channel)
+    b = np.zeros_like(s)
+    b[1:] = s[:-1]  # up neighbor
+    c = np.zeros_like(s)
+    c[1:, 3:] = s[:-1, :-3]  # up-left neighbor
+    if filt == 0:
+        pred = np.zeros_like(s)
+    elif filt == 1:
+        pred = a
+    elif filt == 2:
+        pred = b
+    elif filt == 3:
+        pred = (a + b) // 2
+    else:
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    delta = ((s - pred) % 256).astype(np.uint8)
+    raw = np.concatenate(
+        [np.full((h, 1), filt, dtype=np.uint8), delta], axis=1
+    ).tobytes()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def class_grid_image(cls: int, *, width: int = 18, height: int = 16) -> "np.ndarray":
+    """Deterministic well-separated (height, width, 3) uint8 image for
+    planted-duplicate class ``cls``: the 72 block-mean luminances are a
+    seeded permutation with adjacent gaps >= 3 luma units, so every class
+    hashes to a distinct dHash and copies hash identically — the planted
+    truth an exact pair oracle can state without replicating pixel math."""
+    rng = np.random.default_rng(cls)
+    base = rng.permutation(72).reshape(8, 9) * 3 + 20
+    px = np.repeat(np.repeat(base, height // 8, axis=0), width // 9, axis=1)
+    return np.stack([px, px, px], axis=-1).astype(np.uint8)
+
+
 def _png_pixels(blob: bytes) -> "np.ndarray":
     """(h, w, 3) int64 pixel array from one PNG byte string — pure stdlib
     (``zlib`` inflate + struct chunk walk + scanline unfilter), no codec
