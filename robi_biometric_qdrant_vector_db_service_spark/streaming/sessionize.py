@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .stats import EVENTS_SCHEMA, _staged_events_path, _state_partitions
+from .stats import EVENTS_SCHEMA, _state_partitions
 
 SESSION_GAP = "30 minutes"
 # longer than any fixture's event-time span, so no real event is ever
@@ -47,6 +47,22 @@ WATERMARK_DELAY_DAYS = 3650
 SENTINEL_USER = -1
 
 _counter = itertools.count()
+_staged_cache: dict[str, str] = {}
+
+
+def _staged_sessionize_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as 8 parquet files so maxFilesPerTrigger=2 yields 4
+    genuine micro-batches — sessions spanning batch boundaries must merge
+    in state, not inside one degenerate bulk batch (and the read
+    parallelizes; the shared single-file staging made the whole drain one
+    single-task scan)."""
+    if sf_dir not in _staged_cache:
+        out = tempfile.mkdtemp(prefix="stream_sess_src_")
+        load_table(spark, sf_dir, "events").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(out)
+        _staged_cache[sf_dir] = out
+    return _staged_cache[sf_dir]
 
 
 def _run_dir_with_links(spark: SparkSession, sf_dir: str) -> str:
@@ -54,7 +70,7 @@ def _run_dir_with_links(spark: SparkSession, sf_dir: str) -> str:
     events files (the sentinel append must not pollute the shared cache —
     an old sentinel in an early micro-batch would advance the watermark
     past the real data and silently drop it)."""
-    src = _staged_events_path(spark, sf_dir)
+    src = _staged_sessionize_events(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="stream_sess_")
     for f in os.listdir(src):
         if f.endswith(".parquet"):
@@ -88,7 +104,7 @@ def sessionization_stream(
         )
         .select("user_id", "session_start", "n_events", "total_value")
     )
-    with _state_partitions(spark, 4):
+    with _state_partitions(spark, 8):
         q = (
             sess.writeStream.outputMode("append")
             .format("memory")
