@@ -22,10 +22,12 @@ last, so no real event is ever late: with the delay chosen to exceed the
 fixture's full time span, the drained result equals the batch query
 bit-for-bit regardless of how the file source batches.
 
-Oracle semantics: ``session_window`` is [start, start + gap) — an event
-at EXACTLY prev + gap opens a NEW session (the ``>=`` in the batch
-``session_window_rollup`` oracle), unlike the hand-rolled
-``sessionization`` query's ``>``.
+Oracle semantics: session windows MERGE when they overlap OR TOUCH — an
+event at EXACTLY prev + gap merges into the previous session, so the
+split rule is strictly ``gap > threshold``, identical to the hand-rolled
+``sessionization`` query's.  (The r15 exact-gap fuzz established this
+against the engine; the batch ``session_window_rollup`` oracle had
+documented ``>=`` and was corrected with it.)
 """
 
 from __future__ import annotations
@@ -84,7 +86,7 @@ def sessionization_stream(
     """Drain the bounded events source through the watermarked
     session_window aggregation and return every finalized session
     (user_id, session_start, n_events, total_value) — equal as a set to
-    the batch lag+cumsum construction with the ``>=`` gap rule."""
+    the batch lag+cumsum construction with the strict ``>`` gap rule."""
     path = _run_dir_with_links(spark, sf_dir)
     max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
     stream = (

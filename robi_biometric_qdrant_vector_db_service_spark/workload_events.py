@@ -157,10 +157,14 @@ WITH ordered AS (
   FROM events
 ),
 flagged AS (
-  -- >= : Spark's session_window is [start, start+gap), so an event at
-  -- EXACTLY prev+30min falls outside the window and opens a new session
+  -- > : session_window MERGES touching windows — an event at EXACTLY
+  -- prev+30min lands on the previous window's exclusive end [start,
+  -- start+gap) and still merges (sessions split only when the gap
+  -- EXCEEDS 30min; pinned against engine behavior by the exact-gap
+  -- fuzz in tests/test_session_fuzz.py — the r15 fuzz caught this
+  -- oracle documenting >= while the engine merges)
   SELECT user_id, ts,
-         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ),
 sessions AS (
@@ -178,7 +182,11 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions via Spark's NATIVE ``session_window`` aggregation
     (one merging hash-agg, no window-function pass) — checked against the
     hand-rolled lag+cumsum construction, which is what the oracle runs.
-    In streaming the identical expression is watermark-managed state."""
+    Session windows MERGE when they overlap OR TOUCH: an event at exactly
+    prev + gap merges into the previous session, so the split rule is
+    strictly ``gap > 30min`` (identical to ``sessionization``'s) — the r15
+    exact-gap fuzz corrected this oracle from ``>=``.  In streaming the
+    identical expression is watermark-managed state."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))

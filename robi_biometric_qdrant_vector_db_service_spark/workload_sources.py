@@ -378,10 +378,11 @@ WITH ordered AS (
   FROM events
 ),
 flagged AS (
-  -- >= : session_window is [start, start+gap), an event at EXACTLY
-  -- prev+30min opens a new session (same rule as session_window_rollup)
+  -- > : session_window MERGES touching windows — an event at EXACTLY
+  -- prev+30min still merges; sessions split only when the gap EXCEEDS
+  -- 30min (same engine-pinned rule as session_window_rollup)
   SELECT user_id, ts, value,
-         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ),
 sessions AS (
@@ -405,7 +406,8 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel event flushes the bounded fixture's final sessions (see
     streaming/sessionize.py for the two-phase drain protocol).  The
     drained set must equal the batch lag+cumsum construction with the
-    ``>=`` gap rule — which is exactly what the oracle runs."""
+    strict ``>`` gap rule (touching windows merge) — which is exactly
+    what the oracle runs."""
     from .streaming.sessionize import sessionization_stream
 
     return sessionization_stream(spark, sf_dir, _uniq("sessionize"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 import datetime as dt
 from decimal import ROUND_HALF_UP, Decimal
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 import robi_biometric_qdrant_vector_db_service_spark.workload  # noqa: F401  (registry root first)
@@ -91,18 +91,25 @@ def test_sessionization_matches_reference(spark, tmp_path_factory, events):
 
 
 # ---------------------------------------------------------------------------
-# streaming twin (r15): the watermarked session_window drain
-# (stream_sessionization) against a pure-Python reference of the >= gap
-# rule — session_window is [start, start+gap), so an event at EXACTLY
-# prev+1800s opens a NEW session, unlike the batch sessionization's >.
-# Adversarial corpora: boundary gaps, equal timestamps, single-event users,
-# all drained through REAL micro-batches + the sentinel watermark flush.
+# session_window twins (r15): the batch session_window_rollup and the
+# watermarked streaming drain (stream_sessionization) against a
+# pure-Python reference of the engine-pinned rule — session windows MERGE
+# when they overlap OR TOUCH, so an event at EXACTLY prev+1800s merges
+# into the previous session and splits happen only on gap > 1800s.  This
+# fuzz CAUGHT the session_window_rollup oracle documenting >= (latent:
+# the fixture corpus never lands an exact 1800s gap); the falsifying
+# two-event example is pinned below as a seed-independent @example.
+# Adversarial corpora: boundary gaps, equal timestamps, single-event
+# users; the streaming run drains REAL micro-batches + sentinel flush.
 # ---------------------------------------------------------------------------
 
+EXACT_GAP_EXAMPLE = [(1, 3601, 0.0), (1, 5401, 0.0)]  # gap == 1800s: merge
 
-def ref_sessions_ge(events):
+
+def ref_sessions_gt(events):
     """events: list of (user, sec, value) -> set of
-    (user, n_events, start_sec, total_value) under the >= gap rule."""
+    (user, n_events, start_sec, total_value) under the engine's strict
+    > gap rule (touching windows merge)."""
     by_user: dict[int, list] = {}
     for user, sec, val in events:
         by_user.setdefault(user, []).append((sec, val))
@@ -112,7 +119,7 @@ def ref_sessions_ge(events):
         groups: list[list] = []
         prev = None
         for sec, val in evs:
-            if prev is None or sec - prev >= 1800:
+            if prev is None or sec - prev > 1800:
                 groups.append([])
             prev = sec
             groups[-1].append((sec, val))
@@ -122,23 +129,50 @@ def ref_sessions_ge(events):
     return out
 
 
-@settings(max_examples=5, deadline=None)
-@given(events=st.lists(_event, min_size=1, max_size=16))
-def test_stream_sessionization_matches_reference(spark, tmp_path_factory, events):
+def _write_events_sf(spark, tmp_path_factory, tag, events):
     rows = [(i, _ts(sec), user, "view", val, "{}")
             for i, (user, sec, val) in enumerate(events)]
-    sf_dir = str(tmp_path_factory.mktemp("ssess_sf"))
+    sf_dir = str(tmp_path_factory.mktemp(tag))
     spark.createDataFrame(
         rows,
         "event_id bigint, ts timestamp, user_id bigint, event_type string, "
         "value double, props string",
     ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    return sf_dir
+
+
+@settings(max_examples=8, deadline=None)
+@example(events=EXACT_GAP_EXAMPLE)
+@given(events=st.lists(_event, min_size=1, max_size=20))
+def test_session_window_rollup_matches_reference(spark, tmp_path_factory, events):
+    """The NATIVE session_window aggregation (batch) against the pure
+    reference — in particular the exact-1800s merge the corrected oracle
+    now states."""
+    sf_dir = _write_events_sf(spark, tmp_path_factory, "swr_sf", events)
+    got = {
+        (r["user_id"], r["n_events"],
+         int((r["session_start"] - _ts(0)).total_seconds()))
+        for r in REGISTRY["session_window_rollup"].run(spark, sf_dir).collect()
+    }
+    expect = {
+        (u, n, s) for (u, n, s, _total) in ref_sessions_gt(
+            [(u, s, v) for u, s, v in events]
+        )
+    }
+    assert got == expect, (events, got, expect)
+
+
+@settings(max_examples=5, deadline=None)
+@example(events=EXACT_GAP_EXAMPLE)
+@given(events=st.lists(_event, min_size=1, max_size=16))
+def test_stream_sessionization_matches_reference(spark, tmp_path_factory, events):
+    sf_dir = _write_events_sf(spark, tmp_path_factory, "ssess_sf", events)
     got = {
         (r["user_id"], r["n_events"],
          int((r["session_start"] - _ts(0)).total_seconds()), r["total_value"])
         for r in REGISTRY["stream_sessionization"].run(spark, sf_dir).collect()
     }
-    expect = ref_sessions_ge([(u, s, v) for u, s, v in events])
+    expect = ref_sessions_gt([(u, s, v) for u, s, v in events])
     assert got == expect, (events, got, expect)
 
 
