@@ -3774,59 +3774,62 @@ from . import workload_graph  # noqa: E402,F401
 # stream_pii_scrub, chunk_dedup_groups, domain_blocklist_filter).
 FRONT_QUERIES = [
     # (a) never driver-windowed (new this round)
-    "stream_embedding_neardups",
-    # (b) code changed this round: apply_batch coalescing, dHash decoder
-    # refactor, multilingual field-side ICU gate, substring_spans mode split
+    "image_png_phash_dups",
+    "stream_sessionization",
+    # (b) changed this round: update_vectors joined the apply_batch
+    # rewrite family (points_update_batch now pins survivors' vectors),
+    # session_window_rollup's oracle corrected to the engine's exact-gap
+    # merge rule, both streaming near-dup gates moved to batch-id-keyed
+    # exactly-once sinks
     "points_update_batch",
-    "set_payload_points",
-    "image_phash_dups",
-    "match_text_multilingual",
-    "substring_dedup_spans",
-    "substring_dup_fraction",
-    # (c) r10-stale — ALL 24 remaining (ledger: union of CORRECTNESS_r*.json)
-    "chunk_dedup_groups",
-    "context_pairs_search",
-    "domain_blocklist_filter",
-    "matrix_offsets_coo",
-    "npy_migration",
-    "pii_redaction",
-    "purchase_attribution_asof",
-    "recommend_best_score",
-    "recommend_by_examples",
-    "recommend_groups_topk",
-    "regex_token_profile",
-    "regional_revenue",
-    "repetition_profile",
-    "retrieve_points",
-    "rolling_hash_fp",
-    "running_supplier_qty",
-    "scroll_filtered",
-    "scroll_order_by",
-    "scroll_order_by_desc",
-    "scroll_payload_selector",
-    "scroll_start_from",
-    "search_groups_lookup",
-    "search_groups_topk",
-    "stream_pii_scrub",
-    # (d) r11-stale, first 19 of 47 alphabetically (the remaining 28 front
+    "session_window_rollup",
+    "stream_neardup_pairs",
+    "stream_embedding_neardups",
+    # (c) r11-stale — ALL 27 remaining (ledger: union of CORRECTNESS_r*.json)
+    "dsir_importance_weights",
+    "embedding_near_dups",
+    "geo_polygon_filter",
+    "gopher_quality_filter",
+    "hard_negative_mining",
+    "ingest_bulk_100k",
+    "int8_rescore_topk",
+    "knn_batch_throughput",
+    "knn_euclid_topk",
+    "knn_topk_gemm",
+    "label_centroids",
+    "latency_distribution",
+    "match_text_prefix",
+    "minhash_lsh_dups",
+    "mixture_rebalance",
+    "multi_vector_fusion",
+    "multivector_maxsim_topk",
+    "nested_payload_filter",
+    "payload_projection",
+    "qty_pivot_by_status",
+    "quality_weighted_sample",
+    "random_sample_points",
+    "recommend_sum_scores",
+    "rollup_returns",
+    "running_ops_stats",
+    "salted_user_rollup",
+    "stream_quality_gate",
+    # (d) r12-stale, first 17 of 45 alphabetically (the remaining 28 front
     # next round)
-    "adaptive_search",
-    "add_batch_append",
-    "ann_ivfpq_topk",
-    "ann_signlsh_topk",
-    "approx_distinct_parts",
-    "benchmark_decontamination",
-    "bm25_top_docs",
-    "bq_hamming_rescore",
-    "collection_stats",
-    "cube_orders",
-    "dbsf_fusion_topk",
-    "dedup_keep_newest",
-    "delete_by_id",
-    "delete_by_predicate",
-    "delete_by_user",
-    "detect_1toN",
-    "discover_context",
-    "distinct_part_counts",
-    "domain_balanced_sample",
+    "active_customer_balance",
+    "ccnet_perplexity_buckets",
+    "charlm_quality",
+    "customers_without_orders",
+    "doc_fingerprints",
+    "doc_quality_filter",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_retention_24h",
+    "exact_dedup_groups",
+    "formula_datetime_decay_topk",
+    "formula_rescore_topk",
+    "funnel_stages",
+    "knn_filtered",
+    "knn_manhattan_topk",
+    "knn_topk",
+    "lang_id_heuristic",
 ]
