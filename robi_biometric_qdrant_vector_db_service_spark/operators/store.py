@@ -814,7 +814,7 @@ class VectorStore:
             if op[0] == "delete_payload" and not op[2]:
                 raise ValueError("delete_payload requires at least one key")
         uv_batches: dict[int, DataFrame] = {}
-        idsets = []
+        probes = []
         for k, op in enumerate(ops):
             if op[0] == "update_vectors":
                 new = op[1].select(
@@ -824,18 +824,26 @@ class VectorStore:
                     ),
                 )
                 new = new.withColumn(f"__e{k}", F.expr(l2_normalize_sql(f"__e{k}")))
-                ids = [r["point_id"] for r in new.select("point_id").collect()]
-                if len(ids) != len(set(ids)):
+                if new.groupBy("point_id").count().filter("count > 1").limit(1).count():
                     raise ValueError("update_vectors: duplicate point_id in request")
                 uv_batches[k] = new
-                idsets.append(set(ids))
+                ids_df = new.select("point_id")
             else:
-                idsets.append(set(op[1]))
-        all_ids = sorted(set().union(*idsets))
-        flags = self.spark.createDataFrame(
-            [tuple([pid] + [pid in s for s in idsets]) for pid in all_ids],
-            "point_id string"
-            + "".join(f", __f{k} boolean" for k in range(len(ops))),
+                ids_df = self.spark.createDataFrame(
+                    [(pid,) for pid in sorted(set(op[1]))], "point_id string"
+                )
+            probes.append(ids_df.withColumn("__op_k", F.lit(k)))
+        # flags as a UNION of per-op id frames folded by one request-sized
+        # aggregate (r14 ADVICE) — driver payload is linear in Σ|ids|, not
+        # |union| x n_ops, and update_vectors ids never leave the cluster
+        probe = probes[0]
+        for p in probes[1:]:
+            probe = probe.unionByName(p)
+        flags = probe.groupBy("point_id").agg(
+            *[
+                F.max(F.when(F.col("__op_k") == k, F.lit(True))).alias(f"__f{k}")
+                for k in range(len(ops))
+            ]
         )
         manifest = self._read_manifest()
         current = self._read_files([f for fs in manifest.values() for f in fs])
