@@ -824,9 +824,7 @@ class VectorStore:
                     ),
                 )
                 new = new.withColumn(f"__e{k}", F.expr(l2_normalize_sql(f"__e{k}")))
-                if new.groupBy("point_id").count().filter("count > 1").limit(1).count():
-                    raise ValueError("update_vectors: duplicate point_id in request")
-                uv_batches[k] = new
+                uv_batches[k] = new.persist()
                 ids_df = new.select("point_id")
             else:
                 ids_df = self.spark.createDataFrame(
@@ -835,47 +833,76 @@ class VectorStore:
             probes.append(ids_df.withColumn("__op_k", F.lit(k)))
         # flags as a UNION of per-op id frames folded by one request-sized
         # aggregate (r14 ADVICE) — driver payload is linear in Σ|ids|, not
-        # |union| x n_ops, and update_vectors ids never leave the cluster
+        # |union| x n_ops, and update_vectors ids never leave the cluster.
+        # Per-op row counts ride the same aggregate so ALL update_vectors
+        # duplicate-id checks cost one action, and the persisted flags
+        # serve both passes without recomputing the union.
         probe = probes[0]
         for p in probes[1:]:
             probe = probe.unionByName(p)
-        flags = probe.groupBy("point_id").agg(
+        flags_cached = probe.groupBy("point_id").agg(
             *[
                 F.max(F.when(F.col("__op_k") == k, F.lit(True))).alias(f"__f{k}")
                 for k in range(len(ops))
-            ]
-        )
-        manifest = self._read_manifest()
-        current = self._read_files([f for fs in manifest.values() for f in fs])
-        joined = current.join(F.broadcast(flags), "point_id", "left")
-        matched, _, _, _ = self._rewrite_group_state(joined, ops)
-        per_bucket = (
-            joined.groupBy("ubucket")
-            .agg(*[F.sum(m.cast("int")).alias(f"n{k}") for k, m in enumerate(matched)])
-            .collect()
-        )
-        counts = [sum(r[f"n{k}"] for r in per_bucket) for k in range(len(ops))]
-        touched = [
-            r["ubucket"]
-            for r in per_bucket
-            if any(r[f"n{k}"] for k in range(len(ops)))
-        ]
-        if touched:
-            df = self._read_files([f for b in touched for f in manifest.get(b, [])])
-            dj = df.join(F.broadcast(flags), "point_id", "left")
-            for k, new in uv_batches.items():
-                dj = dj.join(F.broadcast(new), "point_id", "left")
-            _, alive, meta, emb = self._rewrite_group_state(dj, ops)
-            survivors = (
-                dj.filter(alive)
-                .withColumn("metadata", meta)
-                .withColumn("embedding", emb)
-                .select("point_id", "embedding", "user_id", "ts", "metadata", "ubucket")
+            ],
+            *[
+                F.count(F.when(F.col("__op_k") == k, F.lit(1))).alias(f"__c{k}")
+                for k in uv_batches
+            ],
+        ).persist()
+        try:
+            if uv_batches:
+                dup_pred = " OR ".join(f"__c{k} > 1" for k in uv_batches)
+                if flags_cached.filter(dup_pred).limit(1).count():
+                    raise ValueError(
+                        "update_vectors: duplicate point_id in request"
+                    )
+            flags = flags_cached.drop(*[f"__c{k}" for k in uv_batches])
+            manifest = self._read_manifest()
+            current = self._read_files([f for fs in manifest.values() for f in fs])
+            joined = current.join(F.broadcast(flags), "point_id", "left")
+            matched, _, _, _ = self._rewrite_group_state(joined, ops)
+            per_bucket = (
+                joined.groupBy("ubucket")
+                .agg(
+                    *[
+                        F.sum(m.cast("int")).alias(f"n{k}")
+                        for k, m in enumerate(matched)
+                    ]
+                )
+                .collect()
             )
-            rewritten, stats, _ = self._write_segment(survivors)
-            for b in touched:
-                manifest[b] = rewritten.get(b, [])
-            self._publish_manifest(manifest, stats)
+            counts = [sum(r[f"n{k}"] for r in per_bucket) for k in range(len(ops))]
+            touched = [
+                r["ubucket"]
+                for r in per_bucket
+                if any(r[f"n{k}"] for k in range(len(ops)))
+            ]
+            if touched:
+                df = self._read_files(
+                    [f for b in touched for f in manifest.get(b, [])]
+                )
+                dj = df.join(F.broadcast(flags), "point_id", "left")
+                for k, new in uv_batches.items():
+                    dj = dj.join(F.broadcast(new), "point_id", "left")
+                _, alive, meta, emb = self._rewrite_group_state(dj, ops)
+                survivors = (
+                    dj.filter(alive)
+                    .withColumn("metadata", meta)
+                    .withColumn("embedding", emb)
+                    .select(
+                        "point_id", "embedding", "user_id", "ts", "metadata",
+                        "ubucket",
+                    )
+                )
+                rewritten, stats, _ = self._write_segment(survivors)
+                for b in touched:
+                    manifest[b] = rewritten.get(b, [])
+                self._publish_manifest(manifest, stats)
+        finally:
+            flags_cached.unpersist()
+            for new in uv_batches.values():
+                new.unpersist()
         return counts
 
     def _apply_upsert_group(self, batches: list[DataFrame]) -> list[int]:

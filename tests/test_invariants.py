@@ -504,6 +504,13 @@ def test_update_vectors_semantics(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate point_id"):
         store.update_vectors(dup)
     assert store._current_version() == v0  # nothing published
+    # ...and inside a COALESCED multi-op group the same check fires
+    # before any op of the group applies (r15: update_vectors joined the
+    # rewrite family; the dup probe rides the shared flags aggregate)
+    with pytest.raises(ValueError, match="duplicate point_id"):
+        store.apply_batch([("update_vectors", dup), ("delete", ["a"])])
+    assert store._current_version() == v0
+    assert store.read().filter("point_id = 'a'").count() == 1
     # batch-API spelling applies in order
     assert store.apply_batch([("update_vectors", raw), ("delete", ["c"])]) == [1, 1]
 
