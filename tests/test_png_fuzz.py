@@ -214,3 +214,74 @@ def test_raw_rgb_factory_rejects_undersized_dims():
     with pytest.raises(ValueError, match="at least 9x8"):
         raw_rgb_grid(9, 7)
     raw_rgb_grid(9, 8)  # the minimum legal layout constructs fine
+
+
+# ---------------------------------------------------------------------------
+# post-artifact r15 additions: chunk-layout robustness + engine-encoder
+# round-trip.  Real PNGs split their compressed stream across many IDAT
+# chunks and interleave ancillary chunks (tEXt, pHYs, ...); the decoder
+# must concatenate IDATs in order and skip everything it doesn't know.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(9, 24),
+    h=st.integers(8, 24),
+    seed=st.integers(0, 2**32 - 1),
+    cuts=st.lists(st.integers(1, 5000), max_size=4),
+    anc_at=st.lists(st.integers(0, 5), max_size=3),
+)
+def test_png_multi_idat_and_ancillary_chunks(w, h, seed, cuts, anc_at):
+    """Splitting the zlib stream across multiple IDAT chunks at arbitrary
+    byte offsets and sprinkling ancillary chunks between them must decode
+    identically to the single-IDAT file."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    single = png_encode(px, [0, 3, 4])
+    want = _png_pixels(single)
+
+    # rebuild: magic + IHDR + split IDATs (+ ancillary noise) + IEND
+    ihdr_end = 8 + 8 + 13 + 4
+    idat_start = single.index(b"IDAT") - 4
+    idat_len = struct.unpack(">I", single[idat_start : idat_start + 4])[0]
+    stream = single[idat_start + 8 : idat_start + 8 + idat_len]
+    pieces, prev = [], 0
+    for c in sorted(set(min(c, len(stream) - 1) for c in cuts if c < len(stream))):
+        if c > prev:
+            pieces.append(stream[prev:c])
+            prev = c
+    pieces.append(stream[prev:])
+    anc = _chunk(b"tEXt", b"Comment\x00not image data")
+    out = single[:ihdr_end]
+    for i, piece in enumerate(pieces):
+        if i in anc_at:
+            out += anc
+        out += _chunk(b"IDAT", piece)
+    out += anc + _chunk(b"IEND", b"")
+    got = _png_pixels(out)
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(9, 32),
+    h=st.integers(8, 32),
+    seed=st.integers(0, 2**32 - 1),
+    filt=st.integers(0, 4),
+)
+def test_engine_encoder_roundtrips_through_decoder(w, h, seed, filt):
+    """The ENGINE-side vectorized encoder (png_encode_rgb, used by the
+    image_png_phash_dups corpus) must round-trip losslessly through the
+    decoder for every scanline filter — and must byte-agree in pixels
+    (not bytes) with the test's independent per-pixel encoder."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import (
+        png_encode_rgb,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    engine_blob = png_encode_rgb(px, filt=filt)
+    assert np.array_equal(_png_pixels(engine_blob), px.astype(np.int64))
+    ref_blob = png_encode(px, [filt])
+    assert np.array_equal(_png_pixels(ref_blob), _png_pixels(engine_blob))

@@ -83,3 +83,55 @@ def test_embedding_neardup_replay_idempotent(spark):
         vecs.filter(F.col("vec_id") % 2 == i).localCheckpoint() for i in (0, 1)
     ]
     _run_replay_scenarios(spark, _process_batch, stores, batches)
+
+
+# ---------------------------------------------------------------------------
+# post-artifact r15 fuzz: ARBITRARY crash points.  A foreachBatch attempt
+# can die between any of its three writes (pairs -> bands/state -> rows),
+# leaving any SUBSET of the last batch's partitions on disk; replaying the
+# batch must converge to the same stores regardless of which subset
+# survived.  hypothesis drives the subset and a small planted-dup corpus.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    survive=st.sets(st.integers(0, 2)),
+    seed=st.integers(0, 2**16),
+)
+def test_text_replay_converges_from_any_crash_subset(spark, survive, seed):
+    import numpy as np
+
+    from robi_biometric_qdrant_vector_db_service_spark.streaming.neardup import (
+        _process_batch,
+        _seed_state,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(8)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(3, 12))))
+        for _ in range(10)
+    ]
+    texts += [texts[0], texts[3]]  # planted exact dups across batches
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    run = tempfile.mkdtemp(prefix="replay_fuzz_")
+    stores = _seed_state(spark, run)
+    batches = [
+        docs.filter(F.col("doc_id") % 2 == i).localCheckpoint() for i in (0, 1)
+    ]
+    for i, b in enumerate(batches):
+        _process_batch(b, i, *stores)
+    want = _snap(spark, *stores)
+
+    # crash simulation: keep only the chosen subset of batch=1 partitions
+    for j, store in enumerate(stores):
+        if j not in survive:
+            shutil.rmtree(f"{store}/batch=1", ignore_errors=True)
+    _process_batch(batches[1], 1, *stores)
+    assert _snap(spark, *stores) == want
