@@ -89,6 +89,14 @@ def sessionization_stream(
     the batch lag+cumsum construction with the strict ``>`` gap rule."""
     path = _run_dir_with_links(spark, sf_dir)
     max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    if max_ts is None:
+        # zero events => zero sessions; a NULL-timestamped sentinel would
+        # crash the stream, and there is no state to flush anyway
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, session_start timestamp, n_events bigint, "
+            "total_value double",
+        )
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 2)

@@ -204,3 +204,16 @@ def test_stream_sessionization_drain_equals_batch_session_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_sessionization_empty_events(spark, tmp_path_factory):
+    """Zero events => zero sessions, not a crash: the sentinel-flush drain
+    short-circuits when there is no max event time to anchor the sentinel
+    (found by an r15 edge probe — a NULL-timestamped sentinel killed the
+    streaming query)."""
+    sf_dir = _write_events_sf(spark, tmp_path_factory, "empty_sf", [])
+    out = REGISTRY["stream_sessionization"].run(spark, sf_dir)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "session_start", "n_events", "total_value",
+    ]
