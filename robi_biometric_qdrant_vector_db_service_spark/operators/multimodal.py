@@ -361,6 +361,28 @@ def _png_pixels(blob: bytes) -> "np.ndarray":
     return np.repeat(px, 3, axis=2) if ch == 1 else px
 
 
+def _block_mean_grid(px: "np.ndarray", op_name: str) -> "np.ndarray":
+    """Shared pixels -> 8x9 grid step of every real-codec GridDecoder:
+    integer Rec.601 luminance, one 2-D integral image, 9x10 boundary
+    gather — identical math to ``raw_rgb_grid``'s batched path, applied
+    to one variable-size image."""
+    h, w = px.shape[:2]
+    if w < 9 or h < 8:
+        raise ValueError(
+            f"{op_name}: image must be at least 9x8 for an 8x9 "
+            f"block grid, got {w}x{h}"
+        )
+    luma = px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = luma.cumsum(axis=0).cumsum(axis=1)
+    rb = (h * np.arange(9, dtype=np.int64)) // 8
+    cb = (w * np.arange(10, dtype=np.int64)) // 9
+    g = ii[rb][:, cb]
+    block = g[1:, 1:] - g[:-1, 1:] - g[1:, :-1] + g[:-1, :-1]
+    areas = np.diff(rb)[:, None] * np.diff(cb)[None, :]
+    return block / areas
+
+
 def raw_png_grid(
     data: np.ndarray, starts: np.ndarray, ends: np.ndarray, lens: np.ndarray
 ) -> np.ndarray:
@@ -379,21 +401,28 @@ def raw_png_grid(
     grids = np.empty((len(lens), 8, 9), dtype=np.float64)
     for i, (s, e) in enumerate(zip(starts, ends)):
         px = _png_pixels(data[s:e].tobytes())
-        h, w = px.shape[:2]
-        if w < 9 or h < 8:
-            raise ValueError(
-                f"raw_png_grid: image must be at least 9x8 for an 8x9 "
-                f"block grid, got {w}x{h}"
-            )
-        luma = px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114
-        ii = np.zeros((h + 1, w + 1), dtype=np.int64)
-        ii[1:, 1:] = luma.cumsum(axis=0).cumsum(axis=1)
-        rb = (h * np.arange(9, dtype=np.int64)) // 8
-        cb = (w * np.arange(10, dtype=np.int64)) // 9
-        g = ii[rb][:, cb]
-        block = g[1:, 1:] - g[:-1, 1:] - g[1:, :-1] + g[:-1, :-1]
-        areas = np.diff(rb)[:, None] * np.diff(cb)[None, :]
-        grids[i] = block / areas
+        grids[i] = _block_mean_grid(px, "raw_png_grid")
+    return grids
+
+
+def raw_jpeg_grid(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Fourth GridDecoder: baseline JPEG (`operators.jpeg.jpeg_decode` —
+    DHT/DQT read back from the file, Huffman bit-decode, vectorized
+    dequant + IDCT, chroma upsample, YCbCr->RGB), then the shared
+    Rec.601 block-mean grid.  With PNG this completes the two
+    compressed-image families a real corpus carries; mixed sizes and
+    mixed sampling factors hash in one batch because each file's SOF0
+    declares its own geometry.  Decode is per-blob inside the Arrow
+    batch (an entropy-coded scan is inherently one file); everything
+    downstream is the shared decoder-agnostic packing."""
+    from .jpeg import jpeg_decode
+
+    grids = np.empty((len(lens), 8, 9), dtype=np.float64)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        px = jpeg_decode(data[s:e].tobytes())
+        grids[i] = _block_mean_grid(px, "raw_jpeg_grid")
     return grids
 
 

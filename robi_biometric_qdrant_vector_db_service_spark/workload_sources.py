@@ -343,6 +343,79 @@ def image_png_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JPEG_CORPUS_DOCS = 240  # first N docs, present at every fixture scale
+JPEG_CLASSES = 80       # doc_id % JPEG_CLASSES -> 3 planted copies per class
+# the three lossy re-encodings of each class: different quality AND
+# different chroma sampling, so in-class blobs differ at every layer of
+# the codec (qtables, subsampled planes, entropy stream)
+JPEG_VARIANTS = ((95, "4:4:4"), (90, "4:2:0"), (85, "4:2:2"))
+
+
+@register(
+    "image_jpeg_phash_dups",
+    f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {JPEG_CORPUS_DOCS})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id
+ AND a.doc_id % {JPEG_CLASSES} = b.doc_id % {JPEG_CLASSES}
+""",
+)
+def image_jpeg_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dHash pipeline over baseline JPEGs — the LOSSY-codec member of
+    the compressed-image dedup family (PNG twin: ``image_png_phash_dups``):
+    every doc in the planted corpus carries a JPEG blob (stdlib+NumPy
+    baseline encoder, ``operators.jpeg.jpeg_encode_rgb``) of its class's
+    deterministic 32x36 grid image, re-encoded per copy at a DIFFERENT
+    (quality, chroma-sampling) pair — so in-class blobs differ in their
+    quantization tables, subsampled planes, and entropy streams, and only
+    a correct full decode (Huffman -> dequant -> IDCT -> upsample ->
+    YCbCr->RGB, ``raw_jpeg_grid``) recovers the planted hamming-0 pairs.
+    This is the real dedup story for a 100 TB multimodal corpus: the SAME
+    image re-saved by different tools at different qualities must still
+    collapse, which exact byte-hashing can never do.  The oracle states
+    the planted truth (all same-class pairs, exactly 0 bits apart — the
+    4x4-px grid cells average JPEG quantization noise well below the
+    planted 3-luma-unit cell gaps, verified exhaustively for all 80
+    classes x 3 variants in tests/test_jpeg_fuzz.py); distinct classes
+    sit >= 15 bits apart, so nothing false survives the <=3-bit verify.
+    Scale: blob synthesis is a partition-parallel mapInPandas projection;
+    everything downstream is the audited banded-Hamming plan (4 (band,
+    val) rows/doc, never all-pairs)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .operators.jpeg import jpeg_encode_rgb
+    from .operators.multimodal import (
+        class_grid_image,
+        dhash_bands,
+        phash_dup_pairs,
+        raw_jpeg_grid,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < JPEG_CORPUS_DOCS
+    ).select("doc_id")
+
+    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, object] = {}
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                cls = int(did) % JPEG_CLASSES
+                if cls not in cache:
+                    cache[cls] = class_grid_image(cls, width=36, height=32)
+                q, samp = JPEG_VARIANTS[int(did) % 3]
+                blobs.append(jpeg_encode_rgb(cache[cls], quality=q, sampling=samp))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")
+    return phash_dup_pairs(
+        dhash_bands(blobs, decoder=raw_jpeg_grid), max_hamming=PHASH_MAX_HAMMING
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming — Structured Streaming twins of A3 / the retention sweep (§2.10)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,335 @@
+"""Fuzz + contract suite for the baseline JPEG codec (`operators.jpeg`)
+and its GridDecoder (`operators.multimodal.raw_jpeg_grid`).
+
+JPEG is lossy, so unlike the PNG suite there is no bit-exact pixel
+differential; the contracts are:
+
+- ROUND-TRIP BOUND: decode(encode(px)) stays within the quantization
+  error budget — at quality 100 the Annex-K tables scale to all-ones, so
+  the only loss is coefficient rounding, empirically <= 3 luma units even
+  on pure noise (asserted with headroom).  Chroma-subsampled encodes of
+  GRAYSCALE pixels (Cb = Cr = 128 everywhere, constant planes) lose
+  nothing to subsampling, so they meet the same bound.
+- BATCH DIFFERENTIAL: `raw_jpeg_grid` (per-blob integral image inside an
+  Arrow batch, mixed sizes + mixed samplings) must equal `raw_rgb_grid`
+  (the batched fixed-layout path) applied to the decoded pixels — two
+  independent block-mean implementations over identical pixels.
+- MARKER-LAYOUT FUZZ: APPn/COM segments sprinkled anywhere before SOS,
+  and any legal reordering of DQT/DHT segments, must not change a single
+  decoded pixel (a real camera file differs from our encoder's layout).
+- PLANTED TRUTH, EXHAUSTIVELY: every (class, quality, sampling) variant
+  the `image_jpeg_phash_dups` corpus ships hashes IDENTICALLY to the
+  lossless pixels' hash — this is the exact statement the query's
+  hamming-0 oracle relies on, checked for all 80 x 3 combinations, plus
+  the >= 4-bit cross-class separation that makes false pairs impossible
+  at the <= 3-bit verify.
+- LOUD FAILURE: progressive SOF2, restart intervals, 16-bit DQT,
+  truncated entropy streams, and non-JPEG bytes must raise, never hash.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from robi_biometric_qdrant_vector_db_service_spark.operators.jpeg import (
+    jpeg_decode,
+    jpeg_encode_rgb,
+)
+from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import (
+    _block_mean_grid,
+    _flatten,
+    class_grid_image,
+    dhash_bands,
+    phash_dup_pairs,
+    raw_jpeg_grid,
+    raw_rgb_grid,
+)
+from robi_biometric_qdrant_vector_db_service_spark.workload_sources import (
+    JPEG_CLASSES,
+    JPEG_VARIANTS,
+)
+
+SAMPLINGS = ("4:4:4", "4:2:2", "4:2:0")
+
+
+def _grids_for(blobs: list[bytes], decoder) -> np.ndarray:
+    import pandas as pd
+
+    data, starts, ends, lens = _flatten(pd.Series([bytearray(b) for b in blobs]))
+    return decoder(data, starts, ends, lens)
+
+
+def _hash_bits(grid: np.ndarray) -> np.ndarray:
+    return (grid[:, :-1] < grid[:, 1:]).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# round-trip bounds
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 40),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_quality_100_roundtrip_bound(w, h, seed):
+    """All-ones qtables at quality 100: the only loss is coefficient
+    rounding — <= 3 units even on pure noise (empirical max 3; assert 5
+    for float headroom)."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode_rgb(px, quality=100, sampling="4:4:4"))
+    assert out.shape == (h, w, 3)
+    assert int(np.abs(out - px.astype(np.int64)).max()) <= 5
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 40),
+    seed=st.integers(0, 2**32 - 1),
+    sampling=st.sampled_from(SAMPLINGS),
+)
+def test_grayscale_subsampling_is_lossless_in_chroma(w, h, seed, sampling):
+    """Grayscale pixels have constant Cb = Cr = 128, so chroma subsampling
+    discards nothing: every sampling mode meets the 4:4:4 bound."""
+    rng = np.random.default_rng(seed)
+    g = np.repeat(rng.integers(0, 256, size=(h, w, 1)), 3, axis=2).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode_rgb(g, quality=100, sampling=sampling))
+    assert int(np.abs(out - g.astype(np.int64)).max()) <= 5
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(8, 48),
+    h=st.integers(8, 48),
+    seed=st.integers(0, 2**32 - 1),
+    quality=st.integers(30, 99),
+    sampling=st.sampled_from(SAMPLINGS),
+)
+def test_smooth_image_roundtrip_and_determinism(w, h, seed, quality, sampling):
+    """Smooth (low-frequency) content at any mid/high quality stays within
+    a generous perceptual budget, and encode + decode are bit-deterministic."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        128
+        + 80 * np.sin((yy + rng.integers(0, 7)) / 7.0)
+        + 60 * np.cos((xx + rng.integers(0, 9)) / 9.0)
+    ).clip(0, 255)
+    px = np.stack([base, base * 0.8 + 20, base * 0.6 + 40], axis=-1).astype(np.uint8)
+    blob = jpeg_encode_rgb(px, quality=quality, sampling=sampling)
+    assert blob == jpeg_encode_rgb(px, quality=quality, sampling=sampling)
+    out = jpeg_decode(blob)
+    assert np.array_equal(out, jpeg_decode(blob))
+    assert float(np.abs(out - px.astype(np.int64)).mean()) <= 8.0
+
+
+def test_byte_stuffing_is_exercised():
+    """0xFF bytes inside the entropy stream must be stuffed (FF 00) and
+    un-stuffed — pin that real blobs contain them, so the round-trip
+    suite actually covers the stuffing path."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    blob = jpeg_encode_rgb(px, quality=100)
+    scan = blob[blob.index(b"\xff\xda") :]
+    assert b"\xff\x00" in scan
+    assert int(np.abs(jpeg_decode(blob) - px.astype(np.int64)).max()) <= 5
+
+
+# ---------------------------------------------------------------------------
+# batch differential: raw_jpeg_grid vs raw_rgb_grid over decoded pixels
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_sizes_and_samplings_grid_in_one_batch():
+    """One Arrow batch mixing geometries and sampling modes: the per-blob
+    integral-image path must equal the batched fixed-layout path applied
+    to the decoded pixels (independent block-mean implementations)."""
+    rng = np.random.default_rng(11)
+    specs = [(9, 8, "4:4:4", 95), (20, 12, "4:2:0", 85), (33, 31, "4:2:2", 90)]
+    blobs, decoded = [], []
+    for w, h, samp, q in specs:
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        blob = jpeg_encode_rgb(px, quality=q, sampling=samp)
+        blobs.append(blob)
+        decoded.append(jpeg_decode(blob))
+    grids = _grids_for(blobs, raw_jpeg_grid)
+    for i, px in enumerate(decoded):
+        h, w = px.shape[:2]
+        want = _grids_for(
+            [px.astype(np.uint8).tobytes()], raw_rgb_grid(w, h)
+        )[0]
+        assert np.array_equal(grids[i], want)
+
+
+# ---------------------------------------------------------------------------
+# marker-layout fuzz
+# ---------------------------------------------------------------------------
+
+
+def _split_segments(blob: bytes) -> tuple[list[tuple[int, bytes]], bytes]:
+    """(marker, raw segment bytes) list up to and including SOS, plus the
+    trailing scan bytes."""
+    assert blob[:2] == b"\xff\xd8"
+    pos, segs = 2, []
+    while True:
+        marker = blob[pos + 1]
+        (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        segs.append((marker, blob[pos : pos + 2 + ln]))
+        pos += 2 + ln
+        if marker == 0xDA:
+            return segs, blob[pos:]
+
+
+def _segment(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    perm_seed=st.integers(0, 2**32 - 1),
+    app_at=st.lists(st.integers(0, 8), max_size=4),
+)
+def test_marker_reorder_and_ancillary_segments(seed, perm_seed, app_at):
+    """Reordering DQT/DHT/APP0 segments (all legal before SOS) and
+    inserting APPn/COM segments anywhere must not change a pixel."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(17, 19, 3)).astype(np.uint8)
+    blob = jpeg_encode_rgb(px, quality=92, sampling="4:2:0")
+    want = jpeg_decode(blob)
+    segs, scan = _split_segments(blob)
+    head, sos = segs[:-1], segs[-1]
+    order = np.random.default_rng(perm_seed).permutation(len(head))
+    noise = [
+        _segment(0xE7, b"fuzz-app7-payload"),
+        _segment(0xFE, b"a comment segment"),
+    ]
+    out = bytearray(b"\xff\xd8")
+    for i, k in enumerate(order):
+        if i in app_at:
+            out += noise[i % 2]
+        out += head[k][1]
+    out += sos[1] + scan
+    got = jpeg_decode(bytes(out))
+    assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# the planted truth the image_jpeg_phash_dups oracle states
+# ---------------------------------------------------------------------------
+
+
+def test_every_corpus_variant_hashes_like_lossless():
+    """All JPEG_CLASSES x JPEG_VARIANTS corpus blobs hash IDENTICALLY to
+    their class's lossless pixels — the hamming-0 planted truth — and
+    distinct classes stay >= 4 bits apart, so the <= 3-bit verify can
+    emit no false pair."""
+    ref_bits = []
+    for cls in range(JPEG_CLASSES):
+        px = class_grid_image(cls, width=36, height=32)
+        ref = _hash_bits(_block_mean_grid(px.astype(np.int64), "t"))
+        ref_bits.append(ref)
+        for q, samp in JPEG_VARIANTS:
+            out = jpeg_decode(jpeg_encode_rgb(px, quality=q, sampling=samp))
+            got = _hash_bits(_block_mean_grid(out, "t"))
+            assert np.array_equal(got, ref), (cls, q, samp)
+    h = np.array(ref_bits)
+    cross = (h[:, None, :] != h[None, :, :]).sum(axis=-1)
+    np.fill_diagonal(cross, 64)
+    assert int(cross.min()) >= 4
+
+
+def test_jpeg_planted_dups_pair_through_pipeline(spark):
+    """End-to-end dhash_bands + phash_dup_pairs over JPEG blobs: lossy
+    re-encodes of the same pixels at different (quality, sampling) pair
+    at hamming 0; distinct classes never pair."""
+    originals = [class_grid_image(c, width=36, height=32) for c in range(5)]
+    blobs = [
+        jpeg_encode_rgb(px, quality=JPEG_VARIANTS[i % 3][0],
+                        sampling=JPEG_VARIANTS[i % 3][1])
+        for i, px in enumerate(originals)
+    ]
+    # doc 5 re-encodes doc 0 at a different variant; doc 6 duplicates doc 2
+    blobs += [
+        jpeg_encode_rgb(originals[0], quality=85, sampling="4:2:2"),
+        jpeg_encode_rgb(originals[2], quality=90, sampling="4:2:0"),
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(len(blobs)), "blob": [bytearray(b) for b in blobs]}
+        ),
+        schema="doc_id bigint, blob binary",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_dup_pairs(dhash_bands(df, decoder=raw_jpeg_grid)).collect()
+    }
+    assert got == {(0, 5): 0, (2, 6): 0}
+
+
+# ---------------------------------------------------------------------------
+# loud failure
+# ---------------------------------------------------------------------------
+
+
+def test_rejects_corrupt_and_unsupported():
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    good = jpeg_encode_rgb(px, quality=90)
+
+    with pytest.raises(ValueError, match="missing SOI"):
+        jpeg_decode(b"\x89PNG" + good)
+
+    # progressive: patch the SOF0 marker byte to SOF2
+    prog = bytearray(good)
+    prog[good.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="not baseline"):
+        jpeg_decode(bytes(prog))
+
+    # 16-bit quantization table: set the DQT precision nibble
+    deep = bytearray(good)
+    dqt_payload = good.index(b"\xff\xdb") + 4
+    deep[dqt_payload] |= 0x10
+    with pytest.raises(ValueError, match="16-bit DQT"):
+        jpeg_decode(bytes(deep))
+
+    # nonzero restart interval before the scan
+    segs, scan = _split_segments(good)
+    out = bytearray(b"\xff\xd8")
+    for marker, raw in segs[:-1]:
+        out += raw
+    out += _segment(0xDD, struct.pack(">H", 4)) + segs[-1][1] + scan
+    with pytest.raises(ValueError, match="restart intervals"):
+        jpeg_decode(bytes(out))
+
+    # truncated entropy stream
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_decode(good[: len(good) // 2])
+
+    # undersized for the 8x9 grid: decodes fine, but must not hash
+    tiny = jpeg_encode_rgb(px[:8, :8], quality=90)
+    assert jpeg_decode(tiny).shape == (8, 8, 3)
+    with pytest.raises(ValueError, match="at least 9x8"):
+        _grids_for([tiny], raw_jpeg_grid)
+
+
+def test_encoder_input_contracts():
+    with pytest.raises(ValueError, match="quality"):
+        jpeg_encode_rgb(np.zeros((8, 9, 3), dtype=np.uint8), quality=0)
+    with pytest.raises(ValueError, match="unknown sampling"):
+        jpeg_encode_rgb(np.zeros((8, 9, 3), dtype=np.uint8), sampling="4:1:1")
+    with pytest.raises(ValueError, match="expected \\(h, w, 3\\)"):
+        jpeg_encode_rgb(np.zeros((8, 9), dtype=np.uint8))
+    with pytest.raises(ValueError, match="empty image"):
+        jpeg_encode_rgb(np.zeros((0, 9, 3), dtype=np.uint8))
