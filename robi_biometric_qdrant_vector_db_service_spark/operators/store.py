@@ -422,6 +422,75 @@ class VectorStore:
             return sorted(f for b in buckets for f in manifest.get(b, []))
         return sorted(f for fs in manifest.values() for f in fs)
 
+    def changes(self, since: int, *, to: int | None = None) -> DataFrame:
+        """Change-data-feed between two committed versions (Delta CDF's
+        reader surface re-derived from the manifest log): one row per
+        logical row change with ``change`` in {insert, delete,
+        update_preimage, update_postimage}, plus the full row image
+        (pre-image for deletes/update_preimage, post-image otherwise).
+
+        FILE-LEVEL pruning does the heavy lifting: a file listed by BOTH
+        manifests is byte-identical (segments are immutable — every
+        mutation writes new files), so only files REMOVED since ``since``
+        are read as the old side and only files ADDED as the new side;
+        the untouched bulk of a 100 TB store is never enumerated, let
+        alone scanned.  Within the changed files, one full-outer join on
+        point_id classifies each id; rows whose content is identical
+        (e.g. a compaction or an unrelated same-bucket rewrite moved them
+        between files) are dropped — physical churn emits NOTHING.  Map
+        payloads aren't directly comparable in Spark, so content equality
+        canonicalizes ``metadata`` to sorted entry structs.  The
+        classification is a single projection + one generator (updates
+        explode to their pre/post pair) — no second scan, no re-join."""
+        old_m = self._read_manifest(since)
+        new_m = self._read_manifest(to)
+        old_files = {f for fs in old_m.values() for f in fs}
+        new_files = {f for fs in new_m.values() for f in fs}
+
+        def side(files: set[str], name: str) -> DataFrame:
+            img = F.struct(
+                "user_id", "ts", "embedding", "metadata"
+            ).alias(f"{name}_img")
+            cmp = F.struct(
+                "user_id",
+                "ts",
+                "embedding",
+                F.array_sort(F.map_entries("metadata")).alias("meta"),
+            ).alias(f"{name}_cmp")
+            return self._read_files(sorted(files)).select("point_id", img, cmp)
+
+        o = side(old_files - new_files, "o")
+        n = side(new_files - old_files, "n")
+        joined = o.join(n, "point_id", "full_outer")
+        pair = F.when(
+            F.col("o_cmp").isNull(),
+            F.array(F.struct(F.lit("insert").alias("change"),
+                             F.col("n_img").alias("img"))),
+        ).when(
+            F.col("n_cmp").isNull(),
+            F.array(F.struct(F.lit("delete").alias("change"),
+                             F.col("o_img").alias("img"))),
+        ).when(
+            F.col("o_cmp") != F.col("n_cmp"),
+            F.array(
+                F.struct(F.lit("update_preimage").alias("change"),
+                         F.col("o_img").alias("img")),
+                F.struct(F.lit("update_postimage").alias("change"),
+                         F.col("n_img").alias("img")),
+            ),
+        ).otherwise(F.array())
+        return (
+            joined.select("point_id", F.explode(pair).alias("c"))
+            .select(
+                F.col("c.change").alias("change"),
+                "point_id",
+                F.col("c.img.user_id").alias("user_id"),
+                F.col("c.img.ts").alias("ts"),
+                F.col("c.img.embedding").alias("embedding"),
+                F.col("c.img.metadata").alias("metadata"),
+            )
+        )
+
     # -- S2/S3 add / upsert -------------------------------------------------
 
     def _defaults(self, batch: DataFrame, *, normalize: bool) -> DataFrame:

@@ -1647,6 +1647,82 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_changelog",
+    """
+WITH e AS (
+  SELECT vec_id, label, concat('u', CAST(label AS VARCHAR)) AS user_id
+  FROM embeddings
+)
+SELECT 'delete' AS change, user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(1000.0 + vec_id) AS DOUBLE) AS ts_sum
+FROM e WHERE label = 2 GROUP BY user_id
+UNION ALL
+SELECT 'update_preimage', user_id, CAST(count(*) AS BIGINT),
+       CAST(sum(1000.0 + vec_id) AS DOUBLE)
+FROM e WHERE vec_id < 10 AND label <> 2 GROUP BY user_id
+UNION ALL
+SELECT 'update_postimage', user_id, CAST(count(*) AS BIGINT),
+       CAST(sum(500000000.0 + vec_id) AS DOUBLE)
+FROM e WHERE vec_id < 10 AND label <> 2 GROUP BY user_id
+UNION ALL
+SELECT 'insert', 'unew', CAST(count(*) AS BIGINT),
+       CAST(sum(700000000.0 + vec_id) AS DOUBLE)
+FROM e WHERE vec_id < 5
+""",
+)
+def store_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between manifest versions (Delta CDF semantics over
+    the segment store — the missing half of time travel: not just "read the
+    past" but "what changed since").  The query commits three mutation
+    generations on a fresh clone — a predicate delete (u2), an upsert that
+    UPDATES ten existing points (ts bump) and INSERTS five new ones, and a
+    full compaction — then reads ``changes(v0)`` and aggregates per
+    (change, user).  The oracle states the logical truth; the compaction is
+    the adversarial part, because it rewrites EVERY file (maximal physical
+    churn) yet must emit zero change rows — content-identity, not file
+    identity, defines the feed.  Scale: only files added/removed between
+    the versions are scanned (immutable segments make file identity a
+    content proof for the untouched bulk), then one full-outer join keyed
+    on point_id inside the churned slice."""
+    store = _fresh_store(spark, sf_dir, "cdc")
+    v0 = store._current_version()
+    store.delete_where("user_id = 'u2'")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _rows(df: DataFrame, pid, user, ts) -> DataFrame:
+        return df.select(
+            pid.alias("point_id"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+            user.alias("user_id"),
+            ts.alias("ts"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+        )
+
+    updates = _rows(
+        emb.filter((F.col("vec_id") < 10) & (F.col("label") != 2)),
+        F.col("vec_id").cast("string"),
+        F.concat(F.lit("u"), F.col("label").cast("string")),
+        F.lit(5.0e8) + F.col("vec_id"),
+    )
+    inserts = _rows(
+        emb.filter(F.col("vec_id") < 5),
+        F.concat(F.lit("n"), F.col("vec_id").cast("string")),
+        F.lit("unew"),
+        F.lit(7.0e8) + F.col("vec_id"),
+    )
+    store.upsert(updates.unionByName(inserts), normalize=False)
+    store.compact(max_files_per_bucket=1)
+    return (
+        store.changes(v0)
+        .groupBy("change", "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("ts").cast("double").alias("ts_sum"),
+        )
+    )
+
+
+@register(
     "time_range_scan",
     """
 SELECT concat('u', CAST(label AS VARCHAR)) AS user_id,

@@ -231,3 +231,156 @@ def test_apply_batch_coalesced_equals_sequential(spark, tmp_path_factory,
     assert _read_state(a) == _read_state(b), ops
     # coalescing only ever reduces the number of published versions
     assert a._current_version() <= b._current_version()
+
+
+# ---------------------------------------------------------------------------
+# change-data-feed (VectorStore.changes) vs the dict model
+# ---------------------------------------------------------------------------
+
+_cdc_uv_rows = st.lists(
+    st.tuples(
+        st.sampled_from(IDS),
+        st.tuples(st.floats(0.5, 9.0), st.floats(0.5, 9.0)),
+    ),
+    min_size=1, max_size=3, unique_by=lambda t: t[0],
+)
+
+_cdc_op = st.one_of(
+    st.tuples(st.just("upsert"), _rows),
+    st.tuples(st.just("set_payload"), _ids, st.sampled_from(PAYLOADS)),
+    st.tuples(st.just("overwrite_payload"), _ids, st.sampled_from(PAYLOADS)),
+    st.tuples(st.just("delete_payload"), _ids, st.sampled_from(KEYSETS)),
+    st.tuples(st.just("clear_payload"), _ids),
+    st.tuples(st.just("delete"), _ids),
+    st.tuples(st.just("delete_user"), st.sampled_from(USERS)),
+    st.tuples(st.just("update_vectors"), _cdc_uv_rows),
+    st.tuples(st.just("compact")),
+)
+
+
+def _cdc_model_row(user, meta, emb):
+    return {"user_id": user, "ts": 1000.0, "metadata": dict(meta),
+            "embedding": tuple(emb)}
+
+
+def _cdc_apply(model, o):
+    kind = o[0]
+    if kind == "upsert":
+        for pid, user, meta in o[1]:
+            model[pid] = _cdc_model_row(user, meta, EMB[pid])
+    elif kind == "set_payload":
+        for pid in o[1]:
+            if pid in model:
+                model[pid]["metadata"].update(o[2])
+    elif kind == "overwrite_payload":
+        for pid in o[1]:
+            if pid in model:
+                model[pid]["metadata"] = dict(o[2])
+    elif kind == "delete_payload":
+        for pid in o[1]:
+            if pid in model:
+                for k in o[2]:
+                    model[pid]["metadata"].pop(k, None)
+    elif kind == "clear_payload":
+        for pid in o[1]:
+            if pid in model:
+                model[pid]["metadata"] = {}
+    elif kind == "delete":
+        for pid in o[1]:
+            model.pop(pid, None)
+    elif kind == "delete_user":
+        for pid in [p for p, r in model.items() if r["user_id"] == o[1]]:
+            del model[pid]
+    elif kind == "update_vectors":
+        for pid, vec in o[1]:
+            if pid in model:
+                model[pid]["embedding"] = tuple(vec)
+
+
+def _cdc_run(store, o):
+    kind = o[0]
+    if kind == "upsert":
+        store.upsert(_row_df(store.spark, o[1]), normalize=False)
+    elif kind == "set_payload":
+        store.set_payload(list(o[1]), o[2])
+    elif kind == "overwrite_payload":
+        store.overwrite_payload(list(o[1]), o[2])
+    elif kind == "delete_payload":
+        store.delete_payload(list(o[1]), o[2])
+    elif kind == "clear_payload":
+        store.clear_payload(list(o[1]))
+    elif kind == "delete":
+        store.delete_by_id(list(o[1]))
+    elif kind == "delete_user":
+        store.delete_user(o[1])
+    elif kind == "update_vectors":
+        store.update_vectors(_uv_df(store.spark, o[1]), normalize=False)
+    elif kind == "compact":
+        store.compact()
+
+
+def _expected_cdc(snap, final):
+    rows = set()
+    for pid in snap.keys() | final.keys():
+        a, b = snap.get(pid), final.get(pid)
+        if a == b:
+            continue  # unchanged (or never existed in either) => silent
+        if a is None:
+            rows.add(("insert", pid))
+        elif b is None:
+            rows.add(("delete", pid))
+        else:
+            rows.add(("update_preimage", pid))
+            rows.add(("update_postimage", pid))
+    return rows
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    initial=_rows,
+    ops=st.lists(_cdc_op, min_size=1, max_size=6),
+    cut=st.integers(0, 6),
+)
+def test_changes_matches_model_diff(spark, tmp_path_factory, initial, ops, cut):
+    """CDC contract on arbitrary mutation sequences: ``changes(v)`` from
+    ANY committed version to the tip must equal the dict-model state diff
+    — change classification, full row images, and (the adversarial part)
+    SILENCE for rows only moved between files by compaction or unrelated
+    same-bucket rewrites.  A same-content upsert must emit nothing; an
+    update must emit exactly its pre/post pair."""
+    root = str(tmp_path_factory.mktemp("store_cdc"))
+    store = VectorStore.create(spark, root, _row_df(spark, initial))
+    model = {
+        pid: _cdc_model_row(user, meta, EMB[pid])
+        for pid, user, meta in initial
+    }
+    cut = min(cut, len(ops))
+    snap_model = {p: {**r, "metadata": dict(r["metadata"])}
+                  for p, r in model.items()}
+    snap_version = store._current_version()
+    for i, o in enumerate(ops):
+        _cdc_run(store, o)
+        _cdc_apply(model, o)
+        if i + 1 == cut:
+            snap_model = {p: {**r, "metadata": dict(r["metadata"])}
+                          for p, r in model.items()}
+            snap_version = store._current_version()
+
+    got_rows = store.changes(snap_version).collect()
+    got = {(r["change"], r["point_id"]) for r in got_rows}
+    assert got == _expected_cdc(snap_model, model), (ops, cut)
+    # row images: post-side changes carry the final state, pre-side the
+    # snapshot state — field-for-field including the embedding
+    for r in got_rows:
+        src = snap_model if r["change"] in ("delete", "update_preimage") else model
+        want = src[r["point_id"]]
+        assert r["user_id"] == want["user_id"]
+        assert r["ts"] == want["ts"]
+        assert tuple(r["embedding"]) == want["embedding"]
+        assert dict(r["metadata"] or {}) == want["metadata"]
+    # a trailing compaction is pure physical churn: the feed stays identical
+    store.compact(max_files_per_bucket=1)
+    after = {(r["change"], r["point_id"])
+             for r in store.changes(snap_version).collect()}
+    assert after == got
