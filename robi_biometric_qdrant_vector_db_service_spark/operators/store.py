@@ -54,6 +54,7 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import re
 import shutil
 import uuid
 import zlib
@@ -728,11 +729,27 @@ class VectorStore:
     # run of them composes into ONE bucket rewrite with the per-row state
     # threaded op-by-op, so sequential consistency holds with one commit.
     # update_vectors joined the family in r15 (its id set is the request
-    # batch's point_ids; the new embeddings broadcast-join in).
+    # batch's point_ids; the new embeddings broadcast-join in);
+    # delete_where joined later in r15 under the immutable-predicate guard
+    # (_composable_rewrite_op below).
     _REWRITE_TAGS = frozenset(
         ("delete", "set_payload", "overwrite_payload", "delete_payload",
          "clear_payload", "update_vectors")
     )
+
+    # columns the rewrite family mutates; a delete_where predicate that
+    # references neither composes into the group (its matches are then a
+    # pure function of immutable row state + upstream liveness).  The
+    # word-level scan is conservative: a false hit (the word inside a
+    # string literal) merely falls back to the always-correct solo commit.
+    _MUTABLE_COLS_RE = re.compile(r"(?i)\b(metadata|embedding)\b")
+
+    def _composable_rewrite_op(self, op: tuple) -> bool:
+        if op[0] in self._REWRITE_TAGS:
+            return True
+        return op[0] == "delete_where" and not self._MUTABLE_COLS_RE.search(
+            op[1]
+        )
 
     def apply_batch(self, ops: list[tuple], *, coalesce: bool = True) -> list[int]:
         """Qdrant's points batch-update API (``batch_update_points`` /
@@ -767,9 +784,15 @@ class VectorStore:
         disjoint across batches likewise merges into one locate + rewrite
         + append + commit (overlapping runs fall back to sequential — the
         later upsert must replace the earlier's row).  ``delete_where``
-        always commits solo (its match set is a PREDICATE over current
-        row state, not an id set — composing it would require re-binding
-        the predicate against threaded columns).  With ``coalesce=True``
+        joins the rewrite run when its predicate references only
+        IMMUTABLE columns (point_id / user_id / ts — no ``metadata`` or
+        ``embedding`` token): such a match set is a pure function of row
+        identity and upstream liveness, so its flag is the predicate
+        evaluated in-row, gated on ``alive``.  A predicate over mutable
+        columns would need re-binding against the threaded meta/vector
+        state, so it commits solo (the always-correct fallback — also
+        taken on any conservative token false-positive).  With
+        ``coalesce=True``
         the manifest log records one version per commit GROUP rather than
         per op (the only observable difference — time travel lands on
         group boundaries); per-op ``UpdateResult`` counts are exact either
@@ -800,9 +823,9 @@ class VectorStore:
         i = 0
         while i < len(ops):
             tag = ops[i][0]
-            if tag in self._REWRITE_TAGS:
+            if self._composable_rewrite_op(ops[i]):
                 j = i
-                while j < len(ops) and ops[j][0] in self._REWRITE_TAGS:
+                while j < len(ops) and self._composable_rewrite_op(ops[j]):
                     j += 1
                 group = ops[i:j]
                 if len(group) == 1:
@@ -838,9 +861,19 @@ class VectorStore:
         emb = F.col("embedding")
         matched = []
         for k, op in enumerate(ops):
+            tag = op[0]
+            if tag == "delete_where":
+                # immutable-predicate guard (apply_batch) means the match
+                # is row-state-independent of earlier meta/vector ops;
+                # NULL keeps the row, exactly like the solo path
+                m = alive & F.coalesce(
+                    F.expr(op[1]).cast("boolean"), F.lit(False)
+                )
+                matched.append(m)
+                alive = alive & ~m
+                continue
             m = alive & F.coalesce(F.col(f"__f{k}"), F.lit(False))
             matched.append(m)
-            tag = op[0]
             if tag == "delete":
                 alive = alive & ~m
             elif tag == "update_vectors":
@@ -874,9 +907,11 @@ class VectorStore:
         half-apply), computes driver-side per-point match flags from the
         Python id lists (deduped — the ``_mutate_matched`` discipline;
         an ``update_vectors`` op's ids come from its request-sized batch,
-        its new embeddings stay distributed and join in by broadcast),
-        and threads liveness/metadata/embedding per row in op order, so
-        overlapping id sets reproduce sequential semantics exactly."""
+        its new embeddings stay distributed and join in by broadcast;
+        an immutable-predicate ``delete_where`` contributes no probe at
+        all — its flag is the predicate evaluated in-row), and threads
+        liveness/metadata/embedding per row in op order, so overlapping
+        id sets reproduce sequential semantics exactly."""
         for op in ops:
             if op[0] in ("set_payload", "overwrite_payload") and not op[2]:
                 raise ValueError(f"{op[0]} requires at least one key")
@@ -884,7 +919,10 @@ class VectorStore:
                 raise ValueError("delete_payload requires at least one key")
         uv_batches: dict[int, DataFrame] = {}
         probes = []
+        id_ks = []
         for k, op in enumerate(ops):
+            if op[0] == "delete_where":
+                continue  # predicate flag, no id probe
             if op[0] == "update_vectors":
                 new = op[1].select(
                     F.col("point_id").cast("string").alias("point_id"),
@@ -899,6 +937,7 @@ class VectorStore:
                 ids_df = self.spark.createDataFrame(
                     [(pid,) for pid in sorted(set(op[1]))], "point_id string"
                 )
+            id_ks.append(k)
             probes.append(ids_df.withColumn("__op_k", F.lit(k)))
         # flags as a UNION of per-op id frames folded by one request-sized
         # aggregate (r14 ADVICE) — driver payload is linear in Σ|ids|, not
@@ -906,19 +945,21 @@ class VectorStore:
         # Per-op row counts ride the same aggregate so ALL update_vectors
         # duplicate-id checks cost one action, and the persisted flags
         # serve both passes without recomputing the union.
-        probe = probes[0]
-        for p in probes[1:]:
-            probe = probe.unionByName(p)
-        flags_cached = probe.groupBy("point_id").agg(
-            *[
-                F.max(F.when(F.col("__op_k") == k, F.lit(True))).alias(f"__f{k}")
-                for k in range(len(ops))
-            ],
-            *[
-                F.count(F.when(F.col("__op_k") == k, F.lit(1))).alias(f"__c{k}")
-                for k in uv_batches
-            ],
-        ).persist()
+        flags_cached = None
+        if probes:
+            probe = probes[0]
+            for p in probes[1:]:
+                probe = probe.unionByName(p)
+            flags_cached = probe.groupBy("point_id").agg(
+                *[
+                    F.max(F.when(F.col("__op_k") == k, F.lit(True))).alias(f"__f{k}")
+                    for k in id_ks
+                ],
+                *[
+                    F.count(F.when(F.col("__op_k") == k, F.lit(1))).alias(f"__c{k}")
+                    for k in uv_batches
+                ],
+            ).persist()
         try:
             if uv_batches:
                 dup_pred = " OR ".join(f"__c{k} > 1" for k in uv_batches)
@@ -926,10 +967,13 @@ class VectorStore:
                     raise ValueError(
                         "update_vectors: duplicate point_id in request"
                     )
-            flags = flags_cached.drop(*[f"__c{k}" for k in uv_batches])
             manifest = self._read_manifest()
             current = self._read_files([f for fs in manifest.values() for f in fs])
-            joined = current.join(F.broadcast(flags), "point_id", "left")
+            if flags_cached is not None:
+                flags = flags_cached.drop(*[f"__c{k}" for k in uv_batches])
+                joined = current.join(F.broadcast(flags), "point_id", "left")
+            else:  # all-predicate group: no id probes, no flag join
+                joined = current
             matched, _, _, _ = self._rewrite_group_state(joined, ops)
             per_bucket = (
                 joined.groupBy("ubucket")
@@ -951,7 +995,11 @@ class VectorStore:
                 df = self._read_files(
                     [f for b in touched for f in manifest.get(b, [])]
                 )
-                dj = df.join(F.broadcast(flags), "point_id", "left")
+                dj = (
+                    df.join(F.broadcast(flags), "point_id", "left")
+                    if flags_cached is not None
+                    else df
+                )
                 for k, new in uv_batches.items():
                     dj = dj.join(F.broadcast(new), "point_id", "left")
                 _, alive, meta, emb = self._rewrite_group_state(dj, ops)
@@ -969,7 +1017,8 @@ class VectorStore:
                     manifest[b] = rewritten.get(b, [])
                 self._publish_manifest(manifest, stats)
         finally:
-            flags_cached.unpersist()
+            if flags_cached is not None:
+                flags_cached.unpersist()
             for new in uv_batches.values():
                 new.unpersist()
         return counts

@@ -579,6 +579,32 @@ def test_apply_batch_coalesces_commit_counts(spark, tmp_path):
     ) == [1, 1]
     assert store._current_version() == v3 + 2  # opt-out: one per op
 
+    # delete_where with an IMMUTABLE-column predicate composes into the
+    # rewrite run (one commit for all three ops, exact counts)
+    v4 = store._current_version()
+    assert store.apply_batch(
+        [
+            ("set_payload", ["a"], {"k2": "v2"}),
+            ("delete_where", "user_id = 'nobody'"),
+            ("clear_payload", ["a"]),
+        ]
+    ) == [1, 0, 1]
+    assert store._current_version() == v4 + 1
+
+    # a predicate over MUTABLE columns must observe the preceding op's
+    # write, so it splits the run and commits solo: the set_payload gilds
+    # 'a', the predicate delete then removes exactly that row
+    v5 = store._current_version()
+    assert store.apply_batch(
+        [
+            ("set_payload", ["a"], {"tier": "gold"}),
+            ("delete_where", "metadata['tier'] = 'gold'"),
+            ("clear_payload", ["d"]),
+        ]
+    ) == [1, 1, 1]
+    assert store._current_version() == v5 + 3
+    assert store.read().filter("point_id = 'a'").count() == 0
+
 
 def test_apply_batch_rejects_unknown_op_before_running_any(spark, tmp_path):
     """A malformed batch must fail up front — no half-applied sequence."""

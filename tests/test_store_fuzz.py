@@ -25,6 +25,18 @@ EMB = {pid: [float(i + 1), 0.5] for i, pid in enumerate(IDS)}
 PAYLOADS = [{"tier": "gold"}, {"tier": "bronze", "seq": "9"}, {"k": "v"}]
 KEYSETS = [["tier"], ["seq"], ["tier", "k"]]
 
+# predicate catalog for delete_where: SQL text + the dict-model oracle
+# over (pid, row).  The first three reference only immutable columns and
+# therefore compose into rewrite groups; the metadata predicate exercises
+# the solo-commit fallback inside a coalesced batch.
+DW_PREDS = [
+    ("user_id = 'u1'", lambda pid, r: r["user_id"] == "u1"),
+    ("point_id IN ('p1', 'p3', 'p8')", lambda pid, r: pid in ("p1", "p3", "p8")),
+    ("ts > 2000.0", lambda pid, r: False),  # fixture ts is always 1000.0
+    ("metadata['tier'] = 'gold'",
+     lambda pid, r: r["metadata"].get("tier") == "gold"),
+]
+
 _ids = st.lists(st.sampled_from(IDS), min_size=1, max_size=4, unique=True)
 _rows = st.lists(
     st.tuples(st.sampled_from(IDS), st.sampled_from(USERS),
@@ -39,6 +51,7 @@ op = st.one_of(
     st.tuples(st.just("delete_payload"), _ids, st.sampled_from(KEYSETS)),
     st.tuples(st.just("clear_payload"), _ids),
     st.tuples(st.just("delete"), _ids),
+    st.tuples(st.just("delete_where"), st.integers(0, len(DW_PREDS) - 1)),
     st.tuples(st.just("delete_user"), st.sampled_from(USERS)),
     st.tuples(st.just("compact")),
 )
@@ -91,6 +104,12 @@ def _apply_model(model, o):
         for p in hit:
             del model[p]
         return len(hit)
+    if kind == "delete_where":
+        pred = DW_PREDS[o[1]][1]
+        hit = [p for p, r in model.items() if pred(p, r)]
+        for p in hit:
+            del model[p]
+        return len(hit)
     if kind == "compact":
         return None
     raise AssertionError(kind)
@@ -107,6 +126,8 @@ def _to_batch_op(spark, o):
         return ("clear_payload", list(o[1]))
     if o[0] == "delete":
         return ("delete", list(o[1]))
+    if o[0] == "delete_where":
+        return ("delete_where", DW_PREDS[o[1]][0])
     return None  # delete_user/compact run as direct calls
 
 
@@ -150,6 +171,8 @@ def test_store_matches_dict_model(spark, tmp_path_factory, initial, ops,
             assert store.clear_payload(list(o[1])) == want
         elif o[0] == "delete":
             assert store.delete_by_id(list(o[1])) == want
+        elif o[0] == "delete_where":
+            assert store.delete_where(DW_PREDS[o[1]][0]) == want
         elif o[0] == "delete_user":
             assert store.delete_user(o[1]) == want
         elif o[0] == "compact":
@@ -181,6 +204,7 @@ _batchable_op = st.one_of(
     st.tuples(st.just("delete_payload"), _ids, st.sampled_from(KEYSETS)),
     st.tuples(st.just("clear_payload"), _ids),
     st.tuples(st.just("delete"), _ids),
+    st.tuples(st.just("delete_where"), st.integers(0, len(DW_PREDS) - 1)),
     st.tuples(st.just("update_vectors"), _uv_rows),
 )
 
@@ -252,6 +276,7 @@ _cdc_op = st.one_of(
     st.tuples(st.just("delete_payload"), _ids, st.sampled_from(KEYSETS)),
     st.tuples(st.just("clear_payload"), _ids),
     st.tuples(st.just("delete"), _ids),
+    st.tuples(st.just("delete_where"), st.integers(0, len(DW_PREDS) - 1)),
     st.tuples(st.just("delete_user"), st.sampled_from(USERS)),
     st.tuples(st.just("update_vectors"), _cdc_uv_rows),
     st.tuples(st.just("compact")),
@@ -288,6 +313,10 @@ def _cdc_apply(model, o):
     elif kind == "delete":
         for pid in o[1]:
             model.pop(pid, None)
+    elif kind == "delete_where":
+        pred = DW_PREDS[o[1]][1]
+        for pid in [p for p, r in model.items() if pred(p, r)]:
+            del model[pid]
     elif kind == "delete_user":
         for pid in [p for p, r in model.items() if r["user_id"] == o[1]]:
             del model[pid]
@@ -311,6 +340,8 @@ def _cdc_run(store, o):
         store.clear_payload(list(o[1]))
     elif kind == "delete":
         store.delete_by_id(list(o[1]))
+    elif kind == "delete_where":
+        store.delete_where(DW_PREDS[o[1]][0])
     elif kind == "delete_user":
         store.delete_user(o[1])
     elif kind == "update_vectors":
