@@ -1255,3 +1255,157 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (Sennrich et al. 2016, the
+# word-frequency formulation) — the "train the tokenizer ON the corpus"
+# pipeline stage between curation and tokenization.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def _bpe_oracle_sql(k_merges: int) -> str:
+    """The oracle is the same data-dependent iteration expressed as a
+    generated K-stage SQL chain: each stage recounts adjacent pairs,
+    selects its own argmax (same count-desc / lexicographic tie-break),
+    and applies the merge with SQL ``replace`` on the ⟨symbol⟩-wrapped
+    form.  CTEs are MATERIALIZED — each stage references its predecessor
+    twice, and inlining would expand the corpus scan 2^K times."""
+    stages, sel = [], []
+    prev = "v0"
+    for k in range(k_merges):
+        stages.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT a[g] AS l, a[g+1] AS r, CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substring(sym, 2, length(sym)-2), '⟩⟨') AS a,
+               freq FROM {prev}) s,
+       LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS g) t
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+v{k + 1} AS MATERIALIZED (
+  SELECT replace(sym,
+                 '⟨' || (SELECT l FROM b{k}) || '⟩⟨' || (SELECT r FROM b{k}) || '⟩',
+                 '⟨' || (SELECT l FROM b{k}) || (SELECT r FROM b{k}) || '⟩') AS sym,
+         freq
+  FROM {prev}
+)""")
+        sel.append(
+            f"SELECT {k + 1} AS step, (SELECT l || r FROM b{k}) AS merged,"
+            f" (SELECT n FROM b{k}) AS n,"
+            f" (SELECT CAST(sum(freq * len(string_split(substring(sym, 2,"
+            f" length(sym)-2), '⟩⟨'))) AS BIGINT) FROM v{k + 1}) AS n_tokens"
+        )
+        prev = f"v{k + 1}"
+    return f"""
+WITH w AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '⟨\\1⟩', 'g') AS sym, freq FROM w
+),
+{','.join(stages)}
+{' UNION ALL '.join(sel)}
+"""
+
+
+@register("bpe_merge_table", _bpe_oracle_sql(BPE_MERGES))
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the corpus: the first ``BPE_MERGES`` merge
+    rules (step, merged, selection-time weighted pair count) plus the
+    corpus token count after each merge — the artifact every LLM
+    pretraining run produces before tokenization.
+
+    Sennrich's word-frequency formulation is what makes this a 100 TB
+    operator: the ONLY corpus-scale work is one tokenize + group-by that
+    collapses the corpus to its distinct-word/frequency table (at trillion-
+    token scale that is millions of rows); every merge iteration then
+    shuffles just the vocab-sized adjacent-pair table, the argmax is a
+    single-row collect (bounded driver state, the codebook discipline of
+    operators/ann.py), and applying a merge is one JVM-side ``replace``
+    projection on the ⟨symbol⟩-wrapped form — no Python in the loop, no
+    per-token state.  Each symbol is individually ⟨⟩-wrapped so a merge
+    pattern can only match at whole-symbol boundaries and adjacent
+    disjoint occurrences merge in one pass while overlapping ones follow
+    the standard left-to-right greedy rule — the per-step ``n_tokens``
+    column pins exactly that replace semantics corpus-wide against the
+    oracle's independent SQL replay.  Ties break (count desc, left,
+    right) identically in both engines.  The [a-z]+ word gate keeps the
+    wrapper characters out of the symbol alphabet (a production run would
+    escape instead of filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(word_vocab(docs), BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "step int, merged string, n bigint, n_tokens bigint"
+    )
+
+
+def word_vocab(docs: DataFrame) -> DataFrame:
+    """Corpus -> distinct-word/frequency vocab with ⟨⟩-wrapped initial
+    character symbols (the one corpus-scale stage of BPE training)."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .withColumn("sym", F.regexp_replace("word", "(.)", "⟨$1⟩"))
+        .select("sym", "freq")
+    )
+
+
+def bpe_train(vocab: DataFrame, k_merges: int) -> list[tuple]:
+    """The merge loop over a (sym, freq) vocab: returns
+    [(step, merged, weighted pair count, corpus tokens after), ...]."""
+    vocab = vocab.persist()
+    merges: list[tuple] = []
+    current = vocab
+    try:
+        for k in range(k_merges):
+            pairs = (
+                current.withColumn(
+                    "a", F.expr("split(substring(sym, 2, length(sym)-2), '⟩⟨')")
+                )
+                .filter(F.expr("size(a) >= 2"))
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(a)-1),"
+                            " i -> struct(a[i-1] AS l, a[i] AS r))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").cast("bigint").alias("n"))
+            )
+            best = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+            if not best:
+                raise ValueError(
+                    f"bpe_train: vocabulary exhausted after {k} merges"
+                    f" (every word is a single symbol); lower k_merges"
+                )
+            left, right, n = best[0]["l"], best[0]["r"], best[0]["n"]
+            nxt = current.withColumn(
+                "sym",
+                F.expr(f"replace(sym, '⟨{left}⟩⟨{right}⟩', '⟨{left}{right}⟩')"),
+            ).persist()
+            n_tokens = nxt.select(
+                F.sum(
+                    F.col("freq")
+                    * F.expr("size(split(substring(sym, 2, length(sym)-2), '⟩⟨'))")
+                ).cast("bigint")
+            ).collect()[0][0]
+            merges.append((k + 1, left + right, n, n_tokens))
+            if current is not vocab:
+                current.unpersist()
+            current = nxt
+    finally:
+        vocab.unpersist()
+        if current is not vocab:
+            current.unpersist()
+    return merges

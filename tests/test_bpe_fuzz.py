@@ -1,0 +1,111 @@
+"""Differential fuzz of distributed BPE training (`workload_pipeline.
+bpe_train`) against a from-scratch pure-Python reference.
+
+The reference implements Sennrich's algorithm the naive way — per-word
+symbol LISTS, pair counting by iteration, greedy left-to-right merge by
+index — deliberately sharing nothing with the engine's ⟨⟩-wrapped-string
+``replace`` formulation, so a divergence in either the argmax tie-break
+or (the subtle part) overlap handling (``"aaa"`` merging ``(a, a)`` must
+yield ``["aa", "a"]``, and ``"abab"`` merging ``(a, b)`` must merge BOTH
+disjoint occurrences in one step) fails the comparison.  Corpora are
+hypothesis-drawn with repetition-heavy alphabets ("a", "b", "c") to
+maximize overlapping-pair pressure.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
+    bpe_train,
+    word_vocab,
+)
+
+
+def _ref_bpe(words: list[str], k_merges: int) -> list[tuple]:
+    """Independent reference: list-of-symbols formulation."""
+    freq = Counter(words)
+    vocab = {w: [list(w), n] for w, n in freq.items()}
+    out = []
+    for step in range(1, k_merges + 1):
+        counts: Counter = Counter()
+        for syms, n in vocab.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += n
+        if not counts:
+            break
+        # argmax with (count desc, left, right) tie-break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, entry in vocab.items():
+            syms = entry[0]
+            merged, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    merged.append(left + right)
+                    i += 2  # greedy left-to-right: consume both
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            entry[0] = merged
+        n_tokens = sum(len(e[0]) * e[1] for e in vocab.values())
+        out.append((step, left + right, n, n_tokens))
+    return out
+
+
+WORDS = ["a", "b", "aa", "ab", "ba", "aaa", "abab", "aab", "baa",
+         "aaaa", "abba", "bab", "cc", "cac", "acca"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    words=st.lists(st.sampled_from(WORDS), min_size=3, max_size=40),
+    k=st.integers(1, 5),
+)
+def test_bpe_matches_pure_python_reference(spark, words, k):
+    want = _ref_bpe(words, k)
+    if len(want) < k:
+        return  # reference exhausted the vocab; engine raises by contract
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string"
+    )
+    got = bpe_train(word_vocab(docs), k)
+    assert got == want, (words, k)
+
+
+def test_bpe_overlap_and_disjoint_adjacency(spark):
+    """The two adversarial shapes, pinned deterministically: overlapping
+    occurrences merge greedily left-to-right ("aaa" -> "aa","a"), and
+    disjoint adjacent occurrences both merge in one step ("abab" ->
+    "ab","ab")."""
+    docs_rows = ["aaa"] * 3 + ["abab"] * 2
+    want = _ref_bpe(docs_rows, 2)
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(docs_rows)],
+        "doc_id bigint, text string",
+    )
+    got = bpe_train(word_vocab(docs), 2)
+    assert got == want
+    # step 1 merges (a, a): weighted pair count counts BOTH positions in
+    # "aaa" (2 per word x 3 words) + 0 in "abab" = 6, but the merge only
+    # collapses one per word: token count drops by 3, not 6
+    assert got[0][1] == "aa" and got[0][2] == 6
+    assert want[0][3] == got[0][3]
+
+
+def test_bpe_exhaustion_raises_loud(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b")], "doc_id bigint, text string"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="vocabulary exhausted"):
+        bpe_train(word_vocab(docs), 1)
