@@ -3849,18 +3849,26 @@ from . import workload_graph  # noqa: E402,F401
 # rolling_hash_fp, repetition_profile, npy_migration, pii_redaction,
 # stream_pii_scrub, chunk_dedup_groups, domain_blocklist_filter).
 FRONT_QUERIES = [
-    # (a) never driver-windowed (new this round)
+    # (a) never driver-windowed (new this round: JPEG dHash corpus, store
+    # CDC, BPE training; PNG corpus + streaming sessionization landed
+    # earlier in r15 and are still unwindowed)
     "image_png_phash_dups",
     "stream_sessionization",
-    # (b) changed this round: update_vectors joined the apply_batch
-    # rewrite family (points_update_batch now pins survivors' vectors),
-    # session_window_rollup's oracle corrected to the engine's exact-gap
-    # merge rule, both streaming near-dup gates moved to batch-id-keyed
-    # exactly-once sinks
+    "image_jpeg_phash_dups",
+    "store_changelog",
+    "bpe_merge_table",
+    # (b) changed this round: update_vectors + immutable-predicate
+    # delete_where joined the apply_batch rewrite family (delete_by_predicate
+    # and time_travel_read exercise the delete_where path directly),
+    # session_window_rollup's oracle corrected to the exact-gap merge rule,
+    # both streaming near-dup gates moved to batch-id-keyed exactly-once
+    # sinks
     "points_update_batch",
     "session_window_rollup",
     "stream_neardup_pairs",
     "stream_embedding_neardups",
+    "delete_by_predicate",
+    "time_travel_read",
     # (c) r11-stale — ALL 27 remaining (ledger: union of CORRECTNESS_r*.json)
     "dsir_importance_weights",
     "embedding_near_dups",
@@ -3889,7 +3897,7 @@ FRONT_QUERIES = [
     "running_ops_stats",
     "salted_user_rollup",
     "stream_quality_gate",
-    # (d) r12-stale, first 17 of 45 alphabetically (the remaining 28 front
+    # (d) r12-stale, first 12 of 45 alphabetically (the remaining 33 front
     # next round)
     "active_customer_balance",
     "ccnet_perplexity_buckets",
@@ -3903,9 +3911,4 @@ FRONT_QUERIES = [
     "exact_dedup_groups",
     "formula_datetime_decay_topk",
     "formula_rescore_topk",
-    "funnel_stages",
-    "knn_filtered",
-    "knn_manhattan_topk",
-    "knn_topk",
-    "lang_id_heuristic",
 ]
