@@ -1358,10 +1358,28 @@ def word_vocab(docs: DataFrame) -> DataFrame:
     )
 
 
+BPE_VOCAB_ROWS_PER_PARTITION = 200_000
+
+
 def bpe_train(vocab: DataFrame, k_merges: int) -> list[tuple]:
     """The merge loop over a (sym, freq) vocab: returns
-    [(step, merged, weighted pair count, corpus tokens after), ...]."""
+    [(step, merged, weighted pair count, corpus tokens after), ...].
+
+    The vocab is re-partitioned ONCE to match its actual row count
+    (ceil(n / 200k) partitions) before the loop: every iteration runs
+    2 small jobs over vocab-sized data, so task count — not data — is
+    the loop's cost, and a fixture-scale vocab must not pay 32 empty
+    tasks per job while a trillion-token corpus still spreads its
+    millions of distinct words over hundreds of partitions."""
+    import math
+
     vocab = vocab.persist()
+    n_words = vocab.count()
+    parts = max(1, math.ceil(n_words / BPE_VOCAB_ROWS_PER_PARTITION))
+    if parts < vocab.rdd.getNumPartitions():
+        sized = vocab.coalesce(parts).persist()
+        vocab.unpersist()
+        vocab = sized
     merges: list[tuple] = []
     current = vocab
     try:
@@ -1390,10 +1408,13 @@ def bpe_train(vocab: DataFrame, k_merges: int) -> list[tuple]:
                     f" (every word is a single symbol); lower k_merges"
                 )
             left, right, n = best[0]["l"], best[0]["r"], best[0]["n"]
+            # no per-iteration cache: the lineage is only K replace
+            # projections over the one cached vocab, cheaper to recompute
+            # than to materialize K times
             nxt = current.withColumn(
                 "sym",
                 F.expr(f"replace(sym, '⟨{left}⟩⟨{right}⟩', '⟨{left}{right}⟩')"),
-            ).persist()
+            )
             n_tokens = nxt.select(
                 F.sum(
                     F.col("freq")
@@ -1401,11 +1422,7 @@ def bpe_train(vocab: DataFrame, k_merges: int) -> list[tuple]:
                 ).cast("bigint")
             ).collect()[0][0]
             merges.append((k + 1, left + right, n, n_tokens))
-            if current is not vocab:
-                current.unpersist()
             current = nxt
     finally:
         vocab.unpersist()
-        if current is not vocab:
-            current.unpersist()
     return merges
