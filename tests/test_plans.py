@@ -888,3 +888,49 @@ def test_facet_filter_pushes_and_takes_ordered(spark):
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         assert any("lang" in p for p in pushed), (name, plan)
         assert "TakeOrderedAndProject" in plan, (name, plan)
+
+
+def test_changes_scans_only_churned_files(spark, tmp_path):
+    """CDC scale pin: ``changes(since)`` must enumerate ONLY files added
+    or removed between the versions — a one-bucket mutation on a
+    multi-bucket store reads that bucket's old + new files and nothing
+    else (file identity is a content proof for immutable segments; the
+    untouched bulk of a 100 TB store never enters the plan)."""
+    from pyspark.sql import functions as F
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import (
+        VectorStore,
+        _py_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label")).alias("user_id"),
+        F.lit(1.0).alias("ts"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    store = VectorStore.create(spark, str(tmp_path / "s"), pts)
+    v0 = store._current_version()
+    m0 = store._read_manifest()
+    assert store.read().select("user_id").distinct().count() > 1
+
+    n = store.delete_user("u3")
+    assert n > 0
+    m1 = store._read_manifest()
+    b3 = _py_bucket("u3", store.n_buckets)
+    churned = (set(m0[b3]) | set(m1[b3])) - (set(m0[b3]) & set(m1[b3]))
+    untouched = {
+        f for b in range(store.n_buckets) if b != b3 for f in m0[b]
+    }
+
+    feed = store.changes(v0)
+    scanned = {f.removeprefix("file://") for f in feed.inputFiles()}
+    assert scanned, "feed must scan the churned bucket"
+    assert scanned <= churned, (scanned, churned)
+    assert scanned.isdisjoint(untouched)
+    # and the feed itself is exactly the one bucket's deletes
+    rows = feed.collect()
+    assert {r["change"] for r in rows} == {"delete"}
+    assert len(rows) == n
