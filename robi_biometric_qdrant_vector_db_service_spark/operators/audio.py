@@ -1,0 +1,133 @@
+"""Real audio decode for the multimodal family — stdlib RIFF/WAV PCM16.
+
+The multimodal charter carries image/audio/video as opaque binary
+columns with stubbed decodes where the container has no codec libs.
+r15 made the IMAGE decode real (PNG in `multimodal.py`, baseline JPEG in
+`jpeg.py`); this module does the same for AUDIO with the one format the
+standard library fully specifies: RIFF/WAVE, PCM, 16-bit.
+
+- `wav_encode_pcm16(samples, rate)` — minimal writer (the engine-side
+  encoder behind the synthetic corpus, like `png_encode_rgb` /
+  `jpeg_encode_rgb`: fixture tables carry text, so the registered query
+  plants its own WAVs).
+- `wav_parse(blob)` — RIFF chunk walk (fmt / data, unknown chunks
+  skipped per spec including their pad byte), strict PCM16-mono
+  validation, `np.frombuffer` into int16.  Compressed (non-PCM-1),
+  multi-channel, non-16-bit, or truncated streams fail LOUD — corrupt
+  audio must never produce features.
+- `wav_features(blobs)` — mapInPandas: one typed INTEGER feature row
+  per blob (n_samples, sample_rate, peak, sum_sq, zero_crossings) — the
+  standard cheap audio-quality gates (silence/clipping via peak and
+  energy, spectral-crudeness via zero-crossing rate), all exact
+  integers so the DuckDB oracle hashes bit-for-bit.  Partition-parallel
+  projection, no shuffle; a real resample/fbank stage slots in the same
+  mapInPandas position.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def wav_encode_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM (format 1), mono, 16-bit."""
+    if samples.ndim != 1:
+        raise ValueError(f"wav_encode_pcm16: expected mono 1-D, got {samples.shape}")
+    if samples.dtype != np.int16:
+        if np.any(samples > 32767) or np.any(samples < -32768):
+            raise ValueError("wav_encode_pcm16: samples exceed int16 range")
+        samples = samples.astype(np.int16)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_parse(blob: bytes) -> tuple[np.ndarray, int]:
+    """One WAV byte string -> (int16 sample array, sample_rate)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("wav_parse: not a RIFF/WAVE stream")
+    (riff_size,) = struct.unpack("<I", blob[4:8])
+    if riff_size + 8 > len(blob):
+        raise ValueError(
+            f"wav_parse: truncated RIFF (declares {riff_size + 8} bytes, "
+            f"{len(blob)} present)"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (clen,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        chunk = blob[pos + 8 : pos + 8 + clen]
+        if len(chunk) != clen:
+            raise ValueError(f"wav_parse: truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned (pad byte)
+    if fmt is None or data is None:
+        raise ValueError("wav_parse: missing fmt or data chunk")
+    audio_fmt, channels, rate, _byte_rate, _align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_fmt != 1:
+        raise ValueError(
+            f"wav_parse: compressed WAV (format {audio_fmt}) unsupported; "
+            "only PCM (1)"
+        )
+    if channels != 1 or bits != 16:
+        raise ValueError(
+            f"wav_parse: only 16-bit mono PCM supported, got "
+            f"{bits}-bit x{channels}"
+        )
+    if len(data) % 2:
+        raise ValueError("wav_parse: odd data-chunk length for 16-bit samples")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sample_rate bigint, peak bigint, "
+    "sum_sq bigint, zero_crossings bigint"
+)
+
+
+def wav_features(blobs: DataFrame) -> DataFrame:
+    """Per-blob integer audio features via mapInPandas.
+
+    zero_crossings counts strict sign flips between CONSECUTIVE nonzero-
+    sign states (sign(x) in {-1, +1}; zero samples carry the previous
+    sign, the usual hysteresis-free convention that makes a square wave's
+    count exactly 2L/P - 1).  peak = max |x| (int), sum_sq = Σx² (int64,
+    exact — callers derive RMS as sqrt(sum_sq / n) without float drift
+    inside the engine).  Decode is per blob (a RIFF file is one stream);
+    the feature math is vectorized NumPy."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_samples", "sample_rate", "peak", "sum_sq",
+                    "zero_crossings")}
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                x, rate = wav_parse(bytes(blob))
+                xi = x.astype(np.int64)
+                sgn = np.sign(xi)
+                nz = sgn[sgn != 0]
+                zc = int((nz[1:] != nz[:-1]).sum()) if nz.size else 0
+                out["doc_id"].append(int(did))
+                out["n_samples"].append(len(xi))
+                out["sample_rate"].append(int(rate))
+                out["peak"].append(int(np.abs(xi).max()) if len(xi) else 0)
+                out["sum_sq"].append(int((xi * xi).sum()))
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)

@@ -3857,6 +3857,7 @@ FRONT_QUERIES = [
     "image_jpeg_phash_dups",
     "store_changelog",
     "bpe_merge_table",
+    "audio_wav_features",
     # (b) changed this round: update_vectors + immutable-predicate
     # delete_where joined the apply_batch rewrite family (delete_by_predicate
     # and time_travel_read exercise the delete_where path directly),
@@ -3897,7 +3898,7 @@ FRONT_QUERIES = [
     "running_ops_stats",
     "salted_user_rollup",
     "stream_quality_gate",
-    # (d) r12-stale, first 12 of 45 alphabetically (the remaining 33 front
+    # (d) r12-stale, first 11 of 45 alphabetically (the remaining 34 front
     # next round)
     "active_customer_balance",
     "ccnet_perplexity_buckets",
@@ -3910,5 +3911,4 @@ FRONT_QUERIES = [
     "events_retention_24h",
     "exact_dedup_groups",
     "formula_datetime_decay_topk",
-    "formula_rescore_topk",
 ]

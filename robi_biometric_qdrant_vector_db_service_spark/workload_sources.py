@@ -681,3 +681,71 @@ def _prepare_serving_staging(spark: SparkSession, sf_dir: str) -> None:
 
 
 PREPARE.append(_prepare_serving_staging)
+
+
+WAV_CORPUS_DOCS = 240
+WAV_RATE = 16000
+
+
+@register(
+    "audio_wav_features",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS p,
+         50 + (doc_id % 3) * 25 AS reps,
+         1000 + (doc_id % 7) * 500 AS a
+  FROM documents WHERE doc_id < {WAV_CORPUS_DOCS}
+)
+SELECT doc_id,
+       CAST(p * reps AS BIGINT) AS n_samples,
+       CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(a AS BIGINT) AS peak,
+       CAST(p * reps * a * a AS BIGINT) AS sum_sq,
+       CAST(2 * reps - 1 AS BIGINT) AS zero_crossings
+FROM d
+""",
+)
+def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode for the multimodal family (the WAV twin of the
+    PNG/JPEG image closures): every doc in the planted corpus carries a
+    RIFF/WAVE PCM16 blob (stdlib writer, `operators.audio.
+    wav_encode_pcm16`) of a square wave whose period, repetitions, and
+    amplitude derive from doc_id — so the oracle states the planted
+    truth in exact INTEGER arithmetic (n = P·reps, peak = A,
+    sum_sq = n·A², zero_crossings = 2·reps − 1) and only a correct RIFF
+    chunk walk + PCM16 decode (`wav_parse`) recovers it; a parser that
+    mis-walked chunks, read the fmt fields wrong, or sliced the data
+    chunk off-by-one would corrupt every row.  These are the standard
+    cheap audio-quality gates of a multimodal curation pipeline
+    (silence/clipping via peak + energy, spectral crudeness via ZCR)
+    run BEFORE any expensive embedding.  Scale: blob synthesis and
+    decode are one partition-parallel mapInPandas projection each — no
+    shuffle anywhere; at 100 TB the features table (40 bytes/clip)
+    replaces the blobs for every downstream gate."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators.audio import wav_encode_pcm16, wav_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < WAV_CORPUS_DOCS
+    ).select("doc_id")
+
+    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p = 8 + (did % 5) * 4
+                reps = 50 + (did % 3) * 25
+                a = 1000 + (did % 7) * 500
+                half = np.full(p // 2, a, dtype=np.int16)
+                wave = np.tile(np.concatenate([half, -half]), reps)
+                blobs.append(wav_encode_pcm16(wave, WAV_RATE))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")
+    return wav_features(blobs)

@@ -1,0 +1,164 @@
+"""Fuzz + contract suite for the RIFF/WAV PCM16 codec (`operators.audio`).
+
+WAV is lossless, so like the PNG suite the differentials are EXACT:
+- round-trip: parse(encode(x)) == x bit-for-bit for arbitrary int16
+  signals, and the features equal an independent pure-Python reference;
+- chunk-layout fuzz: unknown chunks (including ODD-length ones, which
+  carry a pad byte per the RIFF spec) inserted before/after fmt/data
+  must not change a sample;
+- loud failure: compressed formats, stereo, non-16-bit, truncated
+  chunks, and non-RIFF bytes must raise, never produce features.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from robi_biometric_qdrant_vector_db_service_spark.operators.audio import (
+    wav_encode_pcm16,
+    wav_features,
+    wav_parse,
+)
+
+
+def _ref_features(x: np.ndarray) -> tuple[int, int, int, int]:
+    """Independent per-sample reference (plain Python loop)."""
+    n = len(x)
+    peak = max((abs(int(v)) for v in x), default=0)
+    sum_sq = sum(int(v) * int(v) for v in x)
+    zc, prev = 0, 0
+    for v in x:
+        v = int(v)
+        s = (v > 0) - (v < 0)
+        if s == 0:
+            continue
+        if prev != 0 and s != prev:
+            zc += 1
+        prev = s
+    return n, peak, sum_sq, zc
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n=st.integers(0, 400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_roundtrip_and_feature_reference(seed, n, rate):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    got, got_rate = wav_parse(wav_encode_pcm16(x, rate))
+    assert got_rate == rate
+    assert np.array_equal(got, x)
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1), n=st.integers(1, 300))
+def test_features_match_pure_python(spark, seed, n):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    # bias toward zero samples so the sign-hysteresis path is exercised
+    x = rng.integers(-4, 5, size=n).astype(np.int16) * 7000
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "blob": [bytearray(wav_encode_pcm16(x))]}),
+        schema="doc_id bigint, blob binary",
+    )
+    row = wav_features(df).collect()[0]
+    n_ref, peak, sum_sq, zc = _ref_features(x)
+    assert (row["n_samples"], row["peak"], row["sum_sq"],
+            row["zero_crossings"]) == (n_ref, peak, sum_sq, zc)
+    assert row["sample_rate"] == 16000
+
+
+def _chunk(cid: bytes, payload: bytes) -> bytes:
+    return cid + struct.pack("<I", len(payload)) + payload + (
+        b"\x00" if len(payload) % 2 else b""
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n=st.integers(1, 120),
+    pre=st.lists(st.integers(0, 7), max_size=3),
+    post=st.lists(st.integers(0, 7), max_size=3),
+)
+def test_unknown_chunks_and_pad_bytes_are_skipped(seed, n, pre, post):
+    """Real WAVs interleave LIST/INFO/cue chunks; odd-length ones carry a
+    pad byte.  Rebuild the file with junk chunks around fmt/data — decode
+    must be sample-identical."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    blob = wav_encode_pcm16(x, 16000)
+    fmt_payload = blob[20:36]
+    data_payload = x.tobytes()
+    junk = [_chunk(b"LIST", bytes(rng.integers(0, 256, size=k, dtype=np.uint8)))
+            for k in (list(pre) + list(post))]  # odd sizes get pad bytes
+    body = b"WAVE"
+    for j in junk[: len(pre)]:
+        body += j
+    body += _chunk(b"fmt ", fmt_payload)
+    body += _chunk(b"data", data_payload)
+    for j in junk[len(pre):]:
+        body += j
+    rebuilt = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, rate = wav_parse(rebuilt)
+    assert rate == 16000
+    assert np.array_equal(got, x)
+
+
+def test_rejects_corrupt_and_unsupported():
+    x = np.arange(-50, 50, dtype=np.int16)
+    good = wav_encode_pcm16(x, 16000)
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        wav_parse(b"OggS" + good[4:])
+
+    # compressed format tag (IEEE float = 3)
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 20, 3)
+    with pytest.raises(ValueError, match="compressed WAV"):
+        wav_parse(bytes(bad))
+
+    # stereo
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 22, 2)
+    with pytest.raises(ValueError, match="16-bit mono"):
+        wav_parse(bytes(bad))
+
+    # 8-bit
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 34, 8)
+    with pytest.raises(ValueError, match="16-bit mono"):
+        wav_parse(bytes(bad))
+
+    with pytest.raises(ValueError, match="truncated"):
+        wav_parse(good[: len(good) // 2])
+
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        wav_parse(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+    with pytest.raises(ValueError, match="exceed int16"):
+        wav_encode_pcm16(np.array([40000]))
+    with pytest.raises(ValueError, match="mono 1-D"):
+        wav_encode_pcm16(np.zeros((4, 2), dtype=np.int16))
+
+
+def test_square_wave_planted_truth():
+    """The corpus identity the audio_wav_features oracle states: a square
+    wave with period P and reps R has exactly n = P·R, peak = A,
+    sum_sq = n·A², and 2R − 1 strict sign flips."""
+    p, reps, a = 12, 75, 2500
+    half = np.full(p // 2, a, dtype=np.int16)
+    x = np.tile(np.concatenate([half, -half]), reps)
+    n, peak, sum_sq, zc = _ref_features(x)
+    assert (n, peak, sum_sq, zc) == (p * reps, a, p * reps * a * a,
+                                     2 * reps - 1)
+    got, _ = wav_parse(wav_encode_pcm16(x))
+    assert np.array_equal(got, x)
