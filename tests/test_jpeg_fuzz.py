@@ -333,3 +333,58 @@ def test_encoder_input_contracts():
         jpeg_encode_rgb(np.zeros((8, 9), dtype=np.uint8))
     with pytest.raises(ValueError, match="empty image"):
         jpeg_encode_rgb(np.zeros((0, 9, 3), dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# spec-constant pins (post-artifact r15 additions, tests only)
+# ---------------------------------------------------------------------------
+
+
+def test_zigzag_table_matches_spec_literal():
+    """The zigzag scan order is normative (T.81 Figure 5 / Annex K) —
+    pin the generated walk against the spec's literal table so a walk
+    bug can't silently survive round-trips (encoder and decoder share
+    the generator, so only an external literal catches it)."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.jpeg import _ZIGZAG
+
+    spec = [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert list(_ZIGZAG) == spec
+
+
+def test_dct_matrix_is_orthonormal():
+    """IDCT must invert FDCT exactly up to float rounding: C @ C.T == I."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.jpeg import _DCT
+
+    assert np.allclose(_DCT @ _DCT.T, np.eye(8), atol=1e-12)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    v=st.integers(0, 255),
+    quality=st.integers(10, 100),
+    sampling=st.sampled_from(SAMPLINGS),
+    w=st.integers(8, 24),
+    h=st.integers(8, 24),
+)
+def test_solid_color_is_dc_only_and_uniform(v, quality, sampling, w, h):
+    """A solid-gray image is pure DC: every AC coefficient is exactly 0,
+    so the decode must be UNIFORM (one value everywhere) and within the
+    DC quantization budget q00/16 + rounding of the original."""
+    px = np.full((h, w, 3), v, dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode_rgb(px, quality=quality, sampling=sampling))
+    flat = out.reshape(-1, 3)
+    assert (flat == flat[0]).all(), "solid input must decode uniform"
+    # scaled luma qtable [0][0]: libjpeg scaling of Annex-K 16
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q00 = min(max((16 * scale + 50) // 100, 1), 255)
+    budget = q00 / 16.0 + 1.0  # DC step /8 (coeff) /... + final rounding
+    assert abs(int(out[0, 0, 0]) - v) <= budget + 1
