@@ -372,14 +372,19 @@ def _expected_cdc(snap, final):
     initial=_rows,
     ops=st.lists(_cdc_op, min_size=1, max_size=6),
     cut=st.integers(0, 6),
+    hist=st.tuples(st.integers(0, 6), st.integers(0, 6)),
 )
-def test_changes_matches_model_diff(spark, tmp_path_factory, initial, ops, cut):
+def test_changes_matches_model_diff(spark, tmp_path_factory, initial, ops,
+                                    cut, hist):
     """CDC contract on arbitrary mutation sequences: ``changes(v)`` from
     ANY committed version to the tip must equal the dict-model state diff
     — change classification, full row images, and (the adversarial part)
     SILENCE for rows only moved between files by compaction or unrelated
     same-bucket rewrites.  A same-content upsert must emit nothing; an
-    update must emit exactly its pre/post pair."""
+    update must emit exactly its pre/post pair.  A second probe reads a
+    fully HISTORICAL window (``changes(v_i, to=v_j)``, both ends behind
+    the tip) — the feed must be the model diff between those two states,
+    unaffected by anything committed after ``v_j``."""
     root = str(tmp_path_factory.mktemp("store_cdc"))
     store = VectorStore.create(spark, root, _row_df(spark, initial))
     model = {
@@ -387,16 +392,30 @@ def test_changes_matches_model_diff(spark, tmp_path_factory, initial, ops, cut):
         for pid, user, meta in initial
     }
     cut = min(cut, len(ops))
-    snap_model = {p: {**r, "metadata": dict(r["metadata"])}
-                  for p, r in model.items()}
+
+    def snap(m):
+        return {p: {**r, "metadata": dict(r["metadata"])} for p, r in m.items()}
+
+    snap_model = snap(model)
     snap_version = store._current_version()
+    models = [snap(model)]              # model state after op i
+    versions = [store._current_version()]
     for i, o in enumerate(ops):
         _cdc_run(store, o)
         _cdc_apply(model, o)
+        models.append(snap(model))
+        versions.append(store._current_version())
         if i + 1 == cut:
-            snap_model = {p: {**r, "metadata": dict(r["metadata"])}
-                          for p, r in model.items()}
+            snap_model = snap(model)
             snap_version = store._current_version()
+
+    # historical window: both endpoints strictly behind the tip
+    i, j = sorted(min(h, len(ops)) for h in hist)
+    hist_got = {
+        (r["change"], r["point_id"])
+        for r in store.changes(versions[i], to=versions[j]).collect()
+    }
+    assert hist_got == _expected_cdc(models[i], models[j]), (ops, i, j)
 
     got_rows = store.changes(snap_version).collect()
     got = {(r["change"], r["point_id"]) for r in got_rows}
