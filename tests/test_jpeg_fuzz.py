@@ -388,3 +388,91 @@ def test_solid_color_is_dc_only_and_uniform(v, quality, sampling, w, h):
     q00 = min(max((16 * scale + 50) // 100, 1), 255)
     budget = q00 / 16.0 + 1.0  # DC step /8 (coeff) /... + final rounding
     assert abs(int(out[0, 0, 0]) - v) <= budget + 1
+
+
+def _encode_gray_jpeg(plane: np.ndarray, quality: int = 95) -> bytes:
+    """Test-local 1-COMPONENT baseline encoder built from the module's own
+    primitives — the engine encoder always writes 3 components, but real
+    corpora carry grayscale JPEGs, so the decoder's nc=1 path needs a
+    producer.  Deliberately minimal: luma table + luma Huffman only."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.jpeg import (
+        _AC_LUMA_BITS,
+        _AC_LUMA_VALS,
+        _BitWriter,
+        _DC_LUMA_BITS,
+        _DC_LUMA_VALS,
+        _DCT,
+        _ZIGZAG,
+        _canonical_codes,
+        _encode_block,
+        _plane_blocks,
+        _scaled_qtable,
+        _segment,
+        _QTBL_LUMA,
+    )
+
+    h, w = plane.shape
+    padded = np.pad(
+        plane.astype(np.float64), ((0, -h % 8), (0, -w % 8)), mode="edge"
+    )
+    qt = _scaled_qtable(_QTBL_LUMA, quality)
+    blocks = _plane_blocks(padded - 128.0)
+    coeff = _DCT @ blocks @ _DCT.T
+    quant = np.clip(np.round(coeff / qt.reshape(8, 8)), -1023, 1023).astype(
+        np.int64
+    )
+    zz = quant.reshape(-1, 64)[:, _ZIGZAG]
+    dc_codes = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    writer = _BitWriter()
+    prev = [0]
+    for blk in zz:
+        _encode_block(writer, blk, prev, 0, dc_codes, ac_codes)
+    out = bytearray(b"\xff\xd8")
+    out += _segment(0xDB, bytes([0]) + bytes(int(v) for v in qt[_ZIGZAG]))
+    out += _segment(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _segment(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += _segment(0xC4, bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+    out += _segment(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += writer.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(8, 32),
+    h=st.integers(8, 32),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_grayscale_single_component_decodes_as_rgb_triple(w, h, seed):
+    """The decoder's nc=1 path: a 1-component JPEG decodes to R=G=B
+    within the quality budget (no chroma math may touch it)."""
+    rng = np.random.default_rng(seed)
+    plane = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    out = jpeg_decode(_encode_gray_jpeg(plane, quality=100))
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out[..., 0], out[..., 1])
+    assert np.array_equal(out[..., 1], out[..., 2])
+    assert int(np.abs(out[..., 0] - plane.astype(np.int64)).max()) <= 5
+
+
+def test_zrl_long_zero_runs_roundtrip():
+    """ZRL (run-16 escape) coverage: a block whose only nonzero AC sits
+    at the END of the zigzag (62 zeros of run before it) needs three ZRL
+    symbols.  Build pixels as the exact IDCT of such a coefficient
+    pattern at quality 100 (all-ones qtables) so the encoder reproduces
+    the long run, and require the round-trip to stay within the usual
+    rounding budget."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.jpeg import (
+        _DCT,
+    )
+
+    coeff = np.zeros((8, 8))
+    coeff[0, 0] = 200.0   # DC well inside range
+    coeff[7, 7] = 90.0    # zigzag position 63: run of 62 zeros -> 3 ZRLs
+    block = _DCT.T @ coeff @ _DCT + 128.0
+    px8 = np.clip(np.round(block), 0, 255).astype(np.uint8)
+    px = np.stack([px8, px8, px8], axis=-1)
+    blob = jpeg_encode_rgb(px, quality=100, sampling="4:4:4")
+    out = jpeg_decode(blob)
+    assert int(np.abs(out - px.astype(np.int64)).max()) <= 5
