@@ -434,3 +434,25 @@ def test_changes_matches_model_diff(spark, tmp_path_factory, initial, ops,
     after = {(r["change"], r["point_id"])
              for r in store.changes(snap_version).collect()}
     assert after == got
+
+
+def test_changes_inverted_window_is_reverse_feed(spark, tmp_path):
+    """Pin the inverted-window semantics: the diff is symmetric by
+    construction, so changes(v_hi, to=v_lo) is the INVERSE feed of
+    changes(v_lo, to=v_hi) — inserts become deletes, pre/post swap.
+    (Delta CDF raises instead; this engine documents the symmetry and
+    leaves order validation to callers — this test is the contract.)"""
+    store = VectorStore.create(
+        spark, str(tmp_path / "s"),
+        _row_df(spark, [("p0", "u0", {"k": "v"}), ("p1", "u1", {})]),
+    )
+    v0 = store._current_version()
+    store.delete_by_id(["p0"])
+    store.upsert(_row_df(spark, [("p9", "u2", {})]), normalize=False)
+    v2 = store._current_version()
+    fwd = {(r["change"], r["point_id"])
+           for r in store.changes(v0, to=v2).collect()}
+    rev = {(r["change"], r["point_id"])
+           for r in store.changes(v2, to=v0).collect()}
+    assert fwd == {("delete", "p0"), ("insert", "p9")}
+    assert rev == {("insert", "p0"), ("delete", "p9")}
