@@ -62,16 +62,26 @@ def wav_parse(blob: bytes) -> tuple[np.ndarray, int]:
             f"wav_parse: truncated RIFF (declares {riff_size + 8} bytes, "
             f"{len(blob)} present)"
         )
+    # The chunk walk is bounded by the DECLARED RIFF size, not len(blob):
+    # trailing garbage past the container must not be silently parsed as
+    # chunks, and a chunk overrunning the declared size fails loud.
+    end = 8 + riff_size
     pos, fmt, data = 12, None, None
-    while pos + 8 <= len(blob):
+    while pos + 8 <= end:
         cid = blob[pos : pos + 4]
         (clen,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if pos + 8 + clen > end:
+            raise ValueError(
+                f"wav_parse: {cid!r} chunk overruns declared RIFF size"
+            )
         chunk = blob[pos + 8 : pos + 8 + clen]
-        if len(chunk) != clen:
-            raise ValueError(f"wav_parse: truncated {cid!r} chunk")
         if cid == b"fmt ":
+            if fmt is not None:
+                raise ValueError("wav_parse: duplicate fmt chunk")
             fmt = chunk
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("wav_parse: duplicate data chunk")
             data = chunk
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned (pad byte)
     if fmt is None or data is None:

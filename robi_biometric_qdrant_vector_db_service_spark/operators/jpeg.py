@@ -404,26 +404,58 @@ def jpeg_encode_rgb(
 
 
 class _BitReader:
-    """MSB-first reader over the unstuffed entropy stream: one vectorized
-    pass precomputes peek16[i] = the 16 bits starting at bit i (zero-padded
-    past the end), so every symbol decode is two array gathers."""
+    """MSB-first reader over the unstuffed entropy stream.
+
+    peek16[i] = the 16 bits starting at bit i (zero-padded past the end of
+    the stream), precomputed vectorized so every symbol decode is two array
+    gathers.  The table is built one WINDOW at a time directly from the
+    byte array, so peak memory is bounded at ~2 MiB of uint16 peek values
+    plus one window of unpacked bits — independent of stream size (a full
+    precompute would cost 16x the entropy-stream size and blow up on
+    multi-MB real-world JPEGs inside mapInPandas).  Window reloads are
+    rare (one per 2^20 bits) and each is the same vectorized 16-pass
+    build, so total work matches the full-precompute strategy."""
+
+    WINDOW = 1 << 20  # bits per precomputed peek window
 
     def __init__(self, data: bytes) -> None:
-        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.nbits = len(bits)
-        padded = np.concatenate(
-            [bits, np.zeros(16, dtype=np.uint8)]
-        ).astype(np.uint32)
-        acc = np.zeros(max(self.nbits, 1), dtype=np.uint32)
-        for k in range(16):
-            acc = (acc << 1) | padded[k : k + len(acc)]
-        self.peek = acc
+        self.data = np.frombuffer(data, dtype=np.uint8)
+        self.nbits = len(data) * 8
         self.pos = 0
+        self.base = 0
+        self.peek: np.ndarray = np.zeros(0, dtype=np.uint16)
+        if self.nbits:
+            self._load(0)
+
+    def _load(self, base: int) -> None:
+        """Precompute peek16 for bits [base, base+WINDOW), reading 16 bits
+        of genuine lookahead past the window end (zero-pad only past the
+        true end of the stream)."""
+        n = min(self.WINDOW, self.nbits - base)
+        lo_byte = base >> 3
+        hi_byte = min((min(base + n, self.nbits) + 16 + 7) >> 3, len(self.data))
+        bits = np.unpackbits(self.data[lo_byte:hi_byte])
+        off = base - (lo_byte << 3)
+        padded = np.concatenate(
+            [bits[off:], np.zeros(16, dtype=np.uint8)]
+        ).astype(np.uint16)
+        # 16 shift-or passes: after pass k, acc[i] holds bits i..i+k in its
+        # low k+1 positions — uint16 never overflows (max position 15).
+        acc = np.zeros(n, dtype=np.uint16)
+        for k in range(16):
+            acc = (acc << 1) | padded[k : k + n]
+        self.peek = acc
+        self.base = base
+
+    def _peek_at(self, pos: int) -> int:
+        if not (self.base <= pos < self.base + len(self.peek)):
+            self._load(pos)
+        return int(self.peek[pos - self.base])
 
     def peek16(self) -> int:
         if self.pos >= self.nbits:
             raise ValueError("jpeg_decode: entropy stream truncated")
-        return int(self.peek[self.pos])
+        return self._peek_at(self.pos)
 
     def skip(self, n: int) -> None:
         self.pos += n
@@ -435,7 +467,7 @@ class _BitReader:
             return 0
         if self.pos + n > self.nbits:
             raise ValueError("jpeg_decode: entropy stream truncated")
-        v = int(self.peek[self.pos]) >> (16 - n)
+        v = self._peek_at(self.pos) >> (16 - n)
         self.pos += n
         return v
 
@@ -495,6 +527,13 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             raise ValueError(
                 f"jpeg_decode: expected marker at byte {pos}, got {blob[pos]:#x}"
             )
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        # id — skip them so padded-but-valid files don't misread 0xFF as
+        # the marker and consume a bogus segment length.
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(blob):
+            break
         marker = blob[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before any scan

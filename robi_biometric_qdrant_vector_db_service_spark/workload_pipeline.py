@@ -1361,6 +1361,22 @@ def word_vocab(docs: DataFrame) -> DataFrame:
 BPE_VOCAB_ROWS_PER_PARTITION = 200_000
 
 
+BPE_CHECKPOINT_EVERY = 32
+
+
+def _bpe_symbol_ok(sym: str) -> bool:
+    """A symbol the merge-step `replace` expression may interpolate: merge
+    rules are concatenations of vocab symbols, so anything outside the
+    [a-z]+ alphabet (quotes, backslashes, the ⟨⟩ wrappers themselves)
+    would either break symbol-boundary semantics or inject into the SQL
+    expression text.  Enforced HERE, not just by the upstream word gate,
+    so a caller passing an unfiltered vocab fails loud instead of
+    producing a malformed plan."""
+    import re
+
+    return bool(re.fullmatch(r"[a-z]+", sym))
+
+
 def bpe_train(vocab: DataFrame, k_merges: int) -> list[tuple]:
     """The merge loop over a (sym, freq) vocab: returns
     [(step, merged, weighted pair count, corpus tokens after), ...].
@@ -1370,7 +1386,15 @@ def bpe_train(vocab: DataFrame, k_merges: int) -> list[tuple]:
     2 small jobs over vocab-sized data, so task count — not data — is
     the loop's cost, and a fixture-scale vocab must not pay 32 empty
     tasks per job while a trillion-token corpus still spreads its
-    millions of distinct words over hundreds of partitions."""
+    millions of distinct words over hundreds of partitions.
+
+    Lineage is capped with ``localCheckpoint`` every
+    ``BPE_CHECKPOINT_EVERY`` merges: without it, iteration k replays k
+    prior `replace` projections, so a real 30k-merge tokenizer run would
+    pay O(K²) recompute and hit the plan-depth wall.  With the cap the
+    cost is K projections plus K/32 bounded materializations of the
+    vocab-sized table — linear in K (see BENCH_NOTES for the K=200
+    micro-bench)."""
     import math
 
     vocab = vocab.persist()
@@ -1408,13 +1432,21 @@ def bpe_train(vocab: DataFrame, k_merges: int) -> list[tuple]:
                     f" (every word is a single symbol); lower k_merges"
                 )
             left, right, n = best[0]["l"], best[0]["r"], best[0]["n"]
-            # no per-iteration cache: the lineage is only K replace
-            # projections over the one cached vocab, cheaper to recompute
-            # than to materialize K times
+            if not (_bpe_symbol_ok(left) and _bpe_symbol_ok(right)):
+                raise ValueError(
+                    f"bpe_train: symbol pair ({left!r}, {right!r}) outside "
+                    "the [a-z]+ merge alphabet — vocab must be gated (or "
+                    "escaped) before training"
+                )
             nxt = current.withColumn(
                 "sym",
                 F.expr(f"replace(sym, '⟨{left}⟩⟨{right}⟩', '⟨{left}{right}⟩')"),
             )
+            # cap lineage: every BPE_CHECKPOINT_EVERY merges, materialize
+            # the vocab-sized table and cut the replace-projection chain
+            # (K=8 fixture never triggers this; a 30k-merge run needs it)
+            if (k + 1) % BPE_CHECKPOINT_EVERY == 0:
+                nxt = nxt.localCheckpoint(eager=True)
             n_tokens = nxt.select(
                 F.sum(
                     F.col("freq")
