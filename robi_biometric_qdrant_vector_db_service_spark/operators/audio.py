@@ -141,3 +141,59 @@ def wav_features(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+AUDIO_FP_BLOCKS = 65  # 65 block energies -> 64 sign-of-delta bits
+
+
+def audio_fingerprint_bands(blobs: DataFrame) -> DataFrame:
+    """Acoustic fingerprint of each WAV blob as four 16-bit band words —
+    the AUDIO analogue of the image dHash (`multimodal.dhash_bands`),
+    feeding the SAME banded-Hamming pair plan (`phash_dup_pairs`)
+    verbatim.
+
+    Fingerprint proper: split the decoded PCM stream into 65 equal spans,
+    take each span's energy (exact int64 sum of squares), and emit one
+    bit per adjacent span pair (left < right) — 64 bits keyed on the
+    energy-ENVELOPE gradient, so a re-encode at a different volume
+    (uniform gain: every energy scales by the same factor, order
+    preserved) or a different sample rate (per-span energies scale with
+    span length, order preserved) hashes identically, while exact byte
+    hashing never can.  Sign-of-delta over block energies is the
+    classic cheap audio fingerprint shape (the Haitsma-Kalker family,
+    collapsed to one band).
+
+    Vectorized per blob: one cumsum of x², a 66-boundary gather, one
+    comparison — decode is per blob inside the Arrow batch (a RIFF file
+    is one stream).  Partition-parallel projection, no shuffle; 36
+    bytes/clip downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w16 = 1 << np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                x, _rate = wav_parse(bytes(blob))
+                n = len(x)
+                if n < AUDIO_FP_BLOCKS:
+                    raise ValueError(
+                        f"audio_fingerprint_bands: clip of {n} samples is "
+                        f"shorter than {AUDIO_FP_BLOCKS} blocks"
+                    )
+                xi = x.astype(np.int64)
+                csum = np.concatenate(([0], np.cumsum(xi * xi)))
+                bnd = (n * np.arange(AUDIO_FP_BLOCKS + 1, dtype=np.int64)
+                       ) // AUDIO_FP_BLOCKS
+                e = csum[bnd[1:]] - csum[bnd[:-1]]
+                bits = e[:-1] < e[1:]
+                out["doc_id"].append(int(did))
+                for j in range(4):
+                    out[f"b{j}"].append(
+                        int((bits[16 * j : 16 * (j + 1)] * w16).sum())
+                    )
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return blobs.mapInPandas(run, schema=AUDIO_FP_SCHEMA)

@@ -464,7 +464,9 @@ def dhash_bands(blobs: DataFrame, *, decoder=byte_span_grid) -> DataFrame:
     return blobs.mapInPandas(run, schema=DHASH_SCHEMA)
 
 
-def phash_dup_pairs(hashes: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+def phash_dup_pairs(
+    hashes: DataFrame, *, max_hamming: int = 3, keys: tuple[str, ...] = ()
+) -> DataFrame:
     """Image near-duplicate pairs by banded-Hamming join over dHash words:
     (doc_a < doc_b, hamming) for every pair within ``max_hamming`` bits.
 
@@ -484,34 +486,53 @@ def phash_dup_pairs(hashes: DataFrame, *, max_hamming: int = 3) -> DataFrame:
     that the exact verify then prunes.  Declaratively the hash table is
     recomputed per join leg; at 100 TB you materialize it once (32
     bytes/doc — a rounding error next to the blobs) and every leg reads
-    the persisted column instead of re-decoding."""
+    the persisted column instead of re-decoding.
+
+    ``keys``: extra equality columns that scope the banded join — e.g.
+    ``("frame_idx",)`` makes the unit of comparison (doc, frame) instead
+    of doc, which is how the video family compares per-sampled-frame
+    hashes only against the SAME frame position of other videos.  Output
+    columns are (doc_a, doc_b, *keys, hamming)."""
+    kc = list(keys)
     bands = hashes.selectExpr(
-        "doc_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"
+        "doc_id", *kc, "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"
     )
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    for k in kc:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     cand = (
         bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        .join(bands.alias("b"), cond)
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.{k}").alias(k) for k in kc],
         )
         .distinct()
     )
-    ha = hashes.toDF("doc_a", "a0", "a1", "a2", "a3")
-    hb = hashes.toDF("doc_b", "c0", "c1", "c2", "c3")
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *kc,
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *kc,
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(4)],
+    )
     ham = sum(
         F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}"))) for j in range(4)
     )
     return (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
+        cand.join(ha, ["doc_a", *kc])
+        .join(hb, ["doc_b", *kc])
         .withColumn("hamming", ham.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", *kc, "hamming")
     )
 
 

@@ -1,0 +1,313 @@
+"""Real video decode for the multimodal family — stdlib MJPEG-in-AVI.
+
+The multimodal charter (SURVEY §2.12; reference posture: media as opaque
+binary columns, `src/utils/image_processing.py:1-40`-style decode at the
+edge) carried video as the LAST stubbed modality after r15 made image
+(PNG in `multimodal.py`/`jpeg.py`) and audio (WAV in `audio.py`) decode
+real.  This module closes it by COMPOSING the two existing pieces — the
+RIFF chunk-walk discipline of `audio.wav_parse` for the AVI container and
+the baseline JPEG decoder `jpeg.jpeg_decode` for each frame — into a real
+MJPEG-in-AVI path with zero new codec work:
+
+- `avi_encode_mjpeg(frames, width, height, fps)` — minimal writer
+  (RIFF 'AVI ' / LIST hdrl(avih, strl(strh, strf)) / LIST movi('00dc'…) /
+  idx1), the engine-side encoder behind the synthetic corpus, like
+  `png_encode_rgb` / `jpeg_encode_rgb` / `wav_encode_pcm16`.
+- `avi_parse_mjpeg(blob)` — strict container walk: declared-size-bounded
+  chunk iteration (trailing garbage and overrunning chunks fail loud),
+  duplicate hdrl/movi/avih rejection, single-'vids'-stream MJPG
+  validation, per-frame SOI check, frame-count cross-check against BOTH
+  the main and the stream header.  Corrupt or exotic containers must
+  never produce frames.
+- `video_frame_dhash(blobs, stride)` — mapInPandas 1:N expansion: one
+  (doc_id, frame_idx, 4×16-bit dHash band words) row per SAMPLED frame
+  (every `stride`-th), via container walk → `jpeg_decode` → the shared
+  `_block_mean_grid` → the shared band packing.  Partition-parallel
+  projection, no shuffle; a GPU batch decoder slots into the same
+  mapInPandas position.
+
+Downstream, `multimodal.phash_dup_pairs(…, keys=("frame_idx",))` turns
+the per-frame hashes into video near-duplicate pairs with the audited
+banded-Hamming plan — compare only same-position frames, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+VIDEO_DHASH_SCHEMA = (
+    "doc_id bigint, frame_idx int, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+)
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+def _chunk(cc: bytes, payload: bytes) -> bytes:
+    """One RIFF chunk, word-aligned (odd payloads carry a pad byte)."""
+    return cc + struct.pack("<I", len(payload)) + payload + (
+        b"\x00" if len(payload) & 1 else b""
+    )
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def avi_encode_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal AVI writer: one MJPG video stream, one '00dc' chunk per
+    JPEG frame, keyframe-only idx1 index (every MJPEG frame is intra)."""
+    if not frames:
+        raise ValueError("avi_encode_mjpeg: empty frame list")
+    for i, f in enumerate(frames):
+        if f[:2] != b"\xff\xd8":
+            raise ValueError(f"avi_encode_mjpeg: frame {i} is not a JPEG")
+    n = len(frames)
+    bufsz = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        bufsz * fps,       # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # dwFlags: AVIF_HASINDEX
+        n,                 # dwTotalFrames
+        0,                 # dwInitialFrames
+        1,                 # dwStreams
+        bufsz,             # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,        # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0,      # dwFlags
+            0, 0,   # wPriority, wLanguage
+            0,      # dwInitialFrames
+            1,      # dwScale
+            fps,    # dwRate (rate/scale = fps)
+            0,      # dwStart
+            n,      # dwLength (in frames)
+            bufsz,  # dwSuggestedBufferSize
+            10_000, # dwQuality
+            0,      # dwSampleSize (0 = variable-size samples)
+        )
+        + struct.pack("<4H", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<Iii2H4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(_chunk(b"00dc", f) for f in frames)
+    movi = _list(b"movi", movi_payload)
+    # idx1 offsets are relative to the position of the 'movi' fourcc:
+    # the first chunk header starts 4 bytes past it
+    idx_entries, off = [], 4
+    for f in frames:
+        idx_entries.append(b"00dc" + struct.pack("<III", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    body = b"AVI " + hdrl + movi + _chunk(b"idx1", b"".join(idx_entries))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+def _walk(blob: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_len) for each chunk in
+    [pos, end), failing loud on a chunk overrunning the declared bound —
+    the `audio.wav_parse` discipline."""
+    while pos + 8 <= end:
+        cid = blob[pos : pos + 4]
+        (clen,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if pos + 8 + clen > end:
+            raise ValueError(
+                f"avi_parse_mjpeg: {cid!r} chunk overruns its container"
+            )
+        yield cid, pos + 8, clen
+        pos += 8 + clen + (clen & 1)  # word alignment
+
+
+def avi_parse_mjpeg(blob: bytes) -> tuple[list[bytes], int, int]:
+    """One AVI byte string -> (list of JPEG frame payloads, width, height).
+
+    Strict single-video-stream MJPEG subset: anything else — a second
+    stream, a non-MJPG handler or biCompression, duplicate headers, a
+    frame chunk that is not a JPEG, or a frame count disagreeing with
+    either header — raises with the offending field."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("avi_parse_mjpeg: not a RIFF/AVI stream")
+    (riff_size,) = struct.unpack("<I", blob[4:8])
+    if riff_size + 8 > len(blob):
+        raise ValueError(
+            f"avi_parse_mjpeg: truncated RIFF (declares {riff_size + 8} "
+            f"bytes, {len(blob)} present)"
+        )
+    end = 8 + riff_size
+    hdrl_span = movi_span = None
+    for cid, s, ln in _walk(blob, 12, end):
+        if cid == b"LIST":
+            lt = blob[s : s + 4]
+            if lt == b"hdrl":
+                if hdrl_span is not None:
+                    raise ValueError("avi_parse_mjpeg: duplicate hdrl list")
+                hdrl_span = (s + 4, s + ln)
+            elif lt == b"movi":
+                if movi_span is not None:
+                    raise ValueError("avi_parse_mjpeg: duplicate movi list")
+                movi_span = (s + 4, s + ln)
+            else:
+                raise ValueError(
+                    f"avi_parse_mjpeg: unexpected top-level list {lt!r}"
+                )
+        elif cid in (b"idx1", b"JUNK"):
+            continue
+        else:
+            raise ValueError(
+                f"avi_parse_mjpeg: unexpected top-level chunk {cid!r}"
+            )
+    if hdrl_span is None or movi_span is None:
+        raise ValueError("avi_parse_mjpeg: missing hdrl or movi list")
+
+    avih = None
+    strh = strf = None
+    for cid, s, ln in _walk(blob, *hdrl_span):
+        if cid == b"avih":
+            if avih is not None:
+                raise ValueError("avi_parse_mjpeg: duplicate avih chunk")
+            if ln < 56:
+                raise ValueError("avi_parse_mjpeg: short avih chunk")
+            avih = struct.unpack("<14I", blob[s : s + 56])
+        elif cid == b"LIST" and blob[s : s + 4] == b"strl":
+            if strh is not None:
+                raise ValueError(
+                    "avi_parse_mjpeg: multiple streams (only single-stream "
+                    "MJPEG video supported)"
+                )
+            for sid, ss, sln in _walk(blob, s + 4, s + ln):
+                if sid == b"strh":
+                    strh = blob[ss : ss + sln]
+                elif sid == b"strf":
+                    strf = blob[ss : ss + sln]
+        elif cid == b"JUNK":
+            continue
+        else:
+            raise ValueError(f"avi_parse_mjpeg: unexpected hdrl chunk {cid!r}")
+    if avih is None or strh is None or strf is None:
+        raise ValueError("avi_parse_mjpeg: missing avih, strh, or strf")
+    n_frames, n_streams, width, height = avih[4], avih[6], avih[8], avih[9]
+    if n_streams != 1:
+        raise ValueError(
+            f"avi_parse_mjpeg: {n_streams} streams declared; only "
+            "single-stream MJPEG video supported"
+        )
+    if strh[:4] != b"vids":
+        raise ValueError(
+            f"avi_parse_mjpeg: stream type {strh[:4]!r} is not 'vids'"
+        )
+    if strh[4:8] != b"MJPG":
+        raise ValueError(
+            f"avi_parse_mjpeg: handler {strh[4:8]!r} is not MJPG"
+        )
+    (strh_len,) = struct.unpack("<I", strh[32:36])  # dwLength, in frames
+    if len(strf) < 40:
+        raise ValueError("avi_parse_mjpeg: short strf (BITMAPINFOHEADER)")
+    if strf[16:20] != b"MJPG":
+        raise ValueError(
+            f"avi_parse_mjpeg: biCompression {strf[16:20]!r} is not MJPG"
+        )
+
+    frames: list[bytes] = []
+    for cid, s, ln in _walk(blob, *movi_span):
+        if cid == b"00dc":
+            frame = blob[s : s + ln]
+            if frame[:2] != b"\xff\xd8":
+                raise ValueError(
+                    f"avi_parse_mjpeg: frame {len(frames)} is not a JPEG "
+                    "(missing SOI)"
+                )
+            frames.append(frame)
+        elif cid == b"JUNK":
+            continue
+        else:
+            raise ValueError(f"avi_parse_mjpeg: unexpected movi chunk {cid!r}")
+    if len(frames) != n_frames or len(frames) != strh_len:
+        raise ValueError(
+            f"avi_parse_mjpeg: {len(frames)} frame chunks vs avih "
+            f"dwTotalFrames={n_frames}, strh dwLength={strh_len}"
+        )
+    return frames, width, height
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+def video_frame_dhash(blobs: DataFrame, *, stride: int = 2) -> DataFrame:
+    """Per-sampled-frame dHash of MJPEG-in-AVI blobs: each (doc_id, blob)
+    row EXPANDS to one (doc_id, frame_idx, b0..b3) row per every
+    ``stride``-th frame — the 1:N flatMap shape of real video frame
+    extraction, with a REAL decode in the loop (container walk +
+    `jpeg_decode` per frame + the shared `_block_mean_grid` → band
+    packing of `multimodal.dhash_bands`).
+
+    Scale: partition-parallel mapInPandas projection, no shuffle — video
+    blobs dominate the bytes, the emitted hashes are 36 bytes/frame.
+    Decode is per frame inside the Arrow batch (an entropy-coded scan is
+    inherently one unit); frame sampling happens BEFORE decode, so a
+    stride of 30 on a 30 fps corpus decodes 1/30th of the frames — the
+    standard 1-frame-per-second training-data sampling."""
+    from .multimodal import _block_mean_grid
+    from .jpeg import jpeg_decode
+
+    if stride < 1:
+        raise ValueError(f"video_frame_dhash: stride must be >= 1, got {stride}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w16 = 1 << np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [],
+                "b0": [], "b1": [], "b2": [], "b3": [],
+            }
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                frames, _w, _h = avi_parse_mjpeg(bytes(blob))
+                for idx in range(0, len(frames), stride):
+                    grid = _block_mean_grid(
+                        jpeg_decode(frames[idx]), "video_frame_dhash"
+                    )
+                    bits = (grid[:, :-1] < grid[:, 1:]).reshape(64)
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(idx)
+                    for j in range(4):
+                        out[f"b{j}"].append(
+                            int((bits[16 * j : 16 * (j + 1)] * w16).sum())
+                        )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    **{
+                        f"b{j}": pd.Series(out[f"b{j}"], dtype="int64")
+                        for j in range(4)
+                    },
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=VIDEO_DHASH_SCHEMA)
