@@ -109,3 +109,110 @@ def test_bpe_exhaustion_raises_loud(spark):
 
     with pytest.raises(ValueError, match="vocabulary exhausted"):
         bpe_train(word_vocab(docs), 1)
+
+
+def _ref_encode(words: list[str], k_merges: int) -> dict[str, int]:
+    """Independent encode reference: rerun the list-of-symbols training
+    loop and capture each distinct word's FINAL symbol list length."""
+    freq = Counter(words)
+    vocab_entries = {w: [list(w), n] for w, n in freq.items()}
+    for step in range(1, k_merges + 1):
+        counts: Counter = Counter()
+        for syms, n in vocab_entries.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += n
+        if not counts:
+            break
+        (left, right), _ = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for entry in vocab_entries.values():
+            syms = entry[0]
+            merged_l, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    merged_l.append(left + right)
+                    i += 2
+                else:
+                    merged_l.append(syms[i])
+                    i += 1
+            entry[0] = merged_l
+    return {w: len(e[0]) for w, e in vocab_entries.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    words=st.lists(st.sampled_from(WORDS), min_size=3, max_size=40),
+    k=st.integers(1, 5),
+)
+def test_bpe_encode_matches_pure_python_reference(spark, words, k):
+    """The encode stage (train → replay merges over vocab → join) must
+    reproduce the reference's per-word final token counts, summed per
+    doc (one word per doc here, so the mapping is direct)."""
+    from pyspark.sql import functions as F
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
+        bpe_encode_vocab,
+        bpe_train_pairs,
+    )
+
+    if len(_ref_bpe(words, k)) < k:
+        return  # vocab exhausted; trainer raises by contract
+    want = _ref_encode(words, k)
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string"
+    )
+    vocab = word_vocab(docs)
+    enc = bpe_encode_vocab(vocab, bpe_train_pairs(vocab, k))
+    got = {r["word"]: r["n_sym"] for r in enc.collect()}
+    assert got == want, (words, k)
+
+
+def test_bpe_encode_rejects_unsafe_merge_list(spark):
+    import pytest
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
+        bpe_encode_vocab,
+    )
+
+    docs = spark.createDataFrame([(0, "ab ab a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="outside"):
+        bpe_encode_vocab(word_vocab(docs), [(1, "a'); DROP", "b", 1, 1)])
+
+
+def test_bpe_encode_corpus_zero_word_docs(spark):
+    """Docs with no [a-z]+ words must appear with zero counts (the packing
+    feed needs every doc present)."""
+    import pandas as pd
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
+        bpe_encode_vocab,
+        bpe_train_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "aa ab"), (1, "123 !?"), (2, "b")], "doc_id bigint, text string"
+    )
+    vocab = word_vocab(docs)
+    enc = bpe_encode_vocab(vocab, bpe_train_pairs(vocab, 1))
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    cnt = (
+        words.join(enc.select("word", "n_sym"), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sym").alias("n"))
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id").join(cnt, "doc_id", "left").collect()
+    }
+    # merge 1 is (a, a) or (a, b) by tie-break: count (a,b)=1 in "ab",
+    # (a,a)=1 in "aa" -> tie broken to (a,a); "aa"->1 tok, "ab"->2, "b"->1
+    assert out[1] is None  # no gated words
+    assert out[0] == 3 and out[2] == 1
