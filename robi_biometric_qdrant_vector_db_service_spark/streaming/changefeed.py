@@ -1,0 +1,101 @@
+"""Streaming change-data-feed — the continuous twin of
+`operators.store.VectorStore.changes` (SURVEY §2.10 posture: every batch
+op should also run as a continuous stage; r15 VERDICT item 4).
+
+The manifest log IS a stream: every commit publishes one immutable
+``manifest_<v>.json``, so a Structured Streaming FILE SOURCE tailing the
+store root (``maxFilesPerTrigger=1`` — one commit per micro-batch) sees
+each version exactly once, in commit order.  Per micro-batch, the reader
+diffs each newly-visible version against its predecessor with the SAME
+batch ``changes(v-1, to=v)`` plan — file-level pruning and all — and
+appends the rows, tagged with their version, to a version-partitioned
+sink.  This is Delta CDF's *per-commit* reader semantics: the drained
+feed is the union of single-version diffs, which a consumer folds into
+any window it wants (and which equals the endpoint diff whenever no
+entity is touched twice — the registered query's scenario).
+
+Exactly-once under foreachBatch RETRIES (the `streaming/neardup.py`
+protocol): each version's rows are written with per-directory overwrite
+to ``version=<v>``, so a replayed micro-batch rewrites byte-identical
+partitions — the sink cannot double-count, and there is no other state
+to corrupt (the manifest log itself is the state, immutable by
+construction).
+
+Scale: the heavy lifting is the batch ``changes`` plan — only files
+added/removed by each commit are scanned, so a commit that touched one
+bucket costs one bucket regardless of store size; the tail itself reads
+one small JSON manifest per commit.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._tmpdirs import tracked_mkdtemp
+
+_counter = itertools.count()
+
+CHANGE_SCHEMA = (
+    "change string, point_id string, user_id string, ts double, "
+    "embedding array<double>, metadata map<string,string>"
+)
+
+_MANIFEST_RE = re.compile(r"manifest_(\d+)\.json$")
+
+
+def _emit_versions(store, versions: list[int], since: int, sink: str) -> None:
+    """Write each version's single-commit diff to its own sink partition.
+    Idempotent: a foreachBatch retry re-derives the same rows from the
+    same immutable manifests and overwrites the same directories."""
+    for v in sorted(versions):
+        if v <= since:
+            continue  # the feed is anchored AT `since`, like changes(since)
+        rows = store.changes(v - 1, to=v)
+        rows.write.mode("overwrite").parquet(
+            os.path.join(sink, f"version={v}")
+        )
+
+
+def changes_feed_stream(spark: SparkSession, store, *, since: int) -> DataFrame:
+    """Tail the store's manifest log from version ``since`` (exclusive)
+    through the streaming per-commit CDC reader and return the drained
+    feed: one row per logical row change, with its commit ``version``."""
+    sink = tracked_mkdtemp(prefix=f"stream_cdc_{os.getpid()}_")
+    # seed partition: fixed schema for the final read even if no version
+    # past `since` ever commits
+    spark.createDataFrame([], CHANGE_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(sink, f"version={since}")
+    )
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        files = [
+            r["f"]
+            for r in batch.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        versions = []
+        for f in files:
+            m = _MANIFEST_RE.search(f)
+            if not m:
+                raise ValueError(f"changes_feed_stream: unexpected file {f!r}")
+            versions.append(int(m.group(1)))
+        _emit_versions(store, versions, since, sink)
+
+    name = f"cdc_feed_{os.getpid()}_{next(_counter)}"
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(os.path.join(store.root, "manifest_*.json"))
+    )
+    q = stream.writeStream.foreachBatch(on_batch).queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(sink).filter(F.col("version") > since)

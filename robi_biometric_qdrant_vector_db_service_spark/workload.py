@@ -1723,6 +1723,90 @@ def store_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_store_changelog",
+    """
+WITH e AS (
+  SELECT vec_id, label, concat('u', CAST(label AS VARCHAR)) AS user_id
+  FROM embeddings
+)
+SELECT 1 AS step, 'delete' AS change, user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(1000.0 + vec_id) AS DOUBLE) AS ts_sum
+FROM e WHERE label = 2 GROUP BY user_id
+UNION ALL
+SELECT 2, 'update_preimage', user_id, CAST(count(*) AS BIGINT),
+       CAST(sum(1000.0 + vec_id) AS DOUBLE)
+FROM e WHERE vec_id < 10 AND label <> 2 GROUP BY user_id
+UNION ALL
+SELECT 2, 'update_postimage', user_id, CAST(count(*) AS BIGINT),
+       CAST(sum(500000000.0 + vec_id) AS DOUBLE)
+FROM e WHERE vec_id < 10 AND label <> 2 GROUP BY user_id
+UNION ALL
+SELECT 2, 'insert', 'unew', CAST(count(*) AS BIGINT),
+       CAST(sum(700000000.0 + vec_id) AS DOUBLE)
+FROM e WHERE vec_id < 5
+""",
+)
+def stream_store_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-data-feed as a CONTINUOUS stage (r15 VERDICT item 4):
+    the manifest log is itself a stream — one immutable
+    ``manifest_<v>.json`` per commit — so `streaming/changefeed.py` tails
+    it with a Structured Streaming file source (one commit per
+    micro-batch) and emits each version's single-commit diff exactly
+    once, per-directory-overwrite idempotent under foreachBatch retries.
+
+    Same three mutation generations as the batch `store_changelog`
+    (predicate delete → mixed update/insert upsert → full compaction),
+    but the feed now carries per-COMMIT granularity: the ``step`` column
+    (version − v0) pins WHICH commit produced each change — deletes in
+    step 1, updates+inserts in step 2, and the compaction (maximal
+    physical churn, step 3) emits ZERO rows, which the oracle asserts by
+    listing no step-3 group.  Because no entity is touched twice, the
+    union of per-commit diffs here equals the batch endpoint diff — the
+    drain-equals-batch contract, with the step split as the extra
+    evidence only a true per-commit tail can produce."""
+    from .streaming.changefeed import changes_feed_stream
+
+    store = _fresh_store(spark, sf_dir, "cdcstream")
+    v0 = store._current_version()
+    store.delete_where("user_id = 'u2'")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _rows(df: DataFrame, pid, user, ts) -> DataFrame:
+        return df.select(
+            pid.alias("point_id"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+            user.alias("user_id"),
+            ts.alias("ts"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+        )
+
+    updates = _rows(
+        emb.filter((F.col("vec_id") < 10) & (F.col("label") != 2)),
+        F.col("vec_id").cast("string"),
+        F.concat(F.lit("u"), F.col("label").cast("string")),
+        F.lit(5.0e8) + F.col("vec_id"),
+    )
+    inserts = _rows(
+        emb.filter(F.col("vec_id") < 5),
+        F.concat(F.lit("n"), F.col("vec_id").cast("string")),
+        F.lit("unew"),
+        F.lit(7.0e8) + F.col("vec_id"),
+    )
+    store.upsert(updates.unionByName(inserts), normalize=False)
+    store.compact(max_files_per_bucket=1)
+    feed = changes_feed_stream(spark, store, since=v0)
+    return (
+        feed.withColumn("step", (F.col("version") - v0).cast("int"))
+        .groupBy("step", "change", "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("ts").cast("double").alias("ts_sum"),
+        )
+    )
+
+
+@register(
     "time_range_scan",
     """
 SELECT concat('u', CAST(label AS VARCHAR)) AS user_id,
@@ -3849,66 +3933,66 @@ from . import workload_graph  # noqa: E402,F401
 # rolling_hash_fp, repetition_profile, npy_migration, pii_redaction,
 # stream_pii_scrub, chunk_dedup_groups, domain_blocklist_filter).
 FRONT_QUERIES = [
-    # (a) never driver-windowed (new this round: JPEG dHash corpus, store
-    # CDC, BPE training; PNG corpus + streaming sessionization landed
-    # earlier in r15 and are still unwindowed)
+    # (a) never driver-windowed (new this round: MJPEG-in-AVI video frame
+    # dedup, BPE corpus encode + BPE-count packing, streaming CDC tail,
+    # acoustic fingerprint dedup)
+    "video_frame_phash_dups",
+    "bpe_encode_corpus",
+    "bpe_sequence_packing",
+    "stream_store_changelog",
+    "audio_fingerprint_dups",
+    # (b) changed this round: phash_dup_pairs generalized with extra join
+    # keys (all three image dHash corpora route through it), wav_parse
+    # hardened (declared-size bound + duplicate-chunk rejection),
+    # jpeg_decode fill-byte skip + windowed BitReader, bpe_train symbol
+    # validation + lineage checkpoint (bpe_merge_table)
+    "image_phash_dups",
     "image_png_phash_dups",
-    "stream_sessionization",
     "image_jpeg_phash_dups",
-    "store_changelog",
-    "bpe_merge_table",
     "audio_wav_features",
-    # (b) changed this round: update_vectors + immutable-predicate
-    # delete_where joined the apply_batch rewrite family (delete_by_predicate
-    # and time_travel_read exercise the delete_where path directly),
-    # session_window_rollup's oracle corrected to the exact-gap merge rule,
-    # both streaming near-dup gates moved to batch-id-keyed exactly-once
-    # sinks
-    "points_update_batch",
-    "session_window_rollup",
-    "stream_neardup_pairs",
-    "stream_embedding_neardups",
-    "delete_by_predicate",
-    "time_travel_read",
-    # (c) r11-stale — ALL 27 remaining (ledger: union of CORRECTNESS_r*.json)
-    "dsir_importance_weights",
-    "embedding_near_dups",
-    "geo_polygon_filter",
-    "gopher_quality_filter",
-    "hard_negative_mining",
-    "ingest_bulk_100k",
-    "int8_rescore_topk",
-    "knn_batch_throughput",
-    "knn_euclid_topk",
-    "knn_topk_gemm",
-    "label_centroids",
-    "latency_distribution",
-    "match_text_prefix",
-    "minhash_lsh_dups",
-    "mixture_rebalance",
-    "multi_vector_fusion",
-    "multivector_maxsim_topk",
-    "nested_payload_filter",
-    "payload_projection",
-    "qty_pivot_by_status",
-    "quality_weighted_sample",
-    "random_sample_points",
-    "recommend_sum_scores",
-    "rollup_returns",
-    "running_ops_stats",
-    "salted_user_rollup",
-    "stream_quality_gate",
-    # (d) r12-stale, first 11 of 45 alphabetically (the remaining 34 front
-    # next round)
-    "active_customer_balance",
-    "ccnet_perplexity_buckets",
-    "charlm_quality",
-    "customers_without_orders",
-    "doc_fingerprints",
-    "doc_quality_filter",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_retention_24h",
-    "exact_dedup_groups",
-    "formula_datetime_decay_topk",
+    "bpe_merge_table",
+    # (c) r12-stale — ALL 32 remaining (ledger: union of CORRECTNESS_r*.json;
+    # the four stream_* rows here also re-cover the tracked-tempdir plumbing
+    # every streaming module adopted this round)
+    "formula_rescore_topk",
+    "funnel_stages",
+    "knn_filtered",
+    "knn_manhattan_topk",
+    "knn_topk",
+    "lang_id_heuristic",
+    "lang_token_summary",
+    "mmr_diversity_topk",
+    "order_status_except",
+    "order_status_intersect",
+    "pricing_summary",
+    "scroll_keyset",
+    "semdedup_pairs",
+    "sequence_packing",
+    "sessionization",
+    "shingle_novelty",
+    "simhash_hamming_pairs",
+    "similarity_matrix_topk",
+    "store_compaction",
+    "store_search_api",
+    "stream_attribution_join",
+    "stream_dedup_events",
+    "stream_hourly_counts",
+    "stream_store_ingest",
+    "text_stats",
+    "tfidf_top_terms",
+    "time_range_scan",
+    "top_part_per_supplier",
+    "top_revenue_customers",
+    "upsert_merge",
+    "vector_norms",
+    "verify_1to1",
+    # (d) r13-stale, first 8 alphabetically (the rest front next round)
+    "advanced_filter_should_not",
+    "alias_blue_green_read",
+    "ann_ivf_pruned_topk",
+    "ann_ivf_topk",
+    "ann_kmeans_ivf_topk",
+    "c4_line_quality",
+    "count_filtered",
+    "datetime_range_filter",
 ]

@@ -135,3 +135,61 @@ def test_text_replay_converges_from_any_crash_subset(spark, survive, seed):
             shutil.rmtree(f"{store}/batch=1", ignore_errors=True)
     _process_batch(batches[1], 1, *stores)
     assert _snap(spark, *stores) == want
+
+
+def test_changefeed_replay_idempotent_and_equals_batch(spark):
+    """The streaming CDC tail: (a) the drained feed equals the union of
+    batch single-version diffs, (b) re-emitting any version (foreachBatch
+    retry) leaves the sink byte-identical, (c) versions at or before the
+    anchor are skipped, (d) a pure-compaction commit emits nothing."""
+    import os
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import (
+        VectorStore,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.streaming.changefeed import (
+        _emit_versions,
+        changes_feed_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_replay_store_")
+    store = VectorStore(spark, root, n_buckets=2)
+    store._publish_manifest({})  # genesis
+    base = spark.createDataFrame(
+        [(f"p{i}", [float(i), 1.0], f"u{i % 3}", 100.0 + i, {}) for i in range(12)],
+        "point_id string, embedding array<double>, user_id string, "
+        "ts double, metadata map<string,string>",
+    )
+    store.add_batch(base, normalize=False)           # v0 (anchor)
+    v0 = store._current_version()
+    store.delete_where("user_id = 'u1'")             # v1: deletes
+    upd = spark.createDataFrame(
+        [("p0", [9.0, 9.0], "u0", 900.0, {}), ("px", [5.0, 5.0], "unew", 500.0, {})],
+        base.schema,
+    )
+    store.upsert(upd, normalize=False)               # v2: update + insert
+    store.compact(max_files_per_bucket=1)            # v3: churn, no changes
+
+    feed = changes_feed_stream(spark, store, since=v0)
+    got = sorted(
+        (r["version"], r["change"], r["point_id"], r["ts"]) for r in feed.collect()
+    )
+    want = []
+    for v in (v0 + 1, v0 + 2, v0 + 3):
+        for r in store.changes(v - 1, to=v).collect():
+            want.append((v, r["change"], r["point_id"], r["ts"]))
+    assert got == sorted(want)
+    assert not [w for w in want if w[0] == v0 + 3]  # compaction silent
+    assert {w[0] for w in want} == {v0 + 1, v0 + 2}
+
+    # retry idempotence: re-emit every version into the live sink
+    sink = os.path.dirname(feed.inputFiles()[0])
+    sink = sink[: sink.rindex("/version=")]
+    _emit_versions(store, [v0, v0 + 1, v0 + 2, v0 + 3], v0, sink)
+    again = sorted(
+        (r["version"], r["change"], r["point_id"], r["ts"])
+        for r in spark.read.parquet(sink)
+        .filter(F.col("version") > v0)
+        .collect()
+    )
+    assert again == got
