@@ -19,13 +19,13 @@ HTTP and Qdrant flushes segments every second
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.store import POINT_SCHEMA, VectorStore
 from ..sources.catalog import load_table
+from ._tmpdirs import tracked_mkdtemp
 
 _staged_points_cache: dict[str, tuple[str, int]] = {}
 
@@ -35,7 +35,7 @@ def _staged_points_path(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     store-schema points (deterministic ids; file count fixed so
     ``maxFilesPerTrigger`` yields a known number of micro-batches)."""
     if sf_dir not in _staged_points_cache:
-        out = tempfile.mkdtemp(prefix="stream_points_")
+        out = tracked_mkdtemp(prefix="stream_points_")
         emb = load_table(spark, sf_dir, "embeddings")
         pts = emb.select(
             F.col("vec_id").cast("string").alias("point_id"),
@@ -55,7 +55,7 @@ def store_ingest_stream(spark: SparkSession, sf_dir: str) -> tuple[VectorStore, 
     with 4 staged files and maxFilesPerTrigger=2 the bounded drain publishes
     exactly 2 append versions on top of the empty v0."""
     path, n_files = _staged_points_path(spark, sf_dir)
-    store = VectorStore.create(spark, tempfile.mkdtemp(prefix="vstore_stream_"))
+    store = VectorStore.create(spark, tracked_mkdtemp(prefix="vstore_stream_"))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         store.add_batch(batch_df, normalize=False)
@@ -66,7 +66,7 @@ def store_ingest_stream(spark: SparkSession, sf_dir: str) -> tuple[VectorStore, 
         .parquet(path)
         .writeStream.foreachBatch(_sink)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="stream_ingest_ckpt_")
+            "checkpointLocation", tracked_mkdtemp(prefix="stream_ingest_ckpt_")
         )
         .start()
     )

@@ -18,12 +18,12 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ._tmpdirs import tracked_mkdtemp
 
 DOCS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -38,7 +38,7 @@ def staged_documents_path(spark: SparkSession, sf_dir: str) -> str:
     (plain types; the driver's files may carry TIMESTAMP(NANOS) elsewhere).
     Staged once per sf_dir per process — the source is read-only."""
     if sf_dir not in _staged_docs_cache:
-        out = tempfile.mkdtemp(prefix="stream_docs_")
+        out = tracked_mkdtemp(prefix="stream_docs_")
         load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(out)
         _staged_docs_cache[sf_dir] = out
     return _staged_docs_cache[sf_dir]

@@ -22,13 +22,13 @@ Why this shape scales:
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.search import knn_search
 from ..sources.catalog import load_table
+from ._tmpdirs import tracked_mkdtemp
 
 PROBE_SCHEMA = "q_id bigint, q_emb array<float>"
 
@@ -41,7 +41,7 @@ def _staged_probe_batches_path(spark: SparkSession, sf_dir: str) -> str:
     file, partitioned by a deterministic batch key) so ``maxFilesPerTrigger
     = 1`` drains as 4 micro-batches of 2 requests each."""
     if sf_dir not in _staged_probe_cache:
-        out = tempfile.mkdtemp(prefix="stream_probes_")
+        out = tracked_mkdtemp(prefix="stream_probes_")
         emb = load_table(spark, sf_dir, "embeddings")
         probes = emb.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("q_id"),
@@ -91,7 +91,7 @@ def search_serving_stream(
             .trigger(availableNow=True)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="stream_serving_ckpt_"),
+                tracked_mkdtemp(prefix="stream_serving_ckpt_"),
             )
             .start()
         )

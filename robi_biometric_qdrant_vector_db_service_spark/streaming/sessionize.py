@@ -34,13 +34,13 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 from .stats import EVENTS_SCHEMA, _state_partitions
+from ._tmpdirs import tracked_mkdtemp
 
 SESSION_GAP = "30 minutes"
 # longer than any fixture's event-time span, so no real event is ever
@@ -59,7 +59,7 @@ def _staged_sessionize_events(spark: SparkSession, sf_dir: str) -> str:
     parallelizes; the shared single-file staging made the whole drain one
     single-task scan)."""
     if sf_dir not in _staged_cache:
-        out = tempfile.mkdtemp(prefix="stream_sess_src_")
+        out = tracked_mkdtemp(prefix="stream_sess_src_")
         load_table(spark, sf_dir, "events").repartition(8).write.mode(
             "overwrite"
         ).parquet(out)
@@ -73,7 +73,7 @@ def _run_dir_with_links(spark: SparkSession, sf_dir: str) -> str:
     an old sentinel in an early micro-batch would advance the watermark
     past the real data and silently drop it)."""
     src = _staged_sessionize_events(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="stream_sess_")
+    out = tracked_mkdtemp(prefix="stream_sess_")
     for f in os.listdir(src):
         if f.endswith(".parquet"):
             os.link(os.path.join(src, f), os.path.join(out, f))

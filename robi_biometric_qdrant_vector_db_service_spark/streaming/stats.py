@@ -18,12 +18,12 @@ Delta — the aggregation plan is unchanged.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ._tmpdirs import tracked_mkdtemp
 
 EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
@@ -57,7 +57,7 @@ def _staged_events_path(spark: SparkSession, sf_dir: str) -> str:
     the streaming reader rejects the same way the batch one does).  Staged
     once per sf_dir per process — the source is read-only."""
     if sf_dir not in _staged_cache:
-        out = tempfile.mkdtemp(prefix="stream_events_")
+        out = tracked_mkdtemp(prefix="stream_events_")
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
         _staged_cache[sf_dir] = out
     return _staged_cache[sf_dir]
@@ -95,7 +95,7 @@ def _staged_duplicated_events_path(spark: SparkSession, sf_dir: str) -> str:
     stand-in for an at-least-once delivery stream (every event delivered
     two times)."""
     if sf_dir not in _staged_dup_cache:
-        out = tempfile.mkdtemp(prefix="stream_events_dup_")
+        out = tracked_mkdtemp(prefix="stream_events_dup_")
         ev = load_table(spark, sf_dir, "events")
         ev.write.mode("overwrite").parquet(out)
         ev.write.mode("append").parquet(out)
