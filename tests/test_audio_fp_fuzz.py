@@ -127,3 +127,18 @@ def test_short_clip_fails_loud(spark):
     x = np.arange(AUDIO_FP_BLOCKS - 1, dtype=np.int16)
     with pytest.raises(Exception, match="shorter than"):
         _spark_words(spark, [wav_encode_pcm16(x)])
+
+
+def test_tied_block_energies_stay_invariant_under_gain(spark):
+    """Equal adjacent energies produce bit 0 (strict less-than); uniform
+    gain preserves ties exactly, so the hash still cannot move."""
+    amps = np.array([5] * 20 + [9, 3] * 10 + [5] * 25, dtype=np.int64)
+    assert len(amps) == AUDIO_FP_BLOCKS
+    unit = np.tile([1, -1], 50)
+    blobs = [
+        wav_encode_pcm16(((amps * g)[:, None] * unit[None, :])
+                         .reshape(-1).astype(np.int16), 16000)
+        for g in (1, 3)
+    ]
+    got = _spark_words(spark, blobs)
+    assert got[0] == got[1]

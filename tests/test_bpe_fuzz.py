@@ -216,3 +216,36 @@ def test_bpe_encode_corpus_zero_word_docs(spark):
     # (a,a)=1 in "aa" -> tie broken to (a,a); "aa"->1 tok, "ab"->2, "b"->1
     assert out[1] is None  # no gated words
     assert out[0] == 3 and out[2] == 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    words=st.lists(st.sampled_from(WORDS), min_size=3, max_size=30),
+    k=st.integers(1, 4),
+)
+def test_bpe_encode_conserves_trainer_token_count(spark, words, k):
+    """Cross-operator invariant: the trainer's final n_tokens equals
+    sum(freq x encoded n_sym) over the vocab — training and encoding must
+    agree on what the corpus tokenizes to."""
+    from pyspark.sql import functions as F
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
+        bpe_encode_vocab,
+        bpe_train_pairs,
+    )
+
+    if len(_ref_bpe(words, k)) < k:
+        return
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string"
+    )
+    vocab = word_vocab(docs)
+    pairs = bpe_train_pairs(vocab, k)
+    final_n_tokens = pairs[-1][4]
+    enc = bpe_encode_vocab(vocab, pairs)
+    total = (
+        enc.join(vocab.select("word", "freq"), "word")
+        .select(F.sum(F.col("freq") * F.col("n_sym")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total == final_n_tokens

@@ -242,3 +242,47 @@ def test_video_frame_dhash_matches_reference(spark, stride, n):
         for j in range(4):
             assert r[f"b{j}"] == int((b[16 * j : 16 * (j + 1)] * w16).sum())
         assert r["doc_id"] == 5
+
+
+def test_mixed_geometry_videos_in_one_batch(spark):
+    """Videos of DIFFERENT dimensions and frame counts hash in one Arrow
+    batch — each file's SOF0 declares its own geometry (the mixed-size
+    contract of the image decoders, extended to the 1:N frame path)."""
+    import pandas as pd
+
+    specs = [(36, 32, 5), (18, 16, 3), (27, 24, 7)]
+    rows = []
+    for did, (w, h, n) in enumerate(specs):
+        frames = [
+            jpeg_encode_rgb(class_grid_image(700 + did * 10 + i,
+                                             width=w, height=h), quality=90)
+            for i in range(n)
+        ]
+        rows.append((did, bytearray(avi_encode_mjpeg(frames, w, h))))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "blob": [r[1] for r in rows]}),
+        schema="doc_id bigint, blob binary",
+    )
+    got = video_frame_dhash(df, stride=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for did, (_w, _h, n) in enumerate(specs):
+        assert sorted(by_doc[did]) == list(range(0, n, 2))
+
+
+def test_stride_beyond_frame_count_samples_only_first(spark):
+    import pandas as pd
+
+    frames = [jpeg_encode_rgb(class_grid_image(800 + i, width=18, height=16),
+                              quality=90) for i in range(3)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0],
+                      "blob": [bytearray(avi_encode_mjpeg(frames, 18, 16))]}),
+        schema="doc_id bigint, blob binary",
+    )
+    rows = video_frame_dhash(df, stride=10).collect()
+    assert [r["frame_idx"] for r in rows] == [0]
+    with pytest.raises(ValueError, match="stride"):
+        video_frame_dhash(df, stride=0)
