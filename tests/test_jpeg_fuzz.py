@@ -476,3 +476,45 @@ def test_zrl_long_zero_runs_roundtrip():
     blob = jpeg_encode_rgb(px, quality=100, sampling="4:4:4")
     out = jpeg_decode(blob)
     assert int(np.abs(out - px.astype(np.int64)).max()) <= 5
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    fills=st.lists(st.integers(1, 5), min_size=1, max_size=4),
+)
+def test_fill_bytes_before_markers_are_skipped(seed, fills):
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad the stream
+    before a marker id.  Insert runs of fill bytes before interior
+    markers — decode must be pixel-identical to the unpadded stream."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(9, 11, 3)).astype(np.uint8)
+    blob = jpeg_encode_rgb(px, quality=95)
+    want = jpeg_decode(blob)
+    segs, scan = _split_segments(blob)
+    out = bytearray(b"\xff\xd8")
+    for i, (_m, raw) in enumerate(segs):
+        out += b"\xff" * fills[i % len(fills)]
+        out += raw
+    out += scan
+    got = jpeg_decode(bytes(out))
+    assert np.array_equal(got, want)
+
+
+def test_bitreader_window_reload_is_seamless():
+    """The windowed peek table must decode identically when the window is
+    far smaller than the entropy stream (forces many mid-stream reloads
+    with genuine 16-bit lookahead across window edges)."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(24, 21, 3)).astype(np.uint8)
+    blob = jpeg_encode_rgb(px, quality=90, sampling="4:2:0")
+    want = jpeg_decode(blob)
+    old = J._BitReader.WINDOW
+    try:
+        J._BitReader.WINDOW = 64  # bits — hundreds of reloads
+        got = jpeg_decode(blob)
+    finally:
+        J._BitReader.WINDOW = old
+    assert np.array_equal(got, want)

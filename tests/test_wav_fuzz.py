@@ -162,3 +162,39 @@ def test_square_wave_planted_truth():
                                      2 * reps - 1)
     got, _ = wav_parse(wav_encode_pcm16(x))
     assert np.array_equal(got, x)
+
+
+def test_duplicate_and_overrunning_chunks_fail_loud():
+    """r16 hardening: duplicate fmt/data chunks and a chunk overrunning
+    the declared RIFF size must raise; bytes past the declared size are
+    outside the container and ignored."""
+    x = np.arange(-40, 40, dtype=np.int16)
+    good = wav_encode_pcm16(x, 16000)
+    fmt_payload = good[20:36]
+    data_payload = x.tobytes()
+
+    def rebuild(*chunks: bytes) -> bytes:
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(ValueError, match="duplicate fmt"):
+        wav_parse(rebuild(_chunk(b"fmt ", fmt_payload),
+                          _chunk(b"fmt ", fmt_payload),
+                          _chunk(b"data", data_payload)))
+    with pytest.raises(ValueError, match="duplicate data"):
+        wav_parse(rebuild(_chunk(b"fmt ", fmt_payload),
+                          _chunk(b"data", data_payload),
+                          _chunk(b"data", data_payload)))
+    # a chunk whose declared length overruns the RIFF bound
+    bad = bytearray(rebuild(_chunk(b"fmt ", fmt_payload),
+                            _chunk(b"data", data_payload)))
+    struct.pack_into("<I", bad, 40, 1 << 28)  # data chunk length field
+    with pytest.raises(ValueError, match="overruns"):
+        wav_parse(bytes(bad))
+    # trailing bytes PAST the declared RIFF size are not chunks: a forged
+    # second data chunk appended there must not change a sample
+    forged = rebuild(_chunk(b"fmt ", fmt_payload),
+                     _chunk(b"data", data_payload))
+    forged += _chunk(b"data", (x * 0).tobytes())
+    got, rate = wav_parse(forged)
+    assert rate == 16000 and np.array_equal(got, x)
