@@ -193,3 +193,78 @@ def test_changefeed_replay_idempotent_and_equals_batch(spark):
         .collect()
     )
     assert again == got
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    ops=st.lists(st.integers(0, 3), min_size=1, max_size=5),
+    cut=st.integers(0, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_changefeed_union_equals_batch_from_any_anchor(spark, ops, cut, seed):
+    """Model fuzz of the per-commit emitter: arbitrary mutation sequences,
+    arbitrary anchor version, arbitrary version->batch groupings — the
+    emitted union must equal the batch single-version diffs past the
+    anchor (and only those)."""
+    import os
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import (
+        VectorStore,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.streaming.changefeed import (
+        CHANGE_SCHEMA,
+        _emit_versions,
+    )
+
+    rng = __import__("numpy").random.default_rng(seed)
+    root = tempfile.mkdtemp(prefix="cdc_model_store_")
+    store = VectorStore(spark, root, n_buckets=2)
+    store._publish_manifest({})
+    schema = (
+        "point_id string, embedding array<double>, user_id string, "
+        "ts double, metadata map<string,string>"
+    )
+
+    def batch(tag: str, n: int):
+        return spark.createDataFrame(
+            [(f"{tag}{i}", [float(i), 2.0], f"u{i % 2}",
+              float(rng.integers(1, 10**6)), {}) for i in range(n)],
+            schema,
+        )
+
+    store.add_batch(batch("base", 8), normalize=False)
+    for k, op in enumerate(ops):
+        if op == 0:
+            store.add_batch(batch(f"a{k}_", 3), normalize=False)
+        elif op == 1:
+            store.delete_where(f"user_id = 'u{k % 2}'")
+        elif op == 2:
+            store.upsert(batch("base", 2), normalize=False)  # content churn
+        else:
+            store.compact(max_files_per_bucket=1)
+    v_hi = store._current_version()
+    anchor = min(cut, v_hi)
+
+    sink = tempfile.mkdtemp(prefix="cdc_model_sink_")
+    spark.createDataFrame([], CHANGE_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(sink, f"version={anchor}")
+    )
+    # arbitrary grouping: split versions 0..v_hi into two emit calls,
+    # including versions AT/BELOW the anchor (must be skipped)
+    versions = list(range(v_hi + 1))
+    half = len(versions) // 2
+    _emit_versions(store, versions[:half], anchor, sink)
+    _emit_versions(store, versions[half:], anchor, sink)
+
+    got = sorted(
+        (r["version"], r["change"], r["point_id"], r["ts"])
+        for r in spark.read.parquet(sink)
+        .filter(F.col("version") > anchor)
+        .collect()
+    )
+    want = sorted(
+        (v, r["change"], r["point_id"], r["ts"])
+        for v in range(anchor + 1, v_hi + 1)
+        for r in store.changes(v - 1, to=v).collect()
+    )
+    assert got == want
