@@ -1,10 +1,10 @@
 """Real video decode for the multimodal family — stdlib MJPEG-in-AVI.
 
-The multimodal charter (SURVEY §2.12; reference posture: media as opaque
-binary columns, `src/utils/image_processing.py:1-40`-style decode at the
-edge) carried video as the LAST stubbed modality after r15 made image
-(PNG in `multimodal.py`/`jpeg.py`) and audio (WAV in `audio.py`) decode
-real.  This module closes it by COMPOSING the two existing pieces — the
+The multimodal charter (SURVEY §2.12: image/audio/video as opaque binary
+columns with typed metadata, Arrow-batched decode at the edge — the
+reference itself ships no codec; this is the task charter's posture)
+carried video as the LAST stubbed modality after r15 made image (PNG in
+`multimodal.py`/`jpeg.py`) and audio (WAV in `audio.py`) decode real.  This module closes it by COMPOSING the two existing pieces — the
 RIFF chunk-walk discipline of `audio.wav_parse` for the AVI container and
 the baseline JPEG decoder `jpeg.jpeg_decode` for each frame — into a real
 MJPEG-in-AVI path with zero new codec work:
