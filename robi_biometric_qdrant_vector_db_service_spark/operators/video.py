@@ -202,8 +202,18 @@ def avi_parse_mjpeg(blob: bytes) -> tuple[list[bytes], int, int]:
                 )
             for sid, ss, sln in _walk(blob, s + 4, s + ln):
                 if sid == b"strh":
+                    if strh is not None:
+                        raise ValueError(
+                            "avi_parse_mjpeg: duplicate strh chunk in strl"
+                        )
+                    if sln < 36:
+                        raise ValueError("avi_parse_mjpeg: short strh chunk")
                     strh = blob[ss : ss + sln]
                 elif sid == b"strf":
+                    if strf is not None:
+                        raise ValueError(
+                            "avi_parse_mjpeg: duplicate strf chunk in strl"
+                        )
                     strf = blob[ss : ss + sln]
         elif cid == b"JUNK":
             continue

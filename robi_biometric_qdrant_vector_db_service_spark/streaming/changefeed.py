@@ -93,7 +93,17 @@ def changes_feed_stream(spark: SparkSession, store, *, since: int) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .load(os.path.join(store.root, "manifest_*.json"))
     )
-    q = stream.writeStream.foreachBatch(on_batch).queryName(name).start()
+    # explicit TRACKED checkpoint dir (the ingest.py/serving.py hygiene
+    # discipline): without it Spark allocates an untracked temp checkpoint
+    # that is retained on query failure
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option(
+            "checkpointLocation", tracked_mkdtemp(prefix="stream_cdc_ckpt_")
+        )
+        .queryName(name)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:

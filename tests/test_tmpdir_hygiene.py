@@ -29,6 +29,22 @@ def test_no_untracked_mkdtemp_in_streaming_sources():
     assert not offenders, offenders
 
 
+def test_every_stream_start_declares_a_checkpoint_location():
+    """A ``writeStream ... .start()`` without an explicit
+    ``checkpointLocation`` makes Spark allocate an UNTRACKED temp
+    checkpoint dir that is retained on query failure — a leak path the
+    mkdtemp grep above cannot see (found by the r16 advisor in
+    changefeed.py).  Every streaming module must pass a tracked dir."""
+    offenders = []
+    for p in STREAMING_DIR.glob("*.py"):
+        src = p.read_text()
+        n_starts = src.count(".start()")
+        n_ckpts = src.count("checkpointLocation")
+        if n_starts > n_ckpts:
+            offenders.append((p.name, n_starts, n_ckpts))
+    assert not offenders, offenders
+
+
 def test_tracked_dirs_swept_at_interpreter_exit(tmp_path):
     """Allocate tracked dirs in a child interpreter, record their paths,
     and assert they are gone after a clean exit."""

@@ -286,3 +286,58 @@ def test_stride_beyond_frame_count_samples_only_first(spark):
     assert [r["frame_idx"] for r in rows] == [0]
     with pytest.raises(ValueError, match="stride"):
         video_frame_dhash(df, stride=0)
+
+
+def _rebuild_with_strl(good: bytes, strl_payload: bytes) -> bytes:
+    """Re-assemble the writer's container with a hand-built strl payload
+    (the avih chunk and everything outside hdrl kept verbatim)."""
+    (riff_size,) = struct.unpack("<I", good[4:8])
+    pos, parts = 12, []
+    while pos + 8 < 8 + riff_size:
+        (clen,) = struct.unpack("<I", good[pos + 4 : pos + 8])
+        parts.append(good[pos : pos + 8 + clen + (clen & 1)])
+        pos += 8 + clen + (clen & 1)
+    hdrl_raw, movi_raw, idx1_raw = parts
+    hp = hdrl_raw[12:]
+    (avih_len,) = struct.unpack("<I", hp[4:8])
+    avih_chunk = hp[: 8 + avih_len]
+    hdrl2 = _list(b"hdrl", avih_chunk + _list(b"strl", strl_payload))
+    body = b"AVI " + hdrl2 + movi_raw + idx1_raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_rejects_duplicate_and_short_stream_headers():
+    """A second strh/strf INSIDE one strl must raise (last-one-wins would
+    let a smuggled second header redefine the stream), and a short strh
+    that still says 'vids' must fail with the module's ValueError
+    contract, not a struct.error from the dwLength unpack."""
+    frames = _frames(11, 3)
+    good = avi_encode_mjpeg(frames, 18, 16)
+    strl = good[good.find(b"strl") + 4 :]
+    (strh_len,) = struct.unpack("<I", strl[4:8])
+    strh_chunk = strl[: 8 + strh_len]
+    strf_start = 8 + strh_len + (strh_len & 1)
+    (strf_len,) = struct.unpack("<I", strl[strf_start + 4 : strf_start + 8])
+    strf_chunk = strl[strf_start : strf_start + 8 + strf_len]
+    assert strh_chunk[:4] == b"strh" and strf_chunk[:4] == b"strf"
+
+    with pytest.raises(ValueError, match="duplicate strh"):
+        avi_parse_mjpeg(
+            _rebuild_with_strl(good, strh_chunk + strh_chunk + strf_chunk)
+        )
+    with pytest.raises(ValueError, match="duplicate strf"):
+        avi_parse_mjpeg(
+            _rebuild_with_strl(good, strh_chunk + strf_chunk + strf_chunk)
+        )
+    # short strh (8..35 bytes) beginning 'vids'+'MJPG': ValueError, never
+    # a struct.error at the dwLength unpack
+    for cut in (8, 20, 35):
+        short = _chunk(b"strh", strh_chunk[8 : 8 + cut])
+        with pytest.raises(ValueError, match="short strh"):
+            avi_parse_mjpeg(_rebuild_with_strl(good, short + strf_chunk))
+    # the round-trip control: the rebuilt container with the ORIGINAL
+    # strl payload still parses to the same frames
+    got, w, h = avi_parse_mjpeg(
+        _rebuild_with_strl(good, strh_chunk + strf_chunk)
+    )
+    assert got == frames and (w, h) == (18, 16)
