@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .stats import EVENTS_SCHEMA, _staged_events_path, _state_partitions
+from ._tmpdirs import tracked_mkdtemp
 
 
 def attribution_join_stream(
@@ -66,6 +67,10 @@ def attribution_join_stream(
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
+            .option(
+                "checkpointLocation",
+                tracked_mkdtemp(prefix="stream_join_ckpt_"),
+            )
             .queryName(query_name)
             .start()
         )

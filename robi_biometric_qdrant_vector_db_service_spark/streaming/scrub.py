@@ -59,6 +59,10 @@ def pii_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         flagged.writeStream.outputMode("append")
         .format("memory")
+        .option(
+            "checkpointLocation",
+            tracked_mkdtemp(prefix="stream_scrub_ckpt_"),
+        )
         .queryName(name)
         .start()
     )
@@ -93,6 +97,10 @@ def quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         passed.writeStream.outputMode("append")
         .format("memory")
+        .option(
+            "checkpointLocation",
+            tracked_mkdtemp(prefix="stream_scrub_ckpt_"),
+        )
         .queryName(name)
         .start()
     )

@@ -118,6 +118,10 @@ def sessionization_stream(
         q = (
             sess.writeStream.outputMode("append")
             .format("memory")
+            .option(
+                "checkpointLocation",
+                tracked_mkdtemp(prefix="stream_sess_ckpt_"),
+            )
             .queryName(query_name)
             .start()
         )

@@ -29,6 +29,7 @@ from pyspark.sql.types import (
 )
 
 from .stats import EVENTS_SCHEMA, _staged_events_path, _state_partitions
+from ._tmpdirs import tracked_mkdtemp
 
 _CENT = Decimal("0.01")
 
@@ -79,6 +80,10 @@ def stateful_running_stats(
         q = (
             updated.writeStream.outputMode("update")
             .format("memory")
+            .option(
+                "checkpointLocation",
+                tracked_mkdtemp(prefix="stream_stateful_ckpt_"),
+            )
             .queryName(query_name)
             .start()
         )

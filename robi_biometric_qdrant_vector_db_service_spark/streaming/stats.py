@@ -77,6 +77,10 @@ def ops_stats_stream(spark: SparkSession, sf_dir: str, query_name: str) -> DataF
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
+            .option(
+                "checkpointLocation",
+                tracked_mkdtemp(prefix="stream_stats_ckpt_"),
+            )
             .queryName(query_name)
             .start()
         )
@@ -122,6 +126,10 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str, query_name: str) -> Da
         q = (
             deduped.writeStream.outputMode("append")
             .format("memory")
+            .option(
+                "checkpointLocation",
+                tracked_mkdtemp(prefix="stream_stats_ckpt_"),
+            )
             .queryName(query_name)
             .start()
         )
@@ -155,6 +163,10 @@ def hourly_window_stream(
         q = (
             agg.writeStream.outputMode("update")
             .format("memory")
+            .option(
+                "checkpointLocation",
+                tracked_mkdtemp(prefix="stream_stats_ckpt_"),
+            )
             .queryName(query_name)
             .start()
         )
@@ -191,6 +203,10 @@ def dedup_events_stream_watermarked(
         q = (
             deduped.writeStream.outputMode("append")
             .format("memory")
+            .option(
+                "checkpointLocation",
+                tracked_mkdtemp(prefix="stream_stats_ckpt_"),
+            )
             .queryName(query_name)
             .start()
         )
