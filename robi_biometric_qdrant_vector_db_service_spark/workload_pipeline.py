@@ -1361,22 +1361,41 @@ def bpe_encode_vocab(vocab: DataFrame, pairs: list[tuple]) -> DataFrame:
     """Apply a trained merge list to the vocab: (word, sym, n_sym) with
     every merge replayed in training order — the ENCODE twin of the
     trainer, and the heart of the word-frequency trick at tokenize time:
-    the corpus is never touched; K ``replace`` projections run over
+    the corpus is never touched; the K ``replace`` steps run over
     VOCAB-sized data once, and the corpus then joins its exploded words
     to the finished mapping.  Symbols are re-validated before
     interpolation (the ``bpe_train`` injection gate applies to replayed
-    merge lists too)."""
-    enc = vocab.select("word", "sym")
+    merge lists too).
+
+    Lineage discipline (the trainer's ``BPE_CHECKPOINT_EVERY`` cap,
+    applied to the replay — r16 VERDICT item 1): each run of
+    ``BPE_CHECKPOINT_EVERY`` merges compiles into ONE nested ``replace``
+    chain expression (a single projection, so expression depth — the
+    codegen budget — stays at the cap), and the vocab-sized table is
+    ``localCheckpoint``-ed between spans so a production 30k-merge list
+    costs K/32 shallow projections plus K/32 bounded materializations
+    instead of hitting the analyzer/plan-depth wall.  A fixture-scale
+    list (K <= 32) compiles to one lazy projection with zero
+    checkpoints — byte-identical plans to the old chained form after
+    CollapseProject."""
     for _step, left, right, _n, _t in pairs:
         if not (_bpe_symbol_ok(left) and _bpe_symbol_ok(right)):
             raise ValueError(
                 f"bpe_encode_vocab: merge pair ({left!r}, {right!r}) outside "
                 "the [a-z]+ alphabet"
             )
-        enc = enc.withColumn(
-            "sym",
-            F.expr(f"replace(sym, '⟨{left}⟩⟨{right}⟩', '⟨{left}{right}⟩')"),
-        )
+    enc = vocab.select("word", "sym")
+    spans = [
+        pairs[i : i + BPE_CHECKPOINT_EVERY]
+        for i in range(0, len(pairs), BPE_CHECKPOINT_EVERY)
+    ]
+    for j, span in enumerate(spans):
+        chain = "sym"
+        for _step, left, right, _n, _t in span:
+            chain = f"replace({chain}, '⟨{left}⟩⟨{right}⟩', '⟨{left}{right}⟩')"
+        enc = enc.withColumn("sym", F.expr(chain))
+        if j + 1 < len(spans):
+            enc = enc.localCheckpoint(eager=True)
     return enc.withColumn(
         "n_sym",
         F.expr("size(split(substring(sym, 2, length(sym)-2), '⟩⟨'))")

@@ -249,3 +249,55 @@ def test_bpe_encode_conserves_trainer_token_count(spark, words, k):
         .collect()[0]["t"]
     )
     assert total == final_n_tokens
+
+
+def _ref_replay(word: str, pairs: list[tuple]) -> int:
+    """Replay a GIVEN merge list (not a training run) over one word with
+    the standard greedy left-to-right scan; return the final symbol
+    count — the independent twin of the engine's replace-chain replay."""
+    syms = list(word)
+    for _step, left, right, _n, _t in pairs:
+        merged, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                merged.append(left + right)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return len(syms)
+
+
+def test_bpe_encode_replay_crosses_checkpoint_spans(spark):
+    """A merge list longer than BPE_CHECKPOINT_EVERY exercises the
+    span-compiled + localCheckpoint-capped replay (r16 VERDICT item 1):
+    70 merges = 3 spans at the cap of 32, with the WORKING merges placed
+    at positions 0, 33, and 66 so each span does real work and the state
+    handed across both checkpoint boundaries must be exact.  The other
+    67 merges are valid-but-absent symbol pairs (no-ops in both
+    engines).  Verified against an independent pure-Python replay of the
+    SAME list — not a retrain."""
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
+        BPE_CHECKPOINT_EVERY,
+        bpe_encode_vocab,
+        word_vocab,
+    )
+
+    assert BPE_CHECKPOINT_EVERY == 32  # positions below assume the cap
+    noop = ("zz", "qq")
+    real = {0: ("a", "b"), 33: ("ab", "a"), 66: ("aba", "ab")}
+    pairs = [
+        (k + 1, *real.get(k, noop), 1, 1) for k in range(70)
+    ]
+    words = ["abaab", "aba", "ab", "ba", "abab", "cabab"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string"
+    )
+    enc = bpe_encode_vocab(word_vocab(docs), pairs)
+    got = {r["word"]: r["n_sym"] for r in enc.collect()}
+    want = {w: _ref_replay(w, pairs) for w in set(words)}
+    assert got == want
+    # the three real merges actually fired (sanity against all-no-op):
+    # abaab -> [ab,a,ab] -> [aba,ab] -> [abaab], one merge per span
+    assert want["abaab"] == 1 and want["aba"] == 1 and want["abab"] == 2
