@@ -321,3 +321,54 @@ def video_frame_dhash(blobs: DataFrame, *, stride: int = 2) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=VIDEO_DHASH_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_frames int, width int, height int"
+)
+
+
+def video_sample_frames(blobs: DataFrame, *, stride: int = 2) -> DataFrame:
+    """Frame SAMPLING over real AVI containers — the extraction half of
+    `video_frame_dhash`, split out as its own 1:N stage (r16 VERDICT
+    item 2: the byte-span frame-sample stub retires in favor of the real
+    container): each (doc_id, blob) row expands to one row per sampled
+    frame (every ``stride``-th), carrying the container's cross-checked
+    geometry (frame count validated against BOTH headers, dimensions
+    from avih).
+
+    The walk slices frame payloads WITHOUT decoding them — the posture
+    that matters at 100 TB, where sampling must happen before the decode
+    pays for pixels; a downstream decode stage (`video_frame_dhash`, or
+    a GPU batch decoder) consumes only the sampled 1/stride of frames.
+    Partition-parallel mapInPandas projection, no shuffle."""
+    if stride < 1:
+        raise ValueError(
+            f"video_sample_frames: stride must be >= 1, got {stride}"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [],
+                "n_frames": [], "width": [], "height": [],
+            }
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                frames, w, h = avi_parse_mjpeg(bytes(blob))
+                for idx in range(0, len(frames), stride):
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(len(frames))
+                    out["width"].append(w)
+                    out["height"].append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    **{
+                        k: pd.Series(out[k], dtype="int32")
+                        for k in ("frame_idx", "n_frames", "width", "height")
+                    },
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)

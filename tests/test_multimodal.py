@@ -98,13 +98,15 @@ def test_raw_decoder_rejects_wrong_size_blobs(spark):
 
 
 def test_corpus_is_pure_ascii_where_multimodal_oracles_assume_it():
-    """The multimodal oracles (image_phash_dups / multimodal_resize /
-    multimodal_frame_sample in workload_sources.py) index CODEPOINTS
-    (len(text), unicode(text[i])) while the Spark side hashes UTF-8
-    BYTES — parity holds only while the corpus is pure ASCII (ADVICE
-    r13).  Pin the invariant on every fixture scale the driver uses, so
-    a corpus regeneration with non-ASCII text fails HERE with a message
-    naming the oracles to fix, instead of as a silent hash mismatch."""
+    """The byte-position multimodal oracles (image_phash_dups /
+    multimodal_decode in workload_sources.py — multimodal_resize and
+    multimodal_frame_sample moved to real codecs in r17) index
+    CODEPOINTS (len(text), unicode(text[i])) while the Spark side hashes
+    UTF-8 BYTES — parity holds only while the corpus is pure ASCII
+    (ADVICE r13).  Pin the invariant on every fixture scale the driver
+    uses, so a corpus regeneration with non-ASCII text fails HERE with a
+    message naming the oracles to fix, instead of as a silent hash
+    mismatch."""
     import os
 
     import duckdb
@@ -119,9 +121,8 @@ def test_corpus_is_pure_ascii_where_multimodal_oracles_assume_it():
         ).fetchone()[0]
         assert n == 0, (
             f"{sf}: {n} non-ASCII documents — the byte-position multimodal "
-            "oracles (image_phash_dups, multimodal_resize, "
-            "multimodal_frame_sample) must be rewritten over encoded bytes "
-            "before this corpus can be used"
+            "oracles (image_phash_dups, multimodal_decode) must be "
+            "rewritten over encoded bytes before this corpus can be used"
         )
 
 

@@ -341,3 +341,32 @@ def test_rejects_duplicate_and_short_stream_headers():
         _rebuild_with_strl(good, strh_chunk + strf_chunk)
     )
     assert got == frames and (w, h) == (18, 16)
+
+
+@pytest.mark.parametrize("stride,n", [(2, 8), (3, 7), (1, 4), (10, 3)])
+def test_video_sample_frames_structural(spark, stride, n):
+    """The extraction half without decode (`video_sample_frames`, the
+    real container behind the re-pointed multimodal_frame_sample row):
+    exactly the sampled positions, each carrying the cross-checked
+    frame count and avih geometry."""
+    import pandas as pd
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.video import (
+        video_sample_frames,
+    )
+
+    frames = [
+        jpeg_encode_rgb(class_grid_image(900 + i, width=36, height=32),
+                        quality=90)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "blob": [bytearray(avi_encode_mjpeg(frames, 36, 32))]}),
+        schema="doc_id bigint, blob binary",
+    )
+    rows = video_sample_frames(df, stride=stride).collect()
+    assert sorted(r["frame_idx"] for r in rows) == list(range(0, n, stride))
+    for r in rows:
+        assert (r["doc_id"], r["n_frames"], r["width"], r["height"]) == (9, n, 36, 32)
+    with pytest.raises(ValueError, match="stride"):
+        video_sample_frames(df, stride=0)
