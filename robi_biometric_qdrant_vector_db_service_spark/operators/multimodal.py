@@ -617,3 +617,83 @@ def phash_dup_pairs(
     )
 
 
+
+
+def fingerprint_offset_pairs(
+    fps: DataFrame, *, max_hamming: int = 3, min_frames: int = 1
+) -> DataFrame:
+    """Offset-histogram fingerprint matching — the TIME-SHIFTED sibling of
+    ``phash_dup_pairs(keys=("frame_idx",))``: where the keyed join
+    compares only SAME-position frames (right for videos cut from the
+    same reel), this one lets a frame match at ANY position of the other
+    doc and then histograms the alignment, the classic
+    Shazam/Haitsma-Kalker recovery for clips that were trimmed or padded
+    before re-encoding.
+
+    Input is any per-frame hash table (doc_id, frame_idx, b0..b3 — e.g.
+    ``audio.audio_frame_fingerprints``).  Output: one row per
+    (doc_a < doc_b, frame_offset = frame_a - frame_b) whose aligned
+    frame-pair count reaches ``min_frames``, with the count and the
+    worst verified distance: (doc_a, doc_b, frame_offset, n_frames,
+    max_hamming).  A genuine shifted copy concentrates its matches at
+    ONE offset (n_frames ~ the overlap length); chance collisions
+    scatter across offsets and die on ``min_frames``.
+
+    Plan shape is the audited banded-Hamming discipline: candidates come
+    from a 4-rows-per-frame (band, val) equality self-join (recall
+    exactly 1.0 at <= 3 bits by pigeonhole, never all-pairs), the verify
+    is JVM popcount over the four words, and the histogram is one
+    group-by on (pair, offset).  Frame volume is the knob: the caller's
+    hop controls rows per clip; a hot band bucket (e.g. silence frames)
+    is the same bounded |bucket|^2-candidates-then-exact-verify story as
+    every LSH family member."""
+    bands = fps.selectExpr(
+        "doc_id",
+        "frame_idx",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)",
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.frame_idx").alias("frame_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.frame_idx").alias("frame_b"),
+        )
+        .distinct()
+    )
+    ha = fps.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("frame_idx").alias("frame_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+    )
+    hb = fps.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("frame_idx").alias("frame_b"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}"))) for j in range(4)
+    )
+    return (
+        cand.join(ha, ["doc_a", "frame_a"])
+        .join(hb, ["doc_b", "frame_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy(
+            "doc_a",
+            "doc_b",
+            (F.col("frame_a") - F.col("frame_b")).cast("int").alias("frame_offset"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.max("hamming").cast("bigint").alias("max_hamming"),
+        )
+        .filter(F.col("n_frames") >= min_frames)
+    )
