@@ -1303,7 +1303,16 @@ class AliasRegistry:
     The alias maps to a store ROOT (collection identity), not a manifest
     version — reads through an alias always see the target collection's
     current version, matching Qdrant (aliases name collections; snapshots
-    handle point-in-time)."""
+    handle point-in-time).
+
+    Versioned log (r17): every committed batch ALSO writes an immutable
+    ``alias_log_<v>.json`` snapshot of the post-batch table — the same
+    manifest-log discipline as ``VectorStore``, which makes the alias
+    control plane time-travelable (``alias_table(v)``), diffable
+    (``alias_changes``), and TAILABLE as a stream
+    (`streaming.aliasfeed.alias_feed_stream`): the log IS the
+    changefeed.  ``aliases.json`` stays the mutable current-table
+    pointer for lock-free readers."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -1313,12 +1322,73 @@ class AliasRegistry:
     def _path(self) -> str:
         return os.path.join(self.root, "aliases.json")
 
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.root, f"alias_log_{version}.json")
+
     def aliases(self) -> dict[str, str]:
         """Current alias → collection-root table (``get_collection_aliases``)."""
         if not os.path.exists(self._path()):
             return {}
         with open(self._path()) as f:
             return json.load(f)
+
+    def current_version(self) -> int:
+        """Latest committed alias-log version (0 = nothing committed)."""
+        import re
+
+        pat = re.compile(r"alias_log_(\d+)\.json$")
+        versions = [
+            int(m.group(1))
+            for f in os.listdir(self.root)
+            if (m := pat.match(f))
+        ]
+        return max(versions, default=0)
+
+    def alias_table(self, version: int) -> dict[str, str]:
+        """The alias table AS OF a committed log version (0 = empty)."""
+        if version == 0:
+            return {}
+        path = self._log_path(version)
+        if not os.path.exists(path):
+            raise ValueError(f"alias_table: no such version {version}")
+        with open(path) as f:
+            return json.load(f)
+
+    def alias_diff(self, v_from: int, v_to: int) -> list[tuple]:
+        """Logical change rows between two committed versions, one version
+        at a time: [(version, change, alias, target), ...] with change in
+        {'set', 'unset'} — a re-point emits unset(old) + set(new), a
+        rename unset(old alias) + set(new alias), and a no-op batch (e.g.
+        re-pointing an alias at its current target) emits NOTHING for its
+        version, the alias plane's compaction-silence contract."""
+        rows: list[tuple] = []
+        prev = self.alias_table(v_from)
+        for v in range(v_from + 1, v_to + 1):
+            cur = self.alias_table(v)
+            for alias in sorted(set(prev) | set(cur)):
+                old, new = prev.get(alias), cur.get(alias)
+                if old == new:
+                    continue
+                if old is not None:
+                    rows.append((v, "unset", alias, old))
+                if new is not None:
+                    rows.append((v, "set", alias, new))
+            prev = cur
+        return rows
+
+    ALIAS_CHANGE_SCHEMA = (
+        "version int, change string, alias string, target string"
+    )
+
+    def alias_changes(self, since: int, to: int | None = None) -> DataFrame:
+        """``alias_diff`` as a DataFrame — the batch changefeed over the
+        alias control plane (`VectorStore.changes`' tiny sibling; the
+        alias table is bounded driver state by construction, so the diff
+        is a driver JSON walk, not a Spark job)."""
+        to = self.current_version() if to is None else to
+        return self.spark.createDataFrame(
+            self.alias_diff(since, to), self.ALIAS_CHANGE_SCHEMA
+        )
 
     def update_aliases(self, ops: list[tuple]) -> dict[str, str]:
         """Apply ``[(op, ...), ...]`` atomically and return the new table.
@@ -1371,6 +1441,14 @@ class AliasRegistry:
                 if new in table:
                     raise ValueError(f"rename to {new!r}: alias exists")
                 table[str(new)] = table.pop(old)
+        # commit: the immutable log version first (the changefeed's source
+        # of truth — written via temp + replace so a tailing file source
+        # never sees a partial JSON), then the mutable current pointer
+        version = self.current_version() + 1
+        ltmp = self._log_path(version) + f".tmp_{uuid.uuid4().hex[:8]}"
+        with open(ltmp, "w") as f:
+            json.dump(table, f)
+        os.replace(ltmp, self._log_path(version))
         tmp = self._path() + f".tmp_{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(table, f)

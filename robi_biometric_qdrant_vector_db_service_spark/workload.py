@@ -1341,6 +1341,97 @@ def alias_blue_green_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _alias_scripted_registry(spark: SparkSession):
+    """A fresh alias registry carrying the scripted five-commit history the
+    alias-changefeed queries diff: two tiny collections with DETERMINISTIC
+    basenames (blue/green — the tempdir prefix stays out of the oracle via
+    basename projection), then create / create / atomic-swap-plus-rename /
+    delete / no-op-re-point.  The no-op commit (v5) is the adversarial
+    member: it bumps the log version but nets zero change rows — the alias
+    plane's compaction-silence contract."""
+    import os
+    import tempfile
+
+    from .operators.store import AliasRegistry, VectorStore
+
+    root = tempfile.mkdtemp(prefix="aliasfeed_")
+    blue = VectorStore.create(spark, os.path.join(root, "blue"))
+    green = VectorStore.create(spark, os.path.join(root, "green"))
+    reg = AliasRegistry(spark, os.path.join(root, "registry"))
+    reg.update_aliases([("create", "prod", blue.root)])    # v1
+    reg.update_aliases([("create", "staging", green.root)])  # v2
+    reg.update_aliases([                                   # v3: one atomic batch
+        ("create", "prod", green.root),                    #   re-point IS the swap
+        ("rename", "staging", "shadow"),
+    ])
+    reg.update_aliases([("delete", "shadow")])             # v4
+    reg.update_aliases([("create", "prod", green.root)])   # v5: no-op re-point
+    assert reg.current_version() == 5
+    assert reg.aliases() == {"prod": green.root}
+    return reg
+
+
+_ALIAS_EVENTS_ORACLE = """
+SELECT CAST(version AS INT) AS version, change, alias, coll FROM (VALUES
+  (1, 'set', 'prod', 'blue'),
+  (2, 'set', 'staging', 'green'),
+  (3, 'unset', 'prod', 'blue'),
+  (3, 'set', 'prod', 'green'),
+  (3, 'unset', 'staging', 'green'),
+  (3, 'set', 'shadow', 'green'),
+  (4, 'unset', 'shadow', 'green')
+) AS t(version, change, alias, coll)
+"""
+
+
+def _alias_events_project(feed: DataFrame) -> DataFrame:
+    return feed.select(
+        F.col("version").cast("int").alias("version"),
+        "change",
+        "alias",
+        F.element_at(F.split("target", "/"), -1).alias("coll"),
+    )
+
+
+@register("alias_changelog", _ALIAS_EVENTS_ORACLE)
+def alias_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the ALIAS control plane (r16 VERDICT item 4):
+    every ``update_collection_aliases`` batch commits an immutable
+    ``alias_log_<v>.json`` (the VectorStore manifest-log discipline,
+    r17), so the control plane is time-travelable and diffable —
+    ``alias_changes(0)`` replays the scripted history as logical set /
+    unset rows per version.  The oracle states all seven: the atomic v3
+    batch must surface as one version carrying BOTH the blue→green swap
+    (unset+set on prod) and the staging→shadow rename (unset staging,
+    set shadow), and the v5 no-op re-point must emit NOTHING — version
+    advanced, zero rows, the compaction-silence contract one level up.
+    Scale: the alias table is bounded driver state by construction
+    (collections, not points), so the diff is a JSON walk — what
+    matters is the log making alias history auditable and tailable."""
+    reg = _alias_scripted_registry(spark)
+    return _alias_events_project(reg.alias_changes(0))
+
+
+@register("stream_alias_events", _ALIAS_EVENTS_ORACLE)
+def stream_alias_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alias changefeed as a CONTINUOUS stage — the last batch-only
+    store surface gains its streaming twin (r16 VERDICT item 4,
+    completing the 'every batch op also runs continuously' charter):
+    `streaming/aliasfeed.py` tails the registry's immutable alias log
+    with a Structured Streaming file source (one commit per micro-batch)
+    and emits each version's single-commit diff exactly once,
+    per-directory-overwrite idempotent under foreachBatch retries — a
+    serving tier follows blue/green swaps live instead of polling the
+    alias file.  Same scripted history and oracle as the batch
+    `alias_changelog` (the drain-equals-batch contract, pinned as an
+    equality in tests/test_stream_replay.py), including the v5 no-op
+    commit that must drain as a version with ZERO rows."""
+    from .streaming.aliasfeed import alias_feed_stream
+
+    reg = _alias_scripted_registry(spark)
+    return _alias_events_project(alias_feed_stream(spark, reg, since=0))
+
+
 @register(
     "points_update_batch",
     """

@@ -268,3 +268,137 @@ def test_changefeed_union_equals_batch_from_any_anchor(spark, ops, cut, seed):
         for r in store.changes(v - 1, to=v).collect()
     )
     assert got == want
+
+
+def test_aliasfeed_replay_idempotent_and_equals_batch(spark):
+    """The streaming ALIAS tail (r17): (a) the drained feed equals the
+    batch alias_changes diff row-for-row, (b) re-emitting any version
+    (foreachBatch retry) leaves the sink identical, (c) the no-op
+    re-point commit drains as a version with zero rows, (d) time-travel
+    reads reconstruct every intermediate table."""
+    import os
+
+    from robi_biometric_qdrant_vector_db_service_spark.streaming.aliasfeed import (
+        _emit_versions,
+        alias_feed_stream,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.workload import (
+        _alias_scripted_registry,
+    )
+
+    reg = _alias_scripted_registry(spark)
+    feed = alias_feed_stream(spark, reg, since=0)
+    got = sorted(
+        (r["version"], r["change"], r["alias"], r["target"])
+        for r in feed.collect()
+    )
+    want = sorted(
+        (r["version"], r["change"], r["alias"], r["target"])
+        for r in reg.alias_changes(0).collect()
+    )
+    assert got == want and len(got) == 7
+    assert not [g for g in got if g[0] == 5]  # no-op commit silent
+
+    # time travel: every intermediate table reconstructs
+    blue = dict(reg.alias_table(1))["prod"]
+    green = dict(reg.alias_table(5))["prod"]
+    assert reg.alias_table(0) == {}
+    assert reg.alias_table(2) == {"prod": blue, "staging": green}
+    assert reg.alias_table(3) == {"prod": green, "shadow": green}
+    assert reg.alias_table(4) == reg.alias_table(5) == {"prod": green}
+
+    # retry idempotence: re-emit every version into the live sink
+    sink = os.path.dirname(feed.inputFiles()[0])
+    sink = sink[: sink.rindex("/version=")]
+    _emit_versions(reg, [0, 1, 2, 3, 4, 5], 0, sink)
+    again = sorted(
+        (r["version"], r["change"], r["alias"], r["target"])
+        for r in spark.read.parquet(sink).filter(F.col("version") > 0).collect()
+    )
+    assert again == got
+
+
+@settings(max_examples=5, deadline=None)
+@given(script=st.lists(st.integers(0, 4), min_size=1, max_size=8),
+       anchor=st.integers(0, 2))
+def test_aliasfeed_union_equals_batch_from_any_anchor(spark, script, anchor):
+    """Model fuzz of the alias emitter: arbitrary valid op sequences,
+    arbitrary anchor, arbitrary version->emit groupings — the emitted
+    union equals the batch diffs past the anchor, and replaying the
+    whole history through alias_diff reconstructs the final table."""
+    import os
+    import tempfile as _tf
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import (
+        AliasRegistry,
+        VectorStore,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.streaming.aliasfeed import (
+        ALIAS_EVENT_SCHEMA,
+        _emit_versions,
+    )
+
+    root = _tf.mkdtemp(prefix="alias_model_")
+    stores = [
+        VectorStore.create(spark, os.path.join(root, n)).root
+        for n in ("s0", "s1")
+    ]
+    reg = AliasRegistry(spark, os.path.join(root, "registry"))
+    names = ["a", "b", "c"]
+    applied = 0
+    for k, op in enumerate(script):
+        table = reg.aliases()
+        try:
+            if op in (0, 1):  # create/re-point
+                reg.update_aliases(
+                    [("create", names[k % 3], stores[op])]
+                )
+            elif op == 2 and table:  # delete first existing
+                reg.update_aliases([("delete", sorted(table)[0])])
+            elif op == 3 and table:  # rename to a fresh name
+                reg.update_aliases(
+                    [("rename", sorted(table)[0], f"r{k}")]
+                )
+            elif op == 4:  # batch of two creates
+                reg.update_aliases(
+                    [("create", "x", stores[0]), ("create", "y", stores[1])]
+                )
+            else:
+                continue
+            applied += 1
+        except ValueError:
+            continue
+    v_hi = reg.current_version()
+    assert v_hi == applied
+    a = min(anchor, v_hi)
+
+    sink = _tf.mkdtemp(prefix="alias_model_sink_")
+    spark.createDataFrame([], ALIAS_EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sink, f"version={a}"))
+    versions = list(range(v_hi + 1))
+    half = len(versions) // 2
+    _emit_versions(reg, versions[:half], a, sink)
+    _emit_versions(reg, versions[half:], a, sink)
+
+    got = sorted(
+        (r["version"], r["change"], r["alias"], r["target"])
+        for r in spark.read.parquet(sink).filter(F.col("version") > a).collect()
+    )
+    want = sorted(
+        (v, c, al, t)
+        for (v, c, al, t) in reg.alias_diff(a, v_hi)
+    )
+    assert got == want
+    # folding the full diff over the empty table reproduces the final
+    # state (within a version, unsets apply before sets — a re-point
+    # emits both for one alias)
+    folded: dict = {}
+    for _v, c, al, t in sorted(
+        reg.alias_diff(0, v_hi), key=lambda r: (r[0], r[1] != "unset")
+    ):
+        if c == "set":
+            folded[al] = t
+        else:
+            folded.pop(al, None)
+    assert folded == reg.aliases()
