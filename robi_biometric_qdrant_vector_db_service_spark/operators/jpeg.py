@@ -1,9 +1,19 @@
-"""Baseline JPEG codec — pure stdlib + NumPy, no codec libraries.
+"""JPEG codec — pure stdlib + NumPy, no codec libraries.
 
 Closes the r14 VERDICT "What's missing #2" remainder: after r15's PNG
 decoder, JPEG was the one compressed-image family the pluggable dHash
 decoder (`operators.multimodal.dhash_bands`) could not hash.  This module
-implements the ITU-T T.81 BASELINE process end-to-end:
+implements the ITU-T T.81 BASELINE process end-to-end, and (r17, closing
+the r16 VERDICT gap #5 — progressive is what web encoders emit by
+default, so a 100 TB crawl dedup cannot gate on it) the PROGRESSIVE
+(SOF2) Huffman process: spectral selection AND successive approximation,
+interleaved/single-component DC scans with raw-bit refinement, EOBn
+runs, refinement correction bits, per-scan DHT redefinition — decode via
+the same `jpeg_decode` entry (dispatch on the SOF marker), encode via
+`jpeg_encode_rgb_progressive` (the libjpeg-shaped 10-scan script).  Both
+encoders share the FDCT/quantize front half, so progressive and baseline
+encodes of one image decode to EXACTLY the same pixels — the
+differential tests/test_jpeg_progressive_fuzz.py pins.
 
 - `jpeg_encode_rgb(px, quality, sampling)` — the engine-side encoder
   behind the synthetic compressed-image corpus (fixture tables carry
@@ -20,10 +30,10 @@ implements the ITU-T T.81 BASELINE process end-to-end:
   one inherently serial step of any JPEG — per blob, inside the Arrow
   batch), then vectorized dezigzag + dequantize + IDCT (two matmuls over
   all blocks), MCU-interleave plane reassembly, nearest-neighbor chroma
-  upsample, JFIF YCbCr -> RGB.  Anything outside the baseline subset
-  (progressive SOF2, 12-bit precision, arithmetic coding, restart
-  intervals) fails loud with the offending marker — corrupt or exotic
-  streams must never hash.
+  upsample, JFIF YCbCr -> RGB.  Anything outside the supported subset
+  (extended-sequential SOF1, 12-bit precision, arithmetic coding,
+  restart intervals) fails loud with the offending marker — corrupt or
+  exotic streams must never hash.
 
 The encoder clamps quantized AC coefficients to the baseline-encodable
 range [-1023, 1023] (Huffman size classes stop at 10 bits; only
@@ -287,21 +297,26 @@ def _encode_block(
         writer.put(code, length)
 
 
-def jpeg_encode_rgb(
-    px: np.ndarray, quality: int = 90, sampling: str = "4:4:4"
-) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG."""
+def _quantized_planes(
+    px: np.ndarray, quality: int, sampling: str, op: str
+) -> tuple[list[np.ndarray], list[int], list[np.ndarray], int, int, int, int]:
+    """Shared front half of BOTH encoders (baseline and progressive —
+    identical quantized coefficients is what makes the cross-codec
+    decode differential in tests/test_jpeg_progressive_fuzz.py exact):
+    RGB -> YCbCr -> MCU-grid pad -> chroma box-average -> FDCT ->
+    quantize -> zigzag.  Returns (per-component zigzag blocks,
+    per-component block-row widths, the two qtables, h, w, hp, wp)."""
     if px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError(f"jpeg_encode_rgb: expected (h, w, 3), got {px.shape}")
+        raise ValueError(f"{op}: expected (h, w, 3), got {px.shape}")
     if sampling not in _SAMPLINGS:
         raise ValueError(
-            f"jpeg_encode_rgb: unknown sampling {sampling!r}; "
+            f"{op}: unknown sampling {sampling!r}; "
             f"supported: {sorted(_SAMPLINGS)}"
         )
     hmax, vmax = _SAMPLINGS[sampling]
     h, w = px.shape[:2]
     if h == 0 or w == 0:
-        raise ValueError("jpeg_encode_rgb: empty image")
+        raise ValueError(f"{op}: empty image")
 
     # JFIF RGB -> YCbCr
     rgb = px.astype(np.float64)
@@ -341,6 +356,18 @@ def jpeg_encode_rgb(
         quant = np.clip(quant, -1023, 1023).astype(np.int64)
         comp_zz.append(quant.reshape(-1, 64)[:, _ZIGZAG])
         comp_nblk_w.append(plane.shape[1] // 8)
+    return comp_zz, comp_nblk_w, qt, h, w, hp, wp
+
+
+def jpeg_encode_rgb(
+    px: np.ndarray, quality: int = 90, sampling: str = "4:4:4"
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG."""
+    comp_zz, comp_nblk_w, qt, h, w, hp, wp = _quantized_planes(
+        px, quality, sampling, "jpeg_encode_rgb"
+    )
+    hmax, vmax = _SAMPLINGS[sampling]
+    mcu_h, mcu_w = 8 * vmax, 8 * hmax
 
     # entropy-code in MCU interleave order
     dc_codes = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
@@ -512,10 +539,40 @@ def _decode_sym(reader: _BitReader, sym: np.ndarray, ln: np.ndarray) -> int:
     return s
 
 
+def _find_sof(blob: bytes) -> int | None:
+    """Cheap pre-walk: the frame type marker (0xC0..0xCF family), or None.
+    Stops at SOS — SOF always precedes it in a well-formed stream."""
+    pos = 2
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0xFF:
+            return None
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(blob):
+            return None
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0xDA:
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker
+        if pos + 2 > len(blob):
+            return None
+        (seglen,) = struct.unpack(">H", blob[pos : pos + 2])
+        pos += seglen
+    return None
+
+
 def jpeg_decode(blob: bytes) -> np.ndarray:
-    """Decode one baseline JFIF JPEG byte string to (h, w, 3) int64 RGB."""
+    """Decode one JFIF JPEG byte string to (h, w, 3) int64 RGB — baseline
+    sequential (SOF0) or progressive (SOF2, r17); everything else stays
+    loud."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("jpeg_decode: not a JPEG (missing SOI)")
+    if _find_sof(blob) == 0xC2:
+        return _decode_progressive(blob)
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
@@ -727,3 +784,698 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             axis=-1,
         )
     return np.clip(np.round(rgb), 0, 255).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) — spectral selection + successive approximation
+# --------------------------------------------------------------------------
+
+# The libjpeg-shaped default scan script for 3-component YCbCr: DC first
+# at reduced precision, luma's low band early (the "image appears fast"
+# property progressive exists for), then successive-approximation
+# refinements down to full precision.  (component indices, Ss, Se, Ah, Al)
+_PROGRESSIVE_SCRIPT = (
+    ((0, 1, 2), 0, 0, 0, 1),   # DC, first pass, Al=1
+    ((0,), 1, 5, 0, 2),        # Y  AC 1-5, first, Al=2
+    ((2,), 1, 63, 0, 1),       # Cr AC, first, Al=1
+    ((1,), 1, 63, 0, 1),       # Cb AC, first, Al=1
+    ((0,), 6, 63, 0, 2),       # Y  AC 6-63, first, Al=2
+    ((0,), 1, 63, 2, 1),       # Y  AC refine 2->1
+    ((0, 1, 2), 0, 0, 1, 0),   # DC refine 1->0 (raw bits, no Huffman)
+    ((2,), 1, 63, 1, 0),       # Cr AC refine 1->0
+    ((1,), 1, 63, 1, 0),       # Cb AC refine 1->0
+    ((0,), 1, 63, 1, 0),       # Y  AC refine 1->0
+)
+
+
+def _flat_table(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """A valid canonical Huffman spec assigning every symbol the same code
+    length — the smallest L with len(symbols) < 2^L, so the all-ones code
+    stays unused (the Annex-K convention that keeps 1-padding from
+    decoding as a symbol).  Progressive scans choose their own symbol
+    sets (EOBn, refinement codes) that the fixed Annex-K tables do not
+    cover, so each scan ships its own DHT — which also exercises the
+    decoder's between-scan table redefinition path."""
+    n = len(symbols)
+    if n == 0:
+        symbols, n = {0x00}, 1  # degenerate scan: define EOB only
+    length = 1
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, sorted(symbols)
+
+
+def _scan_ops_dc_first(
+    comp_zz: list[np.ndarray],
+    comp_nblk_w: list[int],
+    comp_samp: list[tuple[int, int]],
+    mcus_x: int,
+    mcus_y: int,
+    al: int,
+) -> list[list[tuple]]:
+    """Interleaved DC first pass: per component ops [("sym", s), ("bits",
+    v, n), ...] with diff coding on the point-transformed DC (arithmetic
+    >> per G.1.2.1).  Returns one op list per DC TABLE (0=luma, 1=chroma)
+    interleaved into a single stream via a merged list with table tags."""
+    ops: list[tuple] = []
+    prev = [0] * len(comp_zz)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(len(comp_zz)):
+                ch, cv = comp_samp[ci]
+                tbl = 0 if ci == 0 else 1
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = comp_zz[ci][
+                            (my * cv + by) * comp_nblk_w[ci] + (mx * ch + bx)
+                        ]
+                        v = int(zz[0]) >> al
+                        diff = v - prev[ci]
+                        prev[ci] = v
+                        size = _category(diff)
+                        ops.append(("sym", tbl, size))
+                        if size:
+                            amp = diff if diff > 0 else diff + (1 << size) - 1
+                            ops.append(("bits", amp, size))
+    return ops
+
+
+def _scan_ops_dc_refine(
+    comp_zz: list[np.ndarray],
+    comp_nblk_w: list[int],
+    comp_samp: list[tuple[int, int]],
+    mcus_x: int,
+    mcus_y: int,
+    al: int,
+) -> list[tuple]:
+    """DC refinement: one raw bit (bit ``al`` of the DC coefficient) per
+    block in MCU interleave order — no Huffman codes at all."""
+    ops: list[tuple] = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(len(comp_zz)):
+                ch, cv = comp_samp[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = comp_zz[ci][
+                            (my * cv + by) * comp_nblk_w[ci] + (mx * ch + bx)
+                        ]
+                        ops.append(("bits", (int(zz[0]) >> al) & 1, 1))
+    return ops
+
+
+_MAX_EOBRUN = 0x7FFF  # EOB14 ceiling (T.81 G.1.2.2)
+
+
+class _EobRun:
+    """Cross-block EOB-run accumulator (the emit_eobrun discipline of
+    G.1.2.2/G.1.2.3): consecutive end-of-band events fold into one EOBn
+    symbol — n = floor(log2(run)), run - 2^n extension bits — with any
+    refinement correction bits buffered across the covered blocks riding
+    after it, in block order."""
+
+    def __init__(self, ops: list[tuple]):
+        self.ops = ops
+        self.run = 0
+        self.pending: list[int] = []
+
+    def add(self, bits: list[int] | None = None) -> None:
+        self.run += 1
+        if bits:
+            self.pending.extend(bits)
+        if self.run == _MAX_EOBRUN:
+            self.flush()
+
+    def flush(self) -> None:
+        if self.run:
+            r = self.run.bit_length() - 1
+            self.ops.append(("sym", 0, r << 4))
+            if r:
+                self.ops.append(("bits", self.run - (1 << r), r))
+            self.ops.extend(("bits", b, 1) for b in self.pending)
+            self.run = 0
+            self.pending = []
+
+
+def _scan_ops_ac_first(
+    blocks: np.ndarray, ss: int, se: int, al: int
+) -> list[tuple]:
+    """AC first pass over one component's natural-order block sequence:
+    G.1.2.2 — run/size coding of the point-transformed band (signed
+    division toward zero), with genuine cross-block EOBn runs."""
+    ops: list[tuple] = []
+    eob = _EobRun(ops)
+    for zz in blocks:
+        t = [
+            (abs(int(zz[k])) >> al) * (1 if int(zz[k]) >= 0 else -1)
+            for k in range(ss, se + 1)
+        ]
+        last = -1
+        for i, tv in enumerate(t):
+            if tv:
+                last = i
+        if last < 0:
+            eob.add()  # all-zero band: fold into the run
+            continue
+        eob.flush()
+        r = 0
+        for i in range(last + 1):
+            tv = t[i]
+            if tv == 0:
+                r += 1
+                continue
+            while r > 15:
+                ops.append(("sym", 0, 0xF0))
+                r -= 16
+            size = _category(tv)
+            ops.append(("sym", 0, (r << 4) | size))
+            amp = tv if tv > 0 else tv + (1 << size) - 1
+            ops.append(("bits", amp, size))
+            r = 0
+        if last < se - ss:
+            eob.add()  # trailing zeros: this block's EOB starts a run
+    eob.flush()
+    return ops
+
+
+def _scan_ops_ac_refine(
+    blocks: np.ndarray, ss: int, se: int, al: int
+) -> list[tuple]:
+    """AC refinement over one component's natural-order block sequence:
+    G.1.2.3 — newly-significant coefficients emit (run, 1) + a sign bit,
+    already-significant ones buffer a correction bit that rides after
+    the NEXT emitted code (ZRL, significant, or an EOBn), runs count
+    zero-HISTORY positions only, and blocks with no new significance
+    fold their correction bits into the cross-block EOB run."""
+    ops: list[tuple] = []
+    eob = _EobRun(ops)
+    for zz in blocks:
+        t = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+        eobpos = -1
+        for i, tv in enumerate(t):
+            if tv == 1:
+                eobpos = i
+        if eobpos < 0:
+            # no newly-significant coefficient: the whole band is one
+            # end-of-band event carrying its correction bits
+            eob.add([tv & 1 for tv in t if tv > 1])
+            continue
+        eob.flush()
+        r = 0
+        buffered: list[int] = []
+        for i, tv in enumerate(t):
+            if tv == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                ops.append(("sym", 0, 0xF0))
+                r -= 16
+                ops.extend(("bits", b, 1) for b in buffered)
+                buffered = []
+            if tv > 1:
+                buffered.append(tv & 1)
+                continue
+            # newly significant (tv == 1): sign from the full coefficient
+            ops.append(("sym", 0, (r << 4) | 1))
+            ops.append(("bits", 1 if int(zz[ss + i]) > 0 else 0, 1))
+            ops.extend(("bits", b, 1) for b in buffered)
+            buffered = []
+            r = 0
+        if r > 0 or buffered:
+            eob.add(buffered)  # tail corrections ride the EOB run
+    eob.flush()
+    return ops
+
+
+def jpeg_encode_rgb_progressive(
+    px: np.ndarray, quality: int = 90, sampling: str = "4:4:4"
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a PROGRESSIVE (SOF2) JFIF
+    JPEG — the libjpeg-shaped 10-scan script (spectral selection AND
+    successive approximation, the combination web encoders actually
+    emit).  The quantized coefficients are byte-identical to
+    ``jpeg_encode_rgb``'s (shared ``_quantized_planes``), so decoding
+    the progressive and baseline encodes of one image MUST give exactly
+    the same pixels — the differential tests/test_jpeg_progressive_fuzz
+    pins.  Each scan ships its own flat-code DHT over exactly the
+    symbols it uses (progressive symbol sets — EOBn, refinement codes —
+    are outside the fixed Annex-K tables)."""
+    comp_zz, comp_nblk_w, qt, h, w, hp, wp = _quantized_planes(
+        px, quality, sampling, "jpeg_encode_rgb_progressive"
+    )
+    hmax, vmax = _SAMPLINGS[sampling]
+    samp = [(hmax, vmax), (1, 1), (1, 1)]
+    mcus_x, mcus_y = wp // (8 * hmax), hp // (8 * vmax)
+
+    out = bytearray(b"\xff\xd8")
+    out += _segment(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    for tid, q in enumerate(qt):
+        out += _segment(0xDB, bytes([tid]) + bytes(int(v) for v in q[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        chs, cvs = samp[ci]
+        sof += bytes([ci + 1, (chs << 4) | cvs, 0 if ci == 0 else 1])
+    out += _segment(0xC2, sof)  # SOF2: progressive DCT, Huffman
+
+    for comp_ids, ss, se, ah, al in _PROGRESSIVE_SCRIPT:
+        # component blocks for non-interleaved AC scans: natural ceil grid
+        # (the MCU-padded rows/cols beyond it are never AC-coded)
+        if ss == 0:
+            ops = (
+                _scan_ops_dc_first(
+                    comp_zz, comp_nblk_w, samp, mcus_x, mcus_y, al
+                )
+                if ah == 0
+                else _scan_ops_dc_refine(
+                    comp_zz, comp_nblk_w, samp, mcus_x, mcus_y, al
+                )
+            )
+        else:
+            (ci,) = comp_ids
+            cw = -(-w * samp[ci][0] // hmax)
+            chh = -(-h * samp[ci][1] // vmax)
+            bw_nat, bh_nat = -(-cw // 8), -(-chh // 8)
+            rows = []
+            for by in range(bh_nat):
+                for bx in range(bw_nat):
+                    rows.append(comp_zz[ci][by * comp_nblk_w[ci] + bx])
+            blocks = np.stack(rows)
+            ops = (
+                _scan_ops_ac_first(blocks, ss, se, al)
+                if ah == 0
+                else _scan_ops_ac_refine(blocks, ss, se, al)
+            )
+
+        # per-scan flat Huffman tables over exactly the used symbols
+        used: dict[int, set[int]] = {}
+        for op in ops:
+            if op[0] == "sym":
+                used.setdefault(op[1], set()).add(op[2])
+        tables: dict[int, dict[int, tuple[int, int]]] = {}
+        cls = 0 if ss == 0 else 1
+        for tbl, syms in sorted(used.items()):
+            bits, vals = _flat_table(syms)
+            out += _segment(
+                0xC4, bytes([(cls << 4) | tbl]) + bytes(bits) + bytes(vals)
+            )
+            tables[tbl] = _canonical_codes(bits, vals)
+
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            # DC first scans use per-component-class DC tables (0=luma,
+            # 1=chroma, matching the DHTs above); AC scans are single-
+            # component and always ship their table as id 0; DC refine
+            # reads raw bits (ids ignored)
+            td = (0 if ci == 0 else 1) if (ss == 0 and ah == 0) else 0
+            ta = 0
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _segment(0xDA, sos)
+
+        writer = _BitWriter()
+        for op in ops:
+            if op[0] == "sym":
+                code, length = tables[op[1]][op[2]]
+                writer.put(code, length)
+            else:
+                writer.put(op[1], op[2])
+        out += writer.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _unstuff_entropy(blob: bytes, p: int) -> tuple[bytes, int]:
+    """Unstuff the entropy-coded bytes starting at ``p``; return (data,
+    position of the terminating marker's 0xFF).  Restart markers inside
+    the stream stay unsupported (loud), as in the baseline path."""
+    data = bytearray()
+    while p < len(blob):
+        b = blob[p]
+        if b == 0xFF:
+            nxt = blob[p + 1] if p + 1 < len(blob) else 0xD9
+            if nxt == 0x00:
+                data.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise ValueError("jpeg_decode: restart markers unsupported")
+            break
+        data.append(b)
+        p += 1
+    return bytes(data), p
+
+
+def _refine_coef(zz: np.ndarray, k: int, reader: "_BitReader", p1: int) -> None:
+    """One AC-refinement correction bit for an already-significant
+    coefficient (G.1.2.3 / libjpeg decode_mcu_AC_refine): a 1-bit grows
+    the magnitude by 1<<Al iff that bit is not already set."""
+    if reader.receive(1) and not (int(zz[k]) & p1):
+        zz[k] += p1 if zz[k] >= 0 else -p1
+
+
+def _decode_progressive(blob: bytes) -> np.ndarray:
+    """Decode one PROGRESSIVE (SOF2, Huffman) JFIF JPEG to (h, w, 3) int64
+    RGB — closes the r16 VERDICT gap #5: progressive is ubiquitous in
+    web-crawled corpora, so a 100 TB image dedup pass cannot gate on it.
+
+    Full Annex G Huffman subset: spectral selection AND successive
+    approximation, interleaved or single-component DC scans (first +
+    raw-bit refinement), single-component AC scans with EOBRUN (EOBn
+    codes) and refinement correction bits, per-scan DHT redefinition.
+    Coefficients accumulate in zigzag order across scans; dequantize +
+    IDCT + upsample + color convert run once at the end, vectorized over
+    all blocks.  Outside the subset (restart intervals, arithmetic
+    coding, 12-bit) stays loud."""
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    frame = None
+    coefs: list[np.ndarray] = []
+    geom: list[tuple] = []  # per comp: (hs, vs, qid, bw_pad, bh_pad, bw_nat, bh_nat)
+    mcus_x = mcus_y = 0
+    hmax = vmax = 1
+    n_scans = 0
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(
+                f"jpeg_decode: expected marker at byte {pos}, got {blob[pos]:#x}"
+            )
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(blob):
+            break
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(blob):
+            raise ValueError("jpeg_decode: truncated segment header")
+        (seglen,) = struct.unpack(">H", blob[pos : pos + 2])
+        seg = blob[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError(
+                f"jpeg_decode: truncated segment (marker {marker:#x} declares "
+                f"{seglen - 2} payload bytes, {len(seg)} present)"
+            )
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg_decode: 16-bit DQT unsupported")
+                zz = np.frombuffer(
+                    seg[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                if len(zz) != 64:
+                    raise ValueError("jpeg_decode: truncated DQT segment")
+                nat = np.empty(64, dtype=np.int64)
+                nat[_ZIGZAG] = zz
+                qtables[tq] = nat
+                p += 65
+        elif marker == 0xC4:  # DHT (scans may redefine tables)
+            p = 0
+            while p + 17 <= len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                huff[(cls, tid)] = _build_lut(bits, vals)
+                p += 17 + n
+        elif marker == 0xC2:  # SOF2
+            if frame is not None:
+                raise ValueError("jpeg_decode: duplicate SOF marker")
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(
+                    f"jpeg_decode: {prec}-bit precision unsupported"
+                )
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"jpeg_decode: {nc}-component frames unsupported"
+                )
+            if fh == 0 or fw == 0:
+                raise ValueError("jpeg_decode: zero-sized frame")
+            comps = []
+            for i in range(nc):
+                cid, hv, qid = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, qid))
+            frame = (fh, fw, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax < 1 or vmax < 1:
+                raise ValueError("jpeg_decode: zero sampling factor")
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            for _cid, hs, vs, qid in comps:
+                bw_pad, bh_pad = mcus_x * hs, mcus_y * vs
+                cw = -(-fw * hs // hmax)   # component pixel dims (ceil)
+                ch = -(-fh * vs // vmax)
+                bw_nat, bh_nat = -(-cw // 8), -(-ch // 8)
+                geom.append((hs, vs, qid, bw_pad, bh_pad, bw_nat, bh_nat))
+                coefs.append(np.zeros((bh_pad * bw_pad, 64), dtype=np.int64))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"jpeg_decode: SOF marker {marker:#x} inside the "
+                "progressive path (only one SOF2 frame supported)"
+            )
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack(">H", seg[:2])
+            if interval:
+                raise ValueError("jpeg_decode: restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — decode this scan now
+            if frame is None:
+                raise ValueError("jpeg_decode: SOS before SOF2")
+            fh, fw, comps = frame
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tids = seg[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append((cid, tids >> 4, tids & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            data, pos = _unstuff_entropy(blob, pos + seglen)
+            reader = _BitReader(data)
+            comp_idx = {c[0]: i for i, c in enumerate(comps)}
+            order = []
+            for cid, dc_t, ac_t in scan_comps:
+                if cid not in comp_idx:
+                    raise ValueError(
+                        f"jpeg_decode: SOS references unknown component {cid}"
+                    )
+                order.append((comp_idx[cid], dc_t, ac_t))
+            _decode_progressive_scan(
+                reader, order, ss, se, ah, al,
+                coefs, geom, huff, mcus_x, mcus_y,
+            )
+            n_scans += 1
+            continue
+        pos += seglen
+    if frame is None or n_scans == 0:
+        raise ValueError("jpeg_decode: missing SOF2 or SOS")
+
+    # --- vectorized reconstruction, once, from the accumulated bands ---
+    fh, fw, comps = frame
+    planes = []
+    for ci, (hs, vs, qid, bw_pad, bh_pad, _bwn, _bhn) in enumerate(geom):
+        if qid not in qtables:
+            raise ValueError(f"jpeg_decode: missing DQT table {qid}")
+        nat = np.empty_like(coefs[ci])
+        nat[:, _ZIGZAG] = coefs[ci]
+        coeff = (nat * qtables[qid][None, :]).reshape(-1, 8, 8).astype(np.float64)
+        pix = _DCT.T @ coeff @ _DCT + 128.0
+        plane = pix.reshape(bh_pad, bw_pad, 8, 8).transpose(0, 2, 1, 3).reshape(
+            bh_pad * 8, bw_pad * 8
+        )
+        ch = -(-fh * vs // vmax)
+        cw = -(-fw * hs // hmax)
+        plane = plane[:ch, :cw]
+        if vs != vmax or hs != hmax:
+            if vmax % vs or hmax % hs:
+                raise ValueError(
+                    f"jpeg_decode: non-integer sampling ratio "
+                    f"({hs}x{vs} vs max {hmax}x{vmax}) unsupported"
+                )
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        y = planes[0]
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        y, cb, cr = planes
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        )
+    return np.clip(np.round(rgb), 0, 255).astype(np.int64)
+
+
+def _decode_progressive_scan(
+    reader: "_BitReader",
+    order: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coefs: list[np.ndarray],
+    geom: list[tuple],
+    huff: dict,
+    mcus_x: int,
+    mcus_y: int,
+) -> None:
+    """One progressive scan's entropy decode into the coefficient bands
+    (T.81 Annex G decoding procedures / the libjpeg decode_mcu_DC_first /
+    DC_refine / AC_first / AC_refine quartet)."""
+    if ss == 0:
+        # ---- DC scan (first or refinement), interleaved or not ----
+        if se != 0:
+            raise ValueError(
+                "jpeg_decode: progressive DC scan must have Se=0"
+            )
+        if ah not in (0, al + 1):
+            raise ValueError(
+                f"jpeg_decode: successive approximation Ah={ah} does not "
+                f"refine Al={al}"
+            )
+        pred = [0] * len(order)
+        if ah == 0:
+            for _ci, dc_t, _ac_t in order:
+                if (0, dc_t) not in huff:
+                    raise ValueError(
+                        "jpeg_decode: scan references a missing DHT table"
+                    )
+
+        def dc_block(si: int, ci: int, bi: int) -> None:
+            zz = coefs[ci]
+            if ah == 0:
+                dsym, dlen = huff[(0, order[si][1])]
+                s = _decode_sym(reader, dsym, dlen)
+                pred[si] += _extend(reader.receive(s), s)
+                zz[bi, 0] = pred[si] << al
+            else:
+                if reader.receive(1):
+                    zz[bi, 0] = int(zz[bi, 0]) | (1 << al)
+
+        if len(order) > 1:  # interleaved: MCU order over the padded grid
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for si, (ci, _dc_t, _ac_t) in enumerate(order):
+                        hs, vs, _qid, bw_pad, _bh, _bwn, _bhn = geom[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                dc_block(
+                                    si, ci,
+                                    (my * vs + by) * bw_pad + (mx * hs + bx),
+                                )
+        else:  # single component: raster over its natural block grid
+            ci = order[0][0]
+            _hs, _vs, _qid, bw_pad, _bh, bw_nat, bh_nat = geom[ci]
+            for by in range(bh_nat):
+                for bx in range(bw_nat):
+                    dc_block(0, ci, by * bw_pad + bx)
+        return
+
+    # ---- AC scan: single component, natural raster, EOBRUN state ----
+    if len(order) != 1:
+        raise ValueError(
+            "jpeg_decode: progressive AC scans must be single-component"
+        )
+    if not (1 <= ss <= se <= 63):
+        raise ValueError(f"jpeg_decode: bad spectral band [{ss}, {se}]")
+    if ah not in (0, al + 1):
+        raise ValueError(
+            f"jpeg_decode: successive approximation Ah={ah} does not "
+            f"refine Al={al}"
+        )
+    ci, _dc_t, ac_t = order[0]
+    if (1, ac_t) not in huff:
+        raise ValueError("jpeg_decode: scan references a missing DHT table")
+    asym, alen = huff[(1, ac_t)]
+    _hs, _vs, _qid, bw_pad, _bh, bw_nat, bh_nat = geom[ci]
+    p1 = 1 << al
+    eobrun = 0
+    for by in range(bh_nat):
+        for bx in range(bw_nat):
+            zz = coefs[ci][by * bw_pad + bx]
+            if ah == 0:
+                # ---- AC first pass ----
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_sym(reader, asym, alen)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError(
+                            "jpeg_decode: AC run overran the band"
+                        )
+                    zz[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+            else:
+                # ---- AC refinement pass ----
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_sym(reader, asym, alen)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            # ZRL: skip 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "jpeg_decode: refinement amplitude "
+                                    "must be 1"
+                                )
+                            newval = p1 if reader.receive(1) else -p1
+                        while k <= se:
+                            if zz[k] != 0:
+                                _refine_coef(zz, k, reader, p1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s:
+                            if k > se:
+                                raise ValueError(
+                                    "jpeg_decode: refinement run overran "
+                                    "the band"
+                                )
+                            zz[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zz[k] != 0:
+                            _refine_coef(zz, k, reader, p1)
+                        k += 1
+                    eobrun -= 1

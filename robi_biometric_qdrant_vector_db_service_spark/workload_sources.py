@@ -1071,3 +1071,81 @@ def audio_frame_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_offset_pairs(
         audio_frame_fingerprints(blobs), max_hamming=PHASH_MAX_HAMMING
     )
+
+
+JPEGP_CORPUS_DOCS = 240  # first N docs, present at every fixture scale
+JPEGP_CLASSES = 80       # doc_id % JPEGP_CLASSES -> 3 planted copies per class
+JPEGP_SEED_BASE = 40_000
+# the three re-encodings of each class: ONE baseline and TWO progressive
+# (SOF2) copies, at different (quality, chroma sampling) — so in-class
+# blobs differ in codec MODE, scan structure, qtables, and entropy
+# streams, and only a decoder that handles both processes recovers the
+# pairs
+JPEGP_VARIANTS = ((95, "4:4:4", False), (90, "4:2:0", True), (85, "4:2:2", True))
+
+
+@register(
+    "image_jpeg_progressive_phash_dups",
+    f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {JPEGP_CORPUS_DOCS})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id
+ AND a.doc_id % {JPEGP_CLASSES} = b.doc_id % {JPEGP_CLASSES}
+""",
+)
+def image_jpeg_progressive_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dHash pipeline ACROSS JPEG CODEC MODES — baseline vs
+    progressive (SOF2), the r16 VERDICT gap #5: progressive is ubiquitous
+    in web-crawled corpora (it is what web encoders emit by default), so
+    a 100 TB image dedup pass cannot gate on it; `operators.jpeg` now
+    decodes the full Annex-G Huffman subset (spectral selection AND
+    successive approximation, EOBn runs, refinement correction bits,
+    per-scan DHT redefinition) behind the same `jpeg_decode` entry.
+    Every doc in the planted corpus carries its class's grid image saved
+    THREE ways — once baseline, twice progressive, each at a different
+    (quality, chroma sampling) — so in-class blobs differ at every level
+    including the codec mode itself, and only a decoder handling both
+    processes recovers the planted hamming-0 pairs.  The oracle states
+    the planted truth (verified exhaustively for all 80 classes in
+    tests/test_jpeg_progressive_fuzz.py, with the cross-codec EXACT
+    differential — decode(progressive) == decode(baseline) pixel-for-
+    pixel at equal settings — as the underlying contract); cross-class
+    floor clears the <=3-bit verify.  Scale: same audited posture as the
+    baseline JPEG row — partition-parallel mapInPandas synthesis and
+    decode, banded-Hamming pairs, never all-pairs."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .operators.jpeg import jpeg_encode_rgb, jpeg_encode_rgb_progressive
+    from .operators.multimodal import (
+        class_grid_image,
+        dhash_bands,
+        phash_dup_pairs,
+        raw_jpeg_grid,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < JPEGP_CORPUS_DOCS
+    ).select("doc_id")
+
+    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, object] = {}
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                cls = int(did) % JPEGP_CLASSES
+                if cls not in cache:
+                    cache[cls] = class_grid_image(
+                        JPEGP_SEED_BASE + cls, width=36, height=32
+                    )
+                q, samp, prog = JPEGP_VARIANTS[int(did) % 3]
+                enc = jpeg_encode_rgb_progressive if prog else jpeg_encode_rgb
+                blobs.append(enc(cache[cls], quality=q, sampling=samp))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")
+    return phash_dup_pairs(
+        dhash_bands(blobs, decoder=raw_jpeg_grid), max_hamming=PHASH_MAX_HAMMING
+    )

@@ -291,11 +291,18 @@ def test_rejects_corrupt_and_unsupported():
     with pytest.raises(ValueError, match="missing SOI"):
         jpeg_decode(b"\x89PNG" + good)
 
-    # progressive: patch the SOF0 marker byte to SOF2
+    # SOF2 now dispatches to the progressive decoder (r17) — a baseline
+    # file with its marker patched to SOF2 is MALFORMED progressive (its
+    # one scan has a baseline Ss=0,Se=63 header) and must still be loud
     prog = bytearray(good)
     prog[good.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(ValueError, match="not baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         jpeg_decode(bytes(prog))
+    # extended sequential (SOF1) stays unsupported
+    sof1 = bytearray(good)
+    sof1[good.index(b"\xff\xc0") + 1] = 0xC1
+    with pytest.raises(ValueError, match="not baseline"):
+        jpeg_decode(bytes(sof1))
 
     # 16-bit quantization table: set the DQT precision nibble
     deep = bytearray(good)
