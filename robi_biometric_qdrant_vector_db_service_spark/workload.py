@@ -4005,85 +4005,71 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r13: (a) the 2 never-driver-windowed queries (new this round:
-# image_phash_dups, c4_line_quality); (b) queries whose code changed this
-# round: substring_dedup_spans + substring_dup_fraction (r12 ADVICE island
-# fix — gap<=w merge), facet_counts + facet_array_values (facet() now skips
-# NULL-field points), formula_geo_decay_topk (geo defaults substitute as a
-# unit), match_text_multilingual (the ICU-script gate landed in the
-# multilingual branch; the word/whitespace/prefix _match_text paths are
-# byte-identical, so match_text_filter/prefix/phrase keep their r10 rows —
-# PLANS_r13 re-pins them); (c) all 18 remaining r9-stale rows; (d) the 24
-# stalest r10 rows in registry order.  Leftover for r14: the remaining 24
-# r10-stale (recommend_by_examples, recommend_groups_topk,
-# recommend_best_score, context_pairs_search, search_groups_topk,
-# search_groups_lookup, scroll_payload_selector, retrieve_points,
-# scroll_filtered, scroll_order_by, scroll_order_by_desc,
-# scroll_start_from, matrix_offsets_coo, regional_revenue,
-# running_supplier_qty, purchase_attribution_asof, regex_token_profile,
-# rolling_hash_fp, repetition_profile, npy_migration, pii_redaction,
-# stream_pii_scrub, chunk_dedup_groups, domain_blocklist_filter).
+# Rotation r17: (a) the 4 never-driver-windowed queries (new this round:
+# alias changefeed batch + streaming tail, time-shift-robust per-frame
+# audio fingerprint, cross-codec progressive-JPEG dedup); (b) queries
+# whose engine path changed this round: multimodal_frame_sample +
+# multimodal_resize (stub retirement — real AVI sampling / real PNG
+# resize, new oracles), video_frame_phash_dups + image_png_phash_dups
+# (strl-walk hardening, shared corpus builders), image_jpeg_phash_dups
+# (jpeg_decode now dispatches on SOF), bpe_encode_corpus +
+# bpe_sequence_packing (span-compiled encode replay),
+# stream_store_changelog (tracked checkpoint) and the 10 streaming rows
+# whose modules adopted explicit tracked checkpointLocations; (c) the 28
+# stalest r13 rows in registry order.  Leftover r13-stale for r18:
+# train_test_split, doc_chunks, dedup_group_components, dedup_survivors.
 FRONT_QUERIES = [
-    # (a) never driver-windowed (new this round: MJPEG-in-AVI video frame
-    # dedup, BPE corpus encode + BPE-count packing, streaming CDC tail,
-    # acoustic fingerprint dedup)
+    # (a) never driver-windowed
+    "alias_changelog",
+    "stream_alias_events",
+    "audio_frame_fp_dups",
+    "image_jpeg_progressive_phash_dups",
+    # (b) engine path changed this round
+    "multimodal_frame_sample",
+    "multimodal_resize",
     "video_frame_phash_dups",
+    "image_png_phash_dups",
+    "image_jpeg_phash_dups",
     "bpe_encode_corpus",
     "bpe_sequence_packing",
     "stream_store_changelog",
-    "audio_fingerprint_dups",
-    # (b) changed this round: phash_dup_pairs generalized with extra join
-    # keys (all three image dHash corpora route through it), wav_parse
-    # hardened (declared-size bound + duplicate-chunk rejection),
-    # jpeg_decode fill-byte skip + windowed BitReader, bpe_train symbol
-    # validation + lineage checkpoint (bpe_merge_table)
-    "image_phash_dups",
-    "image_png_phash_dups",
-    "image_jpeg_phash_dups",
-    "audio_wav_features",
-    "bpe_merge_table",
-    # (c) r12-stale — ALL 32 remaining (ledger: union of CORRECTNESS_r*.json;
-    # the four stream_* rows here also re-cover the tracked-tempdir plumbing
-    # every streaming module adopted this round)
-    "formula_rescore_topk",
-    "funnel_stages",
-    "knn_filtered",
-    "knn_manhattan_topk",
-    "knn_topk",
-    "lang_id_heuristic",
-    "lang_token_summary",
-    "mmr_diversity_topk",
-    "order_status_except",
-    "order_status_intersect",
-    "pricing_summary",
-    "scroll_keyset",
-    "semdedup_pairs",
-    "sequence_packing",
-    "sessionization",
-    "shingle_novelty",
-    "simhash_hamming_pairs",
-    "similarity_matrix_topk",
-    "store_compaction",
-    "store_search_api",
-    "stream_attribution_join",
+    "stream_ops_stats",
     "stream_dedup_events",
     "stream_hourly_counts",
-    "stream_store_ingest",
-    "text_stats",
-    "tfidf_top_terms",
-    "time_range_scan",
-    "top_part_per_supplier",
-    "top_revenue_customers",
-    "upsert_merge",
-    "vector_norms",
-    "verify_1to1",
-    # (d) r13-stale, first 8 alphabetically (the rest front next round)
-    "advanced_filter_should_not",
-    "alias_blue_green_read",
-    "ann_ivf_pruned_topk",
-    "ann_ivf_topk",
-    "ann_kmeans_ivf_topk",
-    "c4_line_quality",
-    "count_filtered",
-    "datetime_range_filter",
+    "stream_attribution_join",
+    "stream_sessionization",
+    "stateful_running_stats",
+    "stream_pii_scrub",
+    "stream_quality_gate",
+    "stream_neardup_pairs",
+    "stream_embedding_neardups",
+    # (c) r13-stale, first 28 in registry order
+    "named_vector_search",
+    "query_batch_points",
+    "knn_offset_page",
+    "knn_combinator_filtered",
+    "rrf_fusion_topk",
+    "sparse_knn_topk",
+    "hybrid_search_rrf",
+    "sparse_idf_knn",
+    "prefetch_chain_rescore",
+    "update_vectors_points",
+    "snapshot_restore_read",
+    "tenant_routed_search",
+    "payload_index_filter",
+    "match_text_filter",
+    "match_phrase_filter",
+    "values_count_filter",
+    "geo_filter_search",
+    "has_vector_filter",
+    "facet_counts",
+    "facet_array_values",
+    "formula_geo_decay_topk",
+    "ngram_jaccard_dups",
+    "embedding_near_dups_lsh",
+    "embedding_near_dups_lsh_hi",
+    "sql_surface_knn",
+    "pq_adc_topk",
+    "multimodal_decode",
+    "stream_search_serving",
 ]
