@@ -252,6 +252,55 @@ def int8_rescore_topk(
     )
 
 
+def matryoshka_rescore_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 16,
+    oversample: int = 3,
+) -> DataFrame:
+    """Matryoshka (MRL) truncated-dimension search: stage 1 ranks by
+    cosine over only the FIRST ``prefix_dims`` dimensions of both sides
+    (matryoshka-trained embeddings front-load information, so a short
+    prefix is a usable coarse score), stage 2 rescores the surviving
+    ``oversample × k`` candidates with full-dimension cosine.
+
+    This is the quantization-free member of the rescore family
+    (INT8 / BQ / PQ-ADC above): instead of narrowing the VALUE width it
+    narrows the DIMENSION count — at rest the prefix is a separate
+    ``dims/prefix_dims``-times-smaller column (here 8× for 128→16), and
+    stage 1 scans ONLY that column, the same scan-byte win the
+    quantized tiers get, with no codebook to train or drift.
+
+    Determinism: both stages are double-precision folds over the same
+    float32 inputs (the slice changes which elements are summed, not how
+    they are summed), so survivor sets match the oracle exactly —
+    the same contract the exact-cosine rows already rely on.
+
+    Returns (q_id, vec_id, rank, score) — final ranking by exact
+    full-dimension score, vec_id tiebreak at both stages.
+    """
+    if prefix_dims < 1:
+        raise ValueError(
+            f"matryoshka_rescore_topk: prefix_dims must be >= 1, got {prefix_dims}"
+        )
+    cp = corpus.withColumn("e_pre", F.expr(f"slice(embedding, 1, {prefix_dims})"))
+    pp = probes.withColumn("p_pre", F.expr(f"slice(q_emb, 1, {prefix_dims})"))
+    pairs = cp.crossJoin(F.broadcast(pp))
+    stage1 = pairs.withColumn("pscore", F.expr(cosine_sql("e_pre", "p_pre")))
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("pscore"), F.col("vec_id"))
+    survivors = stage1.withColumn("prank", F.row_number().over(w1)).filter(
+        F.col("prank") <= oversample * k
+    )
+    rescored = survivors.withColumn("score", F.expr(cosine_sql("embedding", "q_emb")))
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Binary quantization (Qdrant BinaryQuantization, the 32×-compression tier
 # below INT8: one SIGN BIT per dimension, Hamming-distance prescreen,
@@ -319,4 +368,78 @@ def bq_hamming_topk(
         rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    k: int = 4,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based bitext mining — the CCMatrix/LASER pipeline operator
+    that extracts parallel sentence pairs from two monolingual embedding
+    pools for MT training data: raw cosine over-selects hub sentences
+    (points that are close to EVERYTHING), so each candidate pair's
+    cosine is normalized by the average of both endpoints' k-NN cosines
+    into the other pool:
+
+        margin(x, y) = cos(x, y) /
+                       ((avg_{z in NNk(x, tgt)} cos(x, z)
+                         + avg_{w in NNk(y, src)} cos(y, w)) / 2)
+
+    and a pair is mined when y is x's best margin match AND the margin
+    clears ``threshold`` (margin > 1 means "closer than your usual
+    neighborhood").
+
+    Inputs are (src_id, src_emb) and (tgt_id, tgt_emb); output is one
+    (src_id, tgt_id, margin) row per mined pair.
+
+    Determinism: k-NN sets are exact ranks by (cosine DESC, id); the
+    neighborhood averages are sums of the same double cosines divided by
+    the same count, so the oracle reproduces margins bit-for-bit — the
+    contract the exact-cosine rows already rely on.
+
+    Scale: candidate generation here is the exact broadcast cross-score
+    (fixture pools are small); at 100 TB the candidate stage swaps for
+    any family member above (sign-LSH buckets, IVF cells — the margin
+    math only needs each point's top-k candidate list, not all pairs).
+    The margin normalization itself is two window aggregations over the
+    candidate edges, shuffled once per side on the endpoint id — work
+    proportional to candidates, never to the pool cross product."""
+    if k < 1:
+        raise ValueError(f"bitext_margin_pairs: k must be >= 1, got {k}")
+    pairs = src.crossJoin(F.broadcast(tgt)).withColumn(
+        "cos", F.expr(cosine_sql("src_emb", "tgt_emb"))
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.col("tgt_id"))
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), F.col("src_id"))
+    ranked = pairs.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    # neighborhood sums accumulate in DECIMAL (the label_centroids trick)
+    # so the average — and therefore the margin — is identical under any
+    # partitioning and matches the sequential oracle bit-for-bit
+    dec_avg = (F.sum(F.col("cos").cast(_DEC12)).cast("double") / k)
+    ax = (
+        ranked.filter(F.col("rx") <= k)
+        .groupBy("src_id")
+        .agg(dec_avg.alias("a_src"))
+    )
+    ay = (
+        ranked.filter(F.col("ry") <= k)
+        .groupBy("tgt_id")
+        .agg(dec_avg.alias("a_tgt"))
+    )
+    margined = (
+        ranked.join(ax, "src_id")
+        .join(ay, "tgt_id")
+        .withColumn("margin", F.col("cos") / ((F.col("a_src") + F.col("a_tgt")) / 2))
+    )
+    wbest = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.col("tgt_id"))
+    return (
+        margined.withColumn("best", F.row_number().over(wbest))
+        .filter((F.col("best") == 1) & (F.col("margin") > threshold))
+        .select("src_id", "tgt_id", F.round("margin", 6).alias("margin"))
     )

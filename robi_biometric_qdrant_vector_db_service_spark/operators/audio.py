@@ -31,7 +31,8 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def wav_encode_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -309,3 +310,86 @@ def audio_frame_fingerprints(
             )
 
     return blobs.mapInPandas(run, schema=AUDIO_FRAME_FP_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = "doc_id bigint, block_idx int, energy bigint"
+
+
+def audio_block_energies(blobs: DataFrame, *, block_sec: float = 0.01) -> DataFrame:
+    """Per-block integer energies: each (doc_id, blob) row expands 1:N to
+    one (doc_id, block_idx, energy) row per FULL ``block_sec`` block
+    (a trailing partial block is dropped — rate-independent absolute-time
+    blocking, the `audio_frame_fingerprints` convention).  Energy is the
+    exact int64 sum of squared int16 samples, so downstream thresholds
+    and the DuckDB oracle agree bit-for-bit.
+
+    Scale: partition-parallel mapInPandas projection, no shuffle; the
+    audio bytes stay put, the emitted rows are 20 bytes/block (100 rows
+    per second of 16 kHz audio at the 10 ms default)."""
+    if block_sec <= 0:
+        raise ValueError(
+            f"audio_block_energies: block_sec must be > 0, got {block_sec}"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "block_idx": [], "energy": []}
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                x, rate = wav_parse(bytes(blob))
+                blk = int(round(rate * block_sec))
+                if blk < 1:
+                    raise ValueError(
+                        f"audio_block_energies: block_sec {block_sec} is "
+                        f"shorter than one sample at rate {rate}"
+                    )
+                n = len(x) // blk
+                xi = x[: n * blk].astype(np.int64)
+                e = (xi * xi).reshape(n, blk).sum(axis=1)
+                out["doc_id"].extend([int(did)] * n)
+                out["block_idx"].extend(range(n))
+                out["energy"].extend(int(v) for v in e)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "block_idx": pd.Series(out["block_idx"], dtype="int32"),
+                    "energy": pd.Series(out["energy"], dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=AUDIO_ENERGY_SCHEMA)
+
+
+def audio_active_segments(
+    energies: DataFrame, *, min_energy: int = 0
+) -> DataFrame:
+    """Voice-activity / silence segmentation over per-block energies —
+    the speech-pipeline curation step that trims silence and splits long
+    recordings into utterances before the expensive transcribe/embed
+    stage pays for dead air: blocks with energy > ``min_energy`` are
+    active, and maximal runs of consecutive active blocks become
+    segments (doc_id, seg_id, start_block, end_block, n_blocks).
+
+    Pure declarative gaps-and-islands — no Python in the loop: after the
+    threshold filter, ``block_idx - row_number()`` is constant exactly
+    within a run of consecutive survivors (the classic islands key), a
+    groupBy collapses each island to its span, and a second window
+    re-ranks islands into dense per-doc seg_ids ordered by start.
+
+    Scale: ONE shuffle, on doc_id — inherent to ordering a doc's blocks;
+    both windows and the groupBy reuse that partitioning, and the rows
+    being shuffled are 20-byte (block, energy) pairs, never samples."""
+    w = Window.partitionBy("doc_id").orderBy("block_idx")
+    islands = (
+        energies.filter(F.col("energy") > min_energy)
+        .withColumn("grp", F.col("block_idx") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("block_idx").alias("start_block"),
+            F.max("block_idx").alias("end_block"),
+            F.count("*").cast("int").alias("n_blocks"),
+        )
+    )
+    ws = Window.partitionBy("doc_id").orderBy("start_block")
+    return islands.withColumn(
+        "seg_id", (F.row_number().over(ws) - 1).cast("int")
+    ).select("doc_id", "seg_id", "start_block", "end_block", "n_blocks")

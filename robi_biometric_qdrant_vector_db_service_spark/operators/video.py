@@ -38,7 +38,8 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 VIDEO_DHASH_SCHEMA = (
     "doc_id bigint, frame_idx int, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
@@ -372,3 +373,53 @@ def video_sample_frames(blobs: DataFrame, *, stride: int = 2) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+def video_scene_segments(hashes: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Scene-cut detection / keyframe segmentation over per-frame dHashes
+    — the curation step a video training pipeline runs right after decode
+    (pick one representative frame per SCENE to caption, not one per
+    second of a static shot): a cut is a frame whose dHash sits more than
+    ``max_hamming`` bits from its predecessor; scenes are the runs
+    between cuts.
+
+    Input is the `video_frame_dhash` shape (doc_id, frame_idx, b0..b3 —
+    stride 1 for exact boundaries, or any stride for boundaries at
+    sampling resolution); output is one row per (doc_id, scene) with
+    [start_frame, end_frame] and the frame count.
+
+    Pure declarative composition — no Python in the loop: per-frame
+    Hamming distance to the previous frame is `bit_count(b_j XOR
+    lag(b_j))` summed over the four 16-bit band words (whole-stage
+    codegen), cut flags prefix-sum into scene ids with one running-sum
+    window, and segments fall out of a groupBy.  Scale: ONE shuffle, on
+    doc_id — frames of a doc must colocate to order by frame_idx, which
+    is inherent to the semantics; the shuffled rows are 36-byte hashes
+    (the decoded pixels never move), and every later step reuses the
+    same partitioning."""
+    if max_hamming < 0:
+        raise ValueError(
+            f"video_scene_segments: max_hamming must be >= 0, got {max_hamming}"
+        )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    ham = " + ".join(
+        f"bit_count(b{j} ^ lag(b{j}) OVER (PARTITION BY doc_id ORDER BY frame_idx))"
+        for j in range(4)
+    )
+    flagged = hashes.withColumn("prev_hamming", F.expr(ham)).withColumn(
+        "is_cut",
+        F.when(F.col("prev_hamming") > max_hamming, F.lit(1)).otherwise(F.lit(0)),
+    )
+    scene = flagged.withColumn(
+        "scene_id",
+        F.sum("is_cut").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return (
+        scene.groupBy("doc_id", "scene_id")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count("*").cast("int").alias("n_frames"),
+        )
+        .select("doc_id", "scene_id", "start_frame", "end_frame", "n_frames")
+    )

@@ -4007,7 +4007,9 @@ from . import workload_graph  # noqa: E402,F401
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
 # Rotation r17: (a) the 4 never-driver-windowed queries (new this round:
 # alias changefeed batch + streaming tail, time-shift-robust per-frame
-# audio fingerprint, cross-codec progressive-JPEG dedup); (b) queries
+# audio fingerprint, cross-codec progressive-JPEG dedup, plus the three
+# new mid-r17 rows: video scene cuts, audio VAD, matryoshka rescore);
+# (b) queries
 # whose engine path changed this round: multimodal_frame_sample +
 # multimodal_resize (stub retirement — real AVI sampling / real PNG
 # resize, new oracles), video_frame_phash_dups + image_png_phash_dups
@@ -4024,6 +4026,10 @@ FRONT_QUERIES = [
     "stream_alias_events",
     "audio_frame_fp_dups",
     "image_jpeg_progressive_phash_dups",
+    "video_scene_cuts",
+    "audio_vad_segments",
+    "matryoshka_rescore_topk",
+    "bitext_margin_pairs",
     # (b) engine path changed this round
     "multimodal_frame_sample",
     "multimodal_resize",

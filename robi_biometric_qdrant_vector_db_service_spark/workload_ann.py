@@ -224,6 +224,53 @@ def int8_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.int8_rescore_topk(corpus, _probes(spark, sf_dir), k=10, oversample=3)
 
 
+def _duck_mrl_sql(k: int = 10, prefix_dims: int = 16, oversample: int = 3) -> str:
+    pre = lambda col: f"list_slice({col}, 1, {prefix_dims})"  # noqa: E731
+    return f"""
+WITH q AS (SELECT q_id, q_emb, {pre('q_emb')} AS p_pre FROM ({_DUCK_Q})),
+c AS (SELECT vec_id, embedding, {pre('embedding')} AS e_pre FROM embeddings),
+stage1 AS (
+  SELECT q.q_id, q.q_emb, c.vec_id, c.embedding,
+         {_dcos('c.e_pre', 'q.p_pre')} AS pscore
+  FROM c CROSS JOIN q
+),
+survivors AS (
+  SELECT q_id, q_emb, vec_id, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY pscore DESC, vec_id) AS prank
+    FROM stage1
+  ) WHERE prank <= {oversample * k}
+),
+rescored AS (
+  SELECT q_id, vec_id, {_dcos('embedding', 'q_emb')} AS score FROM survivors
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM rescored
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("matryoshka_rescore_topk", _duck_mrl_sql())
+def matryoshka_rescore_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncated-dimension coarse search + exact rescore —
+    the dimension-narrowing member of the rescore family (INT8 narrows
+    value width, BQ narrows to sign bits, PQ narrows to codebook ids;
+    MRL keeps full-precision floats but scans only the first 16 of 128
+    dims in stage 1, an 8× scan-byte cut with no codebook to train).
+    Oracle replicates the identical two-stage semantics (prefix-cosine
+    top-30 survivors by (pscore DESC, vec_id), exact full-dim final
+    ranking); both stages are double-precision folds over the same
+    float32 inputs, so survivors are deterministic across engines —
+    the contract the exact-cosine rows already rely on."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return ann.matryoshka_rescore_topk(
+        corpus, _probes(spark, sf_dir), k=10, prefix_dims=16, oversample=3
+    )
+
+
 _DUCK_EXACT_K10 = f"""
 WITH q AS ({_DUCK_Q}),
 scored AS (
@@ -781,3 +828,72 @@ def bq_hamming_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors."""
     corpus = load_table(spark, sf_dir, "embeddings")
     return ann.bq_hamming_topk(corpus, _probes(spark, sf_dir), k=10, oversample=4)
+
+
+BITEXT_SRC_LABELS = 5   # labels 0-4 -> "source language" pool
+BITEXT_K = 4
+BITEXT_THRESHOLD = 1.0
+
+
+def _duck_bitext_sql() -> str:
+    dec = "CAST(CAST({x} AS DOUBLE) AS DECIMAL(28,12))"
+    return f"""
+WITH s AS (SELECT vec_id AS src_id, embedding AS src_emb FROM embeddings
+           WHERE label < {BITEXT_SRC_LABELS}),
+t AS (SELECT vec_id AS tgt_id, embedding AS tgt_emb FROM embeddings
+      WHERE label >= {BITEXT_SRC_LABELS}),
+pairs AS (
+  SELECT s.src_id, t.tgt_id, {_dcos('s.src_emb', 't.tgt_emb')} AS cos
+  FROM s CROSS JOIN t
+),
+ranked AS (
+  SELECT src_id, tgt_id, cos,
+         row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rx,
+         row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS ry
+  FROM pairs
+),
+ax AS (
+  SELECT src_id, CAST(sum({dec.format(x='cos')}) AS DOUBLE) / {BITEXT_K} AS a_src
+  FROM ranked WHERE rx <= {BITEXT_K} GROUP BY src_id
+),
+ay AS (
+  SELECT tgt_id, CAST(sum({dec.format(x='cos')}) AS DOUBLE) / {BITEXT_K} AS a_tgt
+  FROM ranked WHERE ry <= {BITEXT_K} GROUP BY tgt_id
+),
+margined AS (
+  SELECT r.src_id, r.tgt_id,
+         r.cos / ((ax.a_src + ay.a_tgt) / 2) AS margin
+  FROM ranked r JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+),
+best AS (
+  SELECT src_id, tgt_id, margin,
+         row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS b
+  FROM margined
+)
+SELECT src_id, tgt_id, round(margin, 6) AS margin
+FROM best WHERE b = 1 AND margin > {BITEXT_THRESHOLD}
+"""
+
+
+@register("bitext_margin_pairs", _duck_bitext_sql())
+def bitext_margin_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (the CCMatrix/LASER operator): split the
+    embedding pool into two "languages" by label, mine (src, tgt) pairs
+    whose cosine clears BOTH endpoints' average k-NN neighborhood — the
+    normalization that stops hub vectors from over-pairing, which raw
+    cosine thresholding cannot.  The oracle replicates the exact margin
+    arithmetic (DECIMAL-summed neighborhood averages make the margin
+    independent of partitioning); the operator's candidate stage is the
+    broadcast cross-score at fixture scale and swaps for any ANN family
+    member at 100 TB — the margin math consumes top-k candidate lists,
+    never the cross product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("label") < BITEXT_SRC_LABELS).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_emb")
+    )
+    tgt = emb.filter(F.col("label") >= BITEXT_SRC_LABELS).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tgt_emb")
+    )
+    return ann.bitext_margin_pairs(
+        src, tgt, k=BITEXT_K, threshold=BITEXT_THRESHOLD
+    )

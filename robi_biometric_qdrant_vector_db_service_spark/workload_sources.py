@@ -1149,3 +1149,234 @@ def image_jpeg_progressive_phash_dups(spark: SparkSession, sf_dir: str) -> DataF
     return phash_dup_pairs(
         dhash_bands(blobs, decoder=raw_jpeg_grid), max_hamming=PHASH_MAX_HAMMING
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene segmentation (keyframe detection)
+# ---------------------------------------------------------------------------
+
+SCENE_CORPUS_DOCS = 120  # first N docs, present at every fixture scale
+SCENE_TOTAL_FRAMES = 9   # every planted video has 9 frames in 3 scenes
+SCENE_SEED_BASE = 50_000  # scene image seed = BASE + doc_id*3 + scene
+# scene lengths are doc_id arithmetic so the oracle can state them:
+#   L0 = 2 + doc_id % 3   in {2,3,4}
+#   L1 = 2 + (doc_id // 3) % 2   in {2,3}
+#   L2 = 9 - L0 - L1   in {2..5}
+
+
+def _video_scene_corpus_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted scene-cut MJPEG-AVI corpus: every doc < SCENE_CORPUS_DOCS
+    carries a 9-frame AVI of exactly 3 scenes whose lengths derive from
+    doc_id arithmetic (L0 = 2 + doc_id % 3, L1 = 2 + (doc_id // 3) % 2,
+    L2 = rest); all frames within a scene encode the SAME deterministic
+    image (identical dHash, hamming 0), scene changes swap to a fresh
+    class image (>= the cross-class floor the image corpora measure —
+    pinned in tests/test_video_scene.py)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .operators.jpeg import jpeg_encode_rgb
+    from .operators.multimodal import class_grid_image
+    from .operators.video import avi_encode_mjpeg
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SCENE_CORPUS_DOCS
+    ).select("doc_id")
+
+    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        img_cache: dict[int, object] = {}
+        enc_cache: dict[int, bytes] = {}
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                lens = scene_lengths(did)
+                q, samp = VIDEO_VARIANTS[did % 3]
+                frames = []
+                for scene, ln in enumerate(lens):
+                    seed = SCENE_SEED_BASE + did * 3 + scene
+                    if seed not in img_cache:
+                        img_cache[seed] = class_grid_image(
+                            seed, width=36, height=32
+                        )
+                    key = seed * 8 + did % 3
+                    if key not in enc_cache:
+                        enc_cache[key] = jpeg_encode_rgb(
+                            img_cache[seed], quality=q, sampling=samp
+                        )
+                    frames.extend([enc_cache[key]] * ln)
+                blobs.append(avi_encode_mjpeg(frames, 36, 32))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")
+
+
+def scene_lengths(doc_id: int) -> tuple[int, int, int]:
+    """The planted scene lengths for one doc — shared by the corpus
+    builder, the oracle (as SQL arithmetic), and the fuzz tests."""
+    l0 = 2 + doc_id % 3
+    l1 = 2 + (doc_id // 3) % 2
+    return l0, l1, SCENE_TOTAL_FRAMES - l0 - l1
+
+
+@register(
+    "video_scene_cuts",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS l0,
+         2 + (doc_id // 3) % 2 AS l1
+  FROM documents WHERE doc_id < {SCENE_CORPUS_DOCS}
+),
+s AS (
+  SELECT doc_id, 0 AS scene_id, 0 AS start_frame, l0 - 1 AS end_frame,
+         l0 AS n_frames FROM d
+  UNION ALL
+  SELECT doc_id, 1, l0, l0 + l1 - 1, l1 FROM d
+  UNION ALL
+  SELECT doc_id, 2, l0 + l1, {SCENE_TOTAL_FRAMES - 1},
+         {SCENE_TOTAL_FRAMES} - l0 - l1 FROM d
+)
+SELECT doc_id, CAST(scene_id AS INT) AS scene_id,
+       CAST(start_frame AS INT) AS start_frame,
+       CAST(end_frame AS INT) AS end_frame,
+       CAST(n_frames AS INT) AS n_frames
+FROM s
+""",
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL video — the curation step a video
+    training pipeline runs right after decode (caption ONE frame per
+    scene, not one per second of a static shot): every planted AVI holds
+    9 frames in 3 scenes whose boundaries derive from doc_id arithmetic;
+    frames within a scene are encode-identical, a scene change swaps the
+    underlying image.  The engine earns the segments back through the
+    full stack — container walk → per-frame `jpeg_decode` → dHash
+    (`video_frame_dhash`, stride 1: boundaries need every frame) →
+    `video_scene_segments` (lag-window Hamming > 3 bits flags a cut,
+    running-sum prefix turns cuts into scene ids, groupBy emits
+    [start, end] spans).  The oracle states the planted truth; a decoder
+    that corrupted any frame, a walk that dropped one, or a window that
+    mis-ordered frames moves a boundary and breaks the row.  Planted
+    margins are pinned in tests/test_video_scene.py: in-scene hamming
+    exactly 0, cross-scene minimum far above the 3-bit threshold.
+    Scale: decode is the partition-parallel mapInPandas projection
+    (pixels never shuffle); segmentation is ONE shuffle of 36-byte
+    hashes on doc_id, inherent to ordering frames within a doc."""
+    from .operators.video import video_frame_dhash, video_scene_segments
+
+    blobs = _video_scene_corpus_blobs(spark, sf_dir)
+    return video_scene_segments(
+        video_frame_dhash(blobs, stride=1), max_hamming=PHASH_MAX_HAMMING
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio voice-activity segmentation
+# ---------------------------------------------------------------------------
+
+VAD_CORPUS_DOCS = 120   # first N docs, present at every fixture scale
+VAD_RATE = 16000
+VAD_BLOCK_SEC = 0.01    # 10 ms -> 160 samples/block at 16 kHz
+VAD_TOTAL_BLOCKS = 60   # 0.6 s per planted clip
+# planted span boundaries are doc_id arithmetic so the oracle can state
+# them: silence [0, a) | speech [a, b) | silence [b, c) | speech [c, 60)
+#   a = 3 + doc_id % 4          in {3..6}
+#   b = a + 8 + (doc_id // 4) % 3   (speech 8..10 blocks, b <= 16)
+#   c = b + 2 + doc_id % 2          (gap 2..3 blocks, c <= 19)
+
+
+def _vad_spans(doc_id: int) -> tuple[int, int, int]:
+    """The planted (a, b, c) block boundaries for one doc — shared by the
+    corpus builder, the oracle (as SQL arithmetic), and the tests."""
+    a = 3 + doc_id % 4
+    b = a + 8 + (doc_id // 4) % 3
+    return a, b, b + 2 + doc_id % 2
+
+
+def _vad_corpus_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted VAD WAV corpus: every doc < VAD_CORPUS_DOCS is a 0.6 s
+    16 kHz PCM16 clip of exactly two speech bursts separated by true
+    digital silence (zero samples), burst boundaries from doc_id
+    arithmetic; burst samples alternate ±amplitude so every active block
+    has nonzero energy and no DC offset."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators.audio import wav_encode_pcm16
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < VAD_CORPUS_DOCS
+    ).select("doc_id")
+
+    blk = int(round(VAD_RATE * VAD_BLOCK_SEC))
+
+    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a, b, c = _vad_spans(did)
+                amp = 1000 + (did % 5) * 200
+                x = np.zeros(VAD_TOTAL_BLOCKS * blk, dtype=np.int16)
+                tone = np.where(
+                    np.arange(VAD_TOTAL_BLOCKS * blk) % 2 == 0, amp, -amp
+                ).astype(np.int16)
+                x[a * blk : b * blk] = tone[a * blk : b * blk]
+                x[c * blk :] = tone[c * blk :]
+                blobs.append(wav_encode_pcm16(x, VAD_RATE))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")
+
+
+@register(
+    "audio_vad_segments",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         3 + doc_id % 4 AS a,
+         3 + doc_id % 4 + 8 + (doc_id // 4) % 3 AS b
+  FROM documents WHERE doc_id < {VAD_CORPUS_DOCS}
+),
+e AS (SELECT doc_id, a, b, b + 2 + doc_id % 2 AS c FROM d),
+s AS (
+  SELECT doc_id, 0 AS seg_id, a AS start_block, b - 1 AS end_block,
+         b - a AS n_blocks FROM e
+  UNION ALL
+  SELECT doc_id, 1, c, {VAD_TOTAL_BLOCKS - 1}, {VAD_TOTAL_BLOCKS} - c FROM e
+)
+SELECT doc_id, CAST(seg_id AS INT) AS seg_id,
+       CAST(start_block AS INT) AS start_block,
+       CAST(end_block AS INT) AS end_block,
+       CAST(n_blocks AS INT) AS n_blocks
+FROM s
+""",
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over REAL audio — the speech-pipeline
+    curation step that trims dead air and splits recordings into
+    utterances BEFORE the expensive transcribe/embed stage pays for
+    silence: every planted clip holds two speech bursts separated by
+    digital silence at doc_id-derived block boundaries.  The engine
+    earns the segments back through the full stack — RIFF/PCM16 decode →
+    exact int64 per-10 ms block energies (`audio_block_energies`, 1:N
+    mapInPandas) → threshold filter → the classic gaps-and-islands
+    window (`audio_active_segments`: block_idx − row_number is constant
+    within a run of consecutive active blocks).  The oracle states the
+    planted truth; a decode that corrupted samples, a blocking that
+    drifted a boundary, or an islands key that bridged the silence gap
+    breaks a span.  Scale: decode is partition-parallel (samples never
+    shuffle); segmentation is ONE shuffle of 20-byte (block, energy)
+    rows on doc_id, inherent to ordering a doc's blocks."""
+    from .operators.audio import audio_active_segments, audio_block_energies
+
+    return audio_active_segments(
+        audio_block_energies(
+            _vad_corpus_blobs(spark, sf_dir), block_sec=VAD_BLOCK_SEC
+        ),
+        min_energy=0,
+    )

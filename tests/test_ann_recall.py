@@ -41,6 +41,84 @@ def test_int8_rescore_recall(spark):
     assert r >= 0.95
 
 
+def test_matryoshka_rescore_recall_and_contract(spark):
+    """MRL prefix-16/128 prescreen + 3× oversampled exact rescore: the
+    surviving candidate pool comes from a coarse score, but every
+    RETURNED score must be the exact full-dimension cosine (SURVEY §7
+    risk 4 — approximation is a plan property, never a result property).
+    Random fixtures have no matryoshka training, so a 16-dim prefix is a
+    genuinely lossy prescreen — assert the mechanism (recall well above
+    the 30/500 random-survivor floor) plus score exactness."""
+    corpus, probes, exact = _setup(spark, k=10)
+    approx = ann.matryoshka_rescore_topk(
+        corpus, probes, k=10, prefix_dims=16, oversample=3
+    ).collect()
+    r = _recall(approx, exact)
+    print(f"matryoshka rescore recall@10 (prefix 16/128) = {r:.3f}")
+    assert r >= 0.25  # random-survivor floor is ~0.06 (30/500)
+    import numpy as np
+
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in corpus.collect()}
+    for row in approx:
+        a, b = emb[row["q_id"]], emb[row["vec_id"]]
+        ref = float(a @ b / max(np.linalg.norm(a), 1e-12)
+                    / max(np.linalg.norm(b), 1e-12))
+        assert ref == pytest.approx(row["score"], abs=1e-6)
+    with pytest.raises(ValueError, match="prefix_dims"):
+        ann.matryoshka_rescore_topk(corpus, probes, prefix_dims=0)
+
+
+def test_bitext_margin_model(spark):
+    """bitext_margin_pairs equals a direct NumPy implementation of the
+    CCMatrix margin on a synthetic pool: same k-NN sets, same averages,
+    same best-match + threshold gate — including the hub-suppression
+    property the raw-cosine baseline lacks (a vector close to everything
+    gets a LARGE neighborhood average, hence margins near 1, and is not
+    mined)."""
+    import numpy as np
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.ann import (
+        bitext_margin_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    ns, nt, k = 12, 14, 3
+    S = rng.normal(size=(ns, 8))
+    T = rng.normal(size=(nt, 8))
+    T[0] = 0.9 * S[3] + 0.1 * rng.normal(size=8)  # one planted translation
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
+    cos = Sn @ Tn.T
+    a_src = np.sort(cos, axis=1)[:, -k:].sum(axis=1) / k
+    a_tgt = np.sort(cos, axis=0)[-k:, :].sum(axis=0) / k
+    margin = cos / ((a_src[:, None] + a_tgt[None, :]) / 2)
+    want = {}
+    for i in range(ns):
+        j = int(np.argmax(margin[i]))
+        if margin[i, j] > 1.0:
+            want[(i, j)] = margin[i, j]
+
+    src = spark.createDataFrame(
+        [(i, [float(v) for v in S[i]]) for i in range(ns)],
+        "src_id bigint, src_emb array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(j, [float(v) for v in T[j]]) for j in range(nt)],
+        "tgt_id bigint, tgt_emb array<double>",
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["margin"]
+        for r in bitext_margin_pairs(src, tgt, k=k, threshold=1.0).collect()
+    }
+    assert set(got) == set(want)
+    for key, m in want.items():
+        assert got[key] == pytest.approx(m, abs=1e-6)
+    assert (3, 0) in got  # the planted translation is mined
+    with pytest.raises(ValueError, match="k must be"):
+        bitext_margin_pairs(src, tgt, k=0)
+
+
 def test_ivf_recall(spark):
     corpus, probes, exact = _setup(spark, k=5)
     approx = ann.ivf_topk(corpus, probes, k=5, nprobe=2).collect()
