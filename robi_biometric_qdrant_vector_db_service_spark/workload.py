@@ -4030,6 +4030,7 @@ FRONT_QUERIES = [
     "audio_vad_segments",
     "matryoshka_rescore_topk",
     "bitext_margin_pairs",
+    "stream_media_gate",
     # (b) engine path changed this round
     "multimodal_frame_sample",
     "multimodal_resize",

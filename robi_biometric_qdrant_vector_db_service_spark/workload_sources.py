@@ -1380,3 +1380,41 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         min_energy=0,
     )
+
+
+MEDIA_GATE_MIN_SPEECH = 53  # speech_blocks = 55 - d%2 - d%4 in {51,53,55};
+# the gate at >= 53 rejects exactly the doc_id % 4 == 3 quarter
+
+
+@register(
+    "stream_media_gate",
+    f"""
+SELECT doc_id, CAST(2 AS INT) AS n_segments,
+       CAST(55 - doc_id % 2 - doc_id % 4 AS INT) AS speech_blocks
+FROM documents
+WHERE doc_id < {VAD_CORPUS_DOCS} AND doc_id % 4 <> 3
+""",
+)
+def stream_media_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio VAD curation step as a CONTINUOUS media-ingest gate —
+    the first streaming stage to carry opaque binary media columns
+    end-to-end (streaming/mediagate.py): WAV clips drain as genuine
+    micro-batches through foreachBatch, each batch runs the IDENTICAL
+    batch VAD plan (decode → exact block energies → gaps-and-islands →
+    per-clip rollup), and only clips whose speech-block count clears the
+    gate reach the sink (per-directory overwrite ⇒ exactly-once under
+    retries, the changefeed discipline).  The planted arithmetic makes
+    the gate selective: speech_blocks = 55 − d%2 − d%4 ∈ {{51, 53, 55}},
+    so the ≥ 53 gate rejects exactly the doc_id % 4 == 3 quarter — the
+    oracle states the admitted clips' stats in closed form, and a drain
+    that dropped a micro-batch, double-counted a retry, or mis-segmented
+    any clip breaks rows or values.  Scale: blobs flow source → executor
+    decode and never shuffle; per-batch work ∝ batch."""
+    from .streaming.mediagate import media_gate_stream
+
+    return media_gate_stream(
+        spark,
+        sf_dir,
+        block_sec=VAD_BLOCK_SEC,
+        min_speech_blocks=MEDIA_GATE_MIN_SPEECH,
+    )
