@@ -934,3 +934,39 @@ def test_changes_scans_only_churned_files(spark, tmp_path):
     rows = feed.collect()
     assert {r["change"] for r in rows} == {"delete"}
     assert len(rows) == n
+
+
+def test_new_media_and_mining_plan_shapes(spark):
+    """The r17 additions' scale claims, visible in the plan:
+
+    - scene-cut and VAD segmentation shuffle ONCE (the doc_id window —
+      inherent to ordering a doc's frames/blocks) and never exchange the
+      decoded media;
+    - matryoshka rescore broadcasts the probe side and reuses the q_id
+      partitioning across both ranking windows (one shuffle total);
+    - bitext mining broadcasts the target pool for candidate generation
+      and never builds an unbroadcast cartesian product."""
+    import re
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload_ann import (
+        bitext_margin_pairs_q,
+        matryoshka_rescore_topk_q,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.workload_sources import (
+        audio_vad_segments,
+        video_scene_cuts,
+    )
+
+    def shuffles(plan: str) -> int:
+        return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+    scene = _plan(video_scene_cuts(spark, SF_SMOKE))
+    assert shuffles(scene) == 1, scene
+    vad = _plan(audio_vad_segments(spark, SF_SMOKE))
+    assert shuffles(vad) == 1, vad
+    mrl = _plan(matryoshka_rescore_topk_q(spark, SF_SMOKE))
+    assert shuffles(mrl) == 1, mrl
+    assert "BroadcastNestedLoopJoin" in mrl or "BroadcastExchange" in mrl, mrl
+    bitext = _plan(bitext_margin_pairs_q(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in bitext, bitext
+    assert "CartesianProduct" not in bitext, bitext
