@@ -4017,8 +4017,10 @@ from . import workload_graph  # noqa: E402,F401
 # (jpeg_decode now dispatches on SOF), bpe_encode_corpus +
 # bpe_sequence_packing (span-compiled encode replay),
 # stream_store_changelog (tracked checkpoint) and the 10 streaming rows
-# whose modules adopted explicit tracked checkpointLocations; (c) the 28
-# stalest r13 rows in registry order.  Leftover r13-stale for r18:
+# whose modules adopted explicit tracked checkpointLocations; (c) the 23
+# stalest r13 rows in registry order (5 displaced mid-round by the new
+# rows).  Leftover r13-stale for r18: embedding_near_dups_lsh_hi,
+# sql_surface_knn, pq_adc_topk, multimodal_decode, stream_search_serving,
 # train_test_split, doc_chunks, dedup_group_components, dedup_survivors.
 FRONT_QUERIES = [
     # (a) never driver-windowed
@@ -4074,9 +4076,4 @@ FRONT_QUERIES = [
     "formula_geo_decay_topk",
     "ngram_jaccard_dups",
     "embedding_near_dups_lsh",
-    "embedding_near_dups_lsh_hi",
-    "sql_surface_knn",
-    "pq_adc_topk",
-    "multimodal_decode",
-    "stream_search_serving",
 ]
