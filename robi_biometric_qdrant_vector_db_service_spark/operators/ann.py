@@ -443,3 +443,67 @@ def bitext_margin_pairs(
         .filter((F.col("best") == 1) & (F.col("margin") > threshold))
         .select("src_id", "tgt_id", F.round("margin", 6).alias("margin"))
     )
+
+
+def bitext_margin_pairs_lsh(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    k: int = 4,
+    threshold: float = 1.0,
+    nbits: int = 6,
+) -> DataFrame:
+    """`bitext_margin_pairs` with its 100 TB candidate stage made real:
+    instead of the exact cross-score, candidate edges are the pairs
+    sharing a sign-LSH bucket (the `signlsh_topk` quantizer), so the
+    edge count is Σ per-bucket |S_b|×|T_b| — corpus-pair work collapses
+    to bucket-pair work, and the bucket id is a write-time partition
+    key at scale.  The margin math is IDENTICAL, computed over the
+    candidate edge set: each endpoint's neighborhood average uses its
+    top-min(k, degree) candidate cosines (a point with fewer than k
+    bucket-mates averages what it has; a point with none mines
+    nothing), DECIMAL-summed so the margin is partition-order-
+    independent and oracle-exact.
+
+    Approximation is a PLAN property (SURVEY §7 risk 4): the oracle
+    replicates the same bucketing deterministically, and the recall
+    cost vs the exact variant is measured in tests/test_ann_recall.py —
+    never silently substituted.
+
+    Returns (src_id, tgt_id, margin) like the exact variant."""
+    if k < 1:
+        raise ValueError(f"bitext_margin_pairs_lsh: k must be >= 1, got {k}")
+    sb = src.withColumn("bucket", F.expr(signlsh_bucket_expr("src_emb", nbits)))
+    tb = tgt.withColumn("bucket", F.expr(signlsh_bucket_expr("tgt_emb", nbits)))
+    pairs = sb.join(tb, "bucket").withColumn(
+        "cos", F.expr(cosine_sql("src_emb", "tgt_emb"))
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.col("tgt_id"))
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), F.col("src_id"))
+    ranked = pairs.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    dec_avg = (
+        F.sum(F.col("cos").cast(_DEC12)).cast("double") / F.count("*")
+    )
+    ax = (
+        ranked.filter(F.col("rx") <= k)
+        .groupBy("src_id")
+        .agg(dec_avg.alias("a_src"))
+    )
+    ay = (
+        ranked.filter(F.col("ry") <= k)
+        .groupBy("tgt_id")
+        .agg(dec_avg.alias("a_tgt"))
+    )
+    margined = (
+        ranked.join(ax, "src_id")
+        .join(ay, "tgt_id")
+        .withColumn("margin", F.col("cos") / ((F.col("a_src") + F.col("a_tgt")) / 2))
+    )
+    wbest = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.col("tgt_id"))
+    return (
+        margined.withColumn("best", F.row_number().over(wbest))
+        .filter((F.col("best") == 1) & (F.col("margin") > threshold))
+        .select("src_id", "tgt_id", F.round("margin", 6).alias("margin"))
+    )

@@ -4019,7 +4019,8 @@ from . import workload_graph  # noqa: E402,F401
 # stream_store_changelog (tracked checkpoint) and the 10 streaming rows
 # whose modules adopted explicit tracked checkpointLocations; (c) the 23
 # stalest r13 rows in registry order (5 displaced mid-round by the new
-# rows).  Leftover r13-stale for r18: embedding_near_dups_lsh_hi,
+# rows).  Leftover r13-stale for r18: embedding_near_dups_lsh,
+# embedding_near_dups_lsh_hi,
 # sql_surface_knn, pq_adc_topk, multimodal_decode, stream_search_serving,
 # train_test_split, doc_chunks, dedup_group_components, dedup_survivors.
 FRONT_QUERIES = [
@@ -4032,6 +4033,7 @@ FRONT_QUERIES = [
     "audio_vad_segments",
     "matryoshka_rescore_topk",
     "bitext_margin_pairs",
+    "bitext_margin_pairs_lsh",
     "stream_media_gate",
     # (b) engine path changed this round
     "multimodal_frame_sample",
@@ -4075,5 +4077,4 @@ FRONT_QUERIES = [
     "facet_array_values",
     "formula_geo_decay_topk",
     "ngram_jaccard_dups",
-    "embedding_near_dups_lsh",
 ]

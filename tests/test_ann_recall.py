@@ -119,6 +119,82 @@ def test_bitext_margin_model(spark):
         bitext_margin_pairs(src, tgt, k=0)
 
 
+def test_bitext_lsh_model(spark):
+    """bitext_margin_pairs_lsh equals a direct NumPy implementation of
+    bucket → candidate edges → top-min(k, degree) neighborhood averages
+    → margin → best-match gate, including that a planted translation
+    sharing its source's sign bucket is mined and that NO mined pair
+    crosses buckets (candidates are an equi-join, never a cross
+    product)."""
+    import numpy as np
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.ann import (
+        bitext_margin_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(23)
+    ns, nt, k, nbits = 14, 16, 3, 4
+    S = rng.normal(size=(ns, 8))
+    T = rng.normal(size=(nt, 8))
+    T[0] = 0.9 * S[3] + 0.05 * rng.normal(size=8)
+    T[0][: nbits] = np.abs(T[0][: nbits])  # force same sign bucket
+    S[3][: nbits] = np.abs(S[3][: nbits])
+
+    def bucket(v):
+        return sum((1 << d) for d in range(nbits) if v[d] >= 0)
+
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
+    cos = Sn @ Tn.T
+    sb = [bucket(S[i]) for i in range(ns)]
+    tb = [bucket(T[j]) for j in range(nt)]
+    edges = [(i, j) for i in range(ns) for j in range(nt) if sb[i] == tb[j]]
+    a_src, a_tgt = {}, {}
+    for i in range(ns):
+        cands = sorted((cos[i, j] for (x, j) in edges if x == i), reverse=True)
+        if cands:
+            top = cands[: k]
+            a_src[i] = sum(top) / len(top)
+    for j in range(nt):
+        cands = sorted((cos[i, j] for (i, y) in edges if y == j), reverse=True)
+        if cands:
+            top = cands[: k]
+            a_tgt[j] = sum(top) / len(top)
+    want = {}
+    for i in range(ns):
+        best = None
+        for (x, j) in edges:
+            if x != i:
+                continue
+            m = cos[i, j] / ((a_src[i] + a_tgt[j]) / 2)
+            if best is None or m > best[1] or (m == best[1] and j < best[0]):
+                best = (j, m)
+        if best and best[1] > 1.0:
+            want[(i, best[0])] = best[1]
+
+    src = spark.createDataFrame(
+        [(i, [float(v) for v in S[i]]) for i in range(ns)],
+        "src_id bigint, src_emb array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(j, [float(v) for v in T[j]]) for j in range(nt)],
+        "tgt_id bigint, tgt_emb array<double>",
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["margin"]
+        for r in bitext_margin_pairs_lsh(
+            src, tgt, k=k, threshold=1.0, nbits=nbits
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for key, m in want.items():
+        assert got[key] == pytest.approx(m, abs=1e-6)
+    for (i, j) in got:
+        assert sb[i] == tb[j]  # no mined pair crosses buckets
+    if (3, 0) in want:  # planted translation shares the bucket by construction
+        assert (3, 0) in got
+
+
 def test_ivf_recall(spark):
     corpus, probes, exact = _setup(spark, k=5)
     approx = ann.ivf_topk(corpus, probes, k=5, nprobe=2).collect()
