@@ -420,8 +420,12 @@ def bitext_margin_pairs(
     )
     # neighborhood sums accumulate in DECIMAL (the label_centroids trick)
     # so the average — and therefore the margin — is identical under any
-    # partitioning and matches the sequential oracle bit-for-bit
-    dec_avg = (F.sum(F.col("cos").cast(_DEC12)).cast("double") / k)
+    # partitioning and matches the sequential oracle bit-for-bit.  Divide
+    # by the ACTUAL neighborhood size (count, = min(k, pool size)), not
+    # the constant k: a counterpart pool smaller than k otherwise deflates
+    # the average and silently inflates every margin (the LSH variant and
+    # both oracles already average over what exists).
+    dec_avg = (F.sum(F.col("cos").cast(_DEC12)).cast("double") / F.count("*"))
     ax = (
         ranked.filter(F.col("rx") <= k)
         .groupBy("src_id")

@@ -853,11 +853,11 @@ ranked AS (
   FROM pairs
 ),
 ax AS (
-  SELECT src_id, CAST(sum({dec.format(x='cos')}) AS DOUBLE) / {BITEXT_K} AS a_src
+  SELECT src_id, CAST(sum({dec.format(x='cos')}) AS DOUBLE) / count(*) AS a_src
   FROM ranked WHERE rx <= {BITEXT_K} GROUP BY src_id
 ),
 ay AS (
-  SELECT tgt_id, CAST(sum({dec.format(x='cos')}) AS DOUBLE) / {BITEXT_K} AS a_tgt
+  SELECT tgt_id, CAST(sum({dec.format(x='cos')}) AS DOUBLE) / count(*) AS a_tgt
   FROM ranked WHERE ry <= {BITEXT_K} GROUP BY tgt_id
 ),
 margined AS (

@@ -119,6 +119,52 @@ def test_bitext_margin_model(spark):
         bitext_margin_pairs(src, tgt, k=0)
 
 
+def test_bitext_margin_tiny_pool_divides_by_actual_count(spark):
+    """With a counterpart pool SMALLER than k the neighborhood average
+    divides by the actual neighbor count, not the constant k — dividing
+    by k would deflate the average and inflate every margin, silently
+    over-mining pairs (ADVICE r17)."""
+    import numpy as np
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.ann import (
+        bitext_margin_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    ns, nt, k = 5, 2, 4  # tgt pool (2) < k (4)
+    S = rng.normal(size=(ns, 6))
+    T = rng.normal(size=(nt, 6))
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
+    cos = Sn @ Tn.T
+    # src side averages over min(k, nt)=2 neighbors; tgt side over
+    # min(k, ns)=4
+    a_src = np.sort(cos, axis=1)[:, -min(k, nt):].mean(axis=1)
+    a_tgt = np.sort(cos, axis=0)[-min(k, ns):, :].mean(axis=0)
+    margin = cos / ((a_src[:, None] + a_tgt[None, :]) / 2)
+    want = {}
+    for i in range(ns):
+        j = int(np.argmax(margin[i]))
+        if margin[i, j] > 1.0:
+            want[(i, j)] = margin[i, j]
+
+    src = spark.createDataFrame(
+        [(i, [float(v) for v in S[i]]) for i in range(ns)],
+        "src_id bigint, src_emb array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(j, [float(v) for v in T[j]]) for j in range(nt)],
+        "tgt_id bigint, tgt_emb array<double>",
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["margin"]
+        for r in bitext_margin_pairs(src, tgt, k=k, threshold=1.0).collect()
+    }
+    assert set(got) == set(want)
+    for key, m in want.items():
+        assert got[key] == pytest.approx(m, abs=1e-6)
+
+
 def test_bitext_lsh_model(spark):
     """bitext_margin_pairs_lsh equals a direct NumPy implementation of
     bucket → candidate edges → top-min(k, degree) neighborhood averages
