@@ -222,24 +222,60 @@ INT8_QUANT_EXPR = (
 )
 
 
+def _rescore_survivors(
+    corpus: DataFrame, survivors: DataFrame, k: int
+) -> DataFrame:
+    """Shared stage 2 of the companion-column rescore family: fetch the
+    surviving ids' FULL vectors by a broadcast join (survivors are
+    ``queries × oversample × k`` rows — tiny), rescore with exact cosine,
+    final (score DESC, vec_id) ranking.  ``survivors``: (q_id, q_emb,
+    vec_id)."""
+    fetch = corpus.select("vec_id", "embedding")
+    rescored = fetch.join(F.broadcast(survivors), "vec_id").withColumn(
+        "score", F.expr(cosine_sql("embedding", "q_emb"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 def int8_rescore_topk(
     corpus: DataFrame, probes: DataFrame, k: int = 10, oversample: int = 3
 ) -> DataFrame:
     """O4 scalar quantization + rescore (qdrant_client.py:129-138):
-    stage 1 ranks by the exact-integer INT8 dot product (4× smaller scan at
-    rest — the quantized copy is a separate column/file at scale), stage 2
-    rescores the surviving ``oversample × k`` with full-precision cosine.
+    stage 1 ranks by the exact-integer INT8 dot product, stage 2 rescores
+    the surviving ``oversample × k`` with full-precision cosine.
+
+    When the corpus carries a MATERIALIZED ``e8`` companion column
+    (written by VectorStore at ingest, or the staged rescore layout in
+    workload_ann), stage 1 scans ONLY (vec_id, e8) — the 4× at-rest
+    scan-byte win is in the plan (ReadSchema excludes ``embedding``,
+    pinned in tests/test_plans.py) — and survivors join back to the float
+    column for the exact rescore.  Without the companion the quantization
+    folds into the scan projection (same results, single-scan plan).
 
     Returns (q_id, vec_id, rank, score) — final ranking by exact score.
     """
-    qc = INT8_QUANT_EXPR.format(col="embedding")
     qq = INT8_QUANT_EXPR.format(col="q_emb")
-    c8 = corpus.withColumn("e8", F.expr(qc))
     p8 = probes.withColumn("p8", F.expr(qq))
-    pairs = c8.crossJoin(F.broadcast(p8))
     int_dot = "aggregate(zip_with(e8, p8, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), CAST(0 AS BIGINT), (a, v) -> a + v)"
-    stage1 = pairs.withColumn("iscore", F.expr(int_dot))
     w1 = Window.partitionBy("q_id").orderBy(F.desc("iscore"), F.col("vec_id"))
+    if "e8" in corpus.columns:
+        pairs = corpus.select("vec_id", "e8").crossJoin(F.broadcast(p8))
+        survivors = (
+            pairs.withColumn("iscore", F.expr(int_dot))
+            .withColumn("irank", F.row_number().over(w1))
+            .filter(F.col("irank") <= oversample * k)
+            .select("q_id", "q_emb", "vec_id")
+        )
+        return _rescore_survivors(corpus, survivors, k)
+    qc = INT8_QUANT_EXPR.format(col="embedding")
+    c8 = corpus.withColumn("e8", F.expr(qc))
+    pairs = c8.crossJoin(F.broadcast(p8))
+    stage1 = pairs.withColumn("iscore", F.expr(int_dot))
     survivors = stage1.withColumn("irank", F.row_number().over(w1)).filter(
         F.col("irank") <= oversample * k
     )
@@ -268,9 +304,14 @@ def matryoshka_rescore_topk(
     This is the quantization-free member of the rescore family
     (INT8 / BQ / PQ-ADC above): instead of narrowing the VALUE width it
     narrows the DIMENSION count — at rest the prefix is a separate
-    ``dims/prefix_dims``-times-smaller column (here 8× for 128→16), and
-    stage 1 scans ONLY that column, the same scan-byte win the
-    quantized tiers get, with no codebook to train or drift.
+    ``dims/prefix_dims``-times-smaller column, and when the corpus
+    carries it materialized (``e_pre{prefix_dims}``, written by
+    VectorStore at ingest or the staged rescore layout in workload_ann)
+    stage 1 scans ONLY that column (ReadSchema excludes ``embedding``,
+    pinned in tests/test_plans.py) — the same scan-byte win the
+    quantized tiers get, with no codebook to train or drift.  Without
+    the companion the slice folds into the scan projection (same
+    results, single-scan plan).
 
     Determinism: both stages are double-precision folds over the same
     float32 inputs (the slice changes which elements are summed, not how
@@ -284,11 +325,24 @@ def matryoshka_rescore_topk(
         raise ValueError(
             f"matryoshka_rescore_topk: prefix_dims must be >= 1, got {prefix_dims}"
         )
-    cp = corpus.withColumn("e_pre", F.expr(f"slice(embedding, 1, {prefix_dims})"))
     pp = probes.withColumn("p_pre", F.expr(f"slice(q_emb, 1, {prefix_dims})"))
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("pscore"), F.col("vec_id"))
+    companion = f"e_pre{prefix_dims}"
+    if companion in corpus.columns:
+        pairs = (
+            corpus.select("vec_id", F.col(companion).alias("e_pre"))
+            .crossJoin(F.broadcast(pp))
+        )
+        survivors = (
+            pairs.withColumn("pscore", F.expr(cosine_sql("e_pre", "p_pre")))
+            .withColumn("prank", F.row_number().over(w1))
+            .filter(F.col("prank") <= oversample * k)
+            .select("q_id", "q_emb", "vec_id")
+        )
+        return _rescore_survivors(corpus, survivors, k)
+    cp = corpus.withColumn("e_pre", F.expr(f"slice(embedding, 1, {prefix_dims})"))
     pairs = cp.crossJoin(F.broadcast(pp))
     stage1 = pairs.withColumn("pscore", F.expr(cosine_sql("e_pre", "p_pre")))
-    w1 = Window.partitionBy("q_id").orderBy(F.desc("pscore"), F.col("vec_id"))
     survivors = stage1.withColumn("prank", F.row_number().over(w1)).filter(
         F.col("prank") <= oversample * k
     )
@@ -329,13 +383,28 @@ def bq_words_expr(col: str, dims: int) -> str:
     return f"array({', '.join(words)})"
 
 
+def bq_words_dynamic_expr(col: str) -> str:
+    """``bq_words_expr`` with the word count derived from ``size(col)``
+    at run time instead of a compile-time ``dims`` literal — the store's
+    write-path packer, where the collection dimension is data, not a
+    constant.  Produces words identical to ``bq_words_expr(col, dims)``
+    for any ``dims == size(col)`` (pinned in tests/test_ann_recall.py)."""
+    return (
+        f"transform(sequence(0, (size({col}) - 1) div {BQ_WORD_BITS}), w -> "
+        f"aggregate(transform(slice({col}, w * {BQ_WORD_BITS} + 1, {BQ_WORD_BITS}), "
+        f"(x, i) -> IF(CAST(x AS DOUBLE) > 0.0D, "
+        f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+        f"CAST(0 AS BIGINT), (a, v) -> a | v))"
+    )
+
+
 def bq_hamming_topk(
     corpus: DataFrame,
     probes: DataFrame,
     k: int = 10,
     *,
     oversample: int = 4,
-    dims: int = 64,
+    dims: int | None = 64,
 ) -> DataFrame:
     """O4 binary quantization + oversampled exact rescore: stage 1 ranks
     candidates by the HAMMING distance between sign-bit codes (popcount
@@ -343,22 +412,55 @@ def bq_hamming_topk(
     deterministic with the (hamming, vec_id) tiebreak), stage 2 rescores
     the surviving ``oversample × k`` with full-precision cosine.
 
-    Plan shape: probe codes broadcast; the corpus scan computes its code
-    map-side (at scale the code is a persisted column — 1 BIGINT word per
-    32 dims — and stage 1 never reads the float vectors); the two ranking
-    windows are the only shuffles, same as ``int8_rescore_topk``.
+    Plan shape: probe codes broadcast; with a MATERIALIZED ``bq{dims}``
+    companion column (written by VectorStore at ingest or the staged
+    rescore layout in workload_ann) stage 1 scans ONLY (vec_id, code) —
+    1 BIGINT word per 32 dims, the 32× at-rest scan-byte win, ReadSchema
+    excluding ``embedding`` pinned in tests/test_plans.py — and
+    survivors join back for the exact rescore.  Without the companion
+    the pack folds into the scan projection (same results, single-scan
+    plan).  The two ranking windows are the only shuffles either way,
+    same as ``int8_rescore_topk``.
+
+    ``dims=None`` switches to the dim-agnostic pack (word count from
+    ``size(q_emb)`` at run time) and the store's ``bq_code`` companion
+    name — the VectorStore serving path, where the collection dimension
+    is data, not a compile-time literal.
 
     Returns (q_id, vec_id, rank, score) — final ranking by exact score.
     """
-    c = corpus.withColumn("c_code", F.expr(bq_words_expr("embedding", dims)))
-    p = probes.withColumn("q_code", F.expr(bq_words_expr("q_emb", dims)))
-    pairs = c.crossJoin(F.broadcast(p))
+    q_pack = (
+        bq_words_dynamic_expr("q_emb")
+        if dims is None
+        else bq_words_expr("q_emb", dims)
+    )
+    p = probes.withColumn("q_code", F.expr(q_pack))
     hamming = (
         "aggregate(zip_with(c_code, q_code, (a, b) -> bit_count(a ^ b)), "
         "0, (acc, v) -> acc + v)"
     )
-    stage1 = pairs.withColumn("hamming", F.expr(hamming))
     w1 = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.col("vec_id"))
+    companion = "bq_code" if dims is None else f"bq{dims}"
+    if companion in corpus.columns:
+        pairs = (
+            corpus.select("vec_id", F.col(companion).alias("c_code"))
+            .crossJoin(F.broadcast(p))
+        )
+        survivors = (
+            pairs.withColumn("hamming", F.expr(hamming))
+            .withColumn("hrank", F.row_number().over(w1))
+            .filter(F.col("hrank") <= oversample * k)
+            .select("q_id", "q_emb", "vec_id")
+        )
+        return _rescore_survivors(corpus, survivors, k)
+    c_pack = (
+        bq_words_dynamic_expr("embedding")
+        if dims is None
+        else bq_words_expr("embedding", dims)
+    )
+    c = corpus.withColumn("c_code", F.expr(c_pack))
+    pairs = c.crossJoin(F.broadcast(p))
+    stage1 = pairs.withColumn("hamming", F.expr(hamming))
     survivors = stage1.withColumn("hrank", F.row_number().over(w1)).filter(
         F.col("hrank") <= oversample * k
     )

@@ -68,7 +68,21 @@ POINT_SCHEMA = (
     "point_id string, embedding array<double>, user_id string, ts double, "
     "metadata map<string,string>"
 )
-_FULL_SCHEMA = POINT_SCHEMA + ", ubucket int"
+# Companion index columns, MATERIALIZED at rest on every segment write
+# (r17 VERDICT item 1): the rescore family's stage 1 scans one of these
+# instead of the float vectors — e8 is Qdrant's INT8 scalar quantization
+# (qdrant_client.py:129-138; 1 byte/dim, 8× under array<double>), e_pre16
+# the Matryoshka 16-dim prefix, bq_code the BinaryQuantization sign-bit
+# words (1 BIGINT per 32 dims).  Derived purely from ``embedding`` inside
+# ``_write_segment`` — the single choke point every ingest, upsert,
+# rewrite and compaction funnels through — so a vector rewrite
+# (update_vectors, upsert) can never leave a stale companion behind.
+_COMPANION_COLS = ("e8", "e_pre16", "bq_code")
+COMPANION_SCHEMA = (
+    "e8 array<tinyint>, e_pre16 array<double>, bq_code array<bigint>"
+)
+STORE_PREFIX_DIMS = 16
+_FULL_SCHEMA = POINT_SCHEMA + ", " + COMPANION_SCHEMA + ", ubucket int"
 
 
 def _empty_meta():
@@ -176,7 +190,21 @@ class VectorStore:
         just-written parquet FOOTERS — one metadata pass, no re-scan and no
         second evaluation of the write plan (uuid()/normalize are
         non-reexecutable)."""
+        from .ann import INT8_QUANT_EXPR, bq_words_dynamic_expr
+
         seg = os.path.join(self.root, f"seg_{uuid.uuid4().hex[:12]}")
+        # (re)derive the companion index columns from the embedding being
+        # written — dropping any copies read from existing files first, so
+        # a rewrite that changed ``embedding`` can never carry stale codes
+        df = df.drop(*_COMPANION_COLS).withColumns(
+            {
+                "e8": F.expr(INT8_QUANT_EXPR.format(col="embedding")).cast(
+                    "array<tinyint>"
+                ),
+                "e_pre16": F.expr(f"slice(embedding, 1, {STORE_PREFIX_DIMS})"),
+                "bq_code": F.expr(bq_words_dynamic_expr("embedding")),
+            }
+        )
         out = df.withColumn("ubucket_p", F.col("ubucket"))
         # write parallelism = n_buckets × within-bucket salt, sized so write
         # tasks ≈ cores: a bare repartition(n_buckets) caps the encode+write
@@ -359,6 +387,7 @@ class VectorStore:
         user_ids: list[str] | None = None,
         version: int | None = None,
         ts_range: tuple[float, float] | None = None,
+        with_index: bool = False,
     ) -> DataFrame:
         """Current snapshot (or a historical one via ``version`` — time
         travel falls out of the manifest log for free, as in Delta; a vacuum
@@ -409,7 +438,13 @@ class VectorStore:
             )
         if ts_range is not None:
             df = df.filter(F.col("ts").between(ts_range[0], ts_range[1]))
-        return df.select("point_id", "embedding", "user_id", "ts", "metadata")
+        sel = ["point_id", "embedding", "user_id", "ts", "metadata"]
+        if with_index:
+            # expose the at-rest companion index columns (quantized search
+            # stage 1 scans ONE of them and leaves ``embedding`` unread —
+            # column pruning keeps the others off the scan)
+            sel += list(_COMPANION_COLS)
+        return df.select(*sel)
 
     def input_files(
         self, *, user_id: str | None = None, user_ids: list[str] | None = None
@@ -1233,6 +1268,8 @@ class VectorStore:
         score_threshold: float | None = None,
         user_filter: str | None = None,
         shard_selector: list[str] | None = None,
+        quantization: str | None = None,
+        oversample: int = 3,
     ) -> DataFrame:
         """The reference's ``POST /vectors/search`` end-to-end over the
         store (qdrant_client.py:311-405): optional user filter (resolved to
@@ -1243,19 +1280,56 @@ class VectorStore:
         the search fans out to ONLY the named tenants' shards (here: the
         manifest buckets their keys hash to — other buckets' files never
         reach the scan), the 100 TB posture where a tenant query costs the
-        tenant's data, not the corpus."""
+        tenant's data, not the corpus.
+
+        ``quantization`` enables the two-stage rescore serving path over
+        the MATERIALIZED companion columns every segment carries
+        (qdrant_client.py:129-138 configures exactly this: INT8 scalar
+        quantization, ``oversampling`` 3.0, ``rescore`` True):
+        ``"int8"`` prescreens by integer dot product over the at-rest
+        ``e8`` column, ``"binary"`` by Hamming distance over ``bq_code``;
+        both rescore the ``oversample × k`` survivors with exact cosine,
+        and stage 1 never reads the float vectors (ReadSchema pinned in
+        tests/test_plans.py).  ``score_threshold`` applies to the exact
+        rescored score, as in Qdrant."""
+        from . import ann
         from .search import knn_search
 
         if user_filter is not None and shard_selector is not None:
             raise ValueError("pass user_filter or shard_selector, not both")
-        corpus = self.read(user_id=user_filter, user_ids=shard_selector)
-        return knn_search(
-            corpus,
-            queries,
-            k,
-            score_threshold=score_threshold,
-            corpus_id="point_id",
+        if quantization is None:
+            corpus = self.read(user_id=user_filter, user_ids=shard_selector)
+            return knn_search(
+                corpus,
+                queries,
+                k,
+                score_threshold=score_threshold,
+                corpus_id="point_id",
+            )
+        corpus = self.read(
+            user_id=user_filter, user_ids=shard_selector, with_index=True
         )
+        if quantization == "int8":
+            src = corpus.select(
+                F.col("point_id").alias("vec_id"), "embedding", "e8"
+            )
+            out = ann.int8_rescore_topk(src, queries, k=k, oversample=oversample)
+        elif quantization == "binary":
+            src = corpus.select(
+                F.col("point_id").alias("vec_id"), "embedding", "bq_code"
+            )
+            out = ann.bq_hamming_topk(
+                src, queries, k=k, oversample=oversample, dims=None
+            )
+        else:
+            raise ValueError(
+                f"quantization must be 'int8', 'binary' or None, got "
+                f"{quantization!r}"
+            )
+        out = out.withColumnRenamed("vec_id", "point_id")
+        if score_threshold is not None:
+            out = out.filter(F.col("score") >= score_threshold)
+        return out
 
     # -- A1/A3 stats --------------------------------------------------------
 

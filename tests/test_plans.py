@@ -964,9 +964,72 @@ def test_new_media_and_mining_plan_shapes(spark):
     assert shuffles(scene) == 1, scene
     vad = _plan(audio_vad_segments(spark, SF_SMOKE))
     assert shuffles(vad) == 1, vad
+    # two shuffles since the companion layout landed: the stage-1 ranking
+    # window, plus the final window over the (tiny, oversample×k per
+    # query) rescored survivors after their broadcast join-back to the
+    # float column — the price of a stage-1 scan that never reads
+    # ``embedding`` (see test_rescore_stage1_scans_companion_only)
     mrl = _plan(matryoshka_rescore_topk_q(spark, SF_SMOKE))
-    assert shuffles(mrl) == 1, mrl
+    assert shuffles(mrl) == 2, mrl
     assert "BroadcastNestedLoopJoin" in mrl or "BroadcastExchange" in mrl, mrl
     bitext = _plan(bitext_margin_pairs_q(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in bitext, bitext
     assert "CartesianProduct" not in bitext, bitext
+
+
+def test_rescore_stage1_scans_companion_only(spark):
+    """The rescore family's at-rest claim, in the plan (r17 VERDICT item
+    1): over the companion layout, stage 1 of INT8 / matryoshka / BQ
+    scans ONLY (vec_id, companion) — the ReadSchema of the scan that
+    feeds the prescreen must EXCLUDE ``embedding`` (4×/4×/32× fewer scan
+    bytes at 64 dims) — and exactly one other corpus scan (the survivors'
+    exact-rescore fetch) reads the float column."""
+    import re
+
+    from robi_biometric_qdrant_vector_db_service_spark.workload_ann import (
+        bq_hamming_rescore,
+        int8_rescore_topk,
+        matryoshka_rescore_topk_q,
+    )
+
+    for fn, companion in [
+        (int8_rescore_topk, "e8"),
+        (matryoshka_rescore_topk_q, "e_pre16"),
+        (bq_hamming_rescore, "bq64"),
+    ]:
+        plan = _plan(fn(spark, SF_SMOKE))
+        schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+        companion_scans = [s for s in schemas if companion in s]
+        assert companion_scans, (companion, plan)
+        for s in companion_scans:
+            assert "embedding" not in s, (companion, s)
+
+
+def test_store_quantized_search_stage1_never_reads_vectors(spark, tmp_path):
+    """The store serving path's at-rest win: search(quantization=...)
+    stage 1 scans ONLY (point_id, companion) from the collection's
+    segments — every scan whose ReadSchema includes e8/bq_code must
+    exclude ``embedding`` (the float column is read once, for the
+    survivors' exact rescore)."""
+    import re
+
+    from robi_biometric_qdrant_vector_db_service_spark.operators.store import (
+        VectorStore,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(40)
+    pts = emb.select(
+        F.col("vec_id").cast("string").alias("point_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        F.concat(F.lit("u"), F.col("label")).alias("user_id"),
+        F.lit(1.0).alias("ts"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    store = VectorStore.create(spark, str(tmp_path / "s"), pts)
+    for mode, companion in [("int8", "e8"), ("binary", "bq_code")]:
+        plan = _plan(store.search(_probes(spark), k=5, quantization=mode))
+        schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+        companion_scans = [s for s in schemas if companion in s]
+        assert companion_scans, (mode, plan)
+        for s in companion_scans:
+            assert "embedding" not in s, (mode, s)
