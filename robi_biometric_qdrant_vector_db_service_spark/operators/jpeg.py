@@ -30,10 +30,13 @@ differential tests/test_jpeg_progressive_fuzz.py pins.
   one inherently serial step of any JPEG — per blob, inside the Arrow
   batch), then vectorized dezigzag + dequantize + IDCT (two matmuls over
   all blocks), MCU-interleave plane reassembly, nearest-neighbor chroma
-  upsample, JFIF YCbCr -> RGB.  Anything outside the supported subset
-  (extended-sequential SOF1, 12-bit precision, arithmetic coding,
-  restart intervals) fails loud with the offending marker — corrupt or
-  exotic streams must never hash.
+  upsample, JFIF YCbCr -> RGB.  Restart intervals (DRI/RSTn — what
+  digital cameras and hardware encoders emit routinely) decode on both
+  the baseline and progressive paths (r18): the entropy stream splits at
+  RSTn markers, DC predictors reset and the bit reader re-aligns per
+  segment.  Anything outside the supported subset (extended-sequential
+  SOF1, 12-bit precision, arithmetic coding) fails loud with the
+  offending marker — corrupt or exotic streams must never hash.
 
 The encoder clamps quantized AC coefficients to the baseline-encodable
 range [-1023, 1023] (Huffman size classes stop at 10 bits; only
@@ -360,9 +363,17 @@ def _quantized_planes(
 
 
 def jpeg_encode_rgb(
-    px: np.ndarray, quality: int = 90, sampling: str = "4:4:4"
+    px: np.ndarray, quality: int = 90, sampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG."""
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (DC predictors reset, entropy stream re-byte-aligned —
+    T.81 E.2.4), the layout digital cameras and most hardware encoders
+    produce; the quantized coefficients are unchanged, so decoding a
+    restart-interval encode MUST give exactly the same pixels as the
+    plain encode (tests/test_jpeg_restart_fuzz.py pins the differential)."""
     comp_zz, comp_nblk_w, qt, h, w, hp, wp = _quantized_planes(
         px, quality, sampling, "jpeg_encode_rgb"
     )
@@ -376,10 +387,19 @@ def jpeg_encode_rgb(
                 _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
     samp = [(hmax, vmax), (1, 1), (1, 1)]
     mcus_x, mcus_y = wp // mcu_w, hp // mcu_h
+    chunks: list[bytes] = []
     writer = _BitWriter()
     prev_dc = [0, 0, 0]
+    rst_n = 0
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                chunks.append(writer.flush())
+                chunks.append(bytes([0xFF, 0xD0 + (rst_n % 8)]))
+                rst_n += 1
+                writer = _BitWriter()
+                prev_dc = [0, 0, 0]
             for ci in range(3):
                 ch, cv = samp[ci]
                 tbl = 0 if ci == 0 else 1
@@ -391,7 +411,9 @@ def jpeg_encode_rgb(
                         _encode_block(
                             writer, zz, prev_dc, ci, dc_codes[tbl], ac_codes[tbl]
                         )
-    scan = writer.flush()
+            mcu_i += 1
+    chunks.append(writer.flush())
+    scan = b"".join(chunks)
 
     # ---- file assembly ----
     out = bytearray(b"\xff\xd8")  # SOI
@@ -414,6 +436,8 @@ def jpeg_encode_rgb(
         out += _segment(
             0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         )
+    if restart_interval:
+        out += _segment(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([3])
     for ci in range(3):
         tid = 0 if ci == 0 else 1
@@ -579,6 +603,7 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
     frame = None
     scan_comps = None
     scan_start = None
+    restart_interval = 0
     while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(
@@ -651,10 +676,8 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
                 f"jpeg_decode: SOF marker {marker:#x} is not baseline "
                 "sequential (progressive/extended/arithmetic unsupported)"
             )
-        elif marker == 0xDD:  # DRI
-            (interval,) = struct.unpack(">H", seg[:2])
-            if interval:
-                raise ValueError("jpeg_decode: restart intervals unsupported")
+        elif marker == 0xDD:  # DRI (r18: restart intervals decoded)
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan_comps = []
@@ -676,23 +699,9 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             "interleaved scan)"
         )
 
-    # unstuff the entropy stream up to the next real marker
-    data = bytearray()
-    p = scan_start
-    while p < len(blob):
-        b = blob[p]
-        if b == 0xFF:
-            nxt = blob[p + 1] if p + 1 < len(blob) else 0xD9
-            if nxt == 0x00:
-                data.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                raise ValueError("jpeg_decode: restart markers unsupported")
-            break
-        data.append(b)
-        p += 1
-    reader = _BitReader(bytes(data))
+    # unstuff the entropy stream up to the next real marker, split at
+    # restart markers (one segment per restart interval)
+    segs, rsts, _ = _unstuff_entropy_segments(blob, scan_start)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -712,10 +721,18 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             raise ValueError("jpeg_decode: scan references a missing DHT table")
         order.append((comp_by_id[cid], dc_t, ac_t))
 
+    _check_restart_run(segs, rsts, mcus_x * mcus_y, restart_interval)
+    reader = _BitReader(segs[0])
+
     # --- the one serial step: Huffman-decode all blocks in MCU order ---
     blocks: list[list[np.ndarray]] = [[] for _ in order]
     prev_dc = [0] * len(order)
-    for _ in range(mcus_x * mcus_y):
+    for mcu_i in range(mcus_x * mcus_y):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            # RSTn boundary: fresh byte-aligned entropy segment, DC
+            # predictors reset (E.2.4 / F.2.1.3.1)
+            reader = _BitReader(segs[mcu_i // restart_interval])
+            prev_dc = [0] * len(order)
         for ci, ((_cid, hs, vs, _qid), dc_t, ac_t) in enumerate(order):
             dsym, dlen = huff[(0, dc_t)]
             asym, alen = huff[(1, ac_t)]
@@ -834,15 +851,22 @@ def _scan_ops_dc_first(
     mcus_x: int,
     mcus_y: int,
     al: int,
+    restart_interval: int = 0,
 ) -> list[list[tuple]]:
     """Interleaved DC first pass: per component ops [("sym", s), ("bits",
     v, n), ...] with diff coding on the point-transformed DC (arithmetic
     >> per G.1.2.1).  Returns one op list per DC TABLE (0=luma, 1=chroma)
-    interleaved into a single stream via a merged list with table tags."""
+    interleaved into a single stream via a merged list with table tags.
+    A ("rst",) op marks each restart boundary (predictors reset here and
+    in the emitter's byte-aligned segment break)."""
     ops: list[tuple] = []
     prev = [0] * len(comp_zz)
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            u = my * mcus_x + mx
+            if restart_interval and u and u % restart_interval == 0:
+                ops.append(("rst",))
+                prev = [0] * len(comp_zz)
             for ci in range(len(comp_zz)):
                 ch, cv = comp_samp[ci]
                 tbl = 0 if ci == 0 else 1
@@ -869,12 +893,18 @@ def _scan_ops_dc_refine(
     mcus_x: int,
     mcus_y: int,
     al: int,
+    restart_interval: int = 0,
 ) -> list[tuple]:
     """DC refinement: one raw bit (bit ``al`` of the DC coefficient) per
-    block in MCU interleave order — no Huffman codes at all."""
+    block in MCU interleave order — no Huffman codes at all.  ("rst",)
+    ops mark restart boundaries (no predictor state to reset here; the
+    emitter still byte-aligns and emits the RSTn)."""
     ops: list[tuple] = []
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            u = my * mcus_x + mx
+            if restart_interval and u and u % restart_interval == 0:
+                ops.append(("rst",))
             for ci in range(len(comp_zz)):
                 ch, cv = comp_samp[ci]
                 for by in range(cv):
@@ -920,14 +950,21 @@ class _EobRun:
 
 
 def _scan_ops_ac_first(
-    blocks: np.ndarray, ss: int, se: int, al: int
+    blocks: np.ndarray, ss: int, se: int, al: int,
+    restart_interval: int = 0,
 ) -> list[tuple]:
     """AC first pass over one component's natural-order block sequence:
     G.1.2.2 — run/size coding of the point-transformed band (signed
-    division toward zero), with genuine cross-block EOBn runs."""
+    division toward zero), with genuine cross-block EOBn runs.  At each
+    restart boundary (every ``restart_interval`` blocks — the data unit
+    of a non-interleaved scan) the pending EOB run flushes (it cannot
+    cross a restart) and a ("rst",) op marks the segment break."""
     ops: list[tuple] = []
     eob = _EobRun(ops)
-    for zz in blocks:
+    for u, zz in enumerate(blocks):
+        if restart_interval and u and u % restart_interval == 0:
+            eob.flush()
+            ops.append(("rst",))
         t = [
             (abs(int(zz[k])) >> al) * (1 if int(zz[k]) >= 0 else -1)
             for k in range(ss, se + 1)
@@ -961,17 +998,22 @@ def _scan_ops_ac_first(
 
 
 def _scan_ops_ac_refine(
-    blocks: np.ndarray, ss: int, se: int, al: int
+    blocks: np.ndarray, ss: int, se: int, al: int,
+    restart_interval: int = 0,
 ) -> list[tuple]:
     """AC refinement over one component's natural-order block sequence:
     G.1.2.3 — newly-significant coefficients emit (run, 1) + a sign bit,
     already-significant ones buffer a correction bit that rides after
     the NEXT emitted code (ZRL, significant, or an EOBn), runs count
     zero-HISTORY positions only, and blocks with no new significance
-    fold their correction bits into the cross-block EOB run."""
+    fold their correction bits into the cross-block EOB run.  EOB runs
+    flush at every restart boundary, marked by a ("rst",) op."""
     ops: list[tuple] = []
     eob = _EobRun(ops)
-    for zz in blocks:
+    for u, zz in enumerate(blocks):
+        if restart_interval and u and u % restart_interval == 0:
+            eob.flush()
+            ops.append(("rst",))
         t = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
         eobpos = -1
         for i, tv in enumerate(t):
@@ -1010,7 +1052,8 @@ def _scan_ops_ac_refine(
 
 
 def jpeg_encode_rgb_progressive(
-    px: np.ndarray, quality: int = 90, sampling: str = "4:4:4"
+    px: np.ndarray, quality: int = 90, sampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a PROGRESSIVE (SOF2) JFIF
     JPEG — the libjpeg-shaped 10-scan script (spectral selection AND
@@ -1021,7 +1064,14 @@ def jpeg_encode_rgb_progressive(
     the same pixels — the differential tests/test_jpeg_progressive_fuzz
     pins.  Each scan ships its own flat-code DHT over exactly the
     symbols it uses (progressive symbol sets — EOBn, refinement codes —
-    are outside the fixed Annex-K tables)."""
+    are outside the fixed Annex-K tables).
+
+    ``restart_interval`` > 0 emits one DRI before the first scan and
+    RSTn markers every that many data units INSIDE every scan (MCUs for
+    the interleaved DC scans, blocks for the single-component AC scans;
+    the RSTn counter restarts at RST0 per scan, E.2.4) — coefficients
+    unchanged, so the cross-codec pixel-equality differential extends to
+    restart streams."""
     comp_zz, comp_nblk_w, qt, h, w, hp, wp = _quantized_planes(
         px, quality, sampling, "jpeg_encode_rgb_progressive"
     )
@@ -1040,6 +1090,8 @@ def jpeg_encode_rgb_progressive(
         chs, cvs = samp[ci]
         sof += bytes([ci + 1, (chs << 4) | cvs, 0 if ci == 0 else 1])
     out += _segment(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    if restart_interval:
+        out += _segment(0xDD, struct.pack(">H", restart_interval))
 
     for comp_ids, ss, se, ah, al in _PROGRESSIVE_SCRIPT:
         # component blocks for non-interleaved AC scans: natural ceil grid
@@ -1047,11 +1099,13 @@ def jpeg_encode_rgb_progressive(
         if ss == 0:
             ops = (
                 _scan_ops_dc_first(
-                    comp_zz, comp_nblk_w, samp, mcus_x, mcus_y, al
+                    comp_zz, comp_nblk_w, samp, mcus_x, mcus_y, al,
+                    restart_interval,
                 )
                 if ah == 0
                 else _scan_ops_dc_refine(
-                    comp_zz, comp_nblk_w, samp, mcus_x, mcus_y, al
+                    comp_zz, comp_nblk_w, samp, mcus_x, mcus_y, al,
+                    restart_interval,
                 )
             )
         else:
@@ -1065,9 +1119,9 @@ def jpeg_encode_rgb_progressive(
                     rows.append(comp_zz[ci][by * comp_nblk_w[ci] + bx])
             blocks = np.stack(rows)
             ops = (
-                _scan_ops_ac_first(blocks, ss, se, al)
+                _scan_ops_ac_first(blocks, ss, se, al, restart_interval)
                 if ah == 0
-                else _scan_ops_ac_refine(blocks, ss, se, al)
+                else _scan_ops_ac_refine(blocks, ss, se, al, restart_interval)
             )
 
         # per-scan flat Huffman tables over exactly the used symbols
@@ -1097,8 +1151,14 @@ def jpeg_encode_rgb_progressive(
         out += _segment(0xDA, sos)
 
         writer = _BitWriter()
+        rst_n = 0  # RSTn counter restarts at RST0 each scan (E.2.4)
         for op in ops:
-            if op[0] == "sym":
+            if op[0] == "rst":
+                out += writer.flush()
+                out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+                rst_n += 1
+                writer = _BitWriter()
+            elif op[0] == "sym":
                 code, length = tables[op[1]][op[2]]
                 writer.put(code, length)
             else:
@@ -1109,10 +1169,19 @@ def jpeg_encode_rgb_progressive(
     return bytes(out)
 
 
-def _unstuff_entropy(blob: bytes, p: int) -> tuple[bytes, int]:
-    """Unstuff the entropy-coded bytes starting at ``p``; return (data,
-    position of the terminating marker's 0xFF).  Restart markers inside
-    the stream stay unsupported (loud), as in the baseline path."""
+def _unstuff_entropy_segments(
+    blob: bytes, p: int
+) -> tuple[list[bytes], list[int], int]:
+    """Unstuff the entropy-coded bytes starting at ``p``, splitting at
+    RSTn markers (T.81 E.2.4 — restart intervals, r18): returns
+    (segments, rst_ids, position of the terminating marker's 0xFF) where
+    ``rst_ids[i]`` is the modulo-8 number of the RSTn that TERMINATED
+    ``segments[i]`` (so ``len(rst_ids) == len(segments) - 1``).  The
+    caller validates the marker sequence and segment count against the
+    declared DRI interval — a stream with restart markers but no DRI, an
+    out-of-sequence RSTn, or a wrong segment count stays loud."""
+    segs: list[bytes] = []
+    rsts: list[int] = []
     data = bytearray()
     while p < len(blob):
         b = blob[p]
@@ -1123,11 +1192,42 @@ def _unstuff_entropy(blob: bytes, p: int) -> tuple[bytes, int]:
                 p += 2
                 continue
             if 0xD0 <= nxt <= 0xD7:
-                raise ValueError("jpeg_decode: restart markers unsupported")
+                segs.append(bytes(data))
+                rsts.append(nxt & 7)
+                data = bytearray()
+                p += 2
+                continue
             break
         data.append(b)
         p += 1
-    return bytes(data), p
+    segs.append(bytes(data))
+    return segs, rsts, p
+
+
+def _check_restart_run(
+    segs: list[bytes], rsts: list[int], units: int, restart_interval: int
+) -> None:
+    """Shared restart validation: marker numbering must count RST0..RST7
+    cyclically from the start of the scan (E.2.4), restart markers
+    require a non-zero DRI, and the segment count must match
+    ceil(units / interval) for the scan's data-unit count."""
+    if rsts and not restart_interval:
+        raise ValueError(
+            "jpeg_decode: restart marker in scan but DRI interval is 0"
+        )
+    for i, r in enumerate(rsts):
+        if r != i % 8:
+            raise ValueError(
+                f"jpeg_decode: restart marker out of sequence "
+                f"(RST{r} where RST{i % 8} expected)"
+            )
+    if restart_interval:
+        expected = -(-units // restart_interval)
+        if len(segs) != expected:
+            raise ValueError(
+                f"jpeg_decode: {len(segs)} entropy segments for "
+                f"{expected} restart intervals of {restart_interval} MCUs"
+            )
 
 
 def _refine_coef(zz: np.ndarray, k: int, reader: "_BitReader", p1: int) -> None:
@@ -1149,7 +1249,8 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
     codes) and refinement correction bits, per-scan DHT redefinition.
     Coefficients accumulate in zigzag order across scans; dequantize +
     IDCT + upsample + color convert run once at the end, vectorized over
-    all blocks.  Outside the subset (restart intervals, arithmetic
+    all blocks.  Restart intervals decode (r18, per-scan RSTn runs —
+    E.2.4 applied to progressive); outside the subset (arithmetic
     coding, 12-bit) stays loud."""
     pos = 2
     qtables: dict[int, np.ndarray] = {}
@@ -1160,6 +1261,7 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
     mcus_x = mcus_y = 0
     hmax = vmax = 1
     n_scans = 0
+    restart_interval = 0
     while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(
@@ -1246,10 +1348,8 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
                 f"jpeg_decode: SOF marker {marker:#x} inside the "
                 "progressive path (only one SOF2 frame supported)"
             )
-        elif marker == 0xDD:  # DRI
-            (interval,) = struct.unpack(">H", seg[:2])
-            if interval:
-                raise ValueError("jpeg_decode: restart intervals unsupported")
+        elif marker == 0xDD:  # DRI (r18: applies to all following scans)
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — decode this scan now
             if frame is None:
                 raise ValueError("jpeg_decode: SOS before SOF2")
@@ -1261,8 +1361,7 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
                 scan_comps.append((cid, tids >> 4, tids & 0x0F))
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
-            data, pos = _unstuff_entropy(blob, pos + seglen)
-            reader = _BitReader(data)
+            segs, rsts, pos = _unstuff_entropy_segments(blob, pos + seglen)
             comp_idx = {c[0]: i for i, c in enumerate(comps)}
             order = []
             for cid, dc_t, ac_t in scan_comps:
@@ -1272,8 +1371,8 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
                     )
                 order.append((comp_idx[cid], dc_t, ac_t))
             _decode_progressive_scan(
-                reader, order, ss, se, ah, al,
-                coefs, geom, huff, mcus_x, mcus_y,
+                segs, rsts, order, ss, se, ah, al,
+                coefs, geom, huff, mcus_x, mcus_y, restart_interval,
             )
             n_scans += 1
             continue
@@ -1325,7 +1424,8 @@ def _decode_progressive(blob: bytes) -> np.ndarray:
 
 
 def _decode_progressive_scan(
-    reader: "_BitReader",
+    segments: list[bytes],
+    rsts: list[int],
     order: list[tuple[int, int, int]],
     ss: int,
     se: int,
@@ -1336,10 +1436,23 @@ def _decode_progressive_scan(
     huff: dict,
     mcus_x: int,
     mcus_y: int,
+    restart_interval: int = 0,
 ) -> None:
     """One progressive scan's entropy decode into the coefficient bands
     (T.81 Annex G decoding procedures / the libjpeg decode_mcu_DC_first /
-    DC_refine / AC_first / AC_refine quartet)."""
+    DC_refine / AC_first / AC_refine quartet).  ``segments`` is the
+    restart-split entropy stream: every ``restart_interval`` data units
+    (MCUs when interleaved, blocks in a single-component scan) the
+    decoder moves to the next byte-aligned segment, resets the DC
+    predictors and expires the EOB run (E.2.4 applied per scan — the
+    RSTn counter restarts at RST0 each scan)."""
+    if ss == 0 and len(order) > 1:
+        units = mcus_x * mcus_y
+    else:
+        _h0, _v0, _q0, _bwp0, _bh0, bw_nat0, bh_nat0 = geom[order[0][0]]
+        units = bw_nat0 * bh_nat0
+    _check_restart_run(segments, rsts, units, restart_interval)
+    reader = _BitReader(segments[0])
     if ss == 0:
         # ---- DC scan (first or refinement), interleaved or not ----
         if se != 0:
@@ -1371,22 +1484,28 @@ def _decode_progressive_scan(
                     zz[bi, 0] = int(zz[bi, 0]) | (1 << al)
 
         if len(order) > 1:  # interleaved: MCU order over the padded grid
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    for si, (ci, _dc_t, _ac_t) in enumerate(order):
-                        hs, vs, _qid, bw_pad, _bh, _bwn, _bhn = geom[ci]
-                        for by in range(vs):
-                            for bx in range(hs):
-                                dc_block(
-                                    si, ci,
-                                    (my * vs + by) * bw_pad + (mx * hs + bx),
-                                )
+            for u in range(units):
+                if restart_interval and u and u % restart_interval == 0:
+                    reader = _BitReader(segments[u // restart_interval])
+                    pred = [0] * len(order)
+                my, mx = divmod(u, mcus_x)
+                for si, (ci, _dc_t, _ac_t) in enumerate(order):
+                    hs, vs, _qid, bw_pad, _bh, _bwn, _bhn = geom[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc_block(
+                                si, ci,
+                                (my * vs + by) * bw_pad + (mx * hs + bx),
+                            )
         else:  # single component: raster over its natural block grid
             ci = order[0][0]
             _hs, _vs, _qid, bw_pad, _bh, bw_nat, bh_nat = geom[ci]
-            for by in range(bh_nat):
-                for bx in range(bw_nat):
-                    dc_block(0, ci, by * bw_pad + bx)
+            for u in range(units):
+                if restart_interval and u and u % restart_interval == 0:
+                    reader = _BitReader(segments[u // restart_interval])
+                    pred = [0] * len(order)
+                by, bx = divmod(u, bw_nat)
+                dc_block(0, ci, by * bw_pad + bx)
         return
 
     # ---- AC scan: single component, natural raster, EOBRUN state ----
@@ -1408,74 +1527,79 @@ def _decode_progressive_scan(
     _hs, _vs, _qid, bw_pad, _bh, bw_nat, bh_nat = geom[ci]
     p1 = 1 << al
     eobrun = 0
-    for by in range(bh_nat):
-        for bx in range(bw_nat):
-            zz = coefs[ci][by * bw_pad + bx]
-            if ah == 0:
-                # ---- AC first pass ----
-                if eobrun:
-                    eobrun -= 1
-                    continue
-                k = ss
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            # RSTn boundary: next byte-aligned segment; the EOB run
+            # cannot cross a restart (libjpeg resets EOBRUN here too)
+            reader = _BitReader(segments[u // restart_interval])
+            eobrun = 0
+        by, bx = divmod(u, bw_nat)
+        zz = coefs[ci][by * bw_pad + bx]
+        if ah == 0:
+            # ---- AC first pass ----
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_sym(reader, asym, alen)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError(
+                        "jpeg_decode: AC run overran the band"
+                    )
+                zz[k] = _extend(reader.receive(s), s) << al
+                k += 1
+        else:
+            # ---- AC refinement pass ----
+            k = ss
+            if eobrun == 0:
                 while k <= se:
                     rs = _decode_sym(reader, asym, alen)
                     r, s = rs >> 4, rs & 0x0F
+                    newval = 0
                     if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        eobrun = (1 << r) - 1
-                        if r:
-                            eobrun += reader.receive(r)
-                        break
-                    k += r
-                    if k > se:
-                        raise ValueError(
-                            "jpeg_decode: AC run overran the band"
-                        )
-                    zz[k] = _extend(reader.receive(s), s) << al
-                    k += 1
-            else:
-                # ---- AC refinement pass ----
-                k = ss
-                if eobrun == 0:
-                    while k <= se:
-                        rs = _decode_sym(reader, asym, alen)
-                        r, s = rs >> 4, rs & 0x0F
-                        newval = 0
-                        if s == 0:
-                            if r < 15:
-                                eobrun = 1 << r
-                                if r:
-                                    eobrun += reader.receive(r)
-                                break
-                            # ZRL: skip 16 zero-history positions
-                        else:
-                            if s != 1:
-                                raise ValueError(
-                                    "jpeg_decode: refinement amplitude "
-                                    "must be 1"
-                                )
-                            newval = p1 if reader.receive(1) else -p1
-                        while k <= se:
-                            if zz[k] != 0:
-                                _refine_coef(zz, k, reader, p1)
-                            else:
-                                if r == 0:
-                                    break
-                                r -= 1
-                            k += 1
-                        if s:
-                            if k > se:
-                                raise ValueError(
-                                    "jpeg_decode: refinement run overran "
-                                    "the band"
-                                )
-                            zz[k] = newval
-                        k += 1
-                if eobrun > 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "jpeg_decode: refinement amplitude "
+                                "must be 1"
+                            )
+                        newval = p1 if reader.receive(1) else -p1
                     while k <= se:
                         if zz[k] != 0:
                             _refine_coef(zz, k, reader, p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
                         k += 1
-                    eobrun -= 1
+                    if s:
+                        if k > se:
+                            raise ValueError(
+                                "jpeg_decode: refinement run overran "
+                                "the band"
+                            )
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if zz[k] != 0:
+                        _refine_coef(zz, k, reader, p1)
+                    k += 1
+                eobrun -= 1

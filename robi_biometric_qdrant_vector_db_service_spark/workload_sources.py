@@ -354,8 +354,11 @@ JPEG_CORPUS_DOCS = 240  # first N docs, present at every fixture scale
 JPEG_CLASSES = 80       # doc_id % JPEG_CLASSES -> 3 planted copies per class
 # the three lossy re-encodings of each class: different quality AND
 # different chroma sampling, so in-class blobs differ at every layer of
-# the codec (qtables, subsampled planes, entropy stream)
-JPEG_VARIANTS = ((95, "4:4:4"), (90, "4:2:0"), (85, "4:2:2"))
+# the codec (qtables, subsampled planes, entropy stream); two of the
+# three additionally carry RESTART INTERVALS (DRI + RSTn every 2/4 MCUs
+# — the framing digital cameras emit routinely, r18), so the decoder's
+# segment-split + DC-predictor-reset path is on the dedup critical path
+JPEG_VARIANTS = ((95, "4:4:4", 0), (90, "4:2:0", 2), (85, "4:2:2", 4))
 
 
 @register(
@@ -413,8 +416,13 @@ def image_jpeg_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cls = int(did) % JPEG_CLASSES
                 if cls not in cache:
                     cache[cls] = class_grid_image(cls, width=36, height=32)
-                q, samp = JPEG_VARIANTS[int(did) % 3]
-                blobs.append(jpeg_encode_rgb(cache[cls], quality=q, sampling=samp))
+                q, samp, rst = JPEG_VARIANTS[int(did) % 3]
+                blobs.append(
+                    jpeg_encode_rgb(
+                        cache[cls], quality=q, sampling=samp,
+                        restart_interval=rst,
+                    )
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     blobs = docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")
@@ -1081,7 +1089,15 @@ JPEGP_SEED_BASE = 40_000
 # blobs differ in codec MODE, scan structure, qtables, and entropy
 # streams, and only a decoder that handles both processes recovers the
 # pairs
-JPEGP_VARIANTS = ((95, "4:4:4", False), (90, "4:2:0", True), (85, "4:2:2", True))
+# (quality, sampling, progressive?, restart_interval) — one baseline
+# copy WITH restart markers and one progressive copy WITH per-scan
+# restart runs (r18), so both decoders' RSTn paths sit on the dedup
+# critical path alongside the plain-framing copies
+JPEGP_VARIANTS = (
+    (95, "4:4:4", False, 2),
+    (90, "4:2:0", True, 0),
+    (85, "4:2:2", True, 3),
+)
 
 
 @register(
@@ -1140,9 +1156,12 @@ def image_jpeg_progressive_phash_dups(spark: SparkSession, sf_dir: str) -> DataF
                     cache[cls] = class_grid_image(
                         JPEGP_SEED_BASE + cls, width=36, height=32
                     )
-                q, samp, prog = JPEGP_VARIANTS[int(did) % 3]
+                q, samp, prog, rst = JPEGP_VARIANTS[int(did) % 3]
                 enc = jpeg_encode_rgb_progressive if prog else jpeg_encode_rgb
-                blobs.append(enc(cache[cls], quality=q, sampling=samp))
+                blobs.append(
+                    enc(cache[cls], quality=q, sampling=samp,
+                        restart_interval=rst)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     blobs = docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")

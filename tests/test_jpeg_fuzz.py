@@ -238,10 +238,13 @@ def test_every_corpus_variant_hashes_like_lossless():
         px = class_grid_image(cls, width=36, height=32)
         ref = _hash_bits(_block_mean_grid(px.astype(np.int64), "t"))
         ref_bits.append(ref)
-        for q, samp in JPEG_VARIANTS:
-            out = jpeg_decode(jpeg_encode_rgb(px, quality=q, sampling=samp))
+        for q, samp, rst in JPEG_VARIANTS:
+            out = jpeg_decode(
+                jpeg_encode_rgb(px, quality=q, sampling=samp,
+                                restart_interval=rst)
+            )
             got = _hash_bits(_block_mean_grid(out, "t"))
-            assert np.array_equal(got, ref), (cls, q, samp)
+            assert np.array_equal(got, ref), (cls, q, samp, rst)
     h = np.array(ref_bits)
     cross = (h[:, None, :] != h[None, :, :]).sum(axis=-1)
     np.fill_diagonal(cross, 64)
@@ -311,14 +314,15 @@ def test_rejects_corrupt_and_unsupported():
     with pytest.raises(ValueError, match="16-bit DQT"):
         jpeg_decode(bytes(deep))
 
-    # nonzero restart interval before the scan
+    # nonzero restart interval before the scan: SUPPORTED since r18 — a
+    # DRI whose interval covers the whole image (no RSTn emitted) must
+    # decode to exactly the plain-stream pixels, not gate
     segs, scan = _split_segments(good)
     out = bytearray(b"\xff\xd8")
     for marker, raw in segs[:-1]:
         out += raw
-    out += _segment(0xDD, struct.pack(">H", 4)) + segs[-1][1] + scan
-    with pytest.raises(ValueError, match="restart intervals"):
-        jpeg_decode(bytes(out))
+    out += _segment(0xDD, struct.pack(">H", 1000)) + segs[-1][1] + scan
+    assert np.array_equal(jpeg_decode(bytes(out)), jpeg_decode(good))
 
     # truncated entropy stream
     with pytest.raises(ValueError, match="truncated"):

@@ -96,13 +96,16 @@ def test_progressive_rejects_unsupported_and_corrupt():
     # truncation inside a scan must be loud
     with pytest.raises(ValueError):
         jpeg_decode(good[: len(good) // 2])
-    # a nonzero DRI spliced after SOF2 must be loud
+    # a nonzero DRI spliced after SOF2: SUPPORTED since r18 — an interval
+    # covering every scan's unit count (no RSTn in the stream) must
+    # decode to exactly the plain pixels, not gate
     sof2_at = good.find(b"\xff\xc2")
     (sof2_len,) = struct.unpack(">H", good[sof2_at + 2 : sof2_at + 4])
     cut = sof2_at + 2 + sof2_len
-    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
-    with pytest.raises(ValueError, match="restart"):
-        jpeg_decode(good[:cut] + dri + good[cut:])
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1000)
+    assert np.array_equal(
+        jpeg_decode(good[:cut] + dri + good[cut:]), jpeg_decode(good)
+    )
     # still a JPEG gate for garbage
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode(b"gif89a" + good)
@@ -157,13 +160,16 @@ def test_planted_cross_codec_corpus_truth_exhaustive():
     all_bits = {}
     for cls in range(JPEGP_CLASSES):
         px = class_grid_image(JPEGP_SEED_BASE + cls, width=36, height=32)
-        for vi, (q, samp, prog) in enumerate(JPEGP_VARIANTS):
+        for vi, (q, samp, prog, rst) in enumerate(JPEGP_VARIANTS):
             enc = jpeg_encode_rgb_progressive if prog else jpeg_encode_rgb
-            all_bits[(cls, vi)] = bits(jpeg_decode(enc(px, quality=q,
-                                                       sampling=samp)))
-    assert any(p for _q, _s, p in JPEGP_VARIANTS) and not all(
-        p for _q, _s, p in JPEGP_VARIANTS
+            all_bits[(cls, vi)] = bits(
+                jpeg_decode(enc(px, quality=q, sampling=samp,
+                                restart_interval=rst))
+            )
+    assert any(p for _q, _s, p, _r in JPEGP_VARIANTS) and not all(
+        p for _q, _s, p, _r in JPEGP_VARIANTS
     )  # the corpus genuinely crosses the codec-mode boundary
+    assert any(r for _q, _s, _p, r in JPEGP_VARIANTS)  # and restart framing
     for cls in range(JPEGP_CLASSES):
         for v1 in range(3):
             for v2 in range(v1 + 1, 3):
