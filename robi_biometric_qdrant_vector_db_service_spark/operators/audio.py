@@ -11,10 +11,20 @@ standard library fully specifies: RIFF/WAVE, PCM, 16-bit.
   `jpeg_encode_rgb`: fixture tables carry text, so the registered query
   plants its own WAVs).
 - `wav_parse(blob)` — RIFF chunk walk (fmt / data, unknown chunks
-  skipped per spec including their pad byte), strict PCM16-mono
-  validation, `np.frombuffer` into int16.  Compressed (non-PCM-1),
-  multi-channel, non-16-bit, or truncated streams fail LOUD — corrupt
-  audio must never produce features.
+  skipped per spec including their pad byte), then PCM decode for the
+  shapes real speech lakes actually hold (r18): 8/16/24/32-bit, mono or
+  stereo.  Everything normalizes to ONE exact integer contract — stereo
+  downmixes per frame as floor((L+R)/2) at native width, then the width
+  maps to the 16-bit scale (8-bit: recenter and << 8; 24-bit: >> 8;
+  32-bit: >> 16) — so every downstream feature (VAD, gates, both
+  fingerprints) runs on int16-scale samples regardless of source
+  format, and the DuckDB oracles keep hashing bit-for-bit.  Compressed
+  (non-PCM-1), >2-channel, odd-width, or truncated streams fail LOUD —
+  corrupt audio must never produce features.
+- `wav_encode_pcm(samples, rate, bits=...)` — the general writer twin
+  (native-scale ints, mono ``(n,)`` or multichannel ``(n, ch)``), used
+  by the planted corpora to exercise the acceptance surface;
+  `wav_encode_pcm16` stays the 16-bit-mono fast path.
 - `wav_features(blobs)` — mapInPandas: one typed INTEGER feature row
   per blob (n_samples, sample_rate, peak, sum_sq, zero_crossings) — the
   standard cheap audio-quality gates (silence/clipping via peak and
@@ -95,14 +105,97 @@ def wav_parse(blob: bytes) -> tuple[np.ndarray, int]:
             f"wav_parse: compressed WAV (format {audio_fmt}) unsupported; "
             "only PCM (1)"
         )
-    if channels != 1 or bits != 16:
+    if channels not in (1, 2):
         raise ValueError(
-            f"wav_parse: only 16-bit mono PCM supported, got "
-            f"{bits}-bit x{channels}"
+            f"wav_parse: {channels}-channel PCM unsupported (mono or stereo)"
         )
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(
+            f"wav_parse: {bits}-bit PCM unsupported (8/16/24/32)"
+        )
+    frame = (bits // 8) * channels
+    if len(data) % frame:
+        raise ValueError(
+            f"wav_parse: data chunk length {len(data)} is not a multiple "
+            f"of the {frame}-byte frame ({bits}-bit x{channels})"
+        )
+    if bits == 8:
+        # 8-bit WAV is UNSIGNED with midpoint 128 (the one width the RIFF
+        # spec stores unsigned) — recenter before any arithmetic
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    elif bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    elif bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        x = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        x = np.where(x >= 1 << 23, x - (1 << 24), x)
+    else:
+        x = np.frombuffer(data, dtype="<i4").astype(np.int64)
+    if channels == 2:
+        # exact integer downmix at NATIVE width: floor((L+R)/2) per frame
+        # (averaging before the width shift keeps the extra precision)
+        x = x.reshape(-1, 2)
+        x = (x[:, 0] + x[:, 1]) >> 1
+    if bits == 8:
+        x = x << 8
+    elif bits == 24:
+        x = x >> 8
+    elif bits == 32:
+        x = x >> 16
+    return x.astype(np.int16), rate
+
+
+def wav_encode_pcm(
+    samples: np.ndarray, rate: int = 16000, *, bits: int = 16
+) -> bytes:
+    """General RIFF/WAVE PCM writer — 8/16/24/32-bit, mono ``(n,)`` or
+    multichannel ``(n, ch)`` NATIVE-scale integers (8-bit: unsigned
+    0..255; wider: signed, full width).  Frames interleave channel-major
+    per the spec.  The fixture-side twin of ``wav_parse``'s r18
+    acceptance surface; ``wav_encode_pcm16`` remains the 16-bit-mono
+    fast path."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2 or arr.shape[1] < 1:
+        raise ValueError(
+            f"wav_encode_pcm: expected (n,) or (n, ch) samples, got "
+            f"{np.asarray(samples).shape}"
+        )
+    channels = arr.shape[1]
+    flat = arr.reshape(-1).astype(np.int64)
+    if bits == 8:
+        if flat.size and (flat.min() < 0 or flat.max() > 255):
+            raise ValueError("wav_encode_pcm: 8-bit samples must be 0..255")
+        data = flat.astype(np.uint8).tobytes()
+    elif bits in (16, 32):
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        if flat.size and (flat.min() < lo or flat.max() > hi):
+            raise ValueError(
+                f"wav_encode_pcm: samples exceed int{bits} range"
+            )
+        data = flat.astype("<i2" if bits == 16 else "<i4").tobytes()
+    elif bits == 24:
+        if flat.size and (flat.min() < -(1 << 23) or flat.max() > (1 << 23) - 1):
+            raise ValueError("wav_encode_pcm: samples exceed int24 range")
+        u = (flat & 0xFFFFFF).astype(np.int64)
+        b = np.empty((flat.size, 3), dtype=np.uint8)
+        b[:, 0] = u & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+        b[:, 2] = (u >> 16) & 0xFF
+        data = b.tobytes()
+    else:
+        raise ValueError(f"wav_encode_pcm: {bits}-bit PCM unsupported")
+    block = channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
     if len(data) % 2:
-        raise ValueError("wav_parse: odd data-chunk length for 16-bit samples")
-    return np.frombuffer(data, dtype="<i2"), rate
+        body += b"\x00"  # RIFF chunks are word-aligned (pad byte)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 WAV_FEATURE_SCHEMA = (

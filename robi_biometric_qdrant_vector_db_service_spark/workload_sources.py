@@ -882,7 +882,7 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from .operators.audio import wav_encode_pcm16, wav_features
+    from .operators.audio import wav_encode_pcm, wav_encode_pcm16, wav_features
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < WAV_CORPUS_DOCS
@@ -898,7 +898,28 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 a = 1000 + (did % 7) * 500
                 half = np.full(p // 2, a, dtype=np.int16)
                 wave = np.tile(np.concatenate([half, -half]), reps)
-                blobs.append(wav_encode_pcm16(wave, WAV_RATE))
+                # r18: rotate the CONTAINER format per doc — mono 16-bit,
+                # dual-mono stereo, 24-bit (<< 8), stereo 32-bit (<< 16).
+                # Each decodes to the IDENTICAL int16 samples (exact
+                # downmix of equal channels, exact width shifts), so the
+                # planted integer truth — and the oracle — is unchanged
+                # while the realistic-format walk sits on the critical
+                # path of every row.
+                v = did % 4
+                if v == 0:
+                    blob = wav_encode_pcm16(wave, WAV_RATE)
+                elif v == 1:
+                    blob = wav_encode_pcm(
+                        np.stack([wave, wave], axis=1), WAV_RATE, bits=16
+                    )
+                elif v == 2:
+                    blob = wav_encode_pcm(
+                        wave.astype(np.int64) << 8, WAV_RATE, bits=24
+                    )
+                else:
+                    st = np.stack([wave, wave], axis=1).astype(np.int64) << 16
+                    blob = wav_encode_pcm(st, WAV_RATE, bits=32)
+                blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     blobs = docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")
@@ -1325,7 +1346,7 @@ def _vad_corpus_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from .operators.audio import wav_encode_pcm16
+    from .operators.audio import wav_encode_pcm, wav_encode_pcm16
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < VAD_CORPUS_DOCS
@@ -1346,7 +1367,22 @@ def _vad_corpus_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).astype(np.int16)
                 x[a * blk : b * blk] = tone[a * blk : b * blk]
                 x[c * blk :] = tone[c * blk :]
-                blobs.append(wav_encode_pcm16(x, VAD_RATE))
+                # r18 format rotation (decodes to identical int16 samples,
+                # oracle unchanged): mono16 | dual-mono stereo | 24-bit —
+                # the VAD clips also stage the streaming media gate, so
+                # the downmix path runs in the streaming protocol too
+                v = did % 3
+                if v == 0:
+                    blob = wav_encode_pcm16(x, VAD_RATE)
+                elif v == 1:
+                    blob = wav_encode_pcm(
+                        np.stack([x, x], axis=1), VAD_RATE, bits=16
+                    )
+                else:
+                    blob = wav_encode_pcm(
+                        x.astype(np.int64) << 8, VAD_RATE, bits=24
+                    )
+                blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     return docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")

@@ -6,8 +6,12 @@ WAV is lossless, so like the PNG suite the differentials are EXACT:
 - chunk-layout fuzz: unknown chunks (including ODD-length ones, which
   carry a pad byte per the RIFF spec) inserted before/after fmt/data
   must not change a sample;
-- loud failure: compressed formats, stereo, non-16-bit, truncated
-  chunks, and non-RIFF bytes must raise, never produce features.
+- loud failure: compressed formats, >2-channel, odd bit widths,
+  frame-misaligned data, truncated chunks, and non-RIFF bytes must
+  raise, never produce features;
+- r18 acceptance: stereo and 8/24/32-bit PCM decode by EXACT integer
+  downmix + width normalization, fuzzed against an independent
+  reference model below.
 """
 
 from __future__ import annotations
@@ -126,16 +130,24 @@ def test_rejects_corrupt_and_unsupported():
     with pytest.raises(ValueError, match="compressed WAV"):
         wav_parse(bytes(bad))
 
-    # stereo
+    # 3-channel stays loud (r18 widened to mono/stereo only)
     bad = bytearray(good)
-    struct.pack_into("<H", bad, 22, 2)
-    with pytest.raises(ValueError, match="16-bit mono"):
+    struct.pack_into("<H", bad, 22, 3)
+    with pytest.raises(ValueError, match="3-channel"):
         wav_parse(bytes(bad))
 
-    # 8-bit
+    # odd bit width stays loud
     bad = bytearray(good)
-    struct.pack_into("<H", bad, 34, 8)
-    with pytest.raises(ValueError, match="16-bit mono"):
+    struct.pack_into("<H", bad, 34, 12)
+    with pytest.raises(ValueError, match="12-bit"):
+        wav_parse(bytes(bad))
+
+    # data length not a multiple of the frame size (claim stereo over a
+    # data chunk holding an odd number of 16-bit samples)
+    odd = wav_encode_pcm16(np.arange(-50, 51, dtype=np.int16), 16000)
+    bad = bytearray(odd)
+    struct.pack_into("<H", bad, 22, 2)
+    with pytest.raises(ValueError, match="not a multiple"):
         wav_parse(bytes(bad))
 
     with pytest.raises(ValueError, match="truncated"):
@@ -198,3 +210,100 @@ def test_duplicate_and_overrunning_chunks_fail_loud():
     forged += _chunk(b"data", (x * 0).tobytes())
     got, rate = wav_parse(forged)
     assert rate == 16000 and np.array_equal(got, x)
+
+
+# ---------------------------------------------------------------------------
+# r18: stereo / 8/24/32-bit acceptance via exact integer downmix
+# ---------------------------------------------------------------------------
+
+
+def _reference_parse(native: np.ndarray, bits: int) -> np.ndarray:
+    """Independent model of the r18 normalization contract: (n,) or (n,2)
+    native-scale samples -> int16-scale mono (downmix at native width as
+    floor((L+R)/2), then the width shift)."""
+    x = native.astype(np.int64)
+    if bits == 8:
+        x = x - 128
+    if x.ndim == 2:
+        x = (x[:, 0] + x[:, 1]) >> 1
+    if bits == 8:
+        x = x << 8
+    elif bits == 24:
+        x = x >> 8
+    elif bits == 32:
+        x = x >> 16
+    return x.astype(np.int16)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n=st.integers(1, 300),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    stereo=st.booleans(),
+)
+def test_downmix_widths_match_reference(seed, n, bits, stereo):
+    from robi_biometric_qdrant_vector_db_service_spark.operators.audio import (
+        wav_encode_pcm,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (n, 2) if stereo else (n,)
+    if bits == 8:
+        native = rng.integers(0, 256, size=shape, dtype=np.int64)
+    else:
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        native = rng.integers(lo, hi + 1, size=shape, dtype=np.int64)
+    got, rate = wav_parse(wav_encode_pcm(native, 22050, bits=bits))
+    assert rate == 22050
+    assert np.array_equal(got, _reference_parse(native, bits))
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1), n=st.integers(1, 400))
+def test_lossless_containers_decode_identically(seed, n):
+    """The corpus-planting identity: dual-mono stereo 16-bit, 24-bit
+    (<< 8) and dual-mono 32-bit (<< 16) all decode to EXACTLY the
+    original int16 samples — the property that lets the planted audio
+    corpora rotate container formats without touching their oracles."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.audio import (
+        wav_encode_pcm,
+    )
+
+    x = np.random.default_rng(seed).integers(
+        -32768, 32768, size=n, dtype=np.int64
+    )
+    x16 = x.astype(np.int16)
+    stereo = np.stack([x, x], axis=1)
+    for blob in (
+        wav_encode_pcm(stereo, 16000, bits=16),
+        wav_encode_pcm(x << 8, 16000, bits=24),
+        wav_encode_pcm(stereo << 16, 16000, bits=32),
+    ):
+        got, _ = wav_parse(blob)
+        assert np.array_equal(got, x16)
+
+
+def test_eight_bit_is_lossy_but_predictable():
+    """8-bit widening: parse gives ((u - 128) << 8) exactly — the
+    documented recenter-and-shift, not a rescale."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.audio import (
+        wav_encode_pcm,
+    )
+
+    u = np.arange(256, dtype=np.int64)
+    got, _ = wav_parse(wav_encode_pcm(u, 8000, bits=8))
+    assert np.array_equal(got, ((u - 128) << 8).astype(np.int16))
+
+
+def test_odd_byte_count_24bit_mono_pads_riff_word_alignment():
+    """A 24-bit mono clip with an odd total byte count still round-trips
+    (the writer adds the RIFF pad byte; the walk stays inside the
+    declared size)."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.audio import (
+        wav_encode_pcm,
+    )
+
+    x = np.array([1 << 10, -(1 << 12), 77], dtype=np.int64)  # 9 data bytes
+    got, _ = wav_parse(wav_encode_pcm(x << 8, 16000, bits=24))
+    assert np.array_equal(got, x.astype(np.int16))
