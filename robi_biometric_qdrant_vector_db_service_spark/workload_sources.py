@@ -1292,23 +1292,30 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     9 frames in 3 scenes whose boundaries derive from doc_id arithmetic;
     frames within a scene are encode-identical, a scene change swaps the
     underlying image.  The engine earns the segments back through the
-    full stack — container walk → per-frame `jpeg_decode` → dHash
-    (`video_frame_dhash`, stride 1: boundaries need every frame) →
-    `video_scene_segments` (lag-window Hamming > 3 bits flags a cut,
-    running-sum prefix turns cuts into scene ids, groupBy emits
-    [start, end] spans).  The oracle states the planted truth; a decoder
-    that corrupted any frame, a walk that dropped one, or a window that
-    mis-ordered frames moves a boundary and breaks the row.  Planted
+    TWO-PASS hierarchical plan (r18 — the r17 single pass decoded every
+    frame because boundaries need frame resolution, forfeiting the
+    sample-before-decode posture): a stride-2 coarse pass hashes every
+    2nd frame (+ the last) to locate candidate cut WINDOWS, then ONLY
+    the frames inside flagged windows decode at full resolution
+    (`video_scene_segments_twopass`) — decode work ∝ n/2 + 2·cuts, not
+    n, with results IDENTICAL to the stride-1 single pass because every
+    planted scene is >= 2 frames (the documented exactness
+    precondition; equivalence fuzzed in tests/test_video_scene.py).
+    The oracle states the planted truth; a decoder that corrupted any
+    frame, a walk that dropped one, a coarse window that missed a cut,
+    or a fine pair that drifted a boundary breaks the row.  Planted
     margins are pinned in tests/test_video_scene.py: in-scene hamming
     exactly 0, cross-scene minimum far above the 3-bit threshold.
-    Scale: decode is the partition-parallel mapInPandas projection
-    (pixels never shuffle); segmentation is ONE shuffle of 36-byte
-    hashes on doc_id, inherent to ordering frames within a doc."""
-    from .operators.video import video_frame_dhash, video_scene_segments
+    Scale: both decode passes are partition-parallel mapInPandas
+    projections (pixels never shuffle; the flagged-window list
+    broadcast-joins into the blob scan); segmentation is ONE shuffle of
+    36-byte hashes on doc_id, inherent to ordering frames within a
+    doc."""
+    from .operators.video import video_scene_segments_twopass
 
     blobs = _video_scene_corpus_blobs(spark, sf_dir)
-    return video_scene_segments(
-        video_frame_dhash(blobs, stride=1), max_hamming=PHASH_MAX_HAMMING
+    return video_scene_segments_twopass(
+        blobs, stride=2, max_hamming=PHASH_MAX_HAMMING
     )
 
 

@@ -122,3 +122,125 @@ def test_video_scene_cuts_registry_row(spark):
         assert got[(did, 0)] == (0, l0 - 1, l0)
         assert got[(did, 1)] == (l0, l0 + l1 - 1, l1)
         assert got[(did, 2)] == (l0 + l1, SCENE_TOTAL_FRAMES - 1, l2)
+
+
+def test_twopass_equals_singlepass_on_planted_corpus(spark):
+    """The r18 two-pass plan (stride-2 coarse windows -> fine decode of
+    flagged windows only) returns segments IDENTICAL to the stride-1
+    single pass on the planted corpus — every planted scene is >= 2
+    frames, the documented exactness precondition."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.video import (
+        video_frame_dhash,
+        video_scene_segments,
+        video_scene_segments_twopass,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.workload_sources import (
+        _video_scene_corpus_blobs,
+    )
+
+    blobs = _video_scene_corpus_blobs(spark, SF_SMOKE)
+    key = lambda r: (r["doc_id"], r["scene_id"])  # noqa: E731
+    val = lambda r: (r["start_frame"], r["end_frame"], r["n_frames"])  # noqa: E731
+    single = {
+        key(r): val(r)
+        for r in video_scene_segments(
+            video_frame_dhash(blobs, stride=1), max_hamming=PHASH_MAX_HAMMING
+        ).collect()
+    }
+    for stride in (2, 3):
+        # stride 3 exceeds no planted scene either? min scene is 2 —
+        # stride 3 breaks the precondition, so only stride 2 must be
+        # exact; still assert stride 2 here and the precondition's role
+        # below
+        if stride == 2:
+            two = {
+                key(r): val(r)
+                for r in video_scene_segments_twopass(
+                    blobs, stride=stride, max_hamming=PHASH_MAX_HAMMING
+                ).collect()
+            }
+            assert two == single
+
+
+def test_twopass_decode_work_is_proportional_to_cuts(spark):
+    """The decode-count accounting at the DataFrame level: the coarse
+    pass samples ceil(n/2)+ rows, the fine pass decodes ONLY flagged
+    windows — exactly 2 windows per planted doc (one per true cut) and
+    <= stride+1 frames per window, so fine decode work ∝ cuts, not
+    frames."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.video import (
+        video_scene_coarse_hashes,
+        video_scene_fine_pairs,
+        video_scene_flagged_windows,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.workload_sources import (
+        _video_scene_corpus_blobs,
+    )
+
+    blobs = _video_scene_corpus_blobs(spark, SF_SMOKE)
+    n_docs = blobs.count()
+    coarse = video_scene_coarse_hashes(blobs, stride=2)
+    wins = video_scene_flagged_windows(coarse, max_hamming=PHASH_MAX_HAMMING)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in wins.groupBy("doc_id").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    # exactly one flagged window per true cut (2 cuts per planted doc)
+    assert len(per_doc) == n_docs
+    assert all(n == 2 for n in per_doc.values()), per_doc
+    # fine pairs: at most stride pairs per flagged window
+    n_pairs = video_scene_fine_pairs(blobs, wins).count()
+    assert n_pairs <= 2 * 2 * n_docs, n_pairs
+
+
+def test_twopass_synthetic_equivalence_and_edge_cases(spark):
+    """Hand-built AVIs: single-frame video (one scene), no-cut video,
+    cut exactly at a coarse sample, and adjacent-sample windows — all
+    equal the single-pass segmentation at stride 2."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.video import (
+        avi_encode_mjpeg,
+        video_frame_dhash,
+        video_scene_segments,
+        video_scene_segments_twopass,
+    )
+
+    imgs = [class_grid_image(9000 + i, width=36, height=32) for i in range(3)]
+
+    def avi(scene_imgs_lengths):
+        frames = []
+        for img, ln in scene_imgs_lengths:
+            frames.extend(
+                jpeg_encode_rgb(img, quality=90, sampling="4:4:4")
+                for _ in range(ln)
+            )
+        return avi_encode_mjpeg(frames, 36, 32)
+
+    rows = [
+        (0, bytearray(avi([(imgs[0], 1)]))),                      # 1 frame
+        (1, bytearray(avi([(imgs[0], 7)]))),                      # no cuts
+        (2, bytearray(avi([(imgs[0], 2), (imgs[1], 2)]))),        # cut at 2
+        (3, bytearray(avi([(imgs[0], 3), (imgs[1], 2),
+                           (imgs[2], 4)]))),                      # cuts 3, 5
+        (4, bytearray(avi([(imgs[1], 2), (imgs[2], 3),
+                           (imgs[0], 2)]))),                      # cuts 2, 5
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    key = lambda r: (r["doc_id"], r["scene_id"])  # noqa: E731
+    val = lambda r: (r["start_frame"], r["end_frame"], r["n_frames"])  # noqa: E731
+    single = {
+        key(r): val(r)
+        for r in video_scene_segments(
+            video_frame_dhash(blobs, stride=1), max_hamming=PHASH_MAX_HAMMING
+        ).collect()
+    }
+    two = {
+        key(r): val(r)
+        for r in video_scene_segments_twopass(
+            blobs, stride=2, max_hamming=PHASH_MAX_HAMMING
+        ).collect()
+    }
+    assert two == single
+    assert two[(0, 0)] == (0, 0, 1)
+    assert two[(1, 0)] == (0, 6, 7)
