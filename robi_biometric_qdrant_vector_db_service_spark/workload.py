@@ -4005,76 +4005,73 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r17: (a) the 4 never-driver-windowed queries (new this round:
-# alias changefeed batch + streaming tail, time-shift-robust per-frame
-# audio fingerprint, cross-codec progressive-JPEG dedup, plus the three
-# new mid-r17 rows: video scene cuts, audio VAD, matryoshka rescore);
-# (b) queries
-# whose engine path changed this round: multimodal_frame_sample +
-# multimodal_resize (stub retirement — real AVI sampling / real PNG
-# resize, new oracles), video_frame_phash_dups + image_png_phash_dups
-# (strl-walk hardening, shared corpus builders), image_jpeg_phash_dups
-# (jpeg_decode now dispatches on SOF), bpe_encode_corpus +
-# bpe_sequence_packing (span-compiled encode replay),
-# stream_store_changelog (tracked checkpoint) and the 10 streaming rows
-# whose modules adopted explicit tracked checkpointLocations; (c) the 23
-# stalest r13 rows in registry order (5 displaced mid-round by the new
-# rows).  Leftover r13-stale for r18: embedding_near_dups_lsh,
-# embedding_near_dups_lsh_hi,
-# sql_surface_knn, pq_adc_topk, multimodal_decode, stream_search_serving,
-# train_test_split, doc_chunks, dedup_group_components, dedup_survivors.
+# Rotation r18: (a) the 1 never-driver-windowed query (the new
+# store_quantized_search row); (b) the 10 queries whose engine path
+# changed this round: the three rescore rows + the store serving row now
+# run over MATERIALIZED companion columns (two-scan plans),
+# bitext_margin_pairs divides by actual neighborhood size, both JPEG
+# dedup corpora plant restart-interval (DRI/RSTn) variants, the WAV
+# feature + VAD corpora rotate container formats through the new
+# stereo/24-bit downmix (stream_media_gate drains the same staged VAD
+# clips and got the single-slice seed fix), and video_scene_cuts adopted
+# the two-pass coarse->fine plan; (c) the 10 r13-stale leftovers
+# documented by the r17 rotation; (d) the 29 stalest r14 rows in
+# registry order, filling the window to exactly 50.  After this round no
+# driver row is staler than r14 (16 r14 rows remain for r19, recomputed
+# from the committed CORRECTNESS_r* artifacts).
 FRONT_QUERIES = [
     # (a) never driver-windowed
-    "alias_changelog",
-    "stream_alias_events",
-    "audio_frame_fp_dups",
-    "image_jpeg_progressive_phash_dups",
-    "video_scene_cuts",
-    "audio_vad_segments",
-    "matryoshka_rescore_topk",
-    "bitext_margin_pairs",
-    "bitext_margin_pairs_lsh",
-    "stream_media_gate",
+    "store_quantized_search",
     # (b) engine path changed this round
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "video_frame_phash_dups",
-    "image_png_phash_dups",
+    "int8_rescore_topk",
+    "matryoshka_rescore_topk",
+    "bq_hamming_rescore",
+    "bitext_margin_pairs",
     "image_jpeg_phash_dups",
-    "bpe_encode_corpus",
-    "bpe_sequence_packing",
-    "stream_store_changelog",
-    "stream_ops_stats",
-    "stream_dedup_events",
-    "stream_hourly_counts",
-    "stream_attribution_join",
-    "stream_sessionization",
-    "stateful_running_stats",
-    "stream_pii_scrub",
-    "stream_quality_gate",
-    "stream_neardup_pairs",
-    "stream_embedding_neardups",
-    # (c) r13-stale, first 28 in registry order
-    "named_vector_search",
-    "query_batch_points",
-    "knn_offset_page",
-    "knn_combinator_filtered",
-    "rrf_fusion_topk",
-    "sparse_knn_topk",
-    "hybrid_search_rrf",
-    "sparse_idf_knn",
-    "prefetch_chain_rescore",
-    "update_vectors_points",
-    "snapshot_restore_read",
-    "tenant_routed_search",
-    "payload_index_filter",
-    "match_text_filter",
-    "match_phrase_filter",
-    "values_count_filter",
-    "geo_filter_search",
-    "has_vector_filter",
-    "facet_counts",
-    "facet_array_values",
-    "formula_geo_decay_topk",
-    "ngram_jaccard_dups",
+    "image_jpeg_progressive_phash_dups",
+    "audio_wav_features",
+    "audio_vad_segments",
+    "stream_media_gate",
+    "video_scene_cuts",
+    # (c) the 10 r13-stale leftovers
+    "embedding_near_dups_lsh",
+    "embedding_near_dups_lsh_hi",
+    "sql_surface_knn",
+    "pq_adc_topk",
+    "multimodal_decode",
+    "stream_search_serving",
+    "train_test_split",
+    "doc_chunks",
+    "dedup_group_components",
+    "dedup_survivors",
+    # (d) stalest r14 rows, registry order
+    "dbsf_fusion_topk",
+    "detect_1toN",
+    "delete_by_user",
+    "set_payload_points",
+    "add_batch_append",
+    "dedup_keep_newest",
+    "delete_by_id",
+    "match_text_multilingual",
+    "collection_stats",
+    "recommend_by_examples",
+    "recommend_groups_topk",
+    "recommend_best_score",
+    "context_pairs_search",
+    "search_groups_topk",
+    "search_groups_lookup",
+    "scroll_payload_selector",
+    "retrieve_points",
+    "scroll_filtered",
+    "scroll_order_by",
+    "scroll_order_by_desc",
+    "scroll_start_from",
+    "discover_context",
+    "matrix_offsets_coo",
+    "regional_revenue",
+    "cube_orders",
+    "running_supplier_qty",
+    "distinct_part_counts",
+    "approx_distinct_parts",
+    "purchase_attribution_asof",
 ]
