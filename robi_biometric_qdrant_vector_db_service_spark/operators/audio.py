@@ -18,9 +18,13 @@ standard library fully specifies: RIFF/WAVE, PCM, 16-bit.
   maps to the 16-bit scale (8-bit: recenter and << 8; 24-bit: >> 8;
   32-bit: >> 16) — so every downstream feature (VAD, gates, both
   fingerprints) runs on int16-scale samples regardless of source
-  format, and the DuckDB oracles keep hashing bit-for-bit.  Compressed
-  (non-PCM-1), >2-channel, odd-width, or truncated streams fail LOUD —
-  corrupt audio must never produce features.
+  format, and the DuckDB oracles keep hashing bit-for-bit.
+  WAVE_FORMAT_EXTENSIBLE (0xFFFE) unwraps to its SubFormat GUID's real
+  tag, and IEEE float (format 3, 32/64-bit) converts by the
+  deterministic floor(x·32768) clip.  Everything else — compressed
+  codecs, unknown GUIDs, >2-channel, odd widths, frame-misaligned or
+  truncated streams, non-finite floats — fails LOUD: corrupt audio must
+  never produce features.
 - `wav_encode_pcm(samples, rate, bits=...)` — the general writer twin
   (native-scale ints, mono ``(n,)`` or multichannel ``(n, ch)``), used
   by the planted corpora to exercise the acceptance surface;
@@ -63,6 +67,49 @@ def wav_encode_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# Tail of the KSDATAFORMAT_SUBTYPE_{PCM,IEEE_FLOAT} GUIDs — bytes 2..15
+# of the little-endian GUID {xxxx}-0000-0010-8000-00AA00389B71; the first
+# two bytes carry the wrapped format code (1 = PCM, 3 = IEEE float)
+_KSDATAFORMAT_GUID_TAIL = (
+    b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+)
+
+
+def _parse_float_data(
+    data: bytes, channels: int, rate: int, bits: int
+) -> tuple[np.ndarray, int]:
+    """IEEE-float WAV data (format 3, plain or EXTENSIBLE-wrapped) to the
+    int16-scale contract: samples are nominal [-1.0, 1.0); downmix
+    averages in float64 ((L+R)/2 — exact IEEE op), conversion is the
+    deterministic floor(x * 32768) clipped to int16 (out-of-range floats
+    clip, like every practical converter); NaN/Inf fail LOUD — corrupt
+    audio must never produce features."""
+    if channels not in (1, 2):
+        raise ValueError(
+            f"wav_parse: {channels}-channel float unsupported (mono or stereo)"
+        )
+    if bits not in (32, 64):
+        raise ValueError(
+            f"wav_parse: {bits}-bit IEEE float unsupported (32/64)"
+        )
+    frame = (bits // 8) * channels
+    if len(data) % frame:
+        raise ValueError(
+            f"wav_parse: data chunk length {len(data)} is not a multiple "
+            f"of the {frame}-byte frame ({bits}-bit float x{channels})"
+        )
+    x = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype(
+        np.float64
+    )
+    if x.size and not np.isfinite(x).all():
+        raise ValueError("wav_parse: non-finite float sample (NaN/Inf)")
+    if channels == 2:
+        x = x.reshape(-1, 2)
+        x = (x[:, 0] + x[:, 1]) / 2.0
+    out = np.clip(np.floor(x * 32768.0), -32768, 32767)
+    return out.astype(np.int16), rate
+
+
 def wav_parse(blob: bytes) -> tuple[np.ndarray, int]:
     """One WAV byte string -> (int16 sample array, sample_rate)."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
@@ -100,10 +147,26 @@ def wav_parse(blob: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, channels, rate, _byte_rate, _align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE (r18): the container
+        # modern encoders use for >16-bit and multichannel PCM/float —
+        # the REAL format tag lives in the SubFormat GUID
+        if len(fmt) < 40:
+            raise ValueError(
+                f"wav_parse: EXTENSIBLE fmt chunk is {len(fmt)} bytes; "
+                "the SubFormat GUID needs 40"
+            )
+        sub = fmt[24:40]
+        if sub[2:] != _KSDATAFORMAT_GUID_TAIL:
+            raise ValueError(
+                f"wav_parse: unknown EXTENSIBLE SubFormat GUID {sub.hex()}"
+            )
+        (audio_fmt,) = struct.unpack("<H", sub[:2])
+    if audio_fmt == 3:  # IEEE float (r18)
+        return _parse_float_data(data, channels, rate, bits)
     if audio_fmt != 1:
         raise ValueError(
             f"wav_parse: compressed WAV (format {audio_fmt}) unsupported; "
-            "only PCM (1)"
+            "only PCM (1), IEEE float (3), or EXTENSIBLE wrapping either"
         )
     if channels not in (1, 2):
         raise ValueError(
@@ -145,15 +208,69 @@ def wav_parse(blob: bytes) -> tuple[np.ndarray, int]:
     return x.astype(np.int16), rate
 
 
+def _wav_container(
+    data: bytes, rate: int, channels: int, bits: int, fmt_tag: int,
+    *, extensible: bool = False,
+) -> bytes:
+    """Assemble the RIFF container around packed sample ``data`` — plain
+    fmt (16 bytes) or WAVE_FORMAT_EXTENSIBLE (40 bytes, ``fmt_tag``
+    moved into the SubFormat GUID)."""
+    block = channels * (bits // 8)
+    if extensible:
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, channels, rate, rate * block, block, bits
+        ) + struct.pack(
+            "<HHI", 22, bits, 0x3 if channels == 2 else 0x4
+        ) + struct.pack("<H", fmt_tag) + _KSDATAFORMAT_GUID_TAIL
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, channels, rate, rate * block, block, bits
+        )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    if len(data) % 2:
+        body += b"\x00"  # RIFF chunks are word-aligned (pad byte)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_encode_float(
+    samples: np.ndarray, rate: int = 16000, *, bits: int = 32,
+    extensible: bool = False,
+) -> bytes:
+    """IEEE-float RIFF/WAVE writer (format 3, optionally wrapped in
+    WAVE_FORMAT_EXTENSIBLE) — mono ``(n,)`` or multichannel ``(n, ch)``
+    floats at the nominal [-1.0, 1.0) scale."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2 or arr.shape[1] < 1:
+        raise ValueError(
+            f"wav_encode_float: expected (n,) or (n, ch) samples, got "
+            f"{np.asarray(samples).shape}"
+        )
+    if bits not in (32, 64):
+        raise ValueError(f"wav_encode_float: {bits}-bit float unsupported")
+    flat = arr.reshape(-1)
+    data = flat.astype("<f4" if bits == 32 else "<f8").tobytes()
+    return _wav_container(
+        data, rate, arr.shape[1], bits, 3, extensible=extensible
+    )
+
+
 def wav_encode_pcm(
-    samples: np.ndarray, rate: int = 16000, *, bits: int = 16
+    samples: np.ndarray, rate: int = 16000, *, bits: int = 16,
+    extensible: bool = False,
 ) -> bytes:
     """General RIFF/WAVE PCM writer — 8/16/24/32-bit, mono ``(n,)`` or
     multichannel ``(n, ch)`` NATIVE-scale integers (8-bit: unsigned
-    0..255; wider: signed, full width).  Frames interleave channel-major
-    per the spec.  The fixture-side twin of ``wav_parse``'s r18
-    acceptance surface; ``wav_encode_pcm16`` remains the 16-bit-mono
-    fast path."""
+    0..255; wider: signed, full width); ``extensible=True`` wraps the
+    same samples in WAVE_FORMAT_EXTENSIBLE (the container modern
+    encoders use for >16-bit).  Frames interleave channel-major per the
+    spec.  The fixture-side twin of ``wav_parse``'s r18 acceptance
+    surface; ``wav_encode_pcm16`` remains the 16-bit-mono fast path."""
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -186,16 +303,7 @@ def wav_encode_pcm(
         data = b.tobytes()
     else:
         raise ValueError(f"wav_encode_pcm: {bits}-bit PCM unsupported")
-    block = channels * (bits // 8)
-    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
-    body = (
-        b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
-    if len(data) % 2:
-        body += b"\x00"  # RIFF chunks are word-aligned (pad byte)
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _wav_container(data, rate, channels, bits, 1, extensible=extensible)
 
 
 WAV_FEATURE_SCHEMA = (

@@ -882,7 +882,12 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from .operators.audio import wav_encode_pcm, wav_encode_pcm16, wav_features
+    from .operators.audio import (
+        wav_encode_float,
+        wav_encode_pcm,
+        wav_encode_pcm16,
+        wav_features,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < WAV_CORPUS_DOCS
@@ -899,13 +904,16 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 half = np.full(p // 2, a, dtype=np.int16)
                 wave = np.tile(np.concatenate([half, -half]), reps)
                 # r18: rotate the CONTAINER format per doc — mono 16-bit,
-                # dual-mono stereo, 24-bit (<< 8), stereo 32-bit (<< 16).
+                # dual-mono stereo 16-bit, EXTENSIBLE 24-bit (<< 8),
+                # stereo 32-bit (<< 16), IEEE-float32 dual-mono
+                # (x / 32768.0 — floats with exactly-representable
+                # int16/32768 values, so floor(x·32768) recovers x).
                 # Each decodes to the IDENTICAL int16 samples (exact
-                # downmix of equal channels, exact width shifts), so the
-                # planted integer truth — and the oracle — is unchanged
-                # while the realistic-format walk sits on the critical
-                # path of every row.
-                v = did % 4
+                # downmix of equal channels, exact width shifts, exact
+                # float round-trip), so the planted integer truth — and
+                # the oracle — is unchanged while the realistic-format
+                # walk sits on the critical path of every row.
+                v = did % 5
                 if v == 0:
                     blob = wav_encode_pcm16(wave, WAV_RATE)
                 elif v == 1:
@@ -914,11 +922,17 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 elif v == 2:
                     blob = wav_encode_pcm(
-                        wave.astype(np.int64) << 8, WAV_RATE, bits=24
+                        wave.astype(np.int64) << 8, WAV_RATE, bits=24,
+                        extensible=True,
                     )
-                else:
+                elif v == 3:
                     st = np.stack([wave, wave], axis=1).astype(np.int64) << 16
                     blob = wav_encode_pcm(st, WAV_RATE, bits=32)
+                else:
+                    f = wave.astype(np.float64) / 32768.0
+                    blob = wav_encode_float(
+                        np.stack([f, f], axis=1), WAV_RATE, bits=32
+                    )
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 

@@ -124,10 +124,15 @@ def test_rejects_corrupt_and_unsupported():
     with pytest.raises(ValueError, match="not a RIFF"):
         wav_parse(b"OggS" + good[4:])
 
-    # compressed format tag (IEEE float = 3)
+    # compressed format tag (ADPCM = 2; IEEE float 3 is ACCEPTED since
+    # r18 — a 16-bit float claim fails loud on width instead)
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 20, 2)
+    with pytest.raises(ValueError, match="compressed WAV"):
+        wav_parse(bytes(bad))
     bad = bytearray(good)
     struct.pack_into("<H", bad, 20, 3)
-    with pytest.raises(ValueError, match="compressed WAV"):
+    with pytest.raises(ValueError, match="16-bit IEEE float"):
         wav_parse(bytes(bad))
 
     # 3-channel stays loud (r18 widened to mono/stereo only)
@@ -307,3 +312,113 @@ def test_odd_byte_count_24bit_mono_pads_riff_word_alignment():
     x = np.array([1 << 10, -(1 << 12), 77], dtype=np.int64)  # 9 data bytes
     got, _ = wav_parse(wav_encode_pcm(x << 8, 16000, bits=24))
     assert np.array_equal(got, x.astype(np.int16))
+
+
+# ---------------------------------------------------------------------------
+# r18: WAVE_FORMAT_EXTENSIBLE and IEEE-float acceptance
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n=st.integers(1, 200),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    stereo=st.booleans(),
+)
+def test_extensible_wrapper_decodes_like_plain_pcm(seed, n, bits, stereo):
+    """The 0xFFFE container with the PCM SubFormat GUID must decode to
+    EXACTLY what the plain fmt-tag-1 container holding the same bytes
+    decodes to."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.audio import (
+        wav_encode_pcm,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (n, 2) if stereo else (n,)
+    if bits == 8:
+        native = rng.integers(0, 256, size=shape, dtype=np.int64)
+    else:
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        native = rng.integers(lo, hi + 1, size=shape, dtype=np.int64)
+    plain, r1 = wav_parse(wav_encode_pcm(native, 16000, bits=bits))
+    ext, r2 = wav_parse(
+        wav_encode_pcm(native, 16000, bits=bits, extensible=True)
+    )
+    assert r1 == r2 == 16000
+    assert np.array_equal(plain, ext)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n=st.integers(1, 200),
+    bits=st.sampled_from([32, 64]),
+    stereo=st.booleans(),
+    ext=st.booleans(),
+)
+def test_float_wav_matches_reference(seed, n, bits, stereo, ext):
+    """IEEE-float decode (plain format 3 and EXTENSIBLE-wrapped) equals
+    the documented model: float64 downmix average, then
+    clip(floor(x * 32768), int16)."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.audio import (
+        wav_encode_float,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (n, 2) if stereo else (n,)
+    x = rng.uniform(-1.3, 1.3, size=shape)  # deliberately beyond nominal
+    stored = x.astype("<f4" if bits == 32 else "<f8").astype(np.float64)
+    got, rate = wav_parse(
+        wav_encode_float(x, 8000, bits=bits, extensible=ext)
+    )
+    ref = stored
+    if stereo:
+        ref = (ref[:, 0] + ref[:, 1]) / 2.0
+    want = np.clip(np.floor(ref * 32768.0), -32768, 32767).astype(np.int16)
+    assert rate == 8000
+    assert np.array_equal(got, want)
+
+
+def test_float_exact_int16_roundtrip():
+    """The corpus-planting identity: float32 values x/32768 for int16 x
+    are exactly representable (<= 15 mantissa bits), so dual-mono float
+    decode recovers x bit-for-bit."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.audio import (
+        wav_encode_float,
+    )
+
+    x = np.array([-32768, -4000, -1, 0, 1, 777, 32767], dtype=np.int64)
+    f = x.astype(np.float64) / 32768.0
+    got, _ = wav_parse(wav_encode_float(np.stack([f, f], axis=1), 16000))
+    assert np.array_equal(got, x.astype(np.int16))
+
+
+def test_float_and_extensible_gates_stay_loud():
+    from robi_biometric_qdrant_vector_db_service_spark.operators.audio import (
+        wav_encode_float,
+        wav_encode_pcm,
+    )
+
+    # NaN must never hash
+    with pytest.raises(ValueError, match="non-finite"):
+        wav_parse(wav_encode_float(np.array([0.5, float("nan")]), 16000))
+    # unknown SubFormat GUID
+    blob = bytearray(
+        wav_encode_pcm(np.arange(16, dtype=np.int64), 16000, bits=16,
+                       extensible=True)
+    )
+    guid_at = blob.index(b"\x00\x00\x00\x00\x10\x00\x80\x00")
+    blob[guid_at + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="SubFormat GUID"):
+        wav_parse(bytes(blob))
+    # EXTENSIBLE fmt chunk too short for the GUID
+    short = bytearray(
+        wav_encode_pcm(np.arange(16, dtype=np.int64), 16000, bits=16)
+    )
+    struct.pack_into("<H", short, 20, 0xFFFE)  # claim extensible, 16-byte fmt
+    with pytest.raises(ValueError, match="EXTENSIBLE fmt"):
+        wav_parse(bytes(short))
+    # 16-bit float is not a thing
+    with pytest.raises(ValueError, match="16-bit float"):
+        wav_encode_float(np.array([0.0]), 16000, bits=16)
