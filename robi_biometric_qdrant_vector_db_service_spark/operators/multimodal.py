@@ -282,32 +282,20 @@ def raw_rgb_grid(width: int, height: int):
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def png_encode_rgb(px: "np.ndarray", filt: int = 0) -> bytes:
-    """Minimal stdlib PNG writer (8-bit truecolor, non-interlaced, one
-    filter type for every scanline): the engine-side encoder behind the
-    synthetic compressed-image corpus (``workload_sources.
-    image_png_phash_dups``) — a real corpus arrives already encoded, but
-    the fixture tables carry text, so the query plants its own PNGs and
-    the decoder must earn the pairs back through inflate + unfilter.
-    Filter deltas are computed vectorized per image (the predictor reads
-    ORIGINAL neighbor samples, which equal the reconstructed ones during
-    encoding); the independent per-pixel encoder in tests/test_png_fuzz.py
-    cross-checks the decoder, not this writer."""
-    import struct
-    import zlib
-
-    h, w, ch = px.shape
-    if ch != 3:
-        raise ValueError(f"png_encode_rgb: expected 3 channels, got {ch}")
-    if filt not in (0, 1, 2, 3, 4):
-        raise ValueError(f"png_encode_rgb: unknown filter {filt}")
-    s = px.reshape(h, w * 3).astype(np.int64)
+def _filter_rows(s: "np.ndarray", ch: int, filt: int) -> bytes:
+    """Filter an (h, w·ch) sample array into the filter-byte-prefixed raw
+    scanline stream (one filter type for every row).  Vectorized: the
+    predictor reads ORIGINAL neighbor samples, which equal the
+    reconstructed ones during encoding.  ``ch`` is the pixel byte width
+    — the left-neighbor offset of RFC 2083 §6."""
+    s = s.astype(np.int64)
+    h = s.shape[0]
     a = np.zeros_like(s)
-    a[:, 3:] = s[:, :-3]  # left neighbor (per channel)
+    a[:, ch:] = s[:, :-ch]  # left neighbor (per channel)
     b = np.zeros_like(s)
     b[1:] = s[:-1]  # up neighbor
     c = np.zeros_like(s)
-    c[1:, 3:] = s[:-1, :-3]  # up-left neighbor
+    c[1:, ch:] = s[:-1, :-ch]  # up-left neighbor
     if filt == 0:
         pred = np.zeros_like(s)
     elif filt == 1:
@@ -321,25 +309,144 @@ def png_encode_rgb(px: "np.ndarray", filt: int = 0) -> bytes:
         pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
         pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
     delta = ((s - pred) % 256).astype(np.uint8)
-    raw = np.concatenate(
+    return np.concatenate(
         [np.full((h, 1), filt, dtype=np.uint8), delta], axis=1
     ).tobytes()
 
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode_rgb(
+    px: "np.ndarray", filt: int = 0, *, interlace: bool = False
+) -> bytes:
+    """Minimal stdlib PNG writer (8-bit truecolor, one filter type for
+    every scanline, optional Adam7 interlacing): the engine-side encoder
+    behind the synthetic compressed-image corpus (``workload_sources.
+    image_png_phash_dups``) — a real corpus arrives already encoded, but
+    the fixture tables carry text, so the query plants its own PNGs and
+    the decoder must earn the pairs back through inflate + unfilter.
+    The independent per-pixel encoder in tests/test_png_fuzz.py
+    cross-checks the decoder, not this writer."""
+    import struct
+    import zlib
+
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError(f"png_encode_rgb: expected 3 channels, got {ch}")
+    if filt not in (0, 1, 2, 3, 4):
+        raise ValueError(f"png_encode_rgb: unknown filter {filt}")
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size:
+                parts.append(
+                    _filter_rows(sub.reshape(sub.shape[0], -1), 3, filt)
+                )
+        raw = b"".join(parts)
+    else:
+        raw = _filter_rows(px.reshape(h, w * 3), 3, filt)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def png_encode_rgba(
+    px: "np.ndarray", alpha: "np.ndarray", filt: int = 0
+) -> bytes:
+    """8-bit RGBA (color type 6) writer — ``px`` (h, w, 3) + ``alpha``
+    (h, w) uint8.  The transparency-bearing fixture twin of the r18
+    decoder surface: alpha 255 everywhere decodes to exactly ``px``
+    (white-compositing identity), partial alpha exercises the exact
+    integer compositing."""
+    import struct
+    import zlib
+
+    h, w, ch = px.shape
+    if ch != 3 or alpha.shape != (h, w):
+        raise ValueError(
+            f"png_encode_rgba: need (h,w,3) px + (h,w) alpha, got "
+            f"{px.shape} / {alpha.shape}"
+        )
+    if filt not in (0, 1, 2, 3, 4):
+        raise ValueError(f"png_encode_rgba: unknown filter {filt}")
+    rgba = np.concatenate([px, alpha[..., None]], axis=2)
+    raw = _filter_rows(rgba.reshape(h, w * 4), 4, filt)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_encode_palette(
+    px: "np.ndarray", filt: int = 0, *, trns: list[int] | None = None
+) -> bytes:
+    """8-bit palette (color type 3) writer: palette = the image's unique
+    colors in first-appearance order (≤ 256 or loud), scanlines carry
+    indices.  ``trns`` prepends per-entry alpha values as a tRNS chunk
+    (entries past it default opaque, as the decoder assumes).  The
+    fixture twin of the most common web-PNG shape (icons, screenshots,
+    logos are overwhelmingly palettized)."""
+    import struct
+    import zlib
+
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError(f"png_encode_palette: expected 3 channels, got {ch}")
+    if filt not in (0, 1, 2, 3, 4):
+        raise ValueError(f"png_encode_palette: unknown filter {filt}")
+    flat = px.reshape(-1, 3).astype(np.uint8)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    # first-appearance order (np.unique sorts): remap for a stable,
+    # content-derived palette
+    first = np.zeros(len(colors), dtype=np.int64)
+    seen: dict[int, int] = {}
+    order = []
+    for i in idx:
+        if int(i) not in seen:
+            seen[int(i)] = len(order)
+            order.append(int(i))
+    for sorted_i, appear_i in seen.items():
+        first[sorted_i] = appear_i
+    if len(colors) > 256:
+        raise ValueError(
+            f"png_encode_palette: {len(colors)} distinct colors exceed the "
+            "256-entry PLTE"
+        )
+    pal = colors[order]
+    indices = first[idx].reshape(h, w)
+    raw = _filter_rows(indices.reshape(h, w), 1, filt)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"PLTE", pal.astype(np.uint8).tobytes()
+    )
+    if trns is not None:
+        if len(trns) > len(pal):
+            raise ValueError(
+                f"png_encode_palette: {len(trns)} tRNS entries for a "
+                f"{len(pal)}-entry palette"
+            )
+        out += _png_chunk(b"tRNS", bytes(trns))
+    return out + _png_chunk(
+        b"IDAT", zlib.compress(raw)
+    ) + _png_chunk(b"IEND", b"")
 
 
 def class_grid_image(cls: int, *, width: int = 18, height: int = 16) -> "np.ndarray":
@@ -354,47 +461,18 @@ def class_grid_image(cls: int, *, width: int = 18, height: int = 16) -> "np.ndar
     return np.stack([px, px, px], axis=-1).astype(np.uint8)
 
 
-def _png_pixels(blob: bytes) -> "np.ndarray":
-    """(h, w, 3) int64 pixel array from one PNG byte string — pure stdlib
-    (``zlib`` inflate + struct chunk walk + scanline unfilter), no codec
-    libs.  Baseline subset: bit depth 8, color types 0 (grayscale) and
-    2 (truecolor RGB), non-interlaced; all five scanline filters
-    (None/Sub/Up/Average/Paeth, RFC 2083 §6).  Anything else fails loud
-    with the offending field — corrupt or exotic files must never hash."""
-    import struct
-    import zlib
+# Adam7 pass origins/strides (x0, y0, dx, dy) — RFC 2083 §2.6
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    if blob[:8] != _PNG_MAGIC:
-        raise ValueError("raw_png_grid: not a PNG (bad signature)")
-    pos, idat, hdr = 8, [], None
-    while pos + 8 <= len(blob):
-        (ln,), typ = struct.unpack(">I", blob[pos : pos + 4]), blob[pos + 4 : pos + 8]
-        pos += 8
-        chunk = blob[pos : pos + ln]
-        pos += ln + 4  # payload + CRC (integrity is zlib's adler32's job here)
-        if typ == b"IHDR":
-            hdr = struct.unpack(">IIBBBBB", chunk)
-        elif typ == b"IDAT":
-            idat.append(chunk)
-        elif typ == b"IEND":
-            break
-    if hdr is None:
-        raise ValueError("raw_png_grid: missing IHDR chunk")
-    w, h, depth, ctype, comp, filt, interlace = hdr
-    if depth != 8 or ctype not in (0, 2) or comp or filt or interlace:
-        raise ValueError(
-            f"raw_png_grid: unsupported PNG (depth={depth} color_type={ctype} "
-            f"compression={comp} filter={filt} interlace={interlace}); "
-            "supported: 8-bit grayscale/truecolor, non-interlaced"
-        )
-    ch = 3 if ctype == 2 else 1
-    stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"raw_png_grid: IDAT stream is {len(raw)} bytes, "
-            f"expected {h * (stride + 1)} for {w}x{h}x{ch}"
-        )
+
+def _unfilter_rows(raw: bytes, h: int, stride: int, ch: int) -> "np.ndarray":
+    """Reconstruct ``h`` scanlines of ``stride`` samples from the
+    filter-byte-prefixed raw stream (all five RFC 2083 §6 filters; the
+    left-neighbor offset is the pixel's byte width ``ch``)."""
     recon = np.zeros((h, stride), dtype=np.int64)
     for y in range(h):
         row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
@@ -423,8 +501,126 @@ def _png_pixels(blob: bytes) -> "np.ndarray":
         else:
             raise ValueError(f"raw_png_grid: unknown scanline filter {f}")
         recon[y] = rec
-    px = recon.reshape(h, w, ch)
-    return np.repeat(px, 3, axis=2) if ch == 1 else px
+    return recon
+
+
+def _composite_white(color: "np.ndarray", alpha: "np.ndarray") -> "np.ndarray":
+    """Exact integer alpha compositing over WHITE — the deterministic
+    perceptual-hash convention for transparency (pixels under alpha 0
+    are arbitrary bytes; hashing them raw would split visually identical
+    logos): nearest integer of (a·c + (255−a)·255) / 255 (255 is odd, so
+    exact halves cannot occur and +127 floor-division IS round-to-
+    nearest)."""
+    return (alpha * color + (255 - alpha) * 255 + 127) // 255
+
+
+def _png_pixels(blob: bytes) -> "np.ndarray":
+    """(h, w, 3) int64 pixel array from one PNG byte string — pure stdlib
+    (``zlib`` inflate + struct chunk walk + scanline unfilter), no codec
+    libs.  Supported (r18 widened to what web crawls actually hold): bit
+    depth 8, color types 0 (grayscale), 2 (truecolor RGB), 3 (palette,
+    with optional tRNS transparency), 4 (grayscale+alpha), 6 (RGBA);
+    non-interlaced AND Adam7-interlaced; all five scanline filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6).  Alpha composites over
+    white by the exact integer convention of ``_composite_white``.
+    Anything else — 16-bit depth, sub-byte palette depths, unknown
+    filters, short/trailing IDAT bytes, palette indices past PLTE —
+    fails loud with the offending field: corrupt or exotic files must
+    never hash."""
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("raw_png_grid: not a PNG (bad signature)")
+    pos, idat, hdr, plte, trns = 8, [], None, None, None
+    while pos + 8 <= len(blob):
+        (ln,), typ = struct.unpack(">I", blob[pos : pos + 4]), blob[pos + 4 : pos + 8]
+        pos += 8
+        chunk = blob[pos : pos + ln]
+        pos += ln + 4  # payload + CRC (integrity is zlib's adler32's job here)
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"tRNS":
+            trns = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("raw_png_grid: missing IHDR chunk")
+    w, h, depth, ctype, comp, filt, interlace = hdr
+    if (
+        depth != 8
+        or ctype not in _PNG_CHANNELS
+        or comp
+        or filt
+        or interlace not in (0, 1)
+    ):
+        raise ValueError(
+            f"raw_png_grid: unsupported PNG (depth={depth} color_type={ctype} "
+            f"compression={comp} filter={filt} interlace={interlace}); "
+            "supported: 8-bit color types 0/2/3/4/6, interlace 0/1"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    passes = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7
+    out = np.zeros((h, w, ch), dtype=np.int64)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        wp = -(-(w - x0) // dx) if w > x0 else 0
+        hp = -(-(h - y0) // dy) if h > y0 else 0
+        if wp <= 0 or hp <= 0:
+            continue  # empty pass contributes zero bytes (RFC 2083 §2.6)
+        stride = wp * ch
+        need = hp * (stride + 1)
+        if len(raw) - pos < need:
+            raise ValueError(
+                f"raw_png_grid: IDAT stream is {len(raw)} bytes, short of "
+                f"pass at ({x0},{y0}) needing {need} more"
+            )
+        recon = _unfilter_rows(raw[pos : pos + need], hp, stride, ch)
+        pos += need
+        out[y0::dy, x0::dx] = recon.reshape(hp, wp, ch)
+    if pos != len(raw):
+        raise ValueError(
+            f"raw_png_grid: {len(raw) - pos} trailing IDAT bytes past the "
+            "expected scanlines"
+        )
+    if ctype == 2:
+        return out
+    if ctype == 0:
+        return np.repeat(out, 3, axis=2)
+    if ctype == 6:
+        return _composite_white(out[..., :3], out[..., 3:])
+    if ctype == 4:
+        gray = _composite_white(out[..., :1], out[..., 1:])
+        return np.repeat(gray, 3, axis=2)
+    # ctype 3: palette lookup, tRNS alpha (entries past the table are 255)
+    if plte is None or len(plte) % 3 or not plte:
+        raise ValueError(
+            "raw_png_grid: palette PNG without a valid PLTE chunk"
+        )
+    pal = np.frombuffer(plte, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+    idx = out[..., 0]
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError(
+            f"raw_png_grid: palette index {int(idx.max())} past the "
+            f"{len(pal)}-entry PLTE"
+        )
+    rgb = pal[idx]
+    if trns:
+        at = np.full(len(pal), 255, dtype=np.int64)
+        t = np.frombuffer(trns, dtype=np.uint8).astype(np.int64)
+        if len(t) > len(pal):
+            raise ValueError(
+                f"raw_png_grid: tRNS has {len(t)} entries for a "
+                f"{len(pal)}-entry PLTE"
+            )
+        at[: len(t)] = t
+        rgb = _composite_white(rgb, at[idx][..., None])
+    return rgb
 
 
 def _block_mean_grid(px: "np.ndarray", op_name: str) -> "np.ndarray":

@@ -239,13 +239,25 @@ def _png_corpus_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The planted PNG corpus (shared by ``image_png_phash_dups`` and
     ``multimodal_resize``): every doc < PNG_CORPUS_DOCS carries a PNG of
     its class's deterministic grid image, re-encoded per copy with a
-    DIFFERENT scanline filter so in-class blob BYTES differ and only a
-    correct decode recovers the planted pairs."""
+    DIFFERENT scanline filter AND (r18) a rotating CONTAINER SHAPE —
+    plain truecolor, RGBA with full alpha (white-compositing identity),
+    8-bit palette (the dominant web-PNG shape), Adam7-interlaced — so
+    in-class blobs differ in bytes, filters, color model and interlace
+    layout, and only a decoder covering the whole r18 acceptance surface
+    recovers the planted pairs.  Decoded pixels are IDENTICAL across
+    shapes, so the planted truth (and both consuming oracles) is
+    unchanged."""
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
-    from .operators.multimodal import class_grid_image, png_encode_rgb
+    from .operators.multimodal import (
+        class_grid_image,
+        png_encode_palette,
+        png_encode_rgb,
+        png_encode_rgba,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < PNG_CORPUS_DOCS
@@ -256,10 +268,23 @@ def _png_corpus_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             blobs = []
             for did in pdf["doc_id"]:
-                cls = int(did) % PNG_CLASSES
+                did = int(did)
+                cls = did % PNG_CLASSES
                 if cls not in cache:
                     cache[cls] = class_grid_image(cls)
-                blobs.append(png_encode_rgb(cache[cls], filt=int(did) % 5))
+                px, f = cache[cls], did % 5
+                t = did % 4
+                if t == 0:
+                    blob = png_encode_rgb(px, filt=f)
+                elif t == 1:
+                    blob = png_encode_rgba(
+                        px, np.full(px.shape[:2], 255, np.uint8), filt=f
+                    )
+                elif t == 2:
+                    blob = png_encode_palette(px, filt=f)
+                else:
+                    blob = png_encode_rgb(px, filt=f, interlace=True)
+                blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     return docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")

@@ -285,3 +285,216 @@ def test_engine_encoder_roundtrips_through_decoder(w, h, seed, filt):
     assert np.array_equal(_png_pixels(engine_blob), px.astype(np.int64))
     ref_blob = png_encode(px, [filt])
     assert np.array_equal(_png_pixels(ref_blob), _png_pixels(engine_blob))
+
+
+# ---------------------------------------------------------------------------
+# r18: color types 3/4/6 + Adam7 interlace
+# ---------------------------------------------------------------------------
+
+
+def _png_multi(samples: np.ndarray, ctype: int, ch: int,
+               filters: list[int], *, plte: bytes | None = None,
+               trns: bytes | None = None, interlace: int = 0) -> bytes:
+    """Independent reference writer for arbitrary channel counts and
+    Adam7 layouts — per-pixel pure-Python filter math like png_encode,
+    generalized to ``ch`` sample bytes per pixel."""
+    h, w = samples.shape[0], samples.shape[1] // ch
+
+    def filter_block(block: np.ndarray) -> bytes:
+        bh, stride = block.shape
+        raw = bytearray()
+        for y in range(bh):
+            f = filters[y % len(filters)]
+            raw.append(f)
+            for x in range(stride):
+                v = int(block[y][x])
+                a = int(block[y][x - ch]) if x >= ch else 0
+                b = int(block[y - 1][x]) if y else 0
+                c = int(block[y - 1][x - ch]) if (y and x >= ch) else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                raw.append((v - pred) % 256)
+        return bytes(raw)
+
+    if interlace:
+        from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import (
+            _ADAM7,
+        )
+
+        grid = samples.reshape(h, w, ch)
+        raw = b"".join(
+            filter_block(
+                grid[y0::dy, x0::dx].reshape(grid[y0::dy, x0::dx].shape[0], -1)
+            )
+            for x0, y0, dx, dy in _ADAM7
+            if grid[y0::dy, x0::dx].size
+        )
+    else:
+        raw = filter_block(samples)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def _comp_white(c, a):
+    return (a * c + (255 - a) * 255 + 127) // 255
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(9, 32),
+    h=st.integers(8, 32),
+    seed=st.integers(0, 2**32 - 1),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=4),
+    interlace=st.booleans(),
+)
+def test_rgba_decode_matches_composite_reference(w, h, seed, filters,
+                                                 interlace):
+    from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import (
+        _png_pixels,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64)
+    alpha = rng.integers(0, 256, size=(h, w), dtype=np.int64)
+    rgba = np.concatenate([px, alpha[..., None]], axis=2)
+    blob = _png_multi(rgba.reshape(h, w * 4), 6, 4, filters,
+                      interlace=1 if interlace else 0)
+    got = _png_pixels(blob)
+    want = _comp_white(px, alpha[..., None])
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(9, 28),
+    h=st.integers(8, 28),
+    seed=st.integers(0, 2**32 - 1),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=3),
+)
+def test_gray_alpha_decode_matches_reference(w, h, seed, filters):
+    from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import (
+        _png_pixels,
+    )
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, size=(h, w), dtype=np.int64)
+    a = rng.integers(0, 256, size=(h, w), dtype=np.int64)
+    ga = np.stack([g, a], axis=2)
+    blob = _png_multi(ga.reshape(h, w * 2), 4, 2, filters)
+    got = _png_pixels(blob)
+    lum = _comp_white(g, a)
+    assert np.array_equal(got, np.stack([lum, lum, lum], axis=2))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(9, 28),
+    h=st.integers(8, 28),
+    seed=st.integers(0, 2**32 - 1),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=3),
+    n_trns=st.integers(0, 6),
+)
+def test_palette_decode_matches_reference(w, h, seed, filters, n_trns):
+    from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import (
+        _png_pixels,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_pal = int(rng.integers(2, 17))
+    pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.int64)
+    idx = rng.integers(0, n_pal, size=(h, w), dtype=np.int64)
+    trns_vals = rng.integers(0, 256, size=min(n_trns, n_pal), dtype=np.int64)
+    blob = _png_multi(
+        idx, 3, 1, filters,
+        plte=pal.astype(np.uint8).tobytes(),
+        trns=bytes(int(v) for v in trns_vals) if len(trns_vals) else None,
+    )
+    got = _png_pixels(blob)
+    alpha = np.full(n_pal, 255, dtype=np.int64)
+    alpha[: len(trns_vals)] = trns_vals
+    want = pal[idx]
+    if len(trns_vals):
+        want = _comp_white(want, alpha[idx][..., None])
+    assert np.array_equal(got, want)
+
+
+def test_interlaced_engine_writer_roundtrip_all_filters():
+    """Engine writer's Adam7 layout vs the decoder, and vs the
+    independent reference writer byte-for-byte pixel equality."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import (
+        _png_pixels,
+        png_encode_rgb,
+    )
+
+    rng = np.random.default_rng(12)
+    for (h, w) in [(8, 9), (13, 17), (32, 36)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for f in range(5):
+            got = _png_pixels(png_encode_rgb(px, filt=f, interlace=True))
+            assert np.array_equal(got, px.astype(np.int64)), (h, w, f)
+            ref = _png_multi(
+                px.reshape(h, w * 3).astype(np.int64), 2, 3, [f], interlace=1
+            )
+            assert np.array_equal(_png_pixels(ref), px.astype(np.int64))
+
+
+def test_new_png_gates_stay_loud():
+    from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import (
+        _png_pixels,
+        png_encode_palette,
+        png_encode_rgb,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    # palette index past PLTE
+    idx = np.full((8, 9), 3, dtype=np.int64)
+    blob = _png_multi(idx, 3, 1, [0],
+                      plte=bytes([1, 2, 3, 4, 5, 6]))  # 2 entries
+    with pytest.raises(ValueError, match="palette index"):
+        _png_pixels(blob)
+    # palette PNG with no PLTE at all
+    blob = _png_multi(np.zeros((8, 9), dtype=np.int64), 3, 1, [0])
+    with pytest.raises(ValueError, match="without a valid PLTE"):
+        _png_pixels(blob)
+    # tRNS longer than the palette
+    blob = _png_multi(np.zeros((8, 9), dtype=np.int64), 3, 1, [0],
+                      plte=bytes([0, 0, 0]), trns=bytes([1, 2]))
+    with pytest.raises(ValueError, match="tRNS"):
+        _png_pixels(blob)
+    # trailing IDAT bytes past the expected scanlines
+    from robi_biometric_qdrant_vector_db_service_spark.operators.multimodal import (
+        _filter_rows,
+    )
+
+    raw = _filter_rows(px.reshape(8, 27), 3, 0) + b"\x00"
+    ihdr = struct.pack(">IIBBBBB", 9, 8, 8, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="trailing IDAT"):
+        _png_pixels(bad)
+    # >256 distinct colors cannot palettize
+    many = np.stack(np.meshgrid(np.arange(17), np.arange(17)), -1)
+    px_many = np.zeros((17, 17, 3), dtype=np.uint8)
+    px_many[..., 0] = many[..., 0] * 15
+    px_many[..., 1] = many[..., 1] * 15
+    px_many[..., 2] = (many[..., 0] * 17 + many[..., 1]) % 256
+    assert len(np.unique(px_many.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError, match="exceed the"):
+        png_encode_palette(px_many)
