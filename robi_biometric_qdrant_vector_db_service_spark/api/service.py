@@ -165,14 +165,58 @@ class VectorService:
         from ..operators.search import knn_search
 
         version = self.store._current_version()
-        corpus = self.store.read(user_id=body.get("user_filter"), version=version)
-        hits = knn_search(
-            corpus,
-            probe,
-            k,
-            score_threshold=body.get("threshold"),
-            corpus_id="point_id",
-        )
+        quant = body.get("quantization")
+        if quant is not None:
+            # the reference's configured quantized search served over the
+            # wire (qdrant_client.py:129-138: INT8 scalar quantization,
+            # oversampling, rescore=True): stage 1 runs on the at-rest
+            # companion column of the SAME pinned snapshot, survivors
+            # rescore exactly; "binary" is the BQ tier
+            from pyspark.sql import functions as F
+
+            from ..operators import ann
+
+            corpus = self.store.read(
+                user_id=body.get("user_filter"),
+                version=version,
+                with_index=True,
+            )
+            oversample = int(body.get("oversample", 3))
+            if quant == "int8":
+                src = corpus.select(
+                    F.col("point_id").alias("vec_id"), "embedding", "e8"
+                )
+                hits = ann.int8_rescore_topk(
+                    src, probe, k=k, oversample=oversample
+                )
+            elif quant == "binary":
+                src = corpus.select(
+                    F.col("point_id").alias("vec_id"), "embedding", "bq_code"
+                )
+                hits = ann.bq_hamming_topk(
+                    src, probe, k=k, oversample=oversample, dims=None
+                )
+            else:
+                raise ValueError(
+                    f"quantization must be 'int8', 'binary' or omitted, "
+                    f"got {quant!r}"
+                )
+            hits = hits.withColumnRenamed("vec_id", "point_id")
+            if body.get("threshold") is not None:
+                hits = hits.filter(
+                    F.col("score") >= float(body["threshold"])
+                )
+        else:
+            corpus = self.store.read(
+                user_id=body.get("user_filter"), version=version
+            )
+            hits = knn_search(
+                corpus,
+                probe,
+                k,
+                score_threshold=body.get("threshold"),
+                corpus_id="point_id",
+            )
         # enrich hits with payload columns, as the reference's results carry
         # (id, score, user_id, metadata, timestamp)
         rows = (

@@ -270,3 +270,60 @@ def test_http_metrics_prometheus_exposition(served):
     ), samples
     assert samples['qdrant_op_duration_seconds_count{operation="search"}'] >= 1
     assert samples["service_uptime_seconds"] > 0
+
+
+def test_http_quantized_search(spark, tmp_path_factory):
+    """The wire form of the reference's configured quantized search
+    (qdrant_client.py:129-138): stage 1 runs on the collection's at-rest
+    companion columns; with oversample covering the whole collection the
+    results equal exact search EXACTLY, and an unknown mode is a 422."""
+    import urllib.error
+
+    svc = VectorService(spark, str(tmp_path_factory.mktemp("api_qstore")))
+    srv, port = svc.start_background()
+    try:
+        embs = [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0, 0.0],
+            [0.9, 0.1, 0.0, 0.0],
+            [0.5, 0.5, 0.5, 0.5],
+        ]
+        r = _call(port, "POST", "/vectors/add_batch", {
+            "embeddings": embs,
+            "user_ids": ["a", "b", "c", "d"],
+        })
+        assert r["success"] and r["added_count"] == 4
+
+        exact = _call(port, "POST", "/vectors/search", {
+            "embedding": [1.0, 0.0, 0.0, 0.0], "k": 3,
+        })
+        for mode in ("int8", "binary"):
+            got = _call(port, "POST", "/vectors/search", {
+                "embedding": [1.0, 0.0, 0.0, 0.0], "k": 3,
+                "quantization": mode, "oversample": 4,
+            })
+            assert got["success"], mode
+            assert [
+                (h["id"], h["user_id"], round(h["score"], 6))
+                for h in got["results"]
+            ] == [
+                (h["id"], h["user_id"], round(h["score"], 6))
+                for h in exact["results"]
+            ], mode
+
+        # threshold applies to the exact rescored score
+        got = _call(port, "POST", "/vectors/search", {
+            "embedding": [1.0, 0.0, 0.0, 0.0], "k": 4,
+            "quantization": "int8", "oversample": 4, "threshold": 0.5,
+        })
+        assert all(h["score"] >= 0.5 for h in got["results"])
+        assert got["total_results"] >= 2
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _call(port, "POST", "/vectors/search", {
+                "embedding": [1.0, 0.0, 0.0, 0.0], "k": 2,
+                "quantization": "pq",
+            })
+        assert e.value.code == 422
+    finally:
+        srv.shutdown()
