@@ -449,6 +449,88 @@ def jpeg_encode_rgb(
     return bytes(out)
 
 
+def jpeg_encode_gray(
+    px: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Single-component (grayscale) baseline JPEG — what scanners and
+    document pipelines emit; the decoder's 1-component path
+    (``len(planes) == 1`` replication) existed since r15 with no encoder
+    to exercise it on the planted corpora (r18).  ``px``: (h, w) uint8
+    luma, or (h, w, 3) with equal channels (the planted grid images'
+    shape).  The luma samples ARE the component — no color transform —
+    so for gray content the Y coefficients match the color encoder's
+    exactly (same qtable, same FDCT), which is what keeps the planted
+    dedup hashes invariant across the gray/color variants.
+    ``restart_interval`` emits DRI + RSTn every N MCUs (one 8×8 block
+    each in a single-component frame) like the color encoder."""
+    if px.ndim == 3:
+        if not (
+            np.array_equal(px[..., 0], px[..., 1])
+            and np.array_equal(px[..., 1], px[..., 2])
+        ):
+            raise ValueError(
+                "jpeg_encode_gray: (h, w, 3) input must have equal "
+                "channels (gray content)"
+            )
+        px = px[..., 0]
+    if px.ndim != 2:
+        raise ValueError(
+            f"jpeg_encode_gray: expected (h, w) or gray (h, w, 3), got "
+            f"{px.shape}"
+        )
+    h, w = px.shape
+    if h == 0 or w == 0:
+        raise ValueError("jpeg_encode_gray: empty image")
+    plane = np.pad(
+        px.astype(np.float64), ((0, -h % 8), (0, -w % 8)), mode="edge"
+    )
+    hp, wp = plane.shape
+    qt = _scaled_qtable(_QTBL_LUMA, quality)
+    blocks = _plane_blocks(plane - 128.0)
+    coeff = _DCT @ blocks @ _DCT.T
+    quant = np.clip(np.round(coeff / qt.reshape(8, 8)), -1023, 1023).astype(
+        np.int64
+    )
+    zz = quant.reshape(-1, 64)[:, _ZIGZAG]
+
+    dc_codes = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    chunks: list[bytes] = []
+    writer = _BitWriter()
+    prev_dc = [0]
+    rst_n = 0
+    for mcu_i in range(len(zz)):  # MCU = one 8x8 block, raster order
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            chunks.append(writer.flush())
+            chunks.append(bytes([0xFF, 0xD0 + (rst_n % 8)]))
+            rst_n += 1
+            writer = _BitWriter()
+            prev_dc = [0]
+        _encode_block(writer, zz[mcu_i], prev_dc, 0, dc_codes, ac_codes)
+    chunks.append(writer.flush())
+    scan = b"".join(chunks)
+
+    out = bytearray(b"\xff\xd8")
+    out += _segment(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    out += _segment(0xDB, bytes([0]) + bytes(int(v) for v in qt[_ZIGZAG]))
+    out += _segment(
+        0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    for cls, bits, vals in (
+        (0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, _AC_LUMA_BITS, _AC_LUMA_VALS),
+    ):
+        out += _segment(0xC4, bytes([cls << 4]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _segment(0xDD, struct.pack(">H", restart_interval))
+    out += _segment(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------

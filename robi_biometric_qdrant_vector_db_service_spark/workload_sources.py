@@ -378,12 +378,16 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 JPEG_CORPUS_DOCS = 240  # first N docs, present at every fixture scale
 JPEG_CLASSES = 80       # doc_id % JPEG_CLASSES -> 3 planted copies per class
 # the three lossy re-encodings of each class: different quality AND
-# different chroma sampling, so in-class blobs differ at every layer of
-# the codec (qtables, subsampled planes, entropy stream); two of the
-# three additionally carry RESTART INTERVALS (DRI + RSTn every 2/4 MCUs
-# — the framing digital cameras emit routinely, r18), so the decoder's
-# segment-split + DC-predictor-reset path is on the dedup critical path
-JPEG_VARIANTS = ((95, "4:4:4", 0), (90, "4:2:0", 2), (85, "4:2:2", 4))
+# different color structure, so in-class blobs differ at every layer of
+# the codec (qtables, subsampled planes, entropy stream, component
+# count); two of the three carry RESTART INTERVALS (DRI + RSTn — the
+# framing digital cameras emit routinely, r18) and the third is
+# SINGLE-COMPONENT GRAYSCALE (what scanners/document pipelines emit —
+# the planted grids are gray content, so its Y coefficients match the
+# color encoders' exactly and the planted hashes stay invariant),
+# putting the decoder's segment-split, DC-reset AND 1-component paths
+# on the dedup critical path ("gray" means jpeg_encode_gray)
+JPEG_VARIANTS = ((95, "4:4:4", 0), (90, "4:2:0", 2), (85, "gray", 4))
 
 
 @register(
@@ -421,7 +425,7 @@ def image_jpeg_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from .operators.jpeg import jpeg_encode_rgb
+    from .operators.jpeg import jpeg_encode_gray, jpeg_encode_rgb
     from .operators.multimodal import (
         class_grid_image,
         dhash_bands,
@@ -442,12 +446,19 @@ def image_jpeg_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if cls not in cache:
                     cache[cls] = class_grid_image(cls, width=36, height=32)
                 q, samp, rst = JPEG_VARIANTS[int(did) % 3]
-                blobs.append(
-                    jpeg_encode_rgb(
-                        cache[cls], quality=q, sampling=samp,
-                        restart_interval=rst,
+                if samp == "gray":
+                    blobs.append(
+                        jpeg_encode_gray(
+                            cache[cls], quality=q, restart_interval=rst
+                        )
                     )
-                )
+                else:
+                    blobs.append(
+                        jpeg_encode_rgb(
+                            cache[cls], quality=q, sampling=samp,
+                            restart_interval=rst,
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     blobs = docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")

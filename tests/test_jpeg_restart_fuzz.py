@@ -198,14 +198,20 @@ def test_corpus_variants_hash_identically_with_restarts():
 
     assert any(r for _q, _s, r in JPEG_VARIANTS)
     assert any(r for _q, _s, _p, r in JPEGP_VARIANTS)
+    from robi_biometric_qdrant_vector_db_service_spark.operators.jpeg import (
+        jpeg_encode_gray,
+    )
+
     for cls in (0, 3, 17):
         px = class_grid_image(cls, width=36, height=32)
         ref = bits(px)
         for q, samp, rst in JPEG_VARIANTS:
-            out = jpeg_decode(
-                jpeg_encode_rgb(px, quality=q, sampling=samp,
-                                restart_interval=rst)
-            )
+            if samp == "gray":
+                blob = jpeg_encode_gray(px, quality=q, restart_interval=rst)
+            else:
+                blob = jpeg_encode_rgb(px, quality=q, sampling=samp,
+                                       restart_interval=rst)
+            out = jpeg_decode(blob)
             assert np.array_equal(bits(out), ref), (cls, q, samp, rst)
         for q, samp, prog, rst in JPEGP_VARIANTS:
             enc = jpeg_encode_rgb_progressive if prog else jpeg_encode_rgb
