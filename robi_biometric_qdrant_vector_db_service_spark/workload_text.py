@@ -468,7 +468,11 @@ def _charlm_model(spark: SparkSession, sf_dir: str) -> list:
         v = lm.select(F.countDistinct(F.expr("substring(bg, 2, 1)")).alias("vsize"))
         _charlm_cache[sf_dir] = (
             lm.join(ctx, F.expr("substring(bg, 1, 1)") == F.col("c1"))
-            .crossJoin(v)
+            # the vocab size is a 1-row scalar aggregate — broadcast it
+            # explicitly so the plan is a BroadcastNestedLoopJoin by
+            # construction, not by AQE's runtime rescue (the one
+            # non-broadcast crossJoin the r15–r17 plan audits carried)
+            .crossJoin(F.broadcast(v))
             .select("bg", F.expr("round((cnt + 1.0) / (cctx + vsize), 12)").alias("p"))
             .collect()
         )
