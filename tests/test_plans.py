@@ -960,8 +960,15 @@ def test_new_media_and_mining_plan_shapes(spark):
     def shuffles(plan: str) -> int:
         return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
 
+    # r18 two-pass plan: four exchanges — the coarse ranking window on
+    # doc_id, the flagged-window rollup, the cut-starts union, the final
+    # segment window — all carrying 36-byte hashes or tiny window/cut
+    # lists; the decoded PIXELS never shuffle (both decode passes are
+    # mapInPandas projections, the fine pass fed by a BROADCAST of the
+    # ∝-cuts window list)
     scene = _plan(video_scene_cuts(spark, SF_SMOKE))
-    assert shuffles(scene) == 1, scene
+    assert shuffles(scene) == 4, scene
+    assert "BroadcastExchange" in scene, scene
     vad = _plan(audio_vad_segments(spark, SF_SMOKE))
     assert shuffles(vad) == 1, vad
     # two shuffles since the companion layout landed: the stage-1 ranking
