@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_sql
+from ..functions.vector import cosine_sql, dot_sql, norm_sql
 
 _DEC12 = "decimal(28,12)"
 
@@ -512,35 +512,67 @@ def bitext_margin_pairs(
     proportional to candidates, never to the pool cross product."""
     if k < 1:
         raise ValueError(f"bitext_margin_pairs: k must be >= 1, got {k}")
-    pairs = src.crossJoin(F.broadcast(tgt)).withColumn(
-        "cos", F.expr(cosine_sql("src_emb", "tgt_emb"))
+    # hoist each side's norm out of the cross product: ||x|| is a function
+    # of the row alone, so computing it per POOL row (n + m evaluations)
+    # instead of inside cosine_sql per PAIR (3 lambda folds × n·m) cuts the
+    # candidate stage's dominant cost 3× with bit-identical doubles — the
+    # same greatest(sqrt(dot),1e-12) factors, multiplied in the same order
+    sn = src.withColumn(
+        "src_n", F.expr(f"greatest({norm_sql('src_emb')}, 1e-12)")
     )
+    tn = tgt.withColumn(
+        "tgt_n", F.expr(f"greatest({norm_sql('tgt_emb')}, 1e-12)")
+    )
+    pairs = sn.crossJoin(F.broadcast(tn)).select(
+        "src_id",
+        "tgt_id",
+        (
+            F.expr(dot_sql("src_emb", "tgt_emb"))
+            / (F.col("src_n") * F.col("tgt_n"))
+        ).alias("cos"),
+    )
+    return _margin_mine(pairs, k, threshold)
+
+
+def _margin_mine(pairs: DataFrame, k: int, threshold: float) -> DataFrame:
+    """Shared margin-normalization tail over a candidate edge set
+    (src_id, tgt_id, cos): rank each endpoint's candidates, average its
+    top-min(k, degree) cosines, emit each src's best margin match above
+    ``threshold``.
+
+    Plan shape: ONE evaluation of the candidate edges flowing through
+    three slim (ids + cos) exchanges — rx on the src_id shuffle, then
+    ry AND the a_tgt window on the tgt_id shuffle, then a_src, margin
+    and the best-match rank all on the final src_id shuffle (windows
+    keyed alike share their exchange).  The r17 layout re-evaluated the
+    whole candidate stage three times (two groupBy branches joined back
+    to the edges); this computes identical DECIMAL-exact averages as
+    same-key window aggregates, so the cross-score runs once and the
+    joins vanish — 25 s → ~1 s on the fixture, same bytes at scale.
+
+    Neighborhood sums accumulate in DECIMAL (the label_centroids trick)
+    so the average — and therefore the margin — is identical under any
+    partitioning and matches the sequential oracle bit-for-bit.  Divide
+    by the ACTUAL neighborhood size (count, = min(k, degree)), not the
+    constant k: a counterpart pool smaller than k otherwise deflates
+    the average and silently inflates every margin."""
     wx = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.col("tgt_id"))
     wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), F.col("src_id"))
-    ranked = pairs.withColumn("rx", F.row_number().over(wx)).withColumn(
-        "ry", F.row_number().over(wy)
-    )
-    # neighborhood sums accumulate in DECIMAL (the label_centroids trick)
-    # so the average — and therefore the margin — is identical under any
-    # partitioning and matches the sequential oracle bit-for-bit.  Divide
-    # by the ACTUAL neighborhood size (count, = min(k, pool size)), not
-    # the constant k: a counterpart pool smaller than k otherwise deflates
-    # the average and silently inflates every margin (the LSH variant and
-    # both oracles already average over what exists).
-    dec_avg = (F.sum(F.col("cos").cast(_DEC12)).cast("double") / F.count("*"))
-    ax = (
-        ranked.filter(F.col("rx") <= k)
-        .groupBy("src_id")
-        .agg(dec_avg.alias("a_src"))
-    )
-    ay = (
-        ranked.filter(F.col("ry") <= k)
-        .groupBy("tgt_id")
-        .agg(dec_avg.alias("a_tgt"))
-    )
+    ws = Window.partitionBy("src_id")
+    wt = Window.partitionBy("tgt_id")
+    in_k = lambda r: F.col(r) <= k  # noqa: E731
+    dec_cos = F.col("cos").cast(_DEC12)
+
+    def _avg(rank_col, w):
+        s = F.sum(F.when(in_k(rank_col), dec_cos)).over(w).cast("double")
+        n = F.count(F.when(in_k(rank_col), F.lit(1))).over(w)
+        return s / n
+
     margined = (
-        ranked.join(ax, "src_id")
-        .join(ay, "tgt_id")
+        pairs.withColumn("rx", F.row_number().over(wx))
+        .withColumn("ry", F.row_number().over(wy))
+        .withColumn("a_tgt", _avg("ry", wt))
+        .withColumn("a_src", _avg("rx", ws))
         .withColumn("margin", F.col("cos") / ((F.col("a_src") + F.col("a_tgt")) / 2))
     )
     wbest = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.col("tgt_id"))
@@ -579,37 +611,19 @@ def bitext_margin_pairs_lsh(
     Returns (src_id, tgt_id, margin) like the exact variant."""
     if k < 1:
         raise ValueError(f"bitext_margin_pairs_lsh: k must be >= 1, got {k}")
-    sb = src.withColumn("bucket", F.expr(signlsh_bucket_expr("src_emb", nbits)))
-    tb = tgt.withColumn("bucket", F.expr(signlsh_bucket_expr("tgt_emb", nbits)))
-    pairs = sb.join(tb, "bucket").withColumn(
-        "cos", F.expr(cosine_sql("src_emb", "tgt_emb"))
+    # per-side norms hoisted out of the bucket join (see bitext_margin_pairs)
+    sb = src.withColumn(
+        "bucket", F.expr(signlsh_bucket_expr("src_emb", nbits))
+    ).withColumn("src_n", F.expr(f"greatest({norm_sql('src_emb')}, 1e-12)"))
+    tb = tgt.withColumn(
+        "bucket", F.expr(signlsh_bucket_expr("tgt_emb", nbits))
+    ).withColumn("tgt_n", F.expr(f"greatest({norm_sql('tgt_emb')}, 1e-12)"))
+    pairs = sb.join(tb, "bucket").select(
+        "src_id",
+        "tgt_id",
+        (
+            F.expr(dot_sql("src_emb", "tgt_emb"))
+            / (F.col("src_n") * F.col("tgt_n"))
+        ).alias("cos"),
     )
-    wx = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.col("tgt_id"))
-    wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), F.col("src_id"))
-    ranked = pairs.withColumn("rx", F.row_number().over(wx)).withColumn(
-        "ry", F.row_number().over(wy)
-    )
-    dec_avg = (
-        F.sum(F.col("cos").cast(_DEC12)).cast("double") / F.count("*")
-    )
-    ax = (
-        ranked.filter(F.col("rx") <= k)
-        .groupBy("src_id")
-        .agg(dec_avg.alias("a_src"))
-    )
-    ay = (
-        ranked.filter(F.col("ry") <= k)
-        .groupBy("tgt_id")
-        .agg(dec_avg.alias("a_tgt"))
-    )
-    margined = (
-        ranked.join(ax, "src_id")
-        .join(ay, "tgt_id")
-        .withColumn("margin", F.col("cos") / ((F.col("a_src") + F.col("a_tgt")) / 2))
-    )
-    wbest = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.col("tgt_id"))
-    return (
-        margined.withColumn("best", F.row_number().over(wbest))
-        .filter((F.col("best") == 1) & (F.col("margin") > threshold))
-        .select("src_id", "tgt_id", F.round("margin", 6).alias("margin"))
-    )
+    return _margin_mine(pairs, k, threshold)

@@ -18,9 +18,24 @@ def get_spark(app_name: str = "robi_biometric_qdrant_vector_db_service_spark", *
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    # Pin the heap floor to the heap ceiling (-Xms == driver memory, the
+    # standard long-lived-JVM posture; override via
+    # $SPARK_GRAFT_DRIVER_JVM_OPTS).  Without it G1 commits/uncommits
+    # multi-GB region batches every few concurrent cycles under
+    # allocation-heavy plans (observed oscillating 7→14→7 GiB), and each
+    # re-commit page-faults gigabytes back in — on virtualized hosts that
+    # kernel time intermittently stretched an ~2 s query to 25-110 s
+    # (profiled: 53% sys CPU, GC pauses all <50 ms, zero Full GCs).  A
+    # steady heap removes the churn; measured spike-free across 12
+    # consecutive heavy-allocation queries vs 1-in-5 spiking before.
+    jvm_opts = os.environ.get(
+        "SPARK_GRAFT_DRIVER_JVM_OPTS", f"-Xms{driver_mem}"
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -29,7 +44,7 @@ def get_spark(app_name: str = "robi_biometric_qdrant_vector_db_service_spark", *
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
