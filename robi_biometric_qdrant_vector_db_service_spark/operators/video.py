@@ -587,18 +587,28 @@ def video_scene_fine_pairs(
 
 
 def video_scene_segments_twopass(
-    blobs: DataFrame, *, stride: int = 2, max_hamming: int = 3
+    blobs: DataFrame, *, stride: int = 2, max_hamming: int = 3, cache=None
 ) -> DataFrame:
     """Two-pass scene segmentation over (doc_id, blob) AVI rows — same
     output contract as ``video_scene_segments`` over stride-1 hashes
     (doc_id, scene_id, start_frame, end_frame, n_frames), with decode
     work ∝ n/stride + stride × cuts instead of n (see the module-level
-    exactness contract above)."""
+    exactness contract above).
+
+    ``cache`` (optional, e.g. ``lambda df: track_scratch(df.persist())``)
+    materializes the coarse hash table once: two consumers need it (the
+    flagged-window scan and the per-doc frame counts), and without a
+    cache each re-runs the ENTIRE coarse decode pass — n/stride decodes
+    × 2, which at fixture scale made the two-pass layout cost more than
+    the stride-1 single pass it replaced.  The cached table is 36-byte
+    hash rows (∝ frames/stride), never pixels."""
     if stride < 1:
         raise ValueError(
             f"video_scene_segments_twopass: stride must be >= 1, got {stride}"
         )
     coarse = video_scene_coarse_hashes(blobs, stride=stride)
+    if cache is not None:
+        coarse = cache(coarse)
     windows = video_scene_flagged_windows(coarse, max_hamming=max_hamming)
     fine = video_scene_fine_pairs(blobs, windows)
     cuts = fine.filter(F.col("prev_hamming") > max_hamming).select(

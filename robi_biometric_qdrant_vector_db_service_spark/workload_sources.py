@@ -1362,10 +1362,20 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     36-byte hashes on doc_id, inherent to ordering frames within a
     doc."""
     from .operators.video import video_scene_segments_twopass
+    from .workload import track_scratch
 
-    blobs = _video_scene_corpus_blobs(spark, sf_dir)
+    # The two-pass plan reads the blob column twice (coarse + fine) — at
+    # rest that is two cheap pruned scans, but the FIXTURE synthesizes its
+    # AVIs (jpeg_encode × 9 frames/doc), so materialize the synthesized
+    # corpus once per invocation lest pass 2 re-encode the whole corpus
+    blobs = track_scratch(_video_scene_corpus_blobs(spark, sf_dir).persist())
     return video_scene_segments_twopass(
-        blobs, stride=2, max_hamming=PHASH_MAX_HAMMING
+        blobs,
+        stride=2,
+        max_hamming=PHASH_MAX_HAMMING,
+        # materialize the coarse hash table once per invocation: its two
+        # consumers otherwise EACH re-run the n/2-frame decode pass
+        cache=lambda df: track_scratch(df.persist()),
     )
 
 
