@@ -216,7 +216,10 @@ class VectorStore:
         import math
 
         spark = df.sparkSession
-        in_parts = df.rdd.getNumPartitions()
+        # JVM-side RDD conversion: ~0.1 s vs ~0.45 s for df.rdd, which
+        # additionally wraps the plan in a Python-pickler conversion —
+        # this probe runs once per segment write, on every mutation
+        in_parts = df._jdf.rdd().getNumPartitions()
         salt_n = max(
             1,
             min(
@@ -230,8 +233,11 @@ class VectorStore:
                 "ubucket_p",
                 F.pmod(F.xxhash64("point_id"), F.lit(salt_n)),
             )
-        else:
+        elif in_parts > 1:
             out = out.repartition(self.n_buckets, "ubucket_p")
+        # in_parts == 1: the dynamic-partition writer already emits one
+        # file per bucket from the single task — the repartition exchange
+        # would only shuffle rows to 8 tasks to produce the same layout
         out.write.mode("overwrite").partitionBy("ubucket_p").parquet(seg)
         files: dict[int, list[str]] = {}
         for d in _glob.glob(os.path.join(seg, "ubucket_p=*")):
@@ -619,29 +625,33 @@ class VectorStore:
         would not even flag it)."""
         manifest = self._read_manifest()
         current = self._read_files([f for fs in manifest.values() for f in fs])
-        ids = self.spark.createDataFrame(
-            [(i,) for i in sorted(set(point_ids))], "point_id string"
-        )
+        match = self._id_pred(point_ids)
         touched_counts = {
             r["ubucket"]: r["n"]
-            for r in current.join(F.broadcast(ids), "point_id", "left_semi")
+            for r in current.filter(match)
             .groupBy("ubucket")
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        flagged = ids.withColumn("__set", F.lit(True))
 
         def _transform(df: DataFrame) -> DataFrame:
-            return (
-                df.join(F.broadcast(flagged), "point_id", "left")
-                .withColumn(
-                    "metadata",
-                    F.when(F.col("__set"), new_metadata).otherwise(F.col("metadata")),
-                )
-                .drop("__set")
+            return df.withColumn(
+                "metadata",
+                F.when(match, new_metadata).otherwise(F.col("metadata")),
             )
 
         return self._delete_rewrite(manifest, touched_counts, _transform)
+
+    def _id_pred(self, point_ids: list[str]):
+        """Request-sized id lists (the Qdrant points-API shape) as a plain
+        IN predicate: it prunes at the parquet scan and costs no
+        parallelize-and-broadcast job per mutation — the old per-call
+        ``createDataFrame`` + ``F.broadcast`` locate/flag joins each paid
+        a broadcast-build job (~0.3 s) before any data moved.  The list is
+        deduped (the ``_mutate_matched`` duplicate discipline); the driver
+        already held it, so plan size is linear in the request either
+        way."""
+        return F.col("point_id").isin(sorted({str(i) for i in point_ids}))
 
     @staticmethod
     def _without_keys(keys: list[str], meta=None):
@@ -883,14 +893,19 @@ class VectorStore:
                 i += 1
         return results
 
-    def _rewrite_group_state(self, df: DataFrame, ops: list[tuple]):
+    def _rewrite_group_state(
+        self, df: DataFrame, ops: list[tuple], flag_cols=None
+    ):
         """Thread the composed per-row state of an id-keyed rewrite run
         over ``df`` (already joined against the per-op ``__f{k}`` match
         flags, and — for ``update_vectors`` ops — the per-op ``__e{k}``
         new-embedding columns): returns (matched_k Columns, final
         liveness, final metadata, final embedding).  Unmatched rows carry
         their metadata and embedding through byte-identical (NULL stays
-        NULL — the single-op contract)."""
+        NULL — the single-op contract).  ``flag_cols`` (op index → match
+        Column) overrides the ``__f{k}`` join flags for ops whose match is
+        a plain in-row predicate (the ``_id_pred`` IN lists) — those ops
+        never joined anything."""
         alive = F.lit(True)
         meta = F.col("metadata")
         emb = F.col("embedding")
@@ -907,7 +922,12 @@ class VectorStore:
                 matched.append(m)
                 alive = alive & ~m
                 continue
-            m = alive & F.coalesce(F.col(f"__f{k}"), F.lit(False))
+            flag = (
+                flag_cols[k]
+                if flag_cols is not None and k in flag_cols
+                else F.col(f"__f{k}")
+            )
+            m = alive & F.coalesce(flag, F.lit(False))
             matched.append(m)
             if tag == "delete":
                 alive = alive & ~m
@@ -953,6 +973,7 @@ class VectorStore:
             if op[0] == "delete_payload" and not op[2]:
                 raise ValueError("delete_payload requires at least one key")
         uv_batches: dict[int, DataFrame] = {}
+        flag_cols: dict[int, "F.Column"] = {}
         probes = []
         id_ks = []
         for k, op in enumerate(ops):
@@ -969,9 +990,10 @@ class VectorStore:
                 uv_batches[k] = new.persist()
                 ids_df = new.select("point_id")
             else:
-                ids_df = self.spark.createDataFrame(
-                    [(pid,) for pid in sorted(set(op[1]))], "point_id string"
-                )
+                # driver-held id list: an in-row IN predicate, no probe
+                # frame, no flag join (the _id_pred discipline)
+                flag_cols[k] = self._id_pred(op[1])
+                continue
             id_ks.append(k)
             probes.append(ids_df.withColumn("__op_k", F.lit(k)))
         # flags as a UNION of per-op id frames folded by one request-sized
@@ -1007,9 +1029,9 @@ class VectorStore:
             if flags_cached is not None:
                 flags = flags_cached.drop(*[f"__c{k}" for k in uv_batches])
                 joined = current.join(F.broadcast(flags), "point_id", "left")
-            else:  # all-predicate group: no id probes, no flag join
+            else:  # predicate/IN-only group: no id probes, no flag join
                 joined = current
-            matched, _, _, _ = self._rewrite_group_state(joined, ops)
+            matched, _, _, _ = self._rewrite_group_state(joined, ops, flag_cols)
             per_bucket = (
                 joined.groupBy("ubucket")
                 .agg(
@@ -1037,7 +1059,9 @@ class VectorStore:
                 )
                 for k, new in uv_batches.items():
                     dj = dj.join(F.broadcast(new), "point_id", "left")
-                _, alive, meta, emb = self._rewrite_group_state(dj, ops)
+                _, alive, meta, emb = self._rewrite_group_state(
+                    dj, ops, flag_cols
+                )
                 survivors = (
                     dj.filter(alive)
                     .withColumn("metadata", meta)
@@ -1149,10 +1173,10 @@ class VectorStore:
         rewritten."""
         manifest = self._read_manifest()
         current = self._read_files([f for fs in manifest.values() for f in fs])
-        ids = self.spark.createDataFrame([(i,) for i in point_ids], "point_id string")
+        match = self._id_pred(point_ids)
         touched_counts = {
             r["ubucket"]: r["n"]
-            for r in current.join(F.broadcast(ids), "point_id", "left_semi")
+            for r in current.filter(match)
             .groupBy("ubucket")
             .agg(F.count("*").alias("n"))
             .collect()
@@ -1160,7 +1184,9 @@ class VectorStore:
         return self._delete_rewrite(
             manifest,
             touched_counts,
-            lambda df: df.join(F.broadcast(ids), "point_id", "left_anti"),
+            # coalesce keeps a NULL point_id like the anti-join did (store
+            # rows never have one — ingest uuids — but byte-parity is free)
+            lambda df: df.filter(~F.coalesce(match, F.lit(False))),
         )
 
     def delete_where(self, predicate: str) -> int:
