@@ -742,7 +742,11 @@ def dhash_bands(blobs: DataFrame, *, decoder=byte_span_grid) -> DataFrame:
 
 
 def phash_dup_pairs(
-    hashes: DataFrame, *, max_hamming: int = 3, keys: tuple[str, ...] = ()
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 3,
+    keys: tuple[str, ...] = (),
+    cache=None,
 ) -> DataFrame:
     """Image near-duplicate pairs by banded-Hamming join over dHash words:
     (doc_a < doc_b, hamming) for every pair within ``max_hamming`` bits.
@@ -769,7 +773,16 @@ def phash_dup_pairs(
     ``("frame_idx",)`` makes the unit of comparison (doc, frame) instead
     of doc, which is how the video family compares per-sampled-frame
     hashes only against the SAME frame position of other videos.  Output
-    columns are (doc_a, doc_b, *keys, hamming)."""
+    columns are (doc_a, doc_b, *keys, hamming).
+
+    ``cache`` (e.g. ``lambda df: track_scratch(df.persist())``)
+    materializes the hash table once — the plan otherwise re-evaluates
+    the decode chain for BOTH legs of the candidate self-join AND both
+    verify fetches (4 full decode passes, measured in plans/r18); this
+    is the "materialize it once" posture the paragraph above prices,
+    applied per invocation."""
+    if cache is not None:
+        hashes = cache(hashes)
     kc = list(keys)
     bands = hashes.selectExpr(
         "doc_id", *kc, "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"
@@ -816,7 +829,7 @@ def phash_dup_pairs(
 
 
 def fingerprint_offset_pairs(
-    fps: DataFrame, *, max_hamming: int = 3, min_frames: int = 1
+    fps: DataFrame, *, max_hamming: int = 3, min_frames: int = 1, cache=None
 ) -> DataFrame:
     """Offset-histogram fingerprint matching — the TIME-SHIFTED sibling of
     ``phash_dup_pairs(keys=("frame_idx",))``: where the keyed join
@@ -842,7 +855,11 @@ def fingerprint_offset_pairs(
     group-by on (pair, offset).  Frame volume is the knob: the caller's
     hop controls rows per clip; a hot band bucket (e.g. silence frames)
     is the same bounded |bucket|^2-candidates-then-exact-verify story as
-    every LSH family member."""
+    every LSH family member.  ``cache`` materializes the per-frame hash
+    table once (see ``phash_dup_pairs`` — same 4-leg re-decode
+    otherwise)."""
+    if cache is not None:
+        fps = cache(fps)
     bands = fps.selectExpr(
         "doc_id",
         "frame_idx",

@@ -1627,13 +1627,28 @@ def bpe_train_pairs(vocab: DataFrame, k_merges: int) -> list[tuple]:
     import math
 
     vocab = vocab.persist()
-    n_words = vocab.count()
+    # one driver round-trip for BOTH the row count (partition sizing) and
+    # the total word weight Σfreq — the constant that turns each
+    # iteration's pair-count total into the previous step's token count
+    n_words, total_freq = vocab.agg(
+        F.count("*"), F.sum("freq").cast("bigint")
+    ).collect()[0]
     parts = max(1, math.ceil(n_words / BPE_VOCAB_ROWS_PER_PARTITION))
-    if parts < vocab.rdd.getNumPartitions():
+    if parts < vocab._jdf.rdd().getNumPartitions():  # JVM probe — no Python-RDD wrap
         sized = vocab.coalesce(parts).persist()
         vocab.unpersist()
         vocab = sized
     merges: list[tuple] = []
+    # one Spark job per merge instead of two: iteration k's pair-count
+    # aggregate ALSO yields Σn = Σ_w freq_w·(n_sym_w − 1), and every word
+    # (single-symbol ones included) contributes freq_w tokens, so the
+    # PREVIOUS step's corpus token count is exactly Σn + Σfreq — integer-
+    # exact, no second pass.  The argmax rides the same job as
+    # min_by over the (−n, l, r) struct, which is precisely the old
+    # orderBy(n DESC, l, r).limit(1) tiebreak.  Only the final step pays
+    # a dedicated token-count job (there is no iteration k+1 to fold it
+    # into).
+    pending: tuple | None = None  # (step, left, right, n) awaiting tokens
     current = vocab
     try:
         for k in range(k_merges):
@@ -1654,13 +1669,21 @@ def bpe_train_pairs(vocab: DataFrame, k_merges: int) -> list[tuple]:
                 .groupBy("p.l", "p.r")
                 .agg(F.sum("freq").cast("bigint").alias("n"))
             )
-            best = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
-            if not best:
+            best, tot = pairs.agg(
+                F.min_by(
+                    F.struct("l", "r", "n"),
+                    F.struct((-F.col("n")).alias("nk"), "l", "r"),
+                ),
+                F.sum("n").cast("bigint"),
+            ).collect()[0]
+            if best is None:
                 raise ValueError(
                     f"bpe_train: vocabulary exhausted after {k} merges"
                     f" (every word is a single symbol); lower k_merges"
                 )
-            left, right, n = best[0]["l"], best[0]["r"], best[0]["n"]
+            if pending is not None:
+                merges.append((*pending, tot + total_freq))
+            left, right, n = best["l"], best["r"], best["n"]
             if not (_bpe_symbol_ok(left) and _bpe_symbol_ok(right)):
                 raise ValueError(
                     f"bpe_train: symbol pair ({left!r}, {right!r}) outside "
@@ -1676,14 +1699,16 @@ def bpe_train_pairs(vocab: DataFrame, k_merges: int) -> list[tuple]:
             # (K=8 fixture never triggers this; a 30k-merge run needs it)
             if (k + 1) % BPE_CHECKPOINT_EVERY == 0:
                 nxt = nxt.localCheckpoint(eager=True)
-            n_tokens = nxt.select(
+            pending = (k + 1, left, right, n)
+            current = nxt
+        if pending is not None:
+            n_tokens = current.select(
                 F.sum(
                     F.col("freq")
                     * F.expr("size(split(substring(sym, 2, length(sym)-2), '⟩⟨'))")
                 ).cast("bigint")
             ).collect()[0][0]
-            merges.append((k + 1, left, right, n, n_tokens))
-            current = nxt
+            merges.append((*pending, n_tokens))
     finally:
         vocab.unpersist()
     return merges

@@ -20,7 +20,15 @@ from pyspark.sql import functions as F
 
 from .operators.multimodal import decode_features, to_blob_table
 from .sources.catalog import load_table
-from .workload import PREPARE, register
+from .workload import PREPARE, register, track_scratch
+
+
+def _scratch_cache(df: DataFrame) -> DataFrame:
+    """Per-invocation materialization of a small derived table (hash
+    tables, coarse passes) whose plan is otherwise re-evaluated once per
+    consumer — each re-evaluation re-running the fixture's encode+decode
+    chain.  Scratch-tracked: the next registry query releases it."""
+    return track_scratch(df.persist())
 
 _counter = itertools.count()
 
@@ -228,7 +236,9 @@ def image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     blobs = to_blob_table(docs).filter(F.col("n_bytes") >= PHASH_MIN_BYTES)
-    return phash_dup_pairs(dhash_bands(blobs), max_hamming=PHASH_MAX_HAMMING)
+    return phash_dup_pairs(
+        dhash_bands(blobs), max_hamming=PHASH_MAX_HAMMING, cache=_scratch_cache
+    )
 
 
 PNG_CORPUS_DOCS = 240  # first N docs, present at every fixture scale
@@ -323,7 +333,9 @@ def image_png_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = _png_corpus_blobs(spark, sf_dir)
     return phash_dup_pairs(
-        dhash_bands(blobs, decoder=raw_png_grid), max_hamming=PHASH_MAX_HAMMING
+        dhash_bands(blobs, decoder=raw_png_grid),
+        max_hamming=PHASH_MAX_HAMMING,
+        cache=_scratch_cache,
     )
 
 
@@ -463,7 +475,9 @@ def image_jpeg_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")
     return phash_dup_pairs(
-        dhash_bands(blobs, decoder=raw_jpeg_grid), max_hamming=PHASH_MAX_HAMMING
+        dhash_bands(blobs, decoder=raw_jpeg_grid),
+        max_hamming=PHASH_MAX_HAMMING,
+        cache=_scratch_cache,
     )
 
 
@@ -567,6 +581,7 @@ def video_frame_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_dhash(blobs, stride=VIDEO_STRIDE),
         max_hamming=PHASH_MAX_HAMMING,
         keys=("frame_idx",),
+        cache=_scratch_cache,
     )
 
 
@@ -1047,7 +1062,9 @@ def audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")
     return phash_dup_pairs(
-        audio_fingerprint_bands(blobs), max_hamming=PHASH_MAX_HAMMING
+        audio_fingerprint_bands(blobs),
+        max_hamming=PHASH_MAX_HAMMING,
+        cache=_scratch_cache,
     )
 
 
@@ -1148,7 +1165,9 @@ def audio_frame_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")
     return fingerprint_offset_pairs(
-        audio_frame_fingerprints(blobs), max_hamming=PHASH_MAX_HAMMING
+        audio_frame_fingerprints(blobs),
+        max_hamming=PHASH_MAX_HAMMING,
+        cache=_scratch_cache,
     )
 
 
@@ -1237,7 +1256,9 @@ def image_jpeg_progressive_phash_dups(spark: SparkSession, sf_dir: str) -> DataF
 
     blobs = docs.mapInPandas(make_blobs, schema="doc_id bigint, blob binary")
     return phash_dup_pairs(
-        dhash_bands(blobs, decoder=raw_jpeg_grid), max_hamming=PHASH_MAX_HAMMING
+        dhash_bands(blobs, decoder=raw_jpeg_grid),
+        max_hamming=PHASH_MAX_HAMMING,
+        cache=_scratch_cache,
     )
 
 
