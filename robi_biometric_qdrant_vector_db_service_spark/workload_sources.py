@@ -373,7 +373,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_sum2_png,
     )
 
-    blobs = _png_corpus_blobs(spark, sf_dir)
+    # one blob synthesis for both decode chains: the straight-hash and
+    # resize-hash legs otherwise EACH re-encode the planted corpus (the
+    # Adam7/palette/RGBA encoders are the expensive half); the two real
+    # decodes — the thing this row proves — still run, once per leg
+    blobs = _scratch_cache(_png_corpus_blobs(spark, sf_dir))
     orig = dhash_bands(blobs, decoder=raw_png_grid)
     resized = dhash_bands(resize_sum2_png(blobs), decoder=raw_i32_grid)
     ham = sum(
