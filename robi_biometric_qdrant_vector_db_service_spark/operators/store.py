@@ -596,11 +596,21 @@ class VectorStore:
             survivors = self._read_files(
                 [f for b in touched for f in manifest.get(b, [])]
             ).join(F.broadcast(ids), "point_id", "left_anti")
-            rewritten, r_stats, _ = self._write_segment(survivors)
+            # the survivor rewrite and the update-batch append are
+            # independent jobs into separate segment dirs — overlap them
+            # (guide §2.6); the manifest merges both results afterwards
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_rw = pool.submit(self._write_segment, survivors)
+                f_ap = pool.submit(self._write_segment, up)
+                rewritten, r_stats, _ = f_rw.result()
+                appended, a_stats, n = f_ap.result()
             new_stats.update(r_stats)
             for b in touched:
                 manifest[b] = rewritten.get(b, [])
-        appended, a_stats, n = self._write_segment(up)
+        else:
+            appended, a_stats, n = self._write_segment(up)
         new_stats.update(a_stats)
         for b, fs in appended.items():
             manifest[b] = manifest.get(b, []) + fs
@@ -1135,15 +1145,25 @@ class VectorStore:
             survivors = self._read_files(
                 [f for b in touched for f in manifest.get(b, [])]
             ).join(F.broadcast(ids), "point_id", "left_anti")
-            rewritten, r_stats, _ = self._write_segment(survivors)
+            # independent jobs into separate segment dirs (guide §2.6)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_rw = pool.submit(self._write_segment, survivors)
+                f_ap = pool.submit(
+                    self._write_segment, combined.drop("__op_k")
+                )
+                rewritten, r_stats, _ = f_rw.result()
+                appended, a_stats, _ = f_ap.result()
             new_stats.update(r_stats)
             for b in touched:
                 manifest[b] = rewritten.get(b, [])
+        else:
+            appended, a_stats, _ = self._write_segment(combined.drop("__op_k"))
         per_op = {
             r["__op_k"]: r["n"]
             for r in combined.groupBy("__op_k").agg(F.count("*").alias("n")).collect()
         }
-        appended, a_stats, _ = self._write_segment(combined.drop("__op_k"))
         new_stats.update(a_stats)
         for b, fs in appended.items():
             manifest[b] = manifest.get(b, []) + fs
