@@ -223,14 +223,37 @@ INT8_QUANT_EXPR = (
 
 
 def _rescore_survivors(
-    corpus: DataFrame, survivors: DataFrame, k: int
+    corpus: DataFrame, survivors: DataFrame, k: int, cache=None
 ) -> DataFrame:
     """Shared stage 2 of the companion-column rescore family: fetch the
-    surviving ids' FULL vectors by a broadcast join (survivors are
-    ``queries × oversample × k`` rows — tiny), rescore with exact cosine,
-    final (score DESC, vec_id) ranking.  ``survivors``: (q_id, q_emb,
-    vec_id)."""
-    fetch = corpus.select("vec_id", "embedding")
+    surviving ids' FULL vectors, rescore with exact cosine, final
+    (score DESC, vec_id) ranking.  ``survivors``: (q_id, q_emb, vec_id)
+    — ``queries × oversample × k`` rows, request-sized by construction.
+
+    With ``cache`` (e.g. ``lambda df: track_scratch(df.persist())``) the
+    fetch is BY ID, the way the reference's serving flow reads the
+    full-precision vectors of stage-1 survivors (qdrant_client.py's
+    rescore=True path): stage 1 materializes once, its ids come back to
+    the driver (one request-sized collect — k·oversample·|queries| ids,
+    the points-API shape, NOT a data collect), and the stage-2 scan
+    carries them as an IN predicate — PushedFilters on the float-column
+    scan, so at rest the fetch skips every row group/page without a
+    survivor instead of streaming the corpus through the join.  The
+    survivor frame itself (ids + broadcast q_emb) joins from the cache,
+    never recomputed.
+
+    Without ``cache`` (direct operator calls), stage 2 stays the
+    single-plan broadcast join-back — same results, no materialization
+    to manage."""
+    if cache is not None:
+        surv = cache(survivors)
+        ids = sorted({r[0] for r in surv.select("vec_id").collect()})
+        fetch = corpus.filter(F.col("vec_id").isin(ids)).select(
+            "vec_id", "embedding"
+        )
+        survivors = surv
+    else:
+        fetch = corpus.select("vec_id", "embedding")
     rescored = fetch.join(F.broadcast(survivors), "vec_id").withColumn(
         "score", F.expr(cosine_sql("embedding", "q_emb"))
     )
@@ -243,7 +266,12 @@ def _rescore_survivors(
 
 
 def int8_rescore_topk(
-    corpus: DataFrame, probes: DataFrame, k: int = 10, oversample: int = 3
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    oversample: int = 3,
+    *,
+    cache=None,
 ) -> DataFrame:
     """O4 scalar quantization + rescore (qdrant_client.py:129-138):
     stage 1 ranks by the exact-integer INT8 dot product, stage 2 rescores
@@ -271,7 +299,7 @@ def int8_rescore_topk(
             .filter(F.col("irank") <= oversample * k)
             .select("q_id", "q_emb", "vec_id")
         )
-        return _rescore_survivors(corpus, survivors, k)
+        return _rescore_survivors(corpus, survivors, k, cache=cache)
     qc = INT8_QUANT_EXPR.format(col="embedding")
     c8 = corpus.withColumn("e8", F.expr(qc))
     pairs = c8.crossJoin(F.broadcast(p8))
@@ -294,6 +322,8 @@ def matryoshka_rescore_topk(
     k: int = 10,
     prefix_dims: int = 16,
     oversample: int = 3,
+    *,
+    cache=None,
 ) -> DataFrame:
     """Matryoshka (MRL) truncated-dimension search: stage 1 ranks by
     cosine over only the FIRST ``prefix_dims`` dimensions of both sides
@@ -339,7 +369,7 @@ def matryoshka_rescore_topk(
             .filter(F.col("prank") <= oversample * k)
             .select("q_id", "q_emb", "vec_id")
         )
-        return _rescore_survivors(corpus, survivors, k)
+        return _rescore_survivors(corpus, survivors, k, cache=cache)
     cp = corpus.withColumn("e_pre", F.expr(f"slice(embedding, 1, {prefix_dims})"))
     pairs = cp.crossJoin(F.broadcast(pp))
     stage1 = pairs.withColumn("pscore", F.expr(cosine_sql("e_pre", "p_pre")))
@@ -405,6 +435,7 @@ def bq_hamming_topk(
     *,
     oversample: int = 4,
     dims: int | None = 64,
+    cache=None,
 ) -> DataFrame:
     """O4 binary quantization + oversampled exact rescore: stage 1 ranks
     candidates by the HAMMING distance between sign-bit codes (popcount
@@ -452,7 +483,7 @@ def bq_hamming_topk(
             .filter(F.col("hrank") <= oversample * k)
             .select("q_id", "q_emb", "vec_id")
         )
-        return _rescore_survivors(corpus, survivors, k)
+        return _rescore_survivors(corpus, survivors, k, cache=cache)
     c_pack = (
         bq_words_dynamic_expr("embedding")
         if dims is None

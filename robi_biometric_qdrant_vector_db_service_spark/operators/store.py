@@ -58,6 +58,7 @@ import re
 import shutil
 import uuid
 import zlib
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,6 +93,19 @@ def _empty_meta():
     return F.create_map().cast("map<string,string>")
 
 
+def _num_input_partitions(df: DataFrame) -> int:
+    """Partition count of ``df``'s execution, probed JVM-side
+    (``df._jdf.rdd()``, ~0.1 s) instead of ``df.rdd`` (~0.45 s — wraps
+    the plan in a Python-pickler conversion).  ``_jdf`` is a private
+    PySpark attribute absent under Spark Connect, so fall back to the
+    public (slower) probe rather than failing every segment write
+    (ADVICE r18)."""
+    try:
+        return df._jdf.rdd().getNumPartitions()
+    except AttributeError:
+        return df.rdd.getNumPartitions()
+
+
 def _py_bucket(user_id: str, n_buckets: int) -> int:
     return zlib.crc32(user_id.encode("utf-8")) % n_buckets
 
@@ -120,6 +134,12 @@ class VectorStore:
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        # published manifests are IMMUTABLE (a commit writes manifest_<v+1>,
+        # never rewrites <v>), so parsed payloads memoize per instance —
+        # every mutation consults the current manifest 2-4 times (locate,
+        # rewrite, stats carry-over) and previously re-read the JSON each
+        # time (VERDICT r18 item 7)
+        self._manifest_mem: dict[int, dict] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- manifest plumbing --------------------------------------------------
@@ -137,14 +157,23 @@ class VectorStore:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.root, f"manifest_{version}.json")
 
+    def _manifest_payload(self, v: int) -> dict:
+        """The parsed (immutable) manifest payload for version ``v``,
+        memoized per instance.  Callers must treat the returned object as
+        read-only; the public readers below hand out fresh copies."""
+        if v not in self._manifest_mem:
+            with open(self._manifest_path(v)) as f:
+                self._manifest_mem[v] = json.load(f)
+        return self._manifest_mem[v]
+
     def _read_manifest(self, version: int | None = None) -> dict[int, list[str]]:
         v = self._current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"store at {self.root} not initialized")
-        with open(self._manifest_path(v)) as f:
-            raw = json.load(f)
+        raw = self._manifest_payload(v)
         assert raw["n_buckets"] == self.n_buckets, (raw["n_buckets"], self.n_buckets)
-        return {int(b): files for b, files in raw["buckets"].items()}
+        # fresh copy: every mutation path edits the returned dict in place
+        return {int(b): list(files) for b, files in raw["buckets"].items()}
 
     def _read_file_stats(self, version: int | None = None) -> dict[str, list[float]]:
         """file → [min_ts, max_ts] from the manifest (absent for files
@@ -152,8 +181,7 @@ class VectorStore:
         v = self._current_version() if version is None else version
         if v < 0:
             return {}
-        with open(self._manifest_path(v)) as f:
-            return json.load(f).get("file_stats", {})
+        return dict(self._manifest_payload(v).get("file_stats", {}))
 
     def _publish_manifest(
         self,
@@ -176,6 +204,7 @@ class VectorStore:
             json.dump(payload, f)
         with open(self._pointer(), "w") as f:
             f.write(str(new_v))
+        self._manifest_mem[new_v] = payload
         return new_v
 
     def _write_segment(
@@ -216,10 +245,8 @@ class VectorStore:
         import math
 
         spark = df.sparkSession
-        # JVM-side RDD conversion: ~0.1 s vs ~0.45 s for df.rdd, which
-        # additionally wraps the plan in a Python-pickler conversion —
-        # this probe runs once per segment write, on every mutation
-        in_parts = df._jdf.rdd().getNumPartitions()
+        # one probe per segment write, on every mutation (see helper)
+        in_parts = _num_input_partitions(df)
         salt_n = max(
             1,
             min(
@@ -270,6 +297,40 @@ class VectorStore:
                 if mins:
                     stats[f] = [min(mins), max(maxs)]
         return files, stats, n_rows
+
+    def _write_segments_overlapped(self, dfs: list[DataFrame]) -> list[tuple]:
+        """Run independent ``_write_segment`` jobs concurrently (guide
+        §2.6: each writes its own immutable uuid-named segment dir, so
+        the jobs commute; the manifest merges the results afterwards).
+        If ANY write fails, the siblings' already-written segment dirs
+        are best-effort deleted before re-raising — no unreferenced
+        segment is left behind for a later vacuum to trip over (ADVICE
+        r18; the old sequential order never wrote the second segment
+        after a failed first)."""
+        with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+            futs = [pool.submit(self._write_segment, df) for df in dfs]
+            results: list[tuple | None] = []
+            first_err: BaseException | None = None
+            for f in futs:
+                try:
+                    results.append(f.result())
+                except BaseException as e:  # noqa: BLE001 — cleanup then re-raise
+                    results.append(None)
+                    if first_err is None:
+                        first_err = e
+        if first_err is not None:
+            for r in results:
+                if r is None:
+                    continue
+                segs = {
+                    os.path.dirname(os.path.dirname(f))
+                    for fs in r[0].values()
+                    for f in fs
+                }
+                for seg in segs:
+                    shutil.rmtree(seg, ignore_errors=True)
+            raise first_err
+        return results  # type: ignore[return-value]
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn("ubucket", _bucket_col(self.n_buckets))
@@ -599,13 +660,9 @@ class VectorStore:
             # the survivor rewrite and the update-batch append are
             # independent jobs into separate segment dirs — overlap them
             # (guide §2.6); the manifest merges both results afterwards
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                f_rw = pool.submit(self._write_segment, survivors)
-                f_ap = pool.submit(self._write_segment, up)
-                rewritten, r_stats, _ = f_rw.result()
-                appended, a_stats, n = f_ap.result()
+            (rewritten, r_stats, _), (appended, a_stats, n) = (
+                self._write_segments_overlapped([survivors, up])
+            )
             new_stats.update(r_stats)
             for b in touched:
                 manifest[b] = rewritten.get(b, [])
@@ -635,22 +692,49 @@ class VectorStore:
         would not even flag it)."""
         manifest = self._read_manifest()
         current = self._read_files([f for fs in manifest.values() for f in fs])
-        match = self._id_pred(point_ids)
+        if len(point_ids) <= self._IN_LIST_MAX:
+            match = self._id_pred(point_ids)
+            locate = current.filter(match)
+
+            def _transform(df: DataFrame) -> DataFrame:
+                return df.withColumn(
+                    "metadata",
+                    F.when(match, new_metadata).otherwise(F.col("metadata")),
+                )
+
+        else:  # bulk list: broadcast-join flag (ADVICE r18 threshold)
+            flags = F.broadcast(
+                self._ids_frame(point_ids).withColumn("__m", F.lit(True))
+            )
+            locate = current.join(flags, "point_id", "left_semi")
+
+            def _transform(df: DataFrame) -> DataFrame:
+                return (
+                    df.join(flags, "point_id", "left")
+                    .withColumn(
+                        "metadata",
+                        F.when(
+                            F.coalesce(F.col("__m"), F.lit(False)), new_metadata
+                        ).otherwise(F.col("metadata")),
+                    )
+                    .drop("__m")
+                )
+
         touched_counts = {
             r["ubucket"]: r["n"]
-            for r in current.filter(match)
-            .groupBy("ubucket")
+            for r in locate.groupBy("ubucket")
             .agg(F.count("*").alias("n"))
             .collect()
         }
-
-        def _transform(df: DataFrame) -> DataFrame:
-            return df.withColumn(
-                "metadata",
-                F.when(match, new_metadata).otherwise(F.col("metadata")),
-            )
-
         return self._delete_rewrite(manifest, touched_counts, _transform)
+
+    # IN-predicate ceiling: up to here an id list inlines into the plan
+    # (OptimizeIn turns it into one InSet; parquet prunes on it) with
+    # request-proportional plan size.  Past it — a caller-supplied bulk
+    # list, not the points-API shape — the list goes back to the
+    # createDataFrame + broadcast-join path, which degrades gracefully
+    # instead of bloating plan serialization/analysis (ADVICE r18).
+    _IN_LIST_MAX = 10_000
 
     def _id_pred(self, point_ids: list[str]):
         """Request-sized id lists (the Qdrant points-API shape) as a plain
@@ -660,8 +744,16 @@ class VectorStore:
         a broadcast-build job (~0.3 s) before any data moved.  The list is
         deduped (the ``_mutate_matched`` duplicate discipline); the driver
         already held it, so plan size is linear in the request either
-        way."""
+        way.  Callers guard with ``_IN_LIST_MAX`` before using this."""
         return F.col("point_id").isin(sorted({str(i) for i in point_ids}))
+
+    def _ids_frame(self, point_ids: list[str]) -> DataFrame:
+        """Deduped id list as a 1-column DataFrame — the over-threshold
+        fallback for bulk id sets."""
+        return self.spark.createDataFrame(
+            [(i,) for i in sorted({str(i) for i in point_ids})],
+            "point_id string",
+        )
 
     @staticmethod
     def _without_keys(keys: list[str], meta=None):
@@ -999,11 +1091,13 @@ class VectorStore:
                 new = new.withColumn(f"__e{k}", F.expr(l2_normalize_sql(f"__e{k}")))
                 uv_batches[k] = new.persist()
                 ids_df = new.select("point_id")
-            else:
+            elif len(op[1]) <= self._IN_LIST_MAX:
                 # driver-held id list: an in-row IN predicate, no probe
                 # frame, no flag join (the _id_pred discipline)
                 flag_cols[k] = self._id_pred(op[1])
                 continue
+            else:  # bulk list: join-probe flag (ADVICE r18 threshold)
+                ids_df = self._ids_frame(op[1])
             id_ks.append(k)
             probes.append(ids_df.withColumn("__op_k", F.lit(k)))
         # flags as a UNION of per-op id frames folded by one request-sized
@@ -1146,15 +1240,11 @@ class VectorStore:
                 [f for b in touched for f in manifest.get(b, [])]
             ).join(F.broadcast(ids), "point_id", "left_anti")
             # independent jobs into separate segment dirs (guide §2.6)
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                f_rw = pool.submit(self._write_segment, survivors)
-                f_ap = pool.submit(
-                    self._write_segment, combined.drop("__op_k")
+            (rewritten, r_stats, _), (appended, a_stats, _) = (
+                self._write_segments_overlapped(
+                    [survivors, combined.drop("__op_k")]
                 )
-                rewritten, r_stats, _ = f_rw.result()
-                appended, a_stats, _ = f_ap.result()
+            )
             new_stats.update(r_stats)
             for b in touched:
                 manifest[b] = rewritten.get(b, [])
@@ -1193,21 +1283,25 @@ class VectorStore:
         rewritten."""
         manifest = self._read_manifest()
         current = self._read_files([f for fs in manifest.values() for f in fs])
-        match = self._id_pred(point_ids)
+        if len(point_ids) <= self._IN_LIST_MAX:
+            match = self._id_pred(point_ids)
+            locate = current.filter(match)
+            # coalesce keeps a NULL point_id like the anti-join did (store
+            # rows never have one — ingest uuids — but byte-parity is free)
+            keep = lambda df: df.filter(~F.coalesce(match, F.lit(False)))  # noqa: E731
+        else:  # bulk list: broadcast semi/anti joins (ADVICE r18 threshold)
+            ids_df = self._ids_frame(point_ids)
+            locate = current.join(F.broadcast(ids_df), "point_id", "left_semi")
+            keep = lambda df: df.join(  # noqa: E731
+                F.broadcast(ids_df), "point_id", "left_anti"
+            )
         touched_counts = {
             r["ubucket"]: r["n"]
-            for r in current.filter(match)
-            .groupBy("ubucket")
+            for r in locate.groupBy("ubucket")
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        return self._delete_rewrite(
-            manifest,
-            touched_counts,
-            # coalesce keeps a NULL point_id like the anti-join did (store
-            # rows never have one — ingest uuids — but byte-parity is free)
-            lambda df: df.filter(~F.coalesce(match, F.lit(False))),
-        )
+        return self._delete_rewrite(manifest, touched_counts, keep)
 
     def delete_where(self, predicate: str) -> int:
         """S7 delete-by-predicate (qdrant_client.py:434-469) with an EXACT
@@ -1316,6 +1410,7 @@ class VectorStore:
         shard_selector: list[str] | None = None,
         quantization: str | None = None,
         oversample: int = 3,
+        cache=None,
     ) -> DataFrame:
         """The reference's ``POST /vectors/search`` end-to-end over the
         store (qdrant_client.py:311-405): optional user filter (resolved to
@@ -1359,13 +1454,15 @@ class VectorStore:
             src = corpus.select(
                 F.col("point_id").alias("vec_id"), "embedding", "e8"
             )
-            out = ann.int8_rescore_topk(src, queries, k=k, oversample=oversample)
+            out = ann.int8_rescore_topk(
+                src, queries, k=k, oversample=oversample, cache=cache
+            )
         elif quantization == "binary":
             src = corpus.select(
                 F.col("point_id").alias("vec_id"), "embedding", "bq_code"
             )
             out = ann.bq_hamming_topk(
-                src, queries, k=k, oversample=oversample, dims=None
+                src, queries, k=k, oversample=oversample, dims=None, cache=cache
             )
         else:
             raise ValueError(

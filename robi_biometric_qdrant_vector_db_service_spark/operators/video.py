@@ -430,10 +430,12 @@ def video_scene_segments(hashes: DataFrame, *, max_hamming: int = 3) -> DataFram
 # stride-1 single pass decodes EVERY frame because boundaries need frame
 # resolution, forfeiting the sample-before-decode posture this module
 # champions.  The two-pass form restores it: a stride-S coarse pass
-# locates candidate cut WINDOWS, and only the frames inside flagged
-# windows decode at full resolution — total decode work is
-# n/S + S × (#flagged windows) ≈ n/S + S × cuts, proportional to CUTS,
-# not frames (microbenched in tools/microbench_r18.py).
+# locates candidate cut WINDOWS, and only the frames INSIDE flagged
+# windows decode at full resolution (window endpoints reuse their coarse
+# hashes — r19) — total decode work is
+# n/S + (S − 1) × (#flagged windows) ≈ n/S + (S − 1) × cuts, proportional
+# to CUTS, not frames (microbenched in tools/microbench_r18.py), and
+# bounded by n even when every window flags.
 #
 # EXACTNESS CONTRACT: identical to the single-pass segmentation whenever
 # every true scene is at least ``stride`` frames long (then a coarse
@@ -509,8 +511,13 @@ def video_scene_flagged_windows(
 ) -> DataFrame:
     """Coarse windows whose endpoint hashes differ by more than
     ``max_hamming`` bits — each contains at least one cut.  Returns
-    (doc_id, w_start, w_end) with w_start/w_end the sampled endpoint
-    frame indices.  Same single doc_id shuffle as the single-pass plan."""
+    (doc_id, w_start, w_end, s0..s3, e0..e3) with w_start/w_end the
+    sampled endpoint frame indices and s*/e* their already-computed
+    coarse hash words — the fine pass seeds its hash table with them and
+    decodes ONLY the window interiors (each frame decodes at most once
+    across both passes).  Same single doc_id shuffle as the single-pass
+    plan: the endpoint words ride the lag() window that computes the
+    Hamming flag anyway."""
     ham = " + ".join(
         f"bit_count(b{j} ^ lag(b{j}) OVER (PARTITION BY doc_id ORDER BY frame_idx))"
         for j in range(4)
@@ -518,27 +525,50 @@ def video_scene_flagged_windows(
     lag_idx = (
         "lag(frame_idx) OVER (PARTITION BY doc_id ORDER BY frame_idx)"
     )
+    lag_words = {
+        f"s{j}": F.expr(
+            f"lag(b{j}) OVER (PARTITION BY doc_id ORDER BY frame_idx)"
+        )
+        for j in range(4)
+    }
     return (
         coarse.withColumn("coarse_ham", F.expr(ham))
         .withColumn("w_start", F.expr(lag_idx))
+        .withColumns(lag_words)
         .filter(F.col("coarse_ham") > max_hamming)
-        .select("doc_id", "w_start", F.col("frame_idx").alias("w_end"))
+        .select(
+            "doc_id",
+            "w_start",
+            F.col("frame_idx").alias("w_end"),
+            *[f"s{j}" for j in range(4)],
+            *[F.col(f"b{j}").alias(f"e{j}") for j in range(4)],
+        )
     )
 
 
 def video_scene_fine_pairs(
     blobs: DataFrame, windows: DataFrame
 ) -> DataFrame:
-    """Pass 2: decode ONLY the frames inside flagged windows and emit one
+    """Pass 2: decode ONLY the INTERIOR frames of flagged windows — the
+    window endpoints are coarse samples whose hashes already rode in on
+    the window list (r19: decode-once across both passes; the fine dHash
+    is the same 64 bits the coarse pass split into four 16-bit words,
+    recombined as b0 | b1<<16 | b2<<32 | b3<<48) — and emit one
     (doc_id, frame_idx, prev_hamming) row per consecutive pair in each
     window.  The (small, ∝ cuts) window list broadcast-joins into the
     blob scan, so docs with no flagged windows never re-decode; per-doc
-    decode work is ≤ stride × windows frames."""
+    decode work is ≤ (stride − 1) × windows frames."""
     from .jpeg import jpeg_decode
     from .multimodal import _block_mean_grid
 
     per_doc = windows.groupBy("doc_id").agg(
-        F.collect_list(F.struct("w_start", "w_end")).alias("wins")
+        F.collect_list(
+            F.struct(
+                "w_start", "w_end",
+                *[f"s{j}" for j in range(4)],
+                *[f"e{j}" for j in range(4)],
+            )
+        ).alias("wins")
     )
     src = blobs.join(F.broadcast(per_doc), "doc_id")
 
@@ -549,12 +579,25 @@ def video_scene_fine_pairs(
                 frames, _w, _h = avi_parse_mjpeg(bytes(blob))
                 need: set[int] = set()
                 spans = []
+                # seed with the endpoints' coarse words (each b_j is a
+                # non-negative 16-bit band, so the recombined Python int
+                # is the exact 64-bit dHash the old re-decode produced)
+                hashes: dict[int, int] = {}
                 for win in wins:
                     a, b = int(win["w_start"]), int(win["w_end"])
                     spans.append((a, b))
-                    need.update(range(a, b + 1))
-                hashes: dict[int, int] = {}
+                    hashes[a] = (
+                        int(win["s0"]) | int(win["s1"]) << 16
+                        | int(win["s2"]) << 32 | int(win["s3"]) << 48
+                    )
+                    hashes[b] = (
+                        int(win["e0"]) | int(win["e1"]) << 16
+                        | int(win["e2"]) << 32 | int(win["e3"]) << 48
+                    )
+                    need.update(range(a + 1, b))
                 for idx in sorted(need):
+                    if idx in hashes:
+                        continue
                     grid = _block_mean_grid(
                         jpeg_decode(frames[idx]), "video_scene_fine_pairs"
                     )
@@ -592,8 +635,13 @@ def video_scene_segments_twopass(
     """Two-pass scene segmentation over (doc_id, blob) AVI rows — same
     output contract as ``video_scene_segments`` over stride-1 hashes
     (doc_id, scene_id, start_frame, end_frame, n_frames), with decode
-    work ∝ n/stride + stride × cuts instead of n (see the module-level
-    exactness contract above).
+    work ∝ n/stride + (stride − 1) × cuts instead of n (the fine pass
+    reuses the coarse endpoints' hashes and decodes only window
+    INTERIORS, so no frame decodes twice across the passes; see the
+    module-level exactness contract above).  Even at pathological cut
+    density — every window flagged — total decode work is bounded by n
+    (every frame at most once), so the two-pass layout now degrades to
+    the single pass instead of overshooting it.
 
     ``cache`` (optional, e.g. ``lambda df: track_scratch(df.persist())``)
     materializes the coarse hash table once: two consumers need it (the

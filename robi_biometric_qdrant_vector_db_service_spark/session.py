@@ -10,8 +10,32 @@ bit-for-bit against the DuckDB oracle (DuckDB timestamps are UTC-naive).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+_MEM_SUFFIX = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _default_xms(driver_mem: str) -> str:
+    """Default heap floor: the driver-memory ceiling, CLAMPED to half the
+    host's physical memory (ADVICE r18 — committing a 32g floor at launch
+    on a smaller host would fail JVM startup / trip the cgroup OOM killer
+    where the old lazy-growth heap worked).  Unparseable sizes or an
+    unreadable /proc/meminfo fall back to the unclamped floor."""
+    m = re.fullmatch(r"(\d+)([kmgt]?)b?", driver_mem.strip().lower())
+    if not m:
+        return f"-Xms{driver_mem}"
+    want = int(m.group(1)) * _MEM_SUFFIX[m.group(2)]
+    try:
+        with open("/proc/meminfo") as f:
+            line = next(ln for ln in f if ln.startswith("MemTotal"))
+        cap = int(line.split()[1]) * 1024 // 2
+    except (OSError, StopIteration, ValueError, IndexError):
+        return f"-Xms{driver_mem}"
+    if want <= cap:
+        return f"-Xms{driver_mem}"
+    return f"-Xms{max(1, cap // (1024**2))}m"
 
 
 def get_spark(app_name: str = "robi_biometric_qdrant_vector_db_service_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
@@ -19,8 +43,9 @@ def get_spark(app_name: str = "robi_biometric_qdrant_vector_db_service_spark", *
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
-    # Pin the heap floor to the heap ceiling (-Xms == driver memory, the
-    # standard long-lived-JVM posture; override via
+    # Pin the heap floor to the heap ceiling (-Xms == driver memory,
+    # clamped to half the host's RAM — see _default_xms; the standard
+    # long-lived-JVM posture; override via
     # $SPARK_GRAFT_DRIVER_JVM_OPTS).  Without it G1 commits/uncommits
     # multi-GB region batches every few concurrent cycles under
     # allocation-heavy plans (observed oscillating 7→14→7 GiB), and each
@@ -30,7 +55,7 @@ def get_spark(app_name: str = "robi_biometric_qdrant_vector_db_service_spark", *
     # steady heap removes the churn; measured spike-free across 12
     # consecutive heavy-allocation queries vs 1-in-5 spiking before.
     jvm_opts = os.environ.get(
-        "SPARK_GRAFT_DRIVER_JVM_OPTS", f"-Xms{driver_mem}"
+        "SPARK_GRAFT_DRIVER_JVM_OPTS", _default_xms(driver_mem)
     )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -4,12 +4,13 @@ op should also run as a continuous stage; r15 VERDICT item 4).
 
 The manifest log IS a stream: every commit publishes one immutable
 ``manifest_<v>.json``, so a Structured Streaming FILE SOURCE tailing the
-store root (``maxFilesPerTrigger=1`` — one commit per micro-batch) sees
-each version exactly once, in commit order.  Per micro-batch, the reader
+store root sees each version exactly once.  Per micro-batch, the reader
 diffs each newly-visible version against its predecessor with the SAME
-batch ``changes(v-1, to=v)`` plan — file-level pruning and all — and
-appends the rows, tagged with their version, to a version-partitioned
-sink.  This is Delta CDF's *per-commit* reader semantics: the drained
+batch ``changes(v-1, to=v)`` plan — file-level pruning and all,
+per-COMMIT granularity regardless of how many manifests a trigger
+carried — and appends the rows, tagged with their version, to a
+version-partitioned sink.  Within a batch the per-version diffs are
+independent (disjoint sink dirs, immutable inputs) and run overlapped.  This is Delta CDF's *per-commit* reader semantics: the drained
 feed is the union of single-version diffs, which a consumer folds into
 any window it wants (and which equals the endpoint diff whenever no
 entity is touched twice — the registered query's scenario).
@@ -51,14 +52,36 @@ _MANIFEST_RE = re.compile(r"manifest_(\d+)\.json$")
 def _emit_versions(store, versions: list[int], since: int, sink: str) -> None:
     """Write each version's single-commit diff to its own sink partition.
     Idempotent: a foreachBatch retry re-derives the same rows from the
-    same immutable manifests and overwrites the same directories."""
-    for v in sorted(versions):
-        if v <= since:
-            continue  # the feed is anchored AT `since`, like changes(since)
-        rows = store.changes(v - 1, to=v)
-        rows.write.mode("overwrite").parquet(
+    same immutable manifests and overwrites the same directories.
+
+    The per-version diffs are INDEPENDENT jobs into separate
+    ``version=<v>`` directories (each reads only its own two immutable
+    manifests), so they run overlapped from a small driver thread pool
+    (guide §2.6 — actions are only sequential because the driver calls
+    them sequentially): a multi-version drain pays ~max(diff) instead of
+    Σ(diff).  Overlap changes nothing observable: writes target disjoint
+    dirs, and a retry that reaches none/some/all of them re-derives
+    byte-identical rows."""
+    todo = sorted(v for v in versions if v > since)
+    # the feed is anchored AT `since`, like changes(since)
+    if not todo:
+        return
+    if len(todo) == 1:
+        v = todo[0]
+        store.changes(v - 1, to=v).write.mode("overwrite").parquet(
             os.path.join(sink, f"version={v}")
         )
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(v: int) -> None:
+        store.changes(v - 1, to=v).write.mode("overwrite").parquet(
+            os.path.join(sink, f"version={v}")
+        )
+
+    with ThreadPoolExecutor(max_workers=min(3, len(todo))) as pool:
+        for _ in pool.map(_one, todo):
+            pass
 
 
 def changes_feed_stream(spark: SparkSession, store, *, since: int) -> DataFrame:
@@ -88,24 +111,37 @@ def changes_feed_stream(spark: SparkSession, store, *, since: int) -> DataFrame:
         _emit_versions(store, versions, since, sink)
 
     name = f"cdc_feed_{os.getpid()}_{next(_counter)}"
+    # one micro-batch may carry SEVERAL newly-visible manifests (r19: the
+    # per-trigger file cap moved from 1 to 64) — the CDC granularity is
+    # unchanged, because the reader diffs each version against its
+    # predecessor INDIVIDUALLY (`_emit_versions`), exactly once, whatever
+    # batch it arrives in; batching the trigger only removes per-trigger
+    # checkpoint/planning overhead and lets the independent per-version
+    # drains overlap (guide §2.6) instead of serializing one per trigger
     stream = (
         spark.readStream.format("text")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 64)
         .load(os.path.join(store.root, "manifest_*.json"))
     )
+    from .stats import _state_partitions
+
     # explicit TRACKED checkpoint dir (the ingest.py/serving.py hygiene
     # discipline): without it Spark allocates an untracked temp checkpoint
-    # that is retained on query failure
-    q = (
-        stream.writeStream.foreachBatch(on_batch)
-        .option(
-            "checkpointLocation", tracked_mkdtemp(prefix="stream_cdc_ckpt_")
+    # that is retained on query failure.  Shuffle partitions pin to the
+    # state-shard band while the drain runs: each per-version diff's
+    # full-outer join handles one commit's files, not a corpus
+    with _state_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(on_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", tracked_mkdtemp(prefix="stream_cdc_ckpt_")
+            )
+            .queryName(name)
+            .start()
         )
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.read.parquet(sink).filter(F.col("version") > since)

@@ -1633,8 +1633,10 @@ def bpe_train_pairs(vocab: DataFrame, k_merges: int) -> list[tuple]:
     n_words, total_freq = vocab.agg(
         F.count("*"), F.sum("freq").cast("bigint")
     ).collect()[0]
+    from .operators.store import _num_input_partitions
+
     parts = max(1, math.ceil(n_words / BPE_VOCAB_ROWS_PER_PARTITION))
-    if parts < vocab._jdf.rdd().getNumPartitions():  # JVM probe — no Python-RDD wrap
+    if parts < _num_input_partitions(vocab):  # JVM probe — no Python-RDD wrap
         sized = vocab.coalesce(parts).persist()
         vocab.unpersist()
         vocab = sized

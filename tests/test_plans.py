@@ -971,45 +971,94 @@ def test_new_media_and_mining_plan_shapes(spark):
     assert "BroadcastExchange" in scene, scene
     vad = _plan(audio_vad_segments(spark, SF_SMOKE))
     assert shuffles(vad) == 1, vad
-    # two shuffles since the companion layout landed: the stage-1 ranking
-    # window, plus the final window over the (tiny, oversample×k per
-    # query) rescored survivors after their broadcast join-back to the
-    # float column — the price of a stage-1 scan that never reads
-    # ``embedding`` (see test_rescore_stage1_scans_companion_only)
+    # ONE live shuffle since the r19 fetch-by-id stage 2: the returned
+    # plan is the stage-2 job only — the cached stage-1 survivors (their
+    # ranking window already ran inside the survivor materialization)
+    # broadcast onto the id-pruned float fetch, leaving just the final
+    # ranking window.  Count exchanges in the LIVE tree only: the
+    # materialized InMemoryRelation embeds its own (already-executed)
+    # stage-1 plan dump, whose exchanges are history, not this job's.
+    # (See test_rescore_stage1_scans_companion_only for the stage-1 pin
+    # and the stage-2 PushedFilters pin.)
     mrl = _plan(matryoshka_rescore_topk_q(spark, SF_SMOKE))
-    assert shuffles(mrl) == 2, mrl
+    live = mrl.split("== Final Plan ==")[0]
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", live)) == 1, mrl
     assert "BroadcastNestedLoopJoin" in mrl or "BroadcastExchange" in mrl, mrl
+    assert "InMemoryTableScan" in mrl, mrl
     bitext = _plan(bitext_margin_pairs_q(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in bitext, bitext
     assert "CartesianProduct" not in bitext, bitext
 
 
 def test_rescore_stage1_scans_companion_only(spark):
-    """The rescore family's at-rest claim, in the plan (r17 VERDICT item
-    1): over the companion layout, stage 1 of INT8 / matryoshka / BQ
-    scans ONLY (vec_id, companion) — the ReadSchema of the scan that
-    feeds the prescreen must EXCLUDE ``embedding`` (4×/4×/32× fewer scan
-    bytes at 64 dims) — and exactly one other corpus scan (the survivors'
-    exact-rescore fetch) reads the float column."""
+    """The rescore family's at-rest claims, in the plan.
+
+    (a) Stage 1 (r17 VERDICT item 1): over the companion layout, the
+    prescreen of INT8 / matryoshka / BQ scans ONLY (vec_id, companion) —
+    ReadSchema EXCLUDES ``embedding`` (4×/4×/32× fewer scan bytes at 64
+    dims).  Pinned on the direct operator plan (``cache=None`` — the
+    single-plan shape, where both stages are visible in one explain).
+
+    (b) Stage 2 (r19, VERDICT r18 item 5): the registered queries run the
+    fetch-by-id shape — stage-1 survivors materialize once
+    (InMemoryTableScan in the final plan, never recomputed) and their ids
+    push into the float-column fetch as an IN predicate (PushedFilters on
+    the stage-2 scan), so at rest the exact rescore reads the survivors'
+    row groups, not the corpus."""
     import re
 
+    from robi_biometric_qdrant_vector_db_service_spark.operators import ann
+    from robi_biometric_qdrant_vector_db_service_spark.workload import _probes
     from robi_biometric_qdrant_vector_db_service_spark.workload_ann import (
+        _companion_corpus,
         bq_hamming_rescore,
         int8_rescore_topk,
         matryoshka_rescore_topk_q,
     )
 
-    for fn, companion in [
-        (int8_rescore_topk, "e8"),
-        (matryoshka_rescore_topk_q, "e_pre16"),
-        (bq_hamming_rescore, "bq64"),
+    corpus = _companion_corpus(spark, SF_SMOKE)
+    probes = _probes(spark, SF_SMOKE)
+    for op, companion in [
+        (lambda: ann.int8_rescore_topk(corpus, probes, k=10, oversample=3), "e8"),
+        (
+            lambda: ann.matryoshka_rescore_topk(
+                corpus, probes, k=10, prefix_dims=16, oversample=3
+            ),
+            "e_pre16",
+        ),
+        (
+            lambda: ann.bq_hamming_topk(corpus, probes, k=10, oversample=4),
+            "bq64",
+        ),
     ]:
-        plan = _plan(fn(spark, SF_SMOKE))
+        plan = _plan(op())
         schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
         companion_scans = [s for s in schemas if companion in s]
         assert companion_scans, (companion, plan)
         for s in companion_scans:
             assert "embedding" not in s, (companion, s)
+
+    for fn in (int8_rescore_topk, matryoshka_rescore_topk_q, bq_hamming_rescore):
+        plan = _plan(fn(spark, SF_SMOKE))
+        # survivors come from the cache, not a recompute
+        assert "InMemoryTableScan" in plan, plan
+        # the float fetch is id-pruned AT THE SCAN: its PushedFilters
+        # carry the survivor-id predicate (In(...) below the parquet
+        # in-filter threshold, else the equivalent range rewrite)
+        scans = re.findall(
+            r"PushedFilters: \[[^\n]*\][^\n]*", plan
+        ) or re.findall(r"PushedFilters: \[[^\n]*", plan)
+        pushed = [
+            s
+            for s in scans
+            if "vec_id" in s and ("In(" in s or "GreaterThan" in s or "IsNotNull" in s)
+        ]
+        assert pushed, plan
+        # stage 1 already ran — no companion column in the final plan's
+        # parquet scans (the only corpus scan left reads the floats)
+        schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+        for s in schemas:
+            assert "embedding" in s or "q_emb" in s or "vec_id" in s, s
 
 
 def test_store_quantized_search_stage1_never_reads_vectors(spark, tmp_path):

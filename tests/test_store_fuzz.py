@@ -456,3 +456,41 @@ def test_changes_inverted_window_is_reverse_feed(spark, tmp_path):
            for r in store.changes(v2, to=v0).collect()}
     assert fwd == {("delete", "p0"), ("insert", "p9")}
     assert rev == {("insert", "p0"), ("delete", "p9")}
+
+
+def test_bulk_id_list_join_fallback_equals_in_path(spark, tmp_path, monkeypatch):
+    """Above ``_IN_LIST_MAX`` the id-keyed mutations switch from the
+    inlined IN predicate to the createDataFrame + broadcast-join probe
+    (ADVICE r18: an unbounded caller list must not bloat plan
+    serialization).  Force the threshold to 0 and assert the join path
+    produces the exact same counts and final state as the IN path on
+    identical stores — solo ops AND the coalesced rewrite group."""
+    def run(root):
+        store = VectorStore.create(
+            spark, str(tmp_path / root),
+            _row_df(spark, [(pid, USERS[i % 3], {"seq": str(i)})
+                            for i, pid in enumerate(IDS)]),
+        )
+        counts = [
+            store.set_payload(["p1", "p2", "p7"], {"tier": "gold"}),
+            store.delete_by_id(["p0", "p9", "missing"]),
+        ]
+        counts.extend(
+            store.apply_batch(
+                [
+                    ("overwrite_payload", ["p3", "p4"], {"only": "key"}),
+                    ("delete", ["p5"]),
+                    ("clear_payload", ["p6", "p5"]),  # p5 just deleted
+                ]
+            )
+        )
+        state = sorted(
+            (r["point_id"], r["user_id"], sorted(r["metadata"].items()))
+            for r in store.read().collect()
+        )
+        return counts, state
+
+    want = run("in_path")
+    monkeypatch.setattr(VectorStore, "_IN_LIST_MAX", 0)
+    got = run("join_path")
+    assert got == want

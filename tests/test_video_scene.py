@@ -195,6 +195,47 @@ def test_twopass_decode_work_is_proportional_to_cuts(spark):
     assert n_pairs <= 2 * 2 * n_docs, n_pairs
 
 
+def test_flagged_windows_carry_exact_endpoint_hashes(spark):
+    """The r19 decode-once contract: every flagged window's s*/e* words
+    equal the coarse pass's hash words at its endpoint frames, and their
+    64-bit recombination (b0 | b1<<16 | b2<<32 | b3<<48) equals the
+    stride-1 dHash the fine pass previously re-decoded — so seeding the
+    fine hash table from the window list is exact, not approximate."""
+    from robi_biometric_qdrant_vector_db_service_spark.operators.video import (
+        video_frame_dhash,
+        video_scene_coarse_hashes,
+        video_scene_flagged_windows,
+    )
+    from robi_biometric_qdrant_vector_db_service_spark.workload_sources import (
+        _video_scene_corpus_blobs,
+    )
+
+    blobs = _video_scene_corpus_blobs(spark, SF_SMOKE)
+    coarse = video_scene_coarse_hashes(blobs, stride=2)
+    by_frame = {
+        (r["doc_id"], r["frame_idx"]): tuple(r[f"b{j}"] for j in range(4))
+        for r in coarse.collect()
+    }
+    fine = {
+        (r["doc_id"], r["frame_idx"]): tuple(r[f"b{j}"] for j in range(4))
+        for r in video_frame_dhash(blobs, stride=1).collect()
+    }
+    wins = video_scene_flagged_windows(
+        coarse, max_hamming=PHASH_MAX_HAMMING
+    ).collect()
+    assert wins
+    for w in wins:
+        start = tuple(w[f"s{j}"] for j in range(4))
+        end = tuple(w[f"e{j}"] for j in range(4))
+        assert start == by_frame[(w["doc_id"], w["w_start"])]
+        assert end == by_frame[(w["doc_id"], w["w_end"])]
+        # coarse words ARE the stride-1 hash words at the same frame
+        assert start == fine[(w["doc_id"], w["w_start"])]
+        assert end == fine[(w["doc_id"], w["w_end"])]
+        for words in (start, end):
+            assert all(0 <= b < (1 << 16) for b in words), words
+
+
 def test_twopass_synthetic_equivalence_and_edge_cases(spark):
     """Hand-built AVIs: single-frame video (one scene), no-cut video,
     cut exactly at a coarse sample, and adjacent-sample windows — all
