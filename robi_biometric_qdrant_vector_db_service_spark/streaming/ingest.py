@@ -65,13 +65,14 @@ def store_ingest_stream(spark: SparkSession, sf_dir: str) -> tuple[VectorStore, 
         .option("maxFilesPerTrigger", 2)
         .parquet(path)
         .writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
         .option(
             "checkpointLocation", tracked_mkdtemp(prefix="stream_ingest_ckpt_")
         )
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.awaitTermination()
     finally:
         q.stop()
     return store, store._current_version()

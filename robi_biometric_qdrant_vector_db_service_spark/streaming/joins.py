@@ -67,6 +67,7 @@ def attribution_join_stream(
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
+            .trigger(availableNow=True)
             .option(
                 "checkpointLocation",
                 tracked_mkdtemp(prefix="stream_join_ckpt_"),
@@ -75,7 +76,7 @@ def attribution_join_stream(
             .start()
         )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     t = spark.table(query_name)

@@ -111,6 +111,10 @@ def media_gate_stream(
     )
     q = (
         stream.writeStream.foreachBatch(on_batch)
+        # AvailableNow: plan the pending files up-front, drain them as
+        # maxFilesPerTrigger-sized micro-batches, then terminate — no
+        # post-drain polling (the serving.py discipline)
+        .trigger(availableNow=True)
         .option(
             "checkpointLocation", tracked_mkdtemp(prefix="stream_mediagate_ckpt_")
         )
@@ -118,7 +122,7 @@ def media_gate_stream(
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.awaitTermination()
     finally:
         q.stop()
     return spark.read.parquet(sink).select(

@@ -59,6 +59,7 @@ def pii_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         flagged.writeStream.outputMode("append")
         .format("memory")
+        .trigger(availableNow=True)
         .option(
             "checkpointLocation",
             tracked_mkdtemp(prefix="stream_scrub_ckpt_"),
@@ -67,7 +68,7 @@ def pii_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.awaitTermination()
     finally:
         q.stop()
     return (
@@ -97,6 +98,7 @@ def quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         passed.writeStream.outputMode("append")
         .format("memory")
+        .trigger(availableNow=True)
         .option(
             "checkpointLocation",
             tracked_mkdtemp(prefix="stream_scrub_ckpt_"),
@@ -105,7 +107,7 @@ def quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.awaitTermination()
     finally:
         q.stop()
     return (

@@ -114,7 +114,12 @@ def sessionization_stream(
         )
         .select("user_id", "session_start", "n_events", "total_value")
     )
-    with _state_partitions(spark, 8):
+    # 4 state shards, like the other native stateful streams: session
+    # state is ~|users| rows, and each extra shard costs a per-batch
+    # state-store commit on all 5 micro-batches (measured: 8 shards
+    # 4.80 s, 4 shards 3.91 s, 2 shards 4.05 s — identical 95 465 rows).
+    # At scale this is sized to sustained throughput instead.
+    with _state_partitions(spark, 4):
         q = (
             sess.writeStream.outputMode("append")
             .format("memory")

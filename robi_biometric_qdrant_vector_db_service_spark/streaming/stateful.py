@@ -80,6 +80,7 @@ def stateful_running_stats(
         q = (
             updated.writeStream.outputMode("update")
             .format("memory")
+            .trigger(availableNow=True)
             .option(
                 "checkpointLocation",
                 tracked_mkdtemp(prefix="stream_stateful_ckpt_"),
@@ -88,7 +89,7 @@ def stateful_running_stats(
             .start()
         )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     t = spark.table(query_name)

@@ -77,6 +77,7 @@ def ops_stats_stream(spark: SparkSession, sf_dir: str, query_name: str) -> DataF
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
+            .trigger(availableNow=True)
             .option(
                 "checkpointLocation",
                 tracked_mkdtemp(prefix="stream_stats_ckpt_"),
@@ -85,7 +86,7 @@ def ops_stats_stream(spark: SparkSession, sf_dir: str, query_name: str) -> DataF
             .start()
         )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     return spark.table(query_name)
@@ -126,6 +127,7 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str, query_name: str) -> Da
         q = (
             deduped.writeStream.outputMode("append")
             .format("memory")
+            .trigger(availableNow=True)
             .option(
                 "checkpointLocation",
                 tracked_mkdtemp(prefix="stream_stats_ckpt_"),
@@ -134,7 +136,7 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str, query_name: str) -> Da
             .start()
         )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     t = spark.table(query_name)
@@ -163,6 +165,7 @@ def hourly_window_stream(
         q = (
             agg.writeStream.outputMode("update")
             .format("memory")
+            .trigger(availableNow=True)
             .option(
                 "checkpointLocation",
                 tracked_mkdtemp(prefix="stream_stats_ckpt_"),
@@ -171,7 +174,7 @@ def hourly_window_stream(
             .start()
         )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     # update mode may emit a window several times; keep the latest value
@@ -203,6 +206,7 @@ def dedup_events_stream_watermarked(
         q = (
             deduped.writeStream.outputMode("append")
             .format("memory")
+            .trigger(availableNow=True)
             .option(
                 "checkpointLocation",
                 tracked_mkdtemp(prefix="stream_stats_ckpt_"),
@@ -211,7 +215,7 @@ def dedup_events_stream_watermarked(
             .start()
         )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     t = spark.table(query_name)

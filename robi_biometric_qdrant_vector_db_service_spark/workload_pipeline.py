@@ -1605,10 +1605,83 @@ def bpe_train(vocab: DataFrame, k_merges: int) -> list[tuple]:
     ]
 
 
+# Vocab size up to which the merge loop runs DRIVER-SIDE on the collected
+# (sym, freq) table instead of as K Spark jobs.  Real BPE trainers (the
+# Sennrich reference implementation, sentencepiece) hold exactly this
+# word-frequency table in memory; 200k rows is a few MB of driver state —
+# the bounded-driver-state bar the kmeans codebook already uses — while a
+# trillion-token corpus's multi-million-row vocab takes the distributed
+# loop.  Dispatch-by-corpus-statistics is the plans/strategy.py precedent.
+BPE_DRIVER_TRAIN_MAX = BPE_VOCAB_ROWS_PER_PARTITION
+
+
+def _bpe_merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """One merge applied to one word's symbol list — the exact semantics
+    of the distributed ``replace(sym, '⟨l⟩⟨r⟩', '⟨lr⟩')``: left-to-right
+    scan, non-overlapping (a replaced pair's symbols can't re-match),
+    whole-symbol boundaries by construction."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_pairs_local(rows, k_merges: int) -> list[tuple]:
+    """The merge loop over a DRIVER-collected [(sym, freq)] vocab —
+    integer-exact and tiebreak-identical to the distributed loop below:
+    pair counts are Σfreq over ALL adjacent occurrences (overlaps
+    included, selection-time semantics), the argmax tiebreak is
+    (n DESC, l, r) with plain string comparison (the [a-z]+ symbol
+    alphabet is ASCII, where Python's and the JVM's orderings coincide),
+    and n_tokens after each step is Σ freq·|syms|.  Pinned equal to the
+    distributed trainer in tests/test_bpe_fuzz.py."""
+    words = [(r["sym"][1:-1].split("⟩⟨"), r["freq"]) for r in rows]
+    merges: list[tuple] = []
+    for step in range(1, k_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + freq
+        if not counts:
+            raise ValueError(
+                f"bpe_train: vocabulary exhausted after {step - 1} merges"
+                f" (every word is a single symbol); lower k_merges"
+            )
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if not (_bpe_symbol_ok(left) and _bpe_symbol_ok(right)):
+            raise ValueError(
+                f"bpe_train: symbol pair ({left!r}, {right!r}) outside "
+                "the [a-z]+ merge alphabet — vocab must be gated (or "
+                "escaped) before training"
+            )
+        words = [(_bpe_merge_word(s, left, right), f) for s, f in words]
+        n_tokens = sum(f * len(s) for s, f in words)
+        merges.append((step, left, right, n, n_tokens))
+    return merges
+
+
 def bpe_train_pairs(vocab: DataFrame, k_merges: int) -> list[tuple]:
     """As ``bpe_train`` but with the merge pair split out:
     [(step, left, right, weighted pair count, corpus tokens after), ...]
     — the form the encode stage replays.
+
+    Vocabs within ``BPE_DRIVER_TRAIN_MAX`` rows train DRIVER-SIDE on the
+    collected word-frequency table (one request-bounded collect; see the
+    constant above): the distributed loop's cost at that size is pure
+    job machinery — K driver round-trips over a table that fits in one
+    task — measured ~2.3 s for K=8 over a 31-row fixture vocab vs ~0.02 s
+    in-driver, with bit-identical merges (fuzz-pinned).  Larger vocabs
+    take the distributed loop below.
 
     The vocab is re-partitioned ONCE to match its actual row count
     (ceil(n / 200k) partitions) before the loop: every iteration runs
@@ -1633,6 +1706,10 @@ def bpe_train_pairs(vocab: DataFrame, k_merges: int) -> list[tuple]:
     n_words, total_freq = vocab.agg(
         F.count("*"), F.sum("freq").cast("bigint")
     ).collect()[0]
+    if n_words <= BPE_DRIVER_TRAIN_MAX:
+        rows = vocab.select("sym", "freq").collect()
+        vocab.unpersist()
+        return _bpe_train_pairs_local(rows, k_merges)
     from .operators.store import _num_input_partitions
 
     parts = max(1, math.ceil(n_words / BPE_VOCAB_ROWS_PER_PARTITION))

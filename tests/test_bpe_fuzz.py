@@ -301,3 +301,29 @@ def test_bpe_encode_replay_crosses_checkpoint_spans(spark):
     # the three real merges actually fired (sanity against all-no-op):
     # abaab -> [ab,a,ab] -> [aba,ab] -> [abaab], one merge per span
     assert want["abaab"] == 1 and want["aba"] == 1 and want["abab"] == 2
+
+
+def test_driver_and_distributed_trainers_agree(spark, monkeypatch):
+    """The r19 size dispatch (vocabs within BPE_DRIVER_TRAIN_MAX train
+    driver-side on the collected word-frequency table): both trainers
+    must produce byte-identical merge lists — same weighted counts, same
+    (n DESC, l, r) tiebreaks, same per-step token counts — on corpora
+    with overlapping and disjoint adjacency.  Keeps the distributed loop
+    exercised now that fixtures route to the in-driver path."""
+    import robi_biometric_qdrant_vector_db_service_spark.workload_pipeline as WP
+    from robi_biometric_qdrant_vector_db_service_spark.workload_pipeline import (
+        bpe_train_pairs,
+    )
+
+    docs_rows = ["aaa"] * 3 + ["abab"] * 2 + ["baa", "cc", "cac", "acca"] * 2
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(docs_rows)],
+        "doc_id bigint, text string",
+    )
+    local = bpe_train_pairs(word_vocab(docs), 4)
+    monkeypatch.setattr(WP, "BPE_DRIVER_TRAIN_MAX", -1)
+    dist = bpe_train_pairs(word_vocab(docs), 4)
+    assert local == dist
+    assert local == [
+        (s, lf, r, n, t) for (s, lf, r, n, t) in local
+    ]  # shape: (step, left, right, n, n_tokens)
