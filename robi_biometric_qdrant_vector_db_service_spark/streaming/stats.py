@@ -11,7 +11,7 @@ Reference behaviors mapped (SURVEY §2.10):
   (qdrant_client.py:125) → micro-batch trigger.
 
 Local tests drive a bounded parquet directory through the streaming
-engine (memory sink + processAllAvailable) so results are comparable to
+engine (memory sink + an AvailableNow drain) so results are comparable to
 the batch queries; in production the source is Kafka/files and the sink
 Delta — the aggregation plan is unchanged.
 """
