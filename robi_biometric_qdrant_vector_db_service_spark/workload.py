@@ -4005,73 +4005,73 @@ from . import workload_graph  # noqa: E402,F401
 # stays verified by the full local oracle replica
 # (tools/run_correctness.py), whose per-round output is committed as
 # CORRECTNESS_LOCAL_r{N}.json — ADVICE r3.
-# Rotation r18: (a) the 1 never-driver-windowed query (the new
-# store_quantized_search row); (b) the 10 queries whose engine path
-# changed this round: the three rescore rows + the store serving row now
-# run over MATERIALIZED companion columns (two-scan plans),
-# bitext_margin_pairs divides by actual neighborhood size, both JPEG
-# dedup corpora plant restart-interval (DRI/RSTn) variants, the WAV
-# feature + VAD corpora rotate container formats through the new
-# stereo/24-bit downmix (stream_media_gate drains the same staged VAD
-# clips and got the single-slice seed fix), and video_scene_cuts adopted
-# the two-pass coarse->fine plan; (c) the 10 r13-stale leftovers
-# documented by the r17 rotation; (d) the 29 stalest r14 rows in
-# registry order, filling the window to exactly 50.  After this round no
-# driver row is staler than r14 (16 r14 rows remain for r19, recomputed
-# from the committed CORRECTNESS_r* artifacts).
+# Rotation r19 (no never-windowed rows remain): (a) the 25 queries whose
+# engine path changed this optimization round — the rescore family's
+# stage-2 fetch-by-id (IN pushdown + cached survivors), the two-pass
+# scene cuts' endpoint-hash reuse, the near-dup gates' batch-conf +
+# AvailableNow drains, the CDC/alias tails' batched triggers +
+# overlapped per-version drains, the BPE driver-side small-vocab
+# trainer, sessionization's 4 state shards, every single-drain stream's
+# AvailableNow switch, and the store rows exercising the overlapped-
+# write helper / rewrite-group threshold branch; (b) the 15 rows whose
+# last driver window was r14, registry order; (c) the 10 oldest
+# r15-stale rows, registry order, filling the window to exactly 50.
+# After this round no driver row is staler than r15 (the 30 remaining
+# r15 rows are re-certified by the committed CORRECTNESS_LOCAL_r19.json
+# full replica and queue for r20; staleness recomputed from the
+# committed CORRECTNESS_r{5..18}.json artifacts).
 FRONT_QUERIES = [
-    # (a) never driver-windowed
-    "store_quantized_search",
-    # (b) engine path changed this round
+    # (a) engine path changed this round
     "int8_rescore_topk",
     "matryoshka_rescore_topk",
     "bq_hamming_rescore",
-    "bitext_margin_pairs",
-    "image_jpeg_phash_dups",
-    "image_jpeg_progressive_phash_dups",
-    "audio_wav_features",
-    "audio_vad_segments",
-    "stream_media_gate",
+    "store_quantized_search",
     "video_scene_cuts",
-    # (c) the 10 r13-stale leftovers
-    "embedding_near_dups_lsh",
-    "embedding_near_dups_lsh_hi",
-    "sql_surface_knn",
-    "pq_adc_topk",
-    "multimodal_decode",
-    "stream_search_serving",
-    "train_test_split",
-    "doc_chunks",
-    "dedup_group_components",
-    "dedup_survivors",
-    # (d) stalest r14 rows, registry order
-    "dbsf_fusion_topk",
-    "detect_1toN",
-    "delete_by_user",
-    "set_payload_points",
-    "add_batch_append",
-    "dedup_keep_newest",
-    "delete_by_id",
-    "match_text_multilingual",
-    "collection_stats",
-    "recommend_by_examples",
-    "recommend_groups_topk",
-    "recommend_best_score",
-    "context_pairs_search",
-    "search_groups_topk",
-    "search_groups_lookup",
-    "scroll_payload_selector",
-    "retrieve_points",
-    "scroll_filtered",
-    "scroll_order_by",
-    "scroll_order_by_desc",
-    "scroll_start_from",
-    "discover_context",
-    "matrix_offsets_coo",
-    "regional_revenue",
-    "cube_orders",
-    "running_supplier_qty",
-    "distinct_part_counts",
-    "approx_distinct_parts",
-    "purchase_attribution_asof",
+    "stream_neardup_pairs",
+    "stream_embedding_neardups",
+    "stream_store_changelog",
+    "stream_alias_events",
+    "bpe_merge_table",
+    "bpe_encode_corpus",
+    "bpe_sequence_packing",
+    "stream_sessionization",
+    "stream_media_gate",
+    "stream_dedup_events",
+    "stream_ops_stats",
+    "stream_hourly_counts",
+    "stateful_running_stats",
+    "stream_pii_scrub",
+    "stream_quality_gate",
+    "stream_attribution_join",
+    "stream_store_ingest",
+    "upsert_merge",
+    "points_update_batch",
+    "update_vectors_points",
+    # (b) last driver window r14, registry order
+    "adaptive_search",
+    "ann_ivfpq_topk",
+    "ann_signlsh_topk",
+    "benchmark_decontamination",
+    "bm25_top_docs",
+    "chunk_dedup_groups",
+    "domain_balanced_sample",
+    "domain_blocklist_filter",
+    "npy_migration",
+    "pii_redaction",
+    "regex_token_profile",
+    "repetition_profile",
+    "rolling_hash_fp",
+    "substring_dedup_spans",
+    "substring_dup_fraction",
+    # (c) oldest r15-stale rows, registry order
+    "active_customer_balance",
+    "ccnet_perplexity_buckets",
+    "charlm_quality",
+    "customers_without_orders",
+    "delete_by_predicate",
+    "doc_fingerprints",
+    "doc_quality_filter",
+    "dsir_importance_weights",
+    "embedding_near_dups",
+    "events_hourly_rollup",
 ]
